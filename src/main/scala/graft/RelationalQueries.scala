@@ -42,7 +42,267 @@ object RelationalQueries extends QueryGroup {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** S1/S10/S12: scans with projection + predicate pushdown. */
+  def scanPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", cents($"l_extendedprice").as("price_cents"))
+  }
+
+  def scanTyped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("signup", "error"))
+      .select($"event_id", $"user_id", $"event_type")
+  }
+
+  def scanSince(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .filter($"ts" >= lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents($"value")).cast("long").as("value_cents"))
+  }
+
+  /** J1/W1: first-hit-wins candidate join — per customer its latest order
+    * (rank by recency, unique tie-break), the reconciler's pick-one shape. */
+  def firstMatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".asc)
+    o.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .join(c, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate")
+  }
+
+  /** J2/J3: multi-match resolved by most supporting evidence (vote max). */
+  def voteMax(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val votes = li.groupBy($"l_partkey", $"l_suppkey").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"l_partkey").orderBy($"n".desc, $"l_suppkey".asc)
+    votes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"l_partkey", $"l_suppkey".as("winner_suppkey"), $"n".as("votes"))
+  }
+
+  /** J4/§2.7: differentFrom veto = anti-join (customers with no orders). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** semi-join (EXISTS): customers having any order above a threshold. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders").filter($"o_totalprice" > 300000.0)
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** J8: reidentify — rewrite foreign ids through a mapping table with a
+    * do-not-reidentify fallback (left join + coalesce). */
+  def rewriteIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 100 === 0)
+    val p = Tables.load(spark, dir, "part")
+      .filter($"p_size" > 10)
+      .select($"p_partkey", $"p_name")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey", "left")
+      .select($"l_orderkey", $"l_linenumber",
+        coalesce($"p_name", concat(lit("unknown:"), $"l_partkey")).as("part_ref"))
+  }
+
+  /** W1: candidate ranking by (priority asc, length desc) per partition —
+    * top-3 documents per language by size. */
+  def rankPriority(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc)
+    d.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"lang", $"rnk", $"doc_id", $"n_chars")
+  }
+
+  /** W2: primary-name election with computed score per group. */
+  def nameElection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val score = when($"c_acctbal" >= 0, 1).otherwise(0)
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy(score.desc, length($"c_name").asc, $"c_custkey".asc)
+    c.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"c_nationkey", $"c_custkey".as("elected_custkey"), $"c_name".as("elected_name"))
+  }
+
+  /** §2.7 set ops: stale-equivalence removal = EXCEPT. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val h1 = o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")) &&
+      $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1994-07-01 00:00:00"))).select($"o_custkey")
+    val h2 = o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1994-07-01 00:00:00")) &&
+      $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))).select($"o_custkey")
+    h1.except(h2)
+  }
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val h1 = o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")) &&
+      $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1994-07-01 00:00:00"))).select($"o_custkey")
+    val h2 = o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1994-07-01 00:00:00")) &&
+      $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))).select($"o_custkey")
+    h1.intersect(h2)
+  }
+
+  /** A4/K6: metatype aggregation — id-set union per key, rendered as a
+    * sorted CSV string (deterministic across engines). */
+  def groupCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    c.groupBy($"c_nationkey")
+      .agg(concat_ws(",", array_sort(collect_set($"c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n_customers"))
+  }
+
+  /** A6: keyword frequency top-5 (words longer than 3 chars). */
+  def topKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 3)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word".asc)
+      .limit(5)
+  }
+
+  /** A7: refCtr — inbound-reference counting substrate. */
+  def refCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  /** Headline join-aggregate for bench: revenue per (nation, year) through
+    * lineitem ⋈ orders ⋈ customer ⋈ nation; dims broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val c = Tables.load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val n = Tables.load(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("int").as("order_year"))
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount")))
+        .cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))
+    Queries.register(QueryDef("s1_scan_pushdown", scanPushdown, Some(
+      """SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount > 0.05""".stripMargin)))
+    Queries.register(QueryDef("s10_scan_typed", scanTyped, Some(
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type IN ('signup','error')""".stripMargin)))
+    Queries.register(QueryDef("s12_scan_since", scanSince, Some(
+      """SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE ts >= TIMESTAMP '2024-03-01'
+        |GROUP BY 1""".stripMargin)))
+    Queries.register(QueryDef("j1_first_match", firstMatch, Some(
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |  FROM orders) o
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE rn = 1""".stripMargin), bench = true))
+    Queries.register(QueryDef("j2_vote_max", voteMax, Some(
+      """SELECT l_partkey, l_suppkey AS winner_suppkey, n AS votes FROM (
+        |  SELECT l_partkey, l_suppkey, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY COUNT(*) DESC, l_suppkey ASC) AS rn
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey) v
+        |WHERE rn = 1""".stripMargin)))
+    Queries.register(QueryDef("j4_anti_join", antiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)))
+    Queries.register(QueryDef("j_semi_join", semiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin)))
+    Queries.register(QueryDef("j8_rewrite_ids", rewriteIds, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(p.p_name, 'unknown:' || l_partkey) AS part_ref
+        |FROM lineitem
+        |LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size > 10) p
+        |  ON l_partkey = p_partkey
+        |WHERE l_orderkey % 100 = 0""".stripMargin)))
+    Queries.register(QueryDef("w1_rank_priority", rankPriority, Some(
+      """SELECT lang, rnk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        |  FROM documents) d
+        |WHERE rnk <= 3""".stripMargin)))
+    Queries.register(QueryDef("w2_name_election", nameElection, Some(
+      """SELECT c_nationkey, c_custkey AS elected_custkey, c_name AS elected_name FROM (
+        |  SELECT c_nationkey, c_custkey, c_name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY (CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) DESC,
+        |               LENGTH(c_name) ASC, c_custkey ASC) AS rn
+        |  FROM customer) c
+        |WHERE rn = 1""".stripMargin)))
+    Queries.register(QueryDef("set_except", setExcept, Some(
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1994-07-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01'""".stripMargin)))
+    Queries.register(QueryDef("set_intersect", setIntersect, Some(
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1994-07-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01'""".stripMargin)))
+    Queries.register(QueryDef("a4_group_collect", groupCollect, Some(
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |  COUNT(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey""".stripMargin)))
+    Queries.register(QueryDef("a6_top_keywords", topKeywords, Some(
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) w
+        |WHERE LENGTH(word) > 3
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 5""".stripMargin)))
+    Queries.register(QueryDef("a7_ref_count", refCount, Some(
+      """SELECT l_partkey, COUNT(*) AS n_refs, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_partkey""".stripMargin)))
+    Queries.register(QueryDef("q3_revenue_nation_year", revenueByNation, Some(
+      """SELECT n_name, CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, CAST(YEAR(o_orderdate) AS INTEGER)""".stripMargin), bench = true))
   }
 }

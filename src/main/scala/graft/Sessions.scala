@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Uniform session construction for driver mains and tests.
+  *
+  * Scale notes: shuffle partitions sized to local cores here; on a real
+  * cluster this is `spark.sql.shuffle.partitions` ≈ 2-3× total cores and
+  * AQE coalesces down. UTC pinned for oracle parity. nanosAsLong because
+  * the test `events` table carries TIMESTAMP(NANOS) parquet, which Spark
+  * only exposes as long (converted back in Tables.load).
+  */
+object Sessions {
+  def create(appName: String, cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
