@@ -29,7 +29,7 @@ object Queries {
 
   /** All registration groups; referencing the objects forces their init. */
   private lazy val groups: Seq[QueryGroup] = Seq(
-    RelationalQueries, TextQueries)
+    RelationalQueries, TextQueries, DedupQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 
