@@ -29,7 +29,7 @@ object Queries {
 
   /** All registration groups; referencing the objects forces their init. */
   private lazy val groups: Seq[QueryGroup] = Seq(
-    RelationalQueries, TextQueries, DedupQueries)
+    RelationalQueries, TextQueries, DedupQueries, SimilarityQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 
