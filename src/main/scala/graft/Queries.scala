@@ -29,7 +29,8 @@ object Queries {
 
   /** All registration groups; referencing the objects forces their init. */
   private lazy val groups: Seq[QueryGroup] = Seq(
-    RelationalQueries, TextQueries, DedupQueries, SimilarityQueries)
+    RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
+    GraphQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 
