@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.LuxCompiler
+
+/** LUX search-language queries (SURVEY §2.9) compiled end-to-end:
+  * query string → lexer/parser → AST → DataFrame combinators over the
+  * entity/triple substrate derived from the star schema (the analog of
+  * the reference's record + triple indexes, `marklogic/mapper.py:238-786`).
+  * Oracles re-express the compiled semantics as EXISTS SQL. */
+object LuxQueries extends QueryGroup {
+
+  /** Entity substrate: (id, etype, name, num). num carries cents for
+    * money, size for parts — the "indexed properties" analog. */
+  def entities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select(concat(lit("c"), $"c_custkey").as("id"), lit("customer").as("etype"),
+        $"c_name".as("name"), round($"c_acctbal" * 100).cast("long").as("num"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(concat(lit("o"), $"o_orderkey").as("id"), lit("order").as("etype"),
+        lit(null).cast("string").as("name"),
+        round($"o_totalprice" * 100).cast("long").as("num"))
+    val p = Tables.load(spark, dir, "part")
+      .select(concat(lit("p"), $"p_partkey").as("id"), lit("part").as("etype"),
+        $"p_name".as("name"), $"p_size".cast("long").as("num"))
+    val s = Tables.load(spark, dir, "supplier")
+      .select(concat(lit("s"), $"s_suppkey").as("id"), lit("supplier").as("etype"),
+        $"s_name".as("name"), lit(0L).as("num"))
+    val n = Tables.load(spark, dir, "nation")
+      .select(concat(lit("n"), $"n_nationkey").as("id"), lit("nation").as("etype"),
+        $"n_name".as("name"), lit(0L).as("num"))
+    c.union(o).union(p).union(s).union(n)
+  }
+
+  /** Triple substrate: (subject, predicate, object). */
+  def triples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    o.select(concat(lit("o"), $"o_orderkey").as("subject"),
+        lit("placedBy").as("predicate"), concat(lit("c"), $"o_custkey").as("object"))
+      .union(li.select(concat(lit("o"), $"l_orderkey").as("subject"),
+        lit("contains").as("predicate"), concat(lit("p"), $"l_partkey").as("object")).distinct())
+      .union(li.select(concat(lit("p"), $"l_partkey").as("subject"),
+        lit("suppliedBy").as("predicate"), concat(lit("s"), $"l_suppkey").as("object")).distinct())
+      .union(c.select(concat(lit("c"), $"c_custkey").as("subject"),
+        lit("locatedIn").as("predicate"), concat(lit("n"), $"c_nationkey").as("object")))
+      .union(s.select(concat(lit("s"), $"s_suppkey").as("subject"),
+        lit("locatedIn").as("predicate"), concat(lit("n"), $"s_nationkey").as("object")))
+  }
+
+  private def run(query: String)(spark: SparkSession, dir: String): DataFrame =
+    new LuxCompiler(entities(spark, dir), triples(spark, dir)).compile(query)
+
+  /** Q7 hop + Q8 inverse hop + range leaf: customers in a NATION_3-named
+    * nation having an order over $300k. */
+  val q1 = """AND(etype="customer", locatedIn(name="NATION_3"), ^placedBy(AND(etype="order", num>30000000)))"""
+  private val q1Oracle: String =
+    """SELECT 'c' || c_custkey AS id FROM customer
+      |WHERE EXISTS (SELECT 1 FROM nation
+      |  WHERE n_nationkey = c_nationkey AND position('nation_3' IN lower(n_name)) > 0)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND CAST(ROUND(o_totalprice*100) AS BIGINT) > 30000000)""".stripMargin
+
+  /** OR of word-match + relationship branch: big widget parts, or parts
+    * supplied out of a NATION_1*-named nation. */
+  val q2 = """OR(AND(etype="part", name="widget", num>40), AND(etype="part", suppliedBy(locatedIn(name="NATION_1"))))"""
+  private val q2Oracle: String =
+    """SELECT 'p' || p_partkey AS id FROM part
+      |WHERE (position('widget' IN lower(p_name)) > 0 AND p_size > 40)
+      |   OR EXISTS (SELECT 1 FROM lineitem, supplier, nation
+      |        WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey
+      |          AND n_nationkey = s_nationkey
+      |          AND position('nation_1' IN lower(n_name)) > 0)""".stripMargin
+
+  /** andNot: customers with at least one order, excluding NATION_0*. */
+  val q3 = """AND(etype="customer", ^placedBy(etype="order"), NOT(locatedIn(name="NATION_0")))"""
+  private val q3Oracle: String =
+    """SELECT 'c' || c_custkey AS id FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM nation
+      |    WHERE n_nationkey = c_nationkey AND position('nation_0' IN lower(n_name)) > 0)""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("lux_q1_hop_range", run(q1), Some(q1Oracle), bench = true))
+    Queries.register(QueryDef("lux_q2_or_word", run(q2), Some(q2Oracle)))
+    Queries.register(QueryDef("lux_q3_andnot", run(q3), Some(q3Oracle)))
+  }
+}

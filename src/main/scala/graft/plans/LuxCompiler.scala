@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Compiles a LuxQL AST to DataFrame combinators over two substrate
+  * tables — the Spark back end replacing the reference's cts compile
+  * (`pipeline/storage/marklogic/cts.py:30-106`, leaf compile
+  * `ml_lexer.py:177-195`):
+  *
+  *   entities(id, etype, name, num)   — per-entity attributes
+  *   triples(subject, predicate, object) — relationship substrate
+  *
+  * Mapping: leaf string = case-insensitive contains (the word-query
+  * approximation, deviation documented per SURVEY §7.4.5); leaf number =
+  * range compare; AND/OR = intersect/union of id sets; NOT inside AND =
+  * andNot (except); Rel = semi-join subject<-object; InvRel = reversed.
+  *
+  * Scale: every hop is a semi-join on the hash-partitioned triple table;
+  * sub-results are id sets (narrow). AQE converts small sub-results to
+  * broadcast semi-joins at runtime.
+  */
+final class LuxCompiler(entities: DataFrame, triples: DataFrame) {
+  import LuxQL._
+
+  /** Result: DataFrame with a single `id` column (distinct). */
+  def ids(q: Ast): DataFrame = q match {
+    case Leaf(field, op, str, num, isNum) =>
+      val col = field match {
+        case "etype" | "name" if !isNum => entities.col(field)
+        case "num" if isNum => entities.col("num")
+        case other => sys.error(s"unknown field/type combination: $other")
+      }
+      val pred = (op, isNum) match {
+        case ("=", false) if field == "etype" => col === str
+        case ("=", false) => instr(lower(col), str.toLowerCase) > 0
+        case ("=", true) => col === num
+        case ("<", true) => col < num
+        case (">", true) => col > num
+        case ("<=", true) => col <= num
+        case (">=", true) => col >= num
+        case other => sys.error(s"unsupported comparator: $other")
+      }
+      entities.filter(pred).select("id")
+
+    case Bool("OR", kids) =>
+      kids.map(ids).reduce(_ union _).distinct()
+
+    case Bool("AND", kids) =>
+      val (nots, pos) = kids.partition {
+        case Bool("NOT", _) => true
+        case _ => false
+      }
+      require(pos.nonEmpty, "AND requires at least one positive term")
+      val anded = pos.map(ids).reduce(_ intersect _)
+      nots.foldLeft(anded) { case (acc, Bool("NOT", Seq(k))) =>
+        acc.except(ids(k))
+      }
+
+    case Bool("NOT", _) =>
+      sys.error("NOT is only supported inside AND (andNot semantics)")
+
+    case Rel(pred, sub) =>
+      triples.filter(col("predicate") === pred)
+        .join(ids(sub).withColumnRenamed("id", "object"), "object")
+        .select(col("subject").as("id")).distinct()
+
+    case InvRel(pred, sub) =>
+      triples.filter(col("predicate") === pred)
+        .join(ids(sub).withColumnRenamed("id", "subject"), "subject")
+        .select(col("object").as("id")).distinct()
+
+    case other => sys.error(s"cannot compile $other")
+  }
+
+  def compile(query: String): DataFrame = ids(LuxQL.parse(query))
+}
