@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time window operators over the `events` table (SURVEY §2.10).
+  * The reference's incremental layer is a high-water-mark batch walk
+  * (`pipeline/process/base/harvester.py:111-286`); Structured Streaming
+  * windows/watermarks are the idiomatic Spark superset. These run the
+  * same window logic in batch so the DuckDB oracle can check them; the
+  * streaming path (readStream + watermark + flatMapGroupsWithState) is
+  * exercised in the ScalaTest specs with MemoryStream.
+  *
+  * Exactness: counts + cents sums only (integer); window bounds are
+  * epoch-aligned so both engines bucket identically.
+  */
+object StreamQueries extends QueryGroup {
+
+  /** Tumbling 1-day event-time windows per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("long")).cast("long").as("value_cents"))
+      .select($"w.start".as("window_start"), $"event_type", $"n_events", $"value_cents")
+  }
+  private val tumblingOracle: String =
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding 2-day windows advancing by 1 day (each event in 2 windows). */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"w.start".as("window_start"), $"n_events")
+  }
+  private val slidingOracle: String =
+    """SELECT time_bucket(INTERVAL '1 day', ts) - (k * INTERVAL '1 day') AS window_start,
+      |  COUNT(*) AS n_events
+      |FROM events, (VALUES (0), (1)) AS offs(k)
+      |GROUP BY 1""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap per user; per-session stats.
+    * Batch form = lag/cumsum window functions; the streaming form is
+    * flatMapGroupsWithState (see streaming.Sessionize + spec). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val flagged = ev.withColumn("new_sess",
+      when(lag($"us", 1).over(w).isNull ||
+        $"us" - lag($"us", 1).over(w) > 1800L * 1000000L, 1L).otherwise(0L))
+    flagged.withColumn("session_id", sum($"new_sess").over(w))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"us").as("start_us"), max($"us").as("end_us"))
+  }
+  private val sessionizeOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("st1_tumbling_window", tumbling, Some(tumblingOracle), bench = true))
+    Queries.register(QueryDef("st2_sliding_window", sliding, Some(slidingOracle)))
+    Queries.register(QueryDef("st3_sessionize", sessionize, Some(sessionizeOracle)))
+  }
+}

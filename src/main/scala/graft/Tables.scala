@@ -18,8 +18,10 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long
     // (nanosAsLong); truncate to micros like DuckDB/engines with µs
     // timestamps do, so both sides see identical values.
+    // NB: integer `div`, not `/` — ns values are ~2^60 and IEEE double
+    // division would round the low microsecond digit.
     if (table == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }
