@@ -32,7 +32,8 @@ object DateLib {
   private val sixDigit = "^\\d{6}$".r
   private val shortYearIso = "^(-?)(\\d{2,3})(-\\d\\d-\\d\\d([^0-9].*|$))".r
   private val germanBc = "^(?:(\\d\\d)\\.(\\d\\d)\\.)?v(\\d{2,3})$".r
-  private val bceSuffix = "(?i)^(.+?)\\s+(?:B\\.?C\\.?E?\\.?|BCE)$".r
+  // numeric-year-only: "1000 BC"; century phrases keep their own suffix
+  private val bceSuffix = "(?i)^(\\d{1,4})\\s+(?:B\\.?C\\.?E?\\.?|BCE)$".r
   private val isoLike =
     "^(-?)(\\d{1,6})(?:-(\\d{1,2})(?:-(\\d{1,2})(?:[T ](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?Z?)?)?)?$".r
   private val masked = "^(-?)(\\d{1,3})X{1,3}$".r
@@ -123,11 +124,10 @@ object DateLib {
     v match {
       case century(n, bce) =>
         val c = n.toInt
-        val (y1, y2) = if (bce != null) (-(c * 100 - 1) - 1, -((c - 1) * 100) - 1)
-        else ((c - 1) * 100, (c - 1) * 100 + 99)
-        // BCE Nth century: years N*100-1 .. (N-1)*100 BCE -> ISO -(N*100-2)..
+        // Nth century CE: years (N-1)*100 .. (N-1)*100+99;
+        // Nth century BCE: years N*100..(N-1)*100+1 BCE -> ISO 1-N*100 .. -(N-1)*100
         if (bce != null) Some(rangeYears(1 - c * 100, -((c - 1) * 100)))
-        else Some(rangeYears(y1, y2))
+        else Some(rangeYears((c - 1) * 100, (c - 1) * 100 + 99))
       case centuryRange(a, b) =>
         Some(rangeYears((a.toInt - 1) * 100, (b.toInt - 1) * 100 + 99))
       case masked(sign, digits) =>

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.10) — the engine's streaming
+  * surface. The reference consumes ActivityStreams pages with a
+  * high-water-mark (`pipeline/process/base/harvester.py:111-286`); here the
+  * same semantics are expressed as event-time processing: watermarks bound
+  * lateness (the `last_harvest` cut-off analog), windows aggregate, and
+  * keyed state (flatMapGroupsWithState) implements custom session logic.
+  *
+  * All functions take a (possibly streaming) DataFrame so batch tests and
+  * MemoryStream tests exercise identical logic.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregate: count + cents sum per
+    * (1-day window, event_type); late events beyond the watermark are
+    * dropped — the streaming form of StreamQueries.tumbling. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  final case class Ev(user_id: Long, event_id: Long, us: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  val GapUs: Long = 1800L * 1000000L
+
+  /** Keyed-state sessionization: emits a session when a 30-minute gap (or
+    * state timeout) closes it. Input must be per-user ordered within a
+    * batch (guaranteed by sorting inside groups for the batch/test path;
+    * in production the watermark bounds reordering). */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          var open: Option[SessionState] =
+            state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.us - s.lastUs <= GapUs =>
+                open = Some(SessionState(s.startUs, e.us, s.n + 1))
+              case Some(s) =>
+                closed += Session(user, s.startUs, s.lastUs, s.n)
+                open = Some(SessionState(e.us, e.us, 1L))
+              case None =>
+                open = Some(SessionState(e.us, e.us, 1L))
+            }
+          }
+          open match {
+            case Some(s) => state.update(List(s))
+            case None => state.remove()
+          }
+          closed.iterator
+      }
+  }
+
+  /** Flush helper for tests/batch: closes all still-open sessions by
+    * sending a sentinel far-future event per user is unnecessary — batch
+    * callers instead union the state-closing output by running sessionize
+    * over events plus a per-user sentinel. Provided for spec use. */
+  def withSentinels(events: Dataset[Ev]): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    val sentinels = events.groupByKey(_.user_id)
+      .mapGroups((u, _) => Ev(u, Long.MaxValue, Long.MaxValue - 1))
+    events.union(sentinels)
+  }
+}

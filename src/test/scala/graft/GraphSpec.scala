@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("connected components on a known fixture") {
+    import spark.implicits._
+    // components: {1,2,3,4}, {10,11}, {20}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("cc converges on a long chain (diameter > 1 round)") {
+    import spark.implicits._
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L) && got.length == 40)
+  }
+
+  test("bfs min-dist with bound") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 4 -> 5, plus shortcut 1 -> 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfs(edges, seeds, maxDist = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+}

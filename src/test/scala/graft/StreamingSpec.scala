@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Ev, Session}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("watermarked tumbling window over MemoryStream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.tumblingCounts(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-03-01 10:00:00"), "a", 1.0),
+      (t("2024-03-01 11:00:00"), "a", 2.0),
+      (t("2024-03-01 12:00:00"), "b", 3.0))
+    q.processAllAvailable()
+    // advance watermark past day 1 so its windows finalize
+    input.addData((t("2024-03-03 00:00:01"), "a", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("tumbling_out")
+      .select($"window_start".cast("string"), $"event_type", $"n_events", $"value_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      ("2024-03-01 00:00:00", "a", 2L, 300L),
+      ("2024-03-01 00:00:00", "b", 1L, 300L)))
+  }
+
+  test("keyed-state sessionization emits gap-closed sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    val min = 60L * 1000000L
+    // user 1: two events 5 min apart (one session), then a 60-min gap event
+    input.addData(Ev(1L, 1L, 0L), Ev(1L, 2L, 5 * min))
+    q.processAllAvailable()
+    input.addData(Ev(1L, 3L, 65 * min)) // closes session [0, 5min]
+    q.processAllAvailable()
+    val got = spark.table("sessions_out").as[Session].collect().toSet
+    q.stop()
+    assert(got === Set(Session(1L, 0L, 5 * min, 2L)))
+  }
+
+  test("batch sessionize with sentinels matches the window-function query shape") {
+    import spark.implicits._
+    val min = 60L * 1000000L
+    val evs = Seq(
+      Ev(1L, 1L, 0L), Ev(1L, 2L, 10 * min), Ev(1L, 3L, 50 * min), // 2 sessions
+      Ev(2L, 4L, 0L)).toDS()
+    val got = StreamingOps.sessionize(StreamingOps.withSentinels(evs))
+      .collect().toSet
+    assert(got === Set(
+      Session(1L, 0L, 10 * min, 2L),
+      Session(1L, 50 * min, 50 * min, 1L),
+      Session(2L, 0L, 0L, 1L)))
+  }
+}
