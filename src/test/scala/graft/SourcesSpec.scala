@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Jsonl, Multimodal}
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("jsonl roundtrip with skip-existing anti-join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    Jsonl.save(docs, s"$dir/out", shards = 2)
+    val back = Jsonl.load(spark, s"$dir/out", "doc_id")
+    assert(back.count() === docs.count())
+    // skip-existing: loading against itself yields nothing new
+    val skipped = Jsonl.load(spark, s"$dir/out", "doc_id", existing = Some(back))
+    assert(skipped.count() === 0)
+  }
+
+  test("multimodal stub decode is deterministic and partition-invariant") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val one = Multimodal.documentsAsMedia(docs.repartition(1)).collect().sortBy(_.mediaId)
+    val many = Multimodal.documentsAsMedia(docs.repartition(7)).collect().sortBy(_.mediaId)
+    assert(one.toSeq === many.toSeq)
+    assert(one.forall(m => m.nBytes > 0 && m.width >= 1 && m.height >= 1))
+  }
+}
