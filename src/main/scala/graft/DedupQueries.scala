@@ -31,22 +31,32 @@ object DedupQueries extends QueryGroup {
 
   // ------------------------------------------------------------ helpers
 
-  /** Word 3-gram shingle strings from a token array (1-indexed HOFs). */
-  private def shingles(t: Column): Column =
-    when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2), i =>
-        concat(element_at(t, i), lit(" "), element_at(t, i + 1), lit(" "),
-          element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Distinct shingle ids (polynomial hash of each shingle string). */
-  private def shingleIds(t: Column): Column =
-    array_distinct(transform(shingles(t), wordHash(_)))
+  /** Distinct word-3-gram shingle ids from a PRE-PROJECTED token-hash
+    * column `h`: combine neighbor hashes arithmetically.
+    *
+    * `h` MUST be a materialized column reference, never an inline
+    * expression: Spark re-evaluates non-attribute subtrees referenced
+    * inside a higher-order-function lambda once PER ELEMENT (no CSE
+    * across lambda boundaries), turning O(tokens) into O(tokens^2) per
+    * row — measured 150 s vs 1 s on 5k docs at sf0.1. */
+  private def shingleIdsFrom(h: Column): Column =
+    when(size(h) >= 3,
+      array_distinct(transform(sequence(lit(1), size(h) - 2), i =>
+        ((element_at(h, i) * 131L + element_at(h, i + 1)) % P * 131L +
+          element_at(h, i + 2)) % P)))
+      .otherwise(array().cast("array<long>"))
 
   private def shingleIdsSql: String = {
-    val sh = "(t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
-    val h = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode($sh[k]) AS BIGINT) for k in range(1, len($sh)+1)]), (a,b) -> (a*31+b) % $P)"
-    s"CASE WHEN len(t) >= 3 THEN list_distinct([ $h for i in range(1, len(t)-1) ]) ELSE CAST([] AS BIGINT[]) END"
+    val wh = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(w[k]) AS BIGINT) for k in range(1, len(w)+1)]), (a,b) -> (a*31+b) % $P)"
+    s"""CASE WHEN len(t) >= 3 THEN list_distinct([
+       |      ((h[i]*131 + h[i+1]) % $P * 131 + h[i+2]) % $P
+       |      for i in range(1, len(t)-1) ])
+       |    ELSE CAST([] AS BIGINT[]) END""".stripMargin
+  }
+  /** SQL prelude computing per-token hashes `h` from tokens `t`. */
+  private def tokenHashesSql: String = {
+    val wh = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(w[k]) AS BIGINT) for k in range(1, len(w)+1)]), (a,b) -> (a*31+b) % $P)"
+    s"list_transform(t, w -> $wh)"
   }
 
   // ------------------------------------------------------------ queries
@@ -74,9 +84,15 @@ object DedupQueries extends QueryGroup {
     * exact Jaccard verification, keep pairs >= 0.8. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.load(spark, dir, "documents")
-      .select($"doc_id", shingleIds(tokensCol($"text")).as("sid"))
-      .filter(size($"sid") > 0)
+    // persist BEFORE filtering: predicate pushdown would substitute the
+    // alias chain into the filter and re-trigger the per-element
+    // re-evaluation documented on shingleIdsFrom. The cache also serves
+    // the band join (x2) and both verify joins.
+    val sidTbl = Tables.load(spark, dir, "documents")
+      .select($"doc_id", transform(tokensCol($"text"), wordHash(_)).as("h"))
+      .select($"doc_id", shingleIdsFrom($"h").as("sid"))
+      .persist()
+    val base = sidTbl.filter(size($"sid") > 0)
     val sigs = base.select($"doc_id" +: $"sid" +:
       (0 until K).map(j => array_min(transform($"sid",
         s => (lit(aj(j)) * s + lit(bj(j))) % P)).as(s"m$j")): _*)
@@ -90,6 +106,13 @@ object DedupQueries extends QueryGroup {
         $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+      // Materialization barrier: candidate pairs are tiny relative to the
+      // corpus; fusing signature generation + band join + verify into one
+      // whole-stage-codegen tree makes Catalyst inline the minhash
+      // expression forest into every downstream operator (measured 126 s
+      // vs 2 s at sf0.1). Real LSH pipelines persist the candidate table
+      // at this point anyway.
+      .localCheckpoint()
     cand
       .join(base.select($"doc_id".as("doc_a"), $"sid".as("sid_a")), "doc_a")
       .join(base.select($"doc_id".as("doc_b"), $"sid".as("sid_b")), "doc_b")
@@ -105,9 +128,9 @@ object DedupQueries extends QueryGroup {
       s"((m${2 * b}*131 + m${2 * b + 1}) % $P) AS band$b").mkString(", ")
     val bandRows = (0 until K / 2).map(b =>
       s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM bandsig").mkString("\nUNION ALL\n")
-    s"""WITH shing AS (
-       |  SELECT doc_id, $shingleIdsSql AS sid
-       |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)),
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
+       |shing AS (SELECT doc_id, $shingleIdsSql AS sid FROM th),
        |base AS (SELECT doc_id, sid FROM shing WHERE len(sid) > 0),
        |sigs AS (SELECT doc_id, $mh FROM base),
        |bandsig AS (SELECT doc_id, $bands FROM sigs),
@@ -188,14 +211,17 @@ object DedupQueries extends QueryGroup {
     * At scale the block key bounds the quadratic term. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = tokensCol($"text")
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // two-step projection: h must be an attribute before the gram lambda
+    // references it (see shingleIdsFrom scaling note)
+    val bigramIds = when(size($"h") >= 2,
+      array_distinct(transform(sequence(lit(1), size($"h") - 1), i =>
+        (element_at($"h", i) * 131L + element_at($"h", i + 1)) % P)))
+      .otherwise(array().cast("array<long>"))
     val base = Tables.load(spark, dir, "documents")
-      .select($"doc_id", array_distinct(transform(bigrams, wordHash(_))).as("sid"),
-        intDiv(size(t).cast("long"), lit(32L)).as("blk"))
+      .select($"doc_id", transform(tokensCol($"text"), wordHash(_)).as("h"))
+      .select($"doc_id", bigramIds.as("sid"),
+        intDiv(size($"h").cast("long"), lit(32L)).as("blk"))
+      .persist() // barrier before filter (see minhashLsh) + both join sides
       .filter(size($"sid") > 0)
     base.as("a").join(base.as("b"),
         $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
@@ -204,15 +230,15 @@ object DedupQueries extends QueryGroup {
           size(array_union($"a.sid", $"b.sid")).cast("long")).as("jacc_milli"))
       .filter($"jacc_milli" >= 500L)
   }
-  private val ngramJaccardOracle: String = {
-    val bg = "(t[i] || ' ' || t[i+1])"
-    val h = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode($bg[k]) AS BIGINT) for k in range(1, len($bg)+1)]), (a,b) -> (a*31+b) % $P)"
-    s"""WITH base AS (
+  private val ngramJaccardOracle: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
+       |base AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(t) >= 2 THEN list_distinct([ $h for i in range(1, len(t)) ])
+       |    CASE WHEN len(t) >= 2 THEN list_distinct([ (h[i]*131 + h[i+1]) % $P for i in range(1, len(t)) ])
        |         ELSE CAST([] AS BIGINT[]) END AS sid,
        |    CAST(len(t) AS BIGINT) // 32 AS blk
-       |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)),
+       |  FROM th),
        |nz AS (SELECT * FROM base WHERE len(sid) > 0)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
@@ -220,7 +246,6 @@ object DedupQueries extends QueryGroup {
        |FROM nz a JOIN nz b ON a.blk = b.blk AND a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 500""".stripMargin
-  }
 
   /** Embedding cosine near-dup, blocked by label (the coarse-quantizer
     * cell): exact integer dot products over milli-quantized vectors, then

@@ -54,7 +54,10 @@ object LuxQueries extends QueryGroup {
   }
 
   private def run(query: String)(spark: SparkSession, dir: String): DataFrame =
-    new LuxCompiler(entities(spark, dir), triples(spark, dir)).compile(query)
+    // substrate tables are referenced once per AST leaf/hop — cache them
+    // (in production these are materialized index tables, not rebuilt)
+    new LuxCompiler(entities(spark, dir).persist(), triples(spark, dir).persist())
+      .compile(query)
 
   /** Q7 hop + Q8 inverse hop + range leaf: customers in a NATION_3-named
     * nation having an order over $300k. */

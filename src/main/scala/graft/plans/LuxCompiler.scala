@@ -52,7 +52,10 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame) {
         case _ => false
       }
       require(pos.nonEmpty, "AND requires at least one positive term")
-      val anded = pos.map(ids).reduce(_ intersect _)
+      // left-semi instead of intersect: sub-results are already distinct
+      // id sets, and semi-join skips intersect's per-side dedup shuffles
+      // (AQE turns small sides into broadcasts)
+      val anded = pos.map(ids).reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
       nots.foldLeft(anded) { case (acc, Bool("NOT", Seq(k))) =>
         acc.except(ids(k))
       }
