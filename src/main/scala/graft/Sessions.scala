@@ -22,6 +22,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.PolyHash.register(spark)
     spark
   }
 }

@@ -30,8 +30,13 @@ object TextQueries extends QueryGroup {
   def tokensSql(text: String): String =
     s"list_filter(string_split_regex($text, '\\s+'), x -> x <> '')"
 
-  /** Polynomial hash of one word's char codes: fold (a*31+code) % (2^31-1). */
-  def wordHash(w: Column): Column =
+  /** Polynomial hash of one word's bytes: fold (a*31+b) % (2^31-1).
+    * Backed by the native codegen'd PolyHash expression; identical to the
+    * HOF char-fold (wordHashHof) for ASCII input. */
+  def wordHash(w: Column): Column = call_function("poly_hash", w)
+
+  /** Reference HOF implementation (kept for the equivalence spec). */
+  def wordHashHof(w: Column): Column =
     aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
       lit(0L), (a, c) => (a * WordB + c) % HashP)
   def wordHashSql(w: String): String =
