@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DateLib
+
+/** Remaining operator-inventory coverage (SURVEY §2): the scalar date
+  * library on the query path (F1), index-backed name reconciliation
+  * (K4+J1+W7), harvest change classification (S6), MERGE-style upsert
+  * with tombstones (§2.10), and the SimilarQuery more-like-this rewrite
+  * (Q9). */
+object OpsQueries extends QueryGroup {
+
+  /** F1: make_datetime as a registered UDF over date strings of mixed
+    * precision (day / month), producing the closed [begin,end] interval
+    * and BCE-safe epoch seconds — the reference's hardest scalar
+    * (`pipeline/process/utils/mapper_utils.py:241-494`). */
+  def makeDatetime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parse = udf((s: String) =>
+      DateLib.makeDatetime(s).map(r => (r.begin, r.end)))
+    val epoch = udf((iso: String) => DateLib.epochSeconds(iso))
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        when($"o_orderkey" % 3 === 0, date_format($"o_orderdate", "yyyy-MM"))
+          .otherwise(date_format($"o_orderdate", "yyyy-MM-dd")).as("raw"))
+      .select($"o_orderkey", parse($"raw").as("p"))
+      .select($"o_orderkey", $"p._1".as("begin"), $"p._2".as("end"))
+      .withColumn("epoch_begin", epoch($"begin"))
+  }
+  private val makeDatetimeOracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0
+      |    THEN strftime(date_trunc('month', o_orderdate), '%Y-%m-%dT%H:%M:%S')
+      |    ELSE strftime(date_trunc('day', o_orderdate), '%Y-%m-%dT%H:%M:%S') END AS begin,
+      |  CASE WHEN o_orderkey % 3 = 0
+      |    THEN strftime(last_day(o_orderdate), '%Y-%m-%dT23:59:59')
+      |    ELSE strftime(date_trunc('day', o_orderdate), '%Y-%m-%dT23:59:59') END AS "end",
+      |  CAST(epoch(CASE WHEN o_orderkey % 3 = 0
+      |    THEN date_trunc('month', o_orderdate)
+      |    ELSE date_trunc('day', o_orderdate) END) AS BIGINT) AS epoch_begin
+      |FROM orders""".stripMargin
+
+  /** K4+J1+W7: index-backed exact-name reconciliation. The index maps
+    * (lowercased name, brand-as-type) -> canonical id (deterministic
+    * min — the cluster-winner rule); every part resolves through it.
+    * Same-type requirement mirrors reconciler.py:222. */
+  def nameReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.load(spark, dir, "part")
+    val index = parts.groupBy(lower($"p_name").as("key"), $"p_brand".as("itype"))
+      .agg(min($"p_partkey").as("canonical"), count(lit(1)).as("n_cluster"))
+    parts.join(broadcast(index),
+        lower($"p_name") === $"key" && $"p_brand" === $"itype")
+      .select($"p_partkey", $"canonical", $"n_cluster")
+  }
+  private val nameReconcileOracle: String =
+    """WITH index_t AS (
+      |  SELECT lower(p_name) AS key, p_brand AS itype,
+      |    MIN(p_partkey) AS canonical, COUNT(*) AS n_cluster
+      |  FROM part GROUP BY 1, 2)
+      |SELECT p_partkey, canonical, n_cluster
+      |FROM part JOIN index_t
+      |  ON lower(p_name) = key AND p_brand = itype""".stripMargin
+
+  /** S6: harvest change classification — per key, newest-first semantics:
+    * single event = create; newest of type error = flagged (tombstone
+    * analog); else update. */
+  def changeClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"n".as("n_events"),
+        when($"n" === 1, "create")
+          .when($"event_type" === "error", "flagged")
+          .otherwise("update").as("change"))
+  }
+  private val changeClassifyOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, n AS n_events,
+      |  CASE WHEN n = 1 THEN 'create'
+      |       WHEN event_type = 'error' THEN 'flagged'
+      |       ELSE 'update' END AS change
+      |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** §2.10: MERGE-style upsert — base snapshot (latest per key before the
+    * cutoff) upserted with incoming (latest per key after), tombstoned
+    * when the incoming record is an error. Delta MERGE semantics as
+    * joins. */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"), $"ts")
+    val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+    def latest(df: DataFrame) =
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"us", $"event_type")
+    val base = latest(ev.filter($"ts" < cutoff))
+    val incoming = latest(ev.filter($"ts" >= cutoff))
+    base.as("b").join(incoming.as("i"), Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"i.us", $"b.us").as("us"),
+        coalesce($"i.event_type", $"b.event_type").as("event_type"))
+      .filter($"event_type" =!= "error") // tombstone
+  }
+  private val upsertMergeOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, ts FROM events),
+      |base AS (
+      |  SELECT user_id, us, event_type FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+      |incoming AS (
+      |  SELECT user_id, us, event_type FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
+      |SELECT COALESCE(b.user_id, i.user_id) AS user_id,
+      |  COALESCE(i.us, b.us) AS us,
+      |  COALESCE(i.event_type, b.event_type) AS event_type
+      |FROM base b FULL OUTER JOIN incoming i ON b.user_id = i.user_id
+      |WHERE COALESCE(i.event_type, b.event_type) <> 'error'""".stripMargin
+
+  /** Q9: SimilarQuery (more-like-this) — seed doc 0's top-5 keywords
+    * (len > 3, freq desc, word asc) matched against every other doc;
+    * similar = sharing >= 2 keywords. No driver round-trip: the top-5
+    * set stays a (broadcastable) DataFrame. */
+  def similarDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val words = docs.select($"doc_id",
+      explode(TextQueries.tokensCol($"text")).as("word"))
+    val seedTop = words.filter($"doc_id" === 0 && length($"word") > 3)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"word".asc)))
+      .filter($"rk" <= 5).select($"word")
+    words.filter($"doc_id" =!= 0).distinct()
+      .join(broadcast(seedTop), "word")
+      .groupBy($"doc_id").agg(count(lit(1)).as("overlap"))
+      .filter($"overlap" >= 2)
+  }
+  private val similarDocsOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |seed_top AS (
+      |  SELECT word FROM (
+      |    SELECT word, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rk
+      |    FROM words WHERE doc_id = 0 AND LENGTH(word) > 3
+      |    GROUP BY word) WHERE rk <= 5)
+      |SELECT doc_id, COUNT(*) AS overlap FROM (
+      |  SELECT DISTINCT doc_id, word FROM words WHERE doc_id <> 0) w
+      |JOIN seed_top USING (word)
+      |GROUP BY doc_id HAVING COUNT(*) >= 2""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("f1_make_datetime", makeDatetime, Some(makeDatetimeOracle)))
+    Queries.register(QueryDef("r1_name_reconcile", nameReconcile, Some(nameReconcileOracle)))
+    Queries.register(QueryDef("s6_change_classify", changeClassify, Some(changeClassifyOracle)))
+    Queries.register(QueryDef("st4_upsert_merge", upsertMerge, Some(upsertMergeOracle)))
+    Queries.register(QueryDef("q9_similar_docs", similarDocs, Some(similarDocsOracle)))
+  }
+}

@@ -30,7 +30,8 @@ object Queries {
   /** All registration groups; referencing the objects forces their init. */
   private lazy val groups: Seq[QueryGroup] = Seq(
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
-    GraphQueries, MergeQueries, LuxQueries, StreamQueries, SourceQueries)
+    GraphQueries, MergeQueries, LuxQueries, StreamQueries, SourceQueries,
+    OpsQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 
