@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Export + generator operators (SURVEY §2.2 K2, §2.8 F7, §2.4 J8/J13,
+  * §2.6 W3): RDF N-Triples rendering, candidate-name generation
+  * (UDTF-style flatMap), nested-record id rewrite via explode/join/
+  * re-nest, delete cascade with inbound-reference keep, and
+  * language-score ordering. */
+object ExportQueries extends QueryGroup {
+
+  /** K2/M15: N-Triples export — relationship triples from the triple
+    * substrate plus literal name triples with N-Triples string escaping;
+    * one output line per triple (a flatMap-to-text Generator). */
+  def ntTriples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = LuxQueries.triples(spark, dir)
+      .select(concat(lit("<urn:graft:"), $"subject", lit("> <urn:graft:"),
+        $"predicate", lit("> <urn:graft:"), $"object", lit("> .")).as("line"))
+    val esc = regexp_replace(regexp_replace(col("name"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
+    val lit_ = LuxQueries.entities(spark, dir)
+      .filter($"name".isNotNull)
+      .select(concat(lit("<urn:graft:"), $"id",
+        lit("> <urn:graft:name> \""), esc, lit("\" .")).as("line"))
+    rel.union(lit_)
+  }
+  private val ntTriplesOracle: String =
+    """WITH rel AS (
+      |  SELECT 'o' || o_orderkey AS s, 'placedBy' AS p, 'c' || o_custkey AS o FROM orders
+      |  UNION ALL
+      |  SELECT DISTINCT 'o' || l_orderkey, 'contains', 'p' || l_partkey FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT 'p' || l_partkey, 'suppliedBy', 's' || l_suppkey FROM lineitem
+      |  UNION ALL
+      |  SELECT 'c' || c_custkey, 'locatedIn', 'n' || c_nationkey FROM customer
+      |  UNION ALL
+      |  SELECT 's' || s_suppkey, 'locatedIn', 'n' || s_nationkey FROM supplier),
+      |lits AS (
+      |  SELECT 'c' || c_custkey AS id, c_name AS name FROM customer
+      |  UNION ALL SELECT 'p' || p_partkey, p_name FROM part
+      |  UNION ALL SELECT 's' || s_suppkey, s_name FROM supplier
+      |  UNION ALL SELECT 'n' || n_nationkey, n_name FROM nation)
+      |SELECT '<urn:graft:' || s || '> <urn:graft:' || p || '> <urn:graft:' || o || '> .' AS line FROM rel
+      |UNION ALL
+      |SELECT '<urn:graft:' || id || '> <urn:graft:name> "' ||
+      |  replace(replace(name, '\', '\\'), '"', '\"') || '" .' FROM lits""".stripMargin
+
+  /** F7: extract_names — UDTF-style generator emitting prioritized
+    * candidate-name rows per record (original, lowercased, `last, first`
+    * swap on the # separator), the reconciler's candidate feed. */
+  def extractNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val swapped = concat(element_at(split($"c_name", "#"), 2), lit(", "),
+      element_at(split($"c_name", "#"), 1))
+    c.select($"c_custkey", explode(array(
+        struct(lit(1L).as("priority"), $"c_name".as("name")),
+        struct(lit(2L).as("priority"), lower($"c_name").as("name")),
+        struct(lit(3L).as("priority"), swapped.as("name")))).as("cand"))
+      .select($"c_custkey", $"cand.priority", $"cand.name")
+  }
+  private val extractNamesOracle: String =
+    """SELECT c_custkey, 1 AS priority, c_name AS name FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 2, lower(c_name) FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 3,
+      |  string_split(c_name, '#')[2] || ', ' || string_split(c_name, '#')[1]
+      |FROM customer""".stripMargin
+
+  /** J13: delete cascade — delete candidates (small parts) survive if any
+    * active order still references them (inbound-reference semi-join);
+    * output = the rows actually deleted. */
+  def deleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val candidates = Tables.load(spark, dir, "part").filter($"p_size" < 5)
+    val activeRefs = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders")
+          .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_partkey")
+    candidates.join(activeRefs, $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name")
+  }
+  private val deleteCascadeOracle: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_size < 5 AND NOT EXISTS (
+      |  SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_partkey = p_partkey AND o_orderdate >= TIMESTAMP '1997-01-01')""".stripMargin
+
+  /** W3: language ordering by score — per source, its languages sorted by
+    * (score desc, lang asc) rendered as CSV (sorted struct array). */
+  def langOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val score = typedLit(Map("en" -> 100L, "fr" -> 90L, "de" -> 80L,
+      "es" -> 70L, "zh" -> 60L))
+    Tables.load(spark, dir, "documents")
+      .select($"source", $"lang").distinct()
+      .select($"source", struct((-coalesce(element_at(score, $"lang"), lit(0L)))
+        .as("neg"), $"lang").as("sl"))
+      .groupBy($"source")
+      .agg(concat_ws(",", transform(sort_array(collect_list($"sl")),
+        s => s.getField("lang"))).as("langs"))
+  }
+  private val langOrderOracle: String =
+    """WITH sl AS (
+      |  SELECT DISTINCT source, lang,
+      |    CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 90 WHEN 'de' THEN 80
+      |              WHEN 'es' THEN 70 WHEN 'zh' THEN 60 ELSE 0 END AS score
+      |  FROM documents)
+      |SELECT source,
+      |  array_to_string(list(lang ORDER BY score DESC, lang ASC), ',') AS langs
+      |FROM sl GROUP BY source""".stripMargin
+
+  /** J8/M6 at scale: nested-record id rewrite by explode → join → re-nest
+    * — build nested order records (sorted item array), explode the items,
+    * rewrite part ids through the reconciliation index, re-nest in
+    * linenumber order. The SURVEY §7.4.4 partitioned-join path. */
+  def nestedRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem").filter($"l_orderkey" % 20 === 0)
+    val nested = li.groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber", $"l_partkey")))
+        .as("items"))
+    val idx = Tables.load(spark, dir, "part")
+      .groupBy(lower($"p_name").as("key"), $"p_brand".as("itype"))
+      .agg(min($"p_partkey").as("canonical"))
+    val parts = Tables.load(spark, dir, "part")
+      .join(idx, lower($"p_name") === $"key" && $"p_brand" === $"itype")
+      .select($"p_partkey", $"canonical")
+    nested
+      .select($"l_orderkey", explode($"items").as("item"))
+      .join(broadcast(parts), $"item.l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey")
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list(struct($"item.l_linenumber".as("ln"), $"canonical"))),
+        s => s.getField("canonical"))).as("canonical_parts"))
+  }
+  private val nestedRewriteOracle: String =
+    """WITH idx AS (
+      |  SELECT lower(p_name) AS key, p_brand AS itype, MIN(p_partkey) AS canonical
+      |  FROM part GROUP BY 1, 2),
+      |pmap AS (
+      |  SELECT p_partkey, canonical FROM part
+      |  JOIN idx ON lower(p_name) = key AND p_brand = itype)
+      |SELECT l_orderkey,
+      |  array_to_string(list(canonical ORDER BY l_linenumber, canonical), ',')
+      |    AS canonical_parts
+      |FROM lineitem JOIN pmap ON l_partkey = p_partkey
+      |WHERE l_orderkey % 20 = 0
+      |GROUP BY l_orderkey""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("k2_nt_triples", ntTriples, Some(ntTriplesOracle)))
+    Queries.register(QueryDef("f7_extract_names", extractNames, Some(extractNamesOracle)))
+    Queries.register(QueryDef("j13_delete_cascade", deleteCascade, Some(deleteCascadeOracle)))
+    Queries.register(QueryDef("w3_lang_order", langOrder, Some(langOrderOracle)))
+    Queries.register(QueryDef("j8b_nested_rewrite", nestedRewrite, Some(nestedRewriteOracle)))
+  }
+}
