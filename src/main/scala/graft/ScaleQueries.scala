@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators: explicit skew-salted two-phase aggregation
+  * (SURVEY §4.3 — hot AAT terms / idmap heavy hitters) and URL
+  * normalization + webpage dedupe (F9/M13,
+  * `pipeline/sources/lux/final/mapper.py:713-776`). */
+object ScaleQueries extends QueryGroup {
+
+  /** Two-phase salted aggregation: counts per partkey where phase 1
+    * aggregates (key, salt) partials and phase 2 merges — the skew
+    * pattern for heavy-hitter keys. Result must equal the direct
+    * groupBy (the oracle is the unsalted form). */
+  def saltedRefCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("salt", pmod($"l_orderkey", lit(16)))
+    val partial = li.groupBy($"l_partkey", $"salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(round($"l_quantity").cast("long")).as("pq"))
+    partial.groupBy($"l_partkey")
+      .agg(sum($"pn").cast("long").as("n_refs"),
+        sum($"pq").cast("long").as("sum_qty"))
+  }
+  private val saltedRefCountOracle: String =
+    """SELECT l_partkey, COUNT(*) AS n_refs,
+      |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY l_partkey""".stripMargin
+
+  /** F9: URL normalization + dedupe — synthesize per-doc URLs, normalize
+    * (lowercase host, strip www., strip trailing slash, default scheme),
+    * and dedupe docs by normalized URL (webpage dedupe shape). */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // deterministic raw URL variants from the synthetic corpus
+    val raw = when($"doc_id" % 3 === 0,
+        concat(lit("HTTP://WWW."), $"source", lit(".example.com/docs/")))
+      .when($"doc_id" % 3 === 1,
+        concat(lit("http://"), $"source", lit(".example.com/docs")))
+      .otherwise(concat(lit("//www."), $"source", lit(".Example.com/docs")))
+    val withUrl = Tables.load(spark, dir, "documents")
+      .select($"doc_id", lower(raw).as("lowered"))
+    val normalized = regexp_replace(
+      regexp_replace(
+        regexp_replace($"lowered", "^(http://|//)", ""),
+        "^www\\.", ""),
+      "/$", "")
+    withUrl.select($"doc_id", normalized.as("url"))
+      .groupBy($"url")
+      .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_pages"))
+  }
+  private val urlNormalizeOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id, lower(CASE
+      |    WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.' || source || '.example.com/docs/'
+      |    WHEN doc_id % 3 = 1 THEN 'http://' || source || '.example.com/docs'
+      |    ELSE '//www.' || source || '.Example.com/docs' END) AS lowered
+      |  FROM documents)
+      |SELECT regexp_replace(regexp_replace(regexp_replace(lowered,
+      |    '^(http://|//)', ''), '^www\.', ''), '/$', '') AS url,
+      |  MIN(doc_id) AS canonical_doc, COUNT(*) AS n_pages
+      |FROM raw GROUP BY 1""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("a8_salted_refcount", saltedRefCount, Some(saltedRefCountOracle)))
+    Queries.register(QueryDef("f9_url_normalize", urlNormalize, Some(urlNormalizeOracle)))
+  }
+}

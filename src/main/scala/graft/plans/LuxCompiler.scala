@@ -20,11 +20,30 @@ import org.apache.spark.sql.functions._
   * sub-results are id sets (narrow). AQE converts small sub-results to
   * broadcast semi-joins at runtime.
   */
-final class LuxCompiler(entities: DataFrame, triples: DataFrame) {
+/** Q4: the searchConfig-style field catalog — config as data (§1.3).
+  * Declares queryable leaf fields and relationship predicates; the
+  * compiler rejects anything outside it (the reference errors the same
+  * way on unknown fields, `ml_lexer.py:259-321`). */
+final case class LuxCatalog(fields: Set[String], predicates: Set[String])
+
+object LuxCatalog {
+  val default: LuxCatalog = LuxCatalog(
+    fields = Set("etype", "name", "num"),
+    predicates = Set("placedBy", "contains", "suppliedBy", "locatedIn"))
+}
+
+final class LuxCompiler(entities: DataFrame, triples: DataFrame,
+    catalog: LuxCatalog = LuxCatalog.default) {
   import LuxQL._
 
   /** Result: DataFrame with a single `id` column (distinct). */
   def ids(q: Ast): DataFrame = q match {
+    case Leaf(field, _, _, _, _) if !catalog.fields(field) =>
+      sys.error(s"unknown field '$field' (catalog: ${catalog.fields.toSeq.sorted.mkString(",")})")
+    case Rel(pred, _) if !catalog.predicates(pred) =>
+      sys.error(s"unknown relationship '$pred'")
+    case InvRel(pred, _) if !catalog.predicates(pred) =>
+      sys.error(s"unknown relationship '^$pred'")
     case Leaf(field, op, str, num, isNum) =>
       val col = field match {
         case "etype" | "name" if !isNum => entities.col(field)

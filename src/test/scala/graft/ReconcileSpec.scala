@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Reconcile}
+
+class ReconcileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fixpoint alternates reconcilers until the edge set is stable") {
+    import spark.implicits._
+    // universe: nodes 1..6. Reconciler A links n ~ n+1 when both appear
+    // as srcs of existing edges; reconciler B adds the symmetric edge.
+    val seed = Seq((1L, 2L), (4L, 5L)).toDF("src", "dst")
+    val bridge: DataFrame => DataFrame = e => {
+      // link dst -> dst+1 if dst+1 <= 6 (simulates an index pass that
+      // discovers one more equivalent per round)
+      e.select($"dst".as("src"), ($"dst" + 1L).as("dst")).filter($"dst" <= 6L)
+    }
+    val symmetric: DataFrame => DataFrame = e =>
+      e.select($"dst".as("src"), $"src".as("dst"))
+    val edges = Reconcile.fixpoint(seed, Seq(bridge, symmetric))
+    // bridge cascades: 2->3, then 3->4, ... merging everything into one
+    // component reaching 6
+    val comps = Graph.connectedComponents(edges)
+      .select(countDistinct($"component")).as[Long].head()
+    assert(comps === 1L)
+  }
+
+  test("fixpoint with a no-op reconciler terminates immediately") {
+    import spark.implicits._
+    val seed = Seq((1L, 2L)).toDF("src", "dst")
+    val noop: DataFrame => DataFrame = e => e.limit(0)
+    val edges = Reconcile.fixpoint(seed, Seq(noop))
+    assert(edges.count() === 1)
+  }
+
+  test("lux compiler rejects fields and predicates outside the catalog") {
+    val c = new graft.plans.LuxCompiler(
+      LuxQueries.entities(spark, TestSpark.sf),
+      LuxQueries.triples(spark, TestSpark.sf))
+    assertThrows[Exception](c.compile("""bogus="x""""))
+    assertThrows[Exception](c.compile("""AND(etype="part", wrongRel(name="y"))"""))
+    assertThrows[Exception](c.compile("""^wrongRel(etype="order")"""))
+  }
+}
