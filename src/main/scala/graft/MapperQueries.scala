@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mapper post-processing pipeline (SURVEY §2.3 M6-M8), full-text leaf
+  * queries (Q5), geometry arbitration (F10) and HTML strip (F11). */
+object MapperQueries extends QueryGroup {
+
+  /** M6+M7+M8: the post-mapping record pipeline over nested records —
+    * fix_links (rewrite every nested id through the reconciliation
+    * index, explode/join/re-nest), trash_different_from (drop asserted-
+    * different refs by anti-join), break_cycles (null self-parents). */
+  def recordPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem").filter($"l_orderkey" % 10 === 0)
+    val records = li.groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber", $"l_partkey"))).as("items"))
+      .withColumn("parent_ref",
+        when($"l_orderkey" % 40 === 0, $"l_orderkey") // self-cycle to break
+          .when($"l_orderkey" % 40 === 10, $"l_orderkey" - 10) // real parent
+          .otherwise(lit(null).cast("long")))
+    val idx = Tables.load(spark, dir, "part")
+      .groupBy(lower($"p_name").as("key"), $"p_brand".as("itype"))
+      .agg(min($"p_partkey").as("canonical"))
+    val rewrite = Tables.load(spark, dir, "part")
+      .join(idx, lower($"p_name") === $"key" && $"p_brand" === $"itype")
+      .select($"p_partkey", $"canonical", $"p_retailprice")
+    // differentFrom table: "expensive" parts are asserted different
+    val diffs = rewrite.filter($"p_retailprice" > 1500.0).select($"canonical").distinct()
+    val exploded = records
+      .select($"l_orderkey", $"parent_ref", size($"items").as("n_items_raw"),
+        explode($"items").as("item"))
+      .join(broadcast(rewrite.select($"p_partkey", $"canonical")),
+        $"item.l_partkey" === $"p_partkey")                  // M6 fix_links
+      .join(broadcast(diffs), Seq("canonical"), "left_anti") // M8 trash diffs
+    exploded.groupBy($"l_orderkey", $"parent_ref", $"n_items_raw")
+      .agg(count(lit(1)).as("n_items_kept"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct($"item.l_linenumber".as("ln"), $"canonical"))),
+          s => s.getField("canonical"))).as("canonical_csv"))
+      .select($"l_orderkey", $"n_items_raw".cast("long").as("n_items_raw"),
+        $"n_items_kept", $"canonical_csv",
+        ($"parent_ref".isNotNull && $"parent_ref" =!= $"l_orderkey")
+          .as("has_parent")) // M7 break self-cycles
+  }
+  private val recordPipelineOracle: String =
+    """WITH idx AS (
+      |  SELECT lower(p_name) AS key, p_brand AS itype, MIN(p_partkey) AS canonical
+      |  FROM part GROUP BY 1, 2),
+      |rw AS (
+      |  SELECT p_partkey, canonical, p_retailprice FROM part
+      |  JOIN idx ON lower(p_name) = key AND p_brand = itype),
+      |diffs AS (SELECT DISTINCT canonical FROM rw WHERE p_retailprice > 1500.0),
+      |raw AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_items_raw FROM lineitem
+      |  WHERE l_orderkey % 10 = 0 GROUP BY 1),
+      |kept AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_items_kept,
+      |    array_to_string(list(canonical ORDER BY l_linenumber, canonical), ',') AS canonical_csv
+      |  FROM lineitem JOIN rw ON l_partkey = p_partkey
+      |  WHERE l_orderkey % 10 = 0
+      |    AND canonical NOT IN (SELECT canonical FROM diffs)
+      |  GROUP BY 1)
+      |SELECT raw.l_orderkey, raw.n_items_raw, kept.n_items_kept,
+      |  kept.canonical_csv,
+      |  (raw.l_orderkey % 40 = 10) AS has_parent
+      |FROM raw JOIN kept ON raw.l_orderkey = kept.l_orderkey""".stripMargin
+
+  /** Q5: full-text word query over a tokenized inverted-index table —
+    * docs containing BOTH 'spark' and 'merge' (case-insensitive),
+    * compiled as semi-joins against the index (§4.4: a data structure,
+    * not a planner extension). */
+  def wordQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inverted = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(TextQueries.tokensCol(lower($"text"))).as("term"))
+      .distinct()
+    val hitsA = inverted.filter($"term" === "spark").select($"doc_id")
+    val hitsB = inverted.filter($"term" === "merge").select($"doc_id")
+    hitsA.join(hitsB, Seq("doc_id"), "left_semi")
+  }
+  private val wordQueryOracle: String =
+    """WITH inverted AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents)
+      |SELECT doc_id FROM inverted WHERE term = 'spark'
+      |INTERSECT
+      |SELECT doc_id FROM inverted WHERE term = 'merge'""".stripMargin
+
+  /** F10: geometry arbitration — per nation elect the best supplier
+    * geometry (polygon > point, then more coordinates) over synthesized
+    * WKT strings parsed by the Wkt UDF lib. */
+  def geometryMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val kindUdf = udf((w: String) => functions.Wkt.kindOf(w))
+    val coordsUdf = udf((w: String) => functions.Wkt.coordCount(w))
+    val x = $"s_suppkey".cast("string")
+    val x1 = ($"s_suppkey" + 1).cast("string")
+    val y = $"s_nationkey".cast("string")
+    val y1 = ($"s_nationkey" + 1).cast("string")
+    val wkt = when($"s_suppkey" % 3 === 0,
+        concat(lit("POLYGON(("), x, lit(" "), y, lit(", "), x1, lit(" "), y,
+          lit(", "), x, lit(" "), y1, lit(", "), x, lit(" "), y, lit("))")))
+      .when($"s_suppkey" % 3 === 1,
+        concat(lit("POLYGON(("), x, lit(" "), y, lit(", "), x1, lit(" "), y,
+          lit(", "), x1, lit(" "), y1, lit(", "), x, lit(" "), y1,
+          lit(", "), x, lit(" "), y, lit("))")))
+      .otherwise(concat(lit("POINT("), x, lit(" "), y, lit(")")))
+    val geoms = Tables.load(spark, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey", wkt.as("wkt"))
+      .select($"s_suppkey", $"s_nationkey", $"wkt",
+        kindUdf($"wkt").as("kind"), coordsUdf($"wkt").as("n_coords"))
+    val w = Window.partitionBy($"s_nationkey")
+      .orderBy(($"kind" === "POLYGON").desc, $"n_coords".desc, $"s_suppkey".asc)
+    geoms.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"s_nationkey", $"kind".as("best_kind"),
+        $"n_coords".cast("long").as("best_coords"),
+        $"s_suppkey".as("winner_suppkey"))
+  }
+  private val geometryMergeOracle: String =
+    """WITH geoms AS (
+      |  SELECT s_suppkey, s_nationkey,
+      |    CASE WHEN s_suppkey % 3 IN (0, 1) THEN 'POLYGON' ELSE 'POINT' END AS kind,
+      |    CASE WHEN s_suppkey % 3 = 0 THEN 4
+      |         WHEN s_suppkey % 3 = 1 THEN 5 ELSE 1 END AS n_coords
+      |  FROM supplier)
+      |SELECT s_nationkey, kind AS best_kind,
+      |  CAST(n_coords AS BIGINT) AS best_coords, s_suppkey AS winner_suppkey
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+      |    ORDER BY (kind = 'POLYGON') DESC, n_coords DESC, s_suppkey ASC) AS rn
+      |  FROM geoms) WHERE rn = 1""".stripMargin
+
+  /** F11: HTML -> text strip (tag removal), keeping the original beside
+    * it — the `_content_html` pattern. */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val html = concat(lit("<p class=\"t\">"), $"text", lit("</p><br/>"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", html.as("content_html"))
+      .select($"doc_id",
+        length($"content_html").cast("long").as("html_len"),
+        length(regexp_replace($"content_html", "<[^>]*>", "")).cast("long")
+          .as("text_len"))
+  }
+  private val htmlStripOracle: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH('<p class="t">' || text || '</p><br/>') AS BIGINT) AS html_len,
+      |  CAST(LENGTH(regexp_replace('<p class="t">' || text || '</p><br/>', '<[^>]*>', '', 'g')) AS BIGINT) AS text_len
+      |FROM documents""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
+    Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
+    Queries.register(QueryDef("f10_geometry_merge", geometryMerge, Some(geometryMergeOracle)))
+    Queries.register(QueryDef("f11_html_strip", htmlStrip, Some(htmlStripOracle)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+/** Minimal WKT geometry helpers (SURVEY F10) — pure Scala, registered as
+  * UDFs. Covers the reference's geometry arbitration needs
+  * (`pipeline/process/merger.py:177-244`): kind extraction, exterior
+  * coordinate count, and the polygon>point / more-coords preference.
+  * No JTS dependency (not on the offline classpath); parsing is
+  * regex-free string walking over the two shapes the reference emits
+  * (POINT, POLYGON with one exterior ring). */
+object Wkt {
+
+  sealed trait Geom { def kind: String; def nCoords: Int }
+  final case class Point(x: Double, y: Double) extends Geom {
+    def kind = "POINT"; def nCoords = 1
+  }
+  final case class Polygon(coords: Seq[(Double, Double)]) extends Geom {
+    def kind = "POLYGON"; def nCoords = coords.size
+  }
+
+  def parse(wkt: String): Option[Geom] = {
+    if (wkt == null) None
+    else {
+      val s = wkt.trim
+      if (s.startsWith("POINT")) {
+        val inner = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')')).trim
+        inner.split("\\s+") match {
+          case Array(x, y) =>
+            try Some(Point(x.toDouble, y.toDouble))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      } else if (s.startsWith("POLYGON")) {
+        val open = s.indexOf("((")
+        val close = s.indexOf("))")
+        if (open < 0 || close < 0) None
+        else {
+          val pts = s.substring(open + 2, close).split(",").toSeq.map(_.trim)
+          try Some(Polygon(pts.map { p =>
+            val Array(x, y) = p.split("\\s+"); (x.toDouble, y.toDouble)
+          })) catch { case _: Exception => None }
+        }
+      } else None
+    }
+  }
+
+  def kindOf(wkt: String): Option[String] = parse(wkt).map(_.kind)
+  def coordCount(wkt: String): Option[Int] = parse(wkt).map(_.nCoords)
+
+  /** merger.py:177-244 preference: polygon beats point; among equals the
+    * one with more coordinates wins; ties keep `a`. */
+  def better(a: String, b: String): String =
+    (parse(a), parse(b)) match {
+      case (Some(ga), Some(gb)) =>
+        if (ga.kind != gb.kind) { if (ga.kind == "POLYGON") a else b }
+        else if (gb.nCoords > ga.nCoords) b
+        else a
+      case (Some(_), None) => a
+      case (None, Some(_)) => b
+      case _ => a
+    }
+}
