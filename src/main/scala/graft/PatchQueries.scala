@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DateLib
+
+/** Small per-record patch/validation operators: data-driven record
+  * patches (M9/M10), the ISO-639 literal language map (F13), and
+  * birth/death sanity on the query path (F4). */
+object PatchQueries extends QueryGroup {
+
+  /** M9/M10: data-driven record patches — a patch table keyed by doc_id
+    * carries DELETE/UPDATE ops applied by left join + conditional
+    * projection (the declarative form of the xpath patch walk). */
+  def patchRecords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    // patch table derived deterministically: every 7th doc deletes its
+    // lang; every 11th rewrites source to 'curated'
+    val patches = docs.select($"doc_id",
+        when($"doc_id" % 7 === 0, "DELETE_LANG")
+          .when($"doc_id" % 11 === 0, "UPDATE_SOURCE")
+          .otherwise(null).as("op"))
+      .filter($"op".isNotNull)
+    docs.join(patches, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"op" === "DELETE_LANG", lit(null).cast("string"))
+          .otherwise($"lang").as("lang"),
+        when($"op" === "UPDATE_SOURCE", "curated")
+          .otherwise($"source").as("source"))
+  }
+  private val patchRecordsOracle: String =
+    """WITH patches AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'DELETE_LANG'
+      |         WHEN doc_id % 11 = 0 THEN 'UPDATE_SOURCE' END AS op
+      |  FROM documents
+      |  WHERE doc_id % 7 = 0 OR doc_id % 11 = 0)
+      |SELECT d.doc_id,
+      |  CASE WHEN op = 'DELETE_LANG' THEN NULL ELSE lang END AS lang,
+      |  CASE WHEN op = 'UPDATE_SOURCE' THEN 'curated' ELSE source END AS source
+      |FROM documents d LEFT JOIN patches p ON d.doc_id = p.doc_id""".stripMargin
+
+  /** F13: ISO-639 2-letter -> 3-letter literal map (the reference keeps
+    * the 70-entry inverse map as a literal, `process/base/mapper.py:47-112`). */
+  def langMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iso3 = typedLit(Map("en" -> "eng", "de" -> "deu", "fr" -> "fra",
+      "es" -> "spa", "zh" -> "zho"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        coalesce(element_at(iso3, $"lang"), lit("und")).as("lang3"))
+  }
+  private val langMapOracle: String =
+    """SELECT doc_id, lang,
+      |  CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu' WHEN 'fr' THEN 'fra'
+      |            WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'zho' ELSE 'und' END AS lang3
+      |FROM documents""".stripMargin
+
+  /** F4: birth/death sanity on the query path — per customer, first/last
+    * order dates as a pseudo-lifespan validated by DateLib (<= 122 years,
+    * end after start; always true here, but the validation runs). */
+  def lifespanCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val plausible = udf((b: String, d: String) => DateLib.plausibleLifespan(b, d))
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(date_format(min($"o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("first_seen"),
+        date_format(max($"o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("last_seen"))
+      .select($"o_custkey", $"first_seen", $"last_seen",
+        plausible($"first_seen", $"last_seen").as("plausible"))
+  }
+  private val lifespanCheckOracle: String =
+    """SELECT o_custkey,
+      |  strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS first_seen,
+      |  strftime(MAX(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS last_seen,
+      |  (epoch(MAX(o_orderdate)) >= epoch(MIN(o_orderdate))
+      |   AND epoch(MAX(o_orderdate)) - epoch(MIN(o_orderdate))
+      |       <= CAST(122 AS BIGINT)*365*24*3600 + 30*24*3600) AS plausible
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("m9_patch_records", patchRecords, Some(patchRecordsOracle)))
+    Queries.register(QueryDef("f13_lang_map", langMap, Some(langMapOracle)))
+    Queries.register(QueryDef("f4_lifespan_check", lifespanCheck, Some(lifespanCheckOracle)))
+  }
+}

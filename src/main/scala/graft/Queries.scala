@@ -31,7 +31,7 @@ object Queries {
   private lazy val groups: Seq[QueryGroup] = Seq(
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
     GraphQueries, MergeQueries, LuxQueries, StreamQueries, SourceQueries,
-    OpsQueries, ExportQueries, ScaleQueries, MapperQueries)
+    OpsQueries, ExportQueries, ScaleQueries, MapperQueries, PatchQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Wkt
+
+class WktSpec extends AnyFunSuite {
+  test("parse POINT and POLYGON") {
+    assert(Wkt.parse("POINT(1.5 -2)") === Some(Wkt.Point(1.5, -2.0)))
+    assert(Wkt.parse("POLYGON((0 0, 1 0, 1 1, 0 0))") ===
+      Some(Wkt.Polygon(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)))))
+    assert(Wkt.parse("LINESTRING(0 0, 1 1)") === None)
+    assert(Wkt.parse("POINT(garbage)") === None)
+    assert(Wkt.parse(null) === None)
+  }
+
+  test("kind and coordinate count") {
+    assert(Wkt.kindOf("POINT(3 4)") === Some("POINT"))
+    assert(Wkt.coordCount("POLYGON((0 0, 1 0, 1 1, 0 0))") === Some(4))
+  }
+
+  test("arbitration: polygon beats point, more coords beats fewer, ties keep first") {
+    val pt = "POINT(1 2)"
+    val poly4 = "POLYGON((0 0, 1 0, 1 1, 0 0))"
+    val poly5 = "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert(Wkt.better(pt, poly4) === poly4)
+    assert(Wkt.better(poly4, pt) === poly4)
+    assert(Wkt.better(poly4, poly5) === poly5)
+    assert(Wkt.better(poly5, poly4) === poly5)
+    assert(Wkt.better(poly4, poly4) === poly4)
+    assert(Wkt.better(pt, "bogus") === pt)
+    assert(Wkt.better("bogus", pt) === pt)
+  }
+}
