@@ -153,7 +153,7 @@ object ExportQueries extends QueryGroup {
       |GROUP BY l_orderkey""".stripMargin
 
   override def register(): Unit = {
-    Queries.register(QueryDef("k2_nt_triples", ntTriples, Some(ntTriplesOracle)))
+    Queries.register(QueryDef("k2_nt_triples", ntTriples, Some(ntTriplesOracle), bench = true))
     Queries.register(QueryDef("f7_extract_names", extractNames, Some(extractNamesOracle)))
     Queries.register(QueryDef("j13_delete_cascade", deleteCascade, Some(deleteCascadeOracle)))
     Queries.register(QueryDef("w3_lang_order", langOrder, Some(langOrderOracle)))

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins (SURVEY §4 partitioning strategy): writing
+  * both join sides bucketed on the key lets the join run without any
+  * Exchange — the 100 TB path for repeated large-large joins (idmap x
+  * recordcaches). Asserted on the physical plan. */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables.load(spark, TestSpark.sf, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, TestSpark.sf, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: no shuffle before the join (only possibly for the agg,
+    // which reuses the bucket partitioning too)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in plan:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+  }
+}
