@@ -79,9 +79,36 @@ object StreamQueries extends QueryGroup {
       |  COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** Native session windows: session_window(ts, 30 min) — the built-in
+    * form of st3 (sessions merge while the gap is < 30 min; the oracle
+    * mirrors that strict-inequality semantics). */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("start_us"), $"n_events")
+  }
+  private val sessionWindowOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(us) AS start_us, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("st1_tumbling_window", tumbling, Some(tumblingOracle), bench = true))
     Queries.register(QueryDef("st2_sliding_window", sliding, Some(slidingOracle)))
     Queries.register(QueryDef("st3_sessionize", sessionize, Some(sessionizeOracle)))
+    Queries.register(QueryDef("st5_session_window", sessionWindow, Some(sessionWindowOracle)))
   }
 }

@@ -161,7 +161,23 @@ object TextQueries extends QueryGroup {
     s"""SELECT doc_id, ${docFingerprintSql(tokensSql("text"))} AS fp
        |FROM documents""".stripMargin
 
+  /** Dataset profiling (SURVEY §7.1 step 11): per-table cardinality and
+    * null stats with approx_count_distinct (HLL++). Sketches differ
+    * across engines, so this registers WITHOUT an oracle — the driver
+    * records the weaker rows-only check; exact columns ride along. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+    d.select(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct($"text").as("approx_texts"),
+      approx_count_distinct($"lang").as("approx_langs"),
+      countDistinct($"source").as("exact_sources"),
+      sum(when($"text".isNull, 1L).otherwise(0L)).as("null_texts"))
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_profile", profile, None))
     Queries.register(QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)))
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))
     Queries.register(QueryDef("t_quality_score", qualityScore, Some(qualityOracle)))

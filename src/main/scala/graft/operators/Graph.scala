@@ -36,9 +36,11 @@ object Graph {
     while (!converged && iter < maxIter) {
       val minNbr = sym.join(labels, sym("src") === labels("node"))
         .groupBy($"dst".as("node2")).agg(min($"label").as("nbrMin"))
+      // lazy checkpoint: the convergence aggregate below materializes it,
+      // so each round costs ONE job (still truncates lineage for reuse)
       val next = labels.join(minNbr, labels("node") === minNbr("node2"), "left")
         .select($"node", least($"label", coalesce($"nbrMin", $"label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = next.agg(sum($"label")).as[Long].head()
       converged = nextSum == prevSum // labels are monotone non-increasing
       prevSum = nextSum

@@ -18,6 +18,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(skipped.count() === 0)
   }
 
+  test("csv roundtrip with explicit schema (S5 per-source format shape)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$dir/out")
+    val back = spark.read.schema(docs.schema)
+      .option("header", "true").csv(s"$dir/out")
+    assert(back.count() === docs.count())
+    assert(back.except(docs).count() === 0)
+  }
+
   test("multimodal stub decode is deterministic and partition-invariant") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
