@@ -28,9 +28,13 @@ object Graph {
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist()
+    // decimal sum: node ids may span the full long range (hashed keys),
+    // so a long sum would overflow under ANSI arithmetic
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node").localCheckpoint()
-    var prevSum = labels.agg(sum($"label")).as[Long].head()
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -41,8 +45,8 @@ object Graph {
       val next = labels.join(minNbr, labels("node") === minNbr("node2"), "left")
         .select($"node", least($"label", coalesce($"nbrMin", $"label")).as("label"))
         .localCheckpoint(eager = false)
-      val nextSum = next.agg(sum($"label")).as[Long].head()
-      converged = nextSum == prevSum // labels are monotone non-increasing
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0 // labels are monotone non-increasing
       prevSum = nextSum
       labels = next
       iter += 1
