@@ -34,7 +34,8 @@ object LinkedArt {
       StructField("type", StringType))))),
     StructField("refers_to", ArrayType(StructType(Seq(
       StructField("id", StringType),
-      StructField("type", StringType)))))))
+      StructField("type", StringType))))),
+    StructField("defined_by", StringType))) // WKT geometry (Places)
 
   /** Parse envelope `data` into the typed body column. */
   def parsed(envelopes: DataFrame): DataFrame =
@@ -140,28 +141,44 @@ object LinkedArt {
         .as("refs_rewritten"))
   }
 
-  /** J9-J11 + A1: merge each yuid cluster — records sorted by
+  /** J9-J11 + A1/A2: merge each yuid cluster — records sorted by
     * merge_order (source preference), first label wins, equivalents
-    * union. Produces one merged row per yuid. */
+    * union. Type-dispatched rule (A2, merger.py:177-244): Place
+    * geometry elects polygon > point > none, then more coordinates,
+    * REGARDLESS of merge order. Produces one merged row per yuid. */
   def merge(parsedEnv: DataFrame, idmapDf: DataFrame,
       mergeOrder: Map[String, Int]): DataFrame = {
     val spark = parsedEnv.sparkSession
     import spark.implicits._
     val orderCol = coalesce(
       element_at(typedLit(mergeOrder), col("source")), lit(99))
+    val kindUdf = udf((w: String) => graft.functions.Wkt.kindOf(w))
+    val coordsUdf = udf((w: String) => graft.functions.Wkt.coordCount(w))
     val withYuid = parsedEnv
       .withColumn("qua", concat(col("body.id"), lit("##qua"), col("body.type")))
       .join(idmapDf, Seq("qua"))
     withYuid
       .select($"yuid", orderCol.as("ord"), $"identifier",
         $"body._label".as("label"), $"body.type".as("rectype"),
-        coalesce($"body.equivalent.id", array().cast("array<string>")).as("eqs"))
+        coalesce($"body.equivalent.id", array().cast("array<string>")).as("eqs"),
+        $"body.defined_by".as("wkt"),
+        // geometry preference key, ascending sort: polygon first, then
+        // more coords, then merge order
+        struct(
+          when(kindUdf($"body.defined_by") === "POLYGON", 0)
+            .when(kindUdf($"body.defined_by") === "POINT", 1)
+            .otherwise(2).as("kindRank"),
+          (-coalesce(coordsUdf($"body.defined_by"), lit(0))).as("negCoords"),
+          orderCol.as("ord"), $"identifier".as("tie"),
+          $"body.defined_by".as("wkt")).as("geomKey"))
       .groupBy($"yuid")
       .agg(
         element_at(sort_array(collect_list(struct($"ord", $"identifier", $"label"))), 1)
           .getField("label").as("label"),
         min($"rectype").as("rectype"),
         array_sort(array_distinct(flatten(collect_list($"eqs")))).as("equivalents"),
+        element_at(sort_array(collect_list($"geomKey")), 1)
+          .getField("wkt").as("geometry"),
         count(lit(1)).as("n_merged"))
   }
 

@@ -16,7 +16,7 @@ class LinkedArtPipelineSpec extends AnyFunSuite {
 
   private def rec(id: String, typ: String, label: String, names: Seq[String],
       parts: Option[(String, String)] = None, equivalents: Seq[(String, String)] = Nil,
-      refersTo: Seq[(String, String)] = Nil): String = {
+      refersTo: Seq[(String, String)] = Nil, wkt: Option[String] = None): String = {
     def q(s: String) = "\"" + s + "\""
     val nameObjs = names.map { n =>
       val p = parts.map { case (a, b) =>
@@ -28,8 +28,9 @@ class LinkedArtPipelineSpec extends AnyFunSuite {
       s"""{"id":${q(u)},"type":${q(t)}}""" }.mkString("[", ",", "]")
     val refs = refersTo.map { case (u, t) =>
       s"""{"id":${q(u)},"type":${q(t)}}""" }.mkString("[", ",", "]")
+    val geo = wkt.map(w => s""","defined_by":${q(w)}""").getOrElse("")
     s"""{"id":${q(id)},"type":${q(typ)},"_label":${q(label)},
-       |"identified_by":$nameObjs,"equivalent":$eqs,"refers_to":$refs}""".stripMargin
+       |"identified_by":$nameObjs,"equivalent":$eqs,"refers_to":$refs$geo}""".stripMargin
   }
 
   private lazy val fixtures = {
@@ -43,7 +44,12 @@ class LinkedArtPipelineSpec extends AnyFunSuite {
       ("Q999", "wikidata", rec(wd + "Q999", "Person", "Fake Einstein",
         Seq("Albert Einstein"))),
       ("ulm1", "geonames", rec("http://sws.geonames.org/2820256/", "Place",
-        "Ulm", Seq("Ulm"))),
+        "Ulm", Seq("Ulm"),
+        wkt = Some("POLYGON((9.9 48.3, 10.0 48.3, 10.0 48.4, 9.9 48.3))"))),
+      ("ulmWd", "wikidata", rec(wd + "Q3012", "Place", "Ulm, Germany",
+        Seq("Ulm"),
+        equivalents = Seq(("http://sws.geonames.org/2820256/", "Place")),
+        wkt = Some("POINT(9.99 48.39)"))),
       ("doc1", "ycba", rec("https://unit.example/data/obj/1", "HumanMadeObject",
         "Portrait", Seq("Portrait of Einstein"),
         refersTo = Seq((wd + "Q937", "Person"), ("urn:unknown:x", "Type"))))
@@ -62,7 +68,8 @@ class LinkedArtPipelineSpec extends AnyFunSuite {
   }
   private lazy val uriIndex = {
     import spark.implicits._
-    Seq((lc + "n79022889", "Person")).toDF("idxuri", "idxtype")
+    Seq((lc + "n79022889", "Person"),
+      ("http://sws.geonames.org/2820256/", "Place")).toDF("idxuri", "idxtype")
   }
   private lazy val differentFrom = {
     import spark.implicits._
@@ -120,7 +127,22 @@ class LinkedArtPipelineSpec extends AnyFunSuite {
     assert(einstein.getString(0) === "Albert Einstein") // wikidata wins
     assert(einstein.getLong(1) === 2L)
     assert(einstein.getSeq[String](2) === Seq(lc + "n79022889"))
-    assert(merged.count() === 4) // einstein cluster, imposter, ulm, doc1
+    assert(merged.count() === 4) // einstein cluster, imposter, ulm cluster, doc1
+  }
+
+  test("A2 place merge: polygon beats point regardless of merge order") {
+    import spark.implicits._
+    val m = idmap.as[(String, String)].collect().toMap
+    // ulm cluster = geonames polygon (ord 3) + wikidata point (ord 1)
+    assert(m("http://sws.geonames.org/2820256/##quaPlace") ===
+      m(wd + "Q3012##quaPlace"))
+    val merged = LinkedArt.merge(parsedEnv, idmap,
+      Map("wikidata" -> 1, "lc" -> 2, "geonames" -> 3, "ycba" -> 4))
+    val ulm = merged.filter($"yuid" === m(wd + "Q3012##quaPlace"))
+      .select($"label", $"geometry", $"n_merged").head()
+    assert(ulm.getString(0) === "Ulm, Germany") // label: merge order wins
+    assert(ulm.getString(1).startsWith("POLYGON")) // geometry: polygon wins
+    assert(ulm.getLong(2) === 2L)
   }
 
   test("jsonl export emits one line per merged entity") {
