@@ -31,7 +31,7 @@ object MergeQueries extends QueryGroup {
   }
 
   override def register(): Unit = {
-    Queries.register(QueryDef("a1_merge_fold", mergeFold, Some(mergeFoldOracle)))
+    Queries.register(QueryDef("a1_merge_fold", mergeFold, Some(mergeFoldOracle), bench = true))
   }
 
   private val mergeFoldOracle: String =
