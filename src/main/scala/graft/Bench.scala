@@ -6,24 +6,46 @@ import org.apache.spark.sql.SparkSession
   * the registry — one per operator family: scan-agg, join-agg, window,
   * LSH dedup, vector search, iterative CC, query language, event-time
   * window) and prints ONE JSON line. count() forces full execution
-  * without collecting rows to the driver. */
+  * without collecting rows to the driver.
+  *
+  * Reproducibility: a full warmup pass runs every bench query once before
+  * timing, so the timed pass measures steady-state latency (JIT + codegen
+  * compiled, substrate/index tables materialized — index builds are
+  * offline in production) instead of cold-JVM noise. Failures are loud:
+  * a failing query is reported as "err" with the exception recorded, the
+  * headline total becomes -1, and the process exits nonzero — a broken
+  * query can never read as a speedup. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.create("graft-bench", cpus)
     val fns = Queries.queries
-    // JIT/codegen warmup so the first timed query isn't penalized
-    fns("q1_agg")(spark, sfDir).count()
-    val results = Queries.benchNames.map { name =>
-      val t0 = System.nanoTime()
-      try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    Queries.benchNames.foreach { name =>
+      try fns(name)(spark, sfDir).count()
+      catch { case _: Throwable => () } // surfaced by the timed pass below
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Either[String, Double])] =
+      Queries.benchNames.map { name =>
+        val t0 = System.nanoTime()
+        try {
+          fns(name)(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          name -> Left(e.toString.linesIterator.next().take(160))
+        }
+      }
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, Left(_))  => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) =>
+      "\"" + (k + ": " + e).replace("\\", "\\\\").replace("\"", "'") + "\"" }
+    val total = if (errs.nonEmpty) -1.0
+      else results.collect { case (_, Right(v)) => v }.sum
+    val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

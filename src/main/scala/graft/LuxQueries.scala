@@ -53,11 +53,27 @@ object LuxQueries extends QueryGroup {
         lit("locatedIn").as("predicate"), concat(lit("n"), $"s_nationkey").as("object")))
   }
 
-  private def run(query: String)(spark: SparkSession, dir: String): DataFrame =
-    // substrate tables are referenced once per AST leaf/hop — cache them
-    // (in production these are materialized index tables, not rebuilt)
-    new LuxCompiler(entities(spark, dir).persist(), triples(spark, dir).persist())
-      .compile(query)
+  /** The substrate is materialized ONCE per (session, dir) and shared by
+    * every compiled query — the analog of the reference's persistent
+    * record/triple indexes (built offline, queried many times). Rebuilding
+    * it per query re-scanned 5 parquet tables and re-ran two full
+    * distinct() shuffles each time, which dominated lux_q1's wall-clock.
+    * At 100 TB this is a bucketed table (by id / subject) on disk so hop
+    * joins are co-partitioned; in-process, persist() plays that role. */
+  private val substrateCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private[graft] def substrate(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    substrateCache.getOrElseUpdate((spark, dir), {
+      val e = entities(spark, dir).persist()
+      val t = triples(spark, dir).persist()
+      (e, t)
+    })
+
+  private def run(query: String)(spark: SparkSession, dir: String): DataFrame = {
+    val (e, t) = substrate(spark, dir)
+    new LuxCompiler(e, t).compile(query)
+  }
 
   /** Q7 hop + Q8 inverse hop + range leaf: customers in a NATION_3-named
     * nation having an order over $300k. */

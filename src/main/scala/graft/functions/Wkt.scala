@@ -46,14 +46,41 @@ object Wkt {
   def kindOf(wkt: String): Option[String] = parse(wkt).map(_.kind)
   def coordCount(wkt: String): Option[Int] = parse(wkt).map(_.nCoords)
 
-  /** merger.py:177-244 preference: polygon beats point; among equals the
-    * one with more coordinates wins; ties keep `a`. */
+  /** The textual x/y of the first coordinate — the reference compares the
+    * STRING length of coordinates as a decimal-precision proxy
+    * (`merger.py:234-244`: "just compare str len"). */
+  private def firstCoordText(wkt: String): Option[(String, String)] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    val open = if (s.startsWith("POLYGON")) s.indexOf("((") + 2
+               else if (s.startsWith("POINT")) s.indexOf('(') + 1
+               else return None
+    if (open <= 1) return None
+    val end = s.indexWhere(c => c == ',' || c == ')', open)
+    if (end < 0) return None
+    s.substring(open, end).trim.split("\\s+") match {
+      case Array(x, y) => Some((x, y))
+      case _ => None
+    }
+  }
+
+  /** merger.py:177-244 preference: polygon beats point; among polygons the
+    * one with more coordinates wins; equal shape+coords → the one whose
+    * first coordinate has more textual decimal precision; ties keep `a`.
+    * POLYGON vs POINT keeps the polygon side regardless of order
+    * (merger.py:239-241: "Nope"). */
   def better(a: String, b: String): String =
     (parse(a), parse(b)) match {
       case (Some(ga), Some(gb)) =>
         if (ga.kind != gb.kind) { if (ga.kind == "POLYGON") a else b }
         else if (gb.nCoords > ga.nCoords) b
-        else a
+        else if (gb.nCoords == ga.nCoords) {
+          ((firstCoordText(a), firstCoordText(b)) match {
+            case (Some((ax, ay)), Some((bx, by)))
+              if bx.length > ax.length || by.length > ay.length => b
+            case _ => a
+          })
+        } else a
       case (Some(_), None) => a
       case (None, Some(_)) => b
       case _ => a

@@ -13,15 +13,34 @@ import org.apache.spark.sql.functions._
   * by node; each round is one shuffle join against the (cached) symmetric
   * edge table. Convergence is detected with a single scalar aggregate
   * (label sums are monotone), not a join. localCheckpoint truncates lineage
-  * so plans stay O(1) per round. For very high-diameter graphs the
-  * large-star/small-star variant halves rounds; min-propagation suffices
-  * for the diameters seen here (~12).
+  * so plans stay O(1) per round.
   */
 object Graph {
 
-  /** Connected components by min-label propagation over an undirected
-    * edge set. Input columns (src, dst); output (node, component) where
-    * component = min node id in the component. Deterministic fixpoint. */
+  /** Connected components by min-label propagation with pointer-doubling
+    * shortcuts over an undirected edge set. Input columns (src, dst);
+    * output (node, component) where component = min node id in the
+    * component. Deterministic fixpoint.
+    *
+    * Each round does two label-decreasing steps:
+    *   1. neighbor-min: l(u) := min(l(u), min over nbrs v of l(v))
+    *   2. shortcut:     l(u) := l(l(u))   (pointer doubling)
+    * Step 2 is the star-contraction move (large-star/small-star in label
+    * form): it collapses label chains geometrically, cutting rounds from
+    * O(diameter) to O(log diameter) — the difference between 12 shuffle
+    * rounds and 4 on a chain-of-12 graph, and the difference between
+    * feasible and not on high-diameter identity graphs at 100 TB.
+    *
+    * Both steps preserve the invariant l(u) <= u and only decrease labels,
+    * so the label SUM is monotone non-increasing and a scalar sum-equality
+    * check detects the fixpoint exactly (an unchanged sum means both
+    * sub-steps were identity, and a neighbor-min fixpoint is a correct CC
+    * labeling). Skew: the hot-key groupBy(dst).min is handled by Spark's
+    * partial (map-side) aggregation — a star center's million edges
+    * combine to one partial min per map task before the shuffle, which is
+    * exactly what explicit salting would buy (pinned by GraphSpec's
+    * partial-aggregate plan check); the label-side joins are unique-key
+    * and AQE skew-join splits any oversized probe partitions. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -40,10 +59,18 @@ object Graph {
     while (!converged && iter < maxIter) {
       val minNbr = sym.join(labels, sym("src") === labels("node"))
         .groupBy($"dst".as("node2")).agg(min($"label").as("nbrMin"))
-      // lazy checkpoint: the convergence aggregate below materializes it,
-      // so each round costs ONE job (still truncates lineage for reuse)
-      val next = labels.join(minNbr, labels("node") === minNbr("node2"), "left")
+      val stepped = labels.join(minNbr, labels("node") === minNbr("node2"), "left")
         .select($"node", least($"label", coalesce($"nbrMin", $"label")).as("label"))
+        // materialized: referenced twice by the shortcut self-join below
+        .localCheckpoint(eager = false)
+      // pointer doubling: l(u) := l(l(u)); left join because a label is
+      // always itself a node (invariant), coalesce is belt-and-braces
+      val next = stepped
+        .join(stepped.select($"node".as("pNode"), $"label".as("pLabel")),
+          stepped("label") === $"pNode", "left")
+        .select($"node", coalesce($"pLabel", $"label").as("label"))
+        // lazy checkpoint: the convergence aggregate below materializes it,
+        // so each round costs ONE job (still truncates lineage for reuse)
         .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0 // labels are monotone non-increasing

@@ -109,9 +109,18 @@ object LinkedArt {
   def idmap(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Collision-FREE dictionary encoding: monotonically_increasing_id is
+    // unique by construction (partition id << 33 | row index), unlike a
+    // 64-bit hash whose birthday collisions at billions of nodes would
+    // silently merge two unrelated identity clusters. The assignment is
+    // partition-dependent, so it is pinned with an eager localCheckpoint —
+    // every downstream join sees the same qua->nid mapping. Determinism of
+    // the OUTPUT is unaffected: YUIDs are minted from the component's min
+    // qua STRING, never from nid.
     val nodes = edges.select($"src".as("qua"))
       .union(edges.select($"dst".as("qua"))).distinct()
-      .withColumn("nid", xxhash64($"qua")) // collision-free enough per-fixture; stable
+      .withColumn("nid", monotonically_increasing_id())
+      .localCheckpoint()
     val e = edges
       .join(nodes.select($"qua".as("src"), $"nid".as("srcId")), "src")
       .join(nodes.select($"qua".as("dst"), $"nid".as("dstId")), "dst")

@@ -75,8 +75,11 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
       // id sets, and semi-join skips intersect's per-side dedup shuffles
       // (AQE turns small sides into broadcasts)
       val anded = pos.map(ids).reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
+      // left_anti, not except: both sides are already-distinct id sets, so
+      // except's per-side dedup shuffles are wasted work (same argument as
+      // the left_semi AND above; AQE broadcasts small NOT sides)
       nots.foldLeft(anded) { case (acc, Bool("NOT", Seq(k))) =>
-        acc.except(ids(k))
+        acc.join(ids(k), Seq("id"), "left_anti")
       }
 
     case Bool("NOT", _) =>
