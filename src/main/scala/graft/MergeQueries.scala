@@ -30,8 +30,163 @@ object MergeQueries extends QueryGroup {
         $"m.totalCents".as("total_cents"))
   }
 
+  import operators.LaMerge
+  import operators.LaMerge.{LaDim, LaName, LaRecord, LaStatement, LaTimespan}
+
+  final case class A2In(yuid: Long, ord: Int, ck: Long, rec: LaRecord)
+  final case class A2Out(yuid: Long, rtype: String, label: String,
+      n_merged: Long, names: String, idents: String, primary_name: String,
+      n_stmts: Long, ai_stmt: String, n_dims: Long, eqs: String,
+      ts_begin: String, ts_end: String)
+
+  /** A2/A3/J10: the FULL record merger (operators.LaMerge) folding nested
+    * Linked-Art records per cluster — type-conflict skips, should_merge
+    * vetoes, identified_by dedupe + primary election, statement dedupe
+    * with the single-AI rule, dimension identity, timespan
+    * most-specific-interval with end-of-year fixup, id-set unions.
+    * Records are derived deterministically from `customer`; the oracle
+    * replays the fold's outcome relationally (the fold is order-sensitive,
+    * but each rule's result is expressible as a window/aggregate because
+    * the fixture pins the convergent cases — see rule-by-rule notes in
+    * the SQL). Scale: one groupByKey(yuid) shuffle; clusters fold
+    * independently in parallel, no driver state. */
+  def recordMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cfg = LaMerge.MergeConfig(internalSources = Set("ycba"))
+    val sources = Vector("ycba", "viaf", "wikidata", "aat", "tgn")
+    val recs = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long"), $"c_mktsegment", $"c_name")
+      .as[(Long, String, String)]
+      .map { case (ck, seg, cname) =>
+        val ord = (ck % 5).toInt
+        val rtype = seg match {
+          case "BUILDING"   => "Person"
+          case "AUTOMOBILE" => "HumanMadeObject"
+          case "MACHINERY"  => "Type"
+          case "HOUSEHOLD"  => "Language"
+          case _            => "Person"
+        }
+        val y = 1900 + (ck % 80)
+        val k = ck % 3
+        A2In(ck % 211, ord, ck, LaRecord(
+          id = s"rec$ck", rtype = rtype, label = cname, source = sources(ord),
+          identifiedBy = Seq(
+            LaName("Name", s"nm${ck % 400}",
+              if (ck % 3 == 0) Seq(LaMerge.primaryNameId) else Nil,
+              if (ck % 2 == 0) Seq("en") else Nil),
+            LaName("Identifier", s"id${ck % 350}", Nil, Nil)),
+          referredToBy = Seq(LaStatement(null,
+            if (ck % 10 == 0) s"AI generated note ${ck % 20}" else s"stmt${ck % 300}")),
+          classifiedAs = Nil,
+          equivalent = Seq(s"eq${ck % 300}"),
+          memberOf = Nil, subjectOfAps = Nil, representationAps = Nil,
+          dimensions = Seq(LaDim("h", (ck % 7).toDouble, s"u${ck % 2}")),
+          timespan = Some(LaTimespan(s"$y-01-01T00:00:00Z", s"${y + k}-01-01T00:00:00Z", false)),
+          definedBy = null, partOf = Nil, residence = Nil,
+          contactPoints = Nil, broader = Nil))
+      }
+    recs.groupByKey(_.yuid).mapGroups { (yuid, it) =>
+      val sorted = it.toSeq.sortBy(r => (r.ord, r.ck)).map(_.rec)
+      val m = LaMerge.mergeCluster(sorted, cfg).get
+      val r = m.record
+      val names = r.identifiedBy.filter(_.ntype == "Name")
+      A2Out(yuid, r.rtype, r.label, m.nMerged.toLong,
+        names.map(_.content).distinct.sorted.mkString(";"),
+        r.identifiedBy.filter(_.ntype == "Identifier")
+          .map(_.content).distinct.sorted.mkString(";"),
+        names.find(_.classifiedAs.contains(LaMerge.primaryNameId))
+          .map(_.content).orNull,
+        r.referredToBy.size.toLong,
+        r.referredToBy.flatMap(s => Option(s.content))
+          .find(_.contains("AI generated")).orNull,
+        r.dimensions.size.toLong,
+        r.equivalent.sorted.mkString(";"),
+        r.timespan.map(_.begin).orNull, r.timespan.map(_.end).orNull)
+    }.toDF()
+  }
+
+  /** The fold replayed relationally. Rule-by-rule:
+    *  - base = first row by (ord, ck) per yuid;
+    *  - kept = base, plus candidates passing the J10 veto (HMO base x
+    *    wikidata cand, HMO cand x wikidata base) and type compatibility
+    *    (same type, or Type/Language absorbing — order-free here because
+    *    a Language candidate is accepted whenever it arrives);
+    *  - resolved type upgrades Type -> Language iff any kept Language;
+    *  - names/idents/eqs: distinct over kept (fold dedupes on content);
+    *  - primary = first kept row (fold order) carrying the primary flag;
+    *  - stmts: distinct non-AI + at most one AI (the first in fold order);
+    *  - dims: distinct (value, unit) pairs (class is constant);
+    *  - timespan: smallest interval in SECONDS wins (leap years make two
+    *    same-k spans differ!), earliest in fold order on ties; end-of-year
+    *    fixup applies only when a merge step actually ran (n_merged >= 2). */
+  private val recordMergeOracle: String =
+    """WITH recs AS (
+      |  SELECT c_custkey AS ck, c_custkey % 211 AS yuid, c_custkey % 5 AS ord,
+      |    CASE c_custkey % 5 WHEN 0 THEN 'ycba' WHEN 1 THEN 'viaf'
+      |      WHEN 2 THEN 'wikidata' WHEN 3 THEN 'aat' ELSE 'tgn' END AS source,
+      |    CASE c_mktsegment WHEN 'BUILDING' THEN 'Person'
+      |      WHEN 'AUTOMOBILE' THEN 'HumanMadeObject' WHEN 'MACHINERY' THEN 'Type'
+      |      WHEN 'HOUSEHOLD' THEN 'Language' ELSE 'Person' END AS rtype,
+      |    c_name AS label,
+      |    'nm' || CAST(c_custkey % 400 AS VARCHAR) AS nm,
+      |    (c_custkey % 3 = 0) AS is_primary,
+      |    'id' || CAST(c_custkey % 350 AS VARCHAR) AS ident,
+      |    CASE WHEN c_custkey % 10 = 0
+      |      THEN 'AI generated note ' || CAST(c_custkey % 20 AS VARCHAR)
+      |      ELSE 'stmt' || CAST(c_custkey % 300 AS VARCHAR) END AS stmt,
+      |    (c_custkey % 10 = 0) AS is_ai,
+      |    (c_custkey % 7) * 10 + (c_custkey % 2) AS dimkey,
+      |    'eq' || CAST(c_custkey % 300 AS VARCHAR) AS eq,
+      |    1900 + (c_custkey % 80) AS y, c_custkey % 3 AS k
+      |  FROM customer),
+      |ordered AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY yuid ORDER BY ord, ck) AS rn,
+      |    epoch(CASE WHEN k = 1 THEN make_timestamp(y, 12, 31, 23, 59, 59)
+      |      ELSE make_timestamp(y + k, 1, 1, 0, 0, 0) END)
+      |      - epoch(make_timestamp(y, 1, 1, 0, 0, 0)) AS ts_secs
+      |  FROM recs),
+      |base AS (SELECT yuid, rtype AS btype, source AS bsource, label AS blabel
+      |  FROM ordered WHERE rn = 1),
+      |kept AS (
+      |  SELECT o.* FROM ordered o JOIN base b USING (yuid)
+      |  WHERE o.rn = 1 OR (
+      |    NOT (b.btype = 'HumanMadeObject' AND o.source = 'wikidata')
+      |    AND NOT (o.rtype = 'HumanMadeObject' AND b.bsource = 'wikidata')
+      |    AND ((b.btype IN ('Person','HumanMadeObject') AND o.rtype = b.btype)
+      |      OR (b.btype IN ('Type','Language') AND o.rtype IN ('Type','Language'))))),
+      |agg AS (
+      |  SELECT k2.yuid,
+      |    COUNT(*) AS n_merged,
+      |    array_to_string(list_sort(list(DISTINCT k2.nm)), ';') AS names,
+      |    array_to_string(list_sort(list(DISTINCT k2.ident)), ';') AS idents,
+      |    arg_min(k2.nm, k2.rn) FILTER (WHERE k2.is_primary) AS primary_name,
+      |    CAST(COUNT(DISTINCT k2.stmt) FILTER (WHERE NOT k2.is_ai) AS BIGINT)
+      |      + (CASE WHEN bool_or(k2.is_ai) THEN 1 ELSE 0 END) AS n_stmts,
+      |    arg_min(k2.stmt, k2.rn) FILTER (WHERE k2.is_ai) AS ai_stmt,
+      |    COUNT(DISTINCT k2.dimkey) AS n_dims,
+      |    array_to_string(list_sort(list(DISTINCT k2.eq)), ';') AS eqs,
+      |    arg_min(k2.y, CAST(k2.ts_secs AS BIGINT) * 100000 + k2.rn) AS ts_y,
+      |    arg_min(k2.k, CAST(k2.ts_secs AS BIGINT) * 100000 + k2.rn) AS ts_k,
+      |    bool_or(k2.rtype = 'Language') AS any_lang
+      |  FROM kept k2 GROUP BY k2.yuid)
+      |SELECT a.yuid,
+      |  CASE WHEN b.btype = 'Type' AND a.any_lang THEN 'Language'
+      |    ELSE b.btype END AS rtype,
+      |  b.blabel AS label,
+      |  CAST(a.n_merged AS BIGINT) AS n_merged,
+      |  a.names, a.idents, a.primary_name,
+      |  CAST(a.n_stmts AS BIGINT) AS n_stmts, a.ai_stmt,
+      |  CAST(a.n_dims AS BIGINT) AS n_dims, a.eqs,
+      |  CAST(a.ts_y AS VARCHAR) || '-01-01T00:00:00Z' AS ts_begin,
+      |  CASE WHEN a.n_merged >= 2 AND a.ts_k = 1
+      |    THEN CAST(a.ts_y AS VARCHAR) || '-12-31T23:59:59Z'
+      |    ELSE CAST(a.ts_y + a.ts_k AS VARCHAR) || '-01-01T00:00:00Z'
+      |  END AS ts_end
+      |FROM agg a JOIN base b USING (yuid)""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("a1_merge_fold", mergeFold, Some(mergeFoldOracle), bench = true))
+    Queries.register(QueryDef("a2_record_merge", recordMerge, Some(recordMergeOracle)))
   }
 
   private val mergeFoldOracle: String =
