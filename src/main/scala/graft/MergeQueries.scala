@@ -184,9 +184,95 @@ object MergeQueries extends QueryGroup {
       |  END AS ts_end
       |FROM agg a JOIN base b USING (yuid)""".stripMargin
 
+  import operators.Cleaner
+
+  final case class M13Out(id: Long, rtype: String, primary_name: String,
+      sort_name: String, second_name: String, n_pages: Long, n_cls: Long,
+      ts_begin: String, ts_end: String)
+
+  /** M13: the final Cleaner (operators.Cleaner) over records derived from
+    * `customer` — primary/sort-name election (length + Place-short-name
+    * rotation + acronym demotion), webpage dedupe via URL variation sets,
+    * property dedupe, metatype injection, timespan sentinels, display
+    * ordering. Each record carries three names with deterministic flags;
+    * the oracle replays the election decision tree as CASE expressions
+    * (the fixture keeps all names in the no-language bucket so the
+    * per-language loop collapses; multi-language buckets are covered by
+    * CleanerSpec). Map-only: no shuffle at all — the Cleaner is
+    * embarrassingly parallel at any scale. */
+  def cleanNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val metatypes = Map("eq0" -> Seq("mt1"), "eq1" -> Seq("mt2", "mt3"))
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long"), $"c_name")
+      .as[(Long, String)]
+      .map { case (ck, cname) =>
+        val n1 = LaName("Name", cname,
+          (if (ck % 3 == 0) Seq(LaMerge.primaryNameId) else Nil) ++
+            (if (ck % 7 == 0) Seq(LaMerge.alternateNameId) else Nil), Nil)
+        val n2 = LaName("Name", s"NM${ck % 50}",
+          (if (ck % 6 == 0) Seq(LaMerge.primaryNameId) else Nil) ++
+            (if (ck % 5 == 0) Seq(LaMerge.sortNameId) else Nil), Nil)
+        val n3 = LaName("Name", s"x${ck % 9}", Nil, Nil)
+        val rec = LaRecord(s"rec$ck",
+          if (ck % 4 == 0) "Place" else "Person", cname, "src")
+          .copy(
+            identifiedBy = Seq(n1, n2, n3),
+            classifiedAs = Seq(s"c${ck % 5}", s"c${ck % 10}"),
+            equivalent = Seq(s"eq${ck % 4}"),
+            subjectOfAps = Seq(s"http://site${ck % 20}.org/p",
+              s"http://www.site${ck % 20}.org/p") ++
+              (if (ck % 3 == 0) Seq(s"http://other$ck.org") else Nil),
+            timespan = Some(
+              if (ck % 11 == 0) LaTimespan("1950-01-01T00:00:00", null, false)
+              else if (ck % 11 == 1) LaTimespan(null, "1950-12-31T23:59:59", false)
+              else LaTimespan("1950-01-01T00:00:00", "1950-12-31T23:59:59", false)))
+        val out = Cleaner.clean(rec, metatypes).get
+        val names = out.identifiedBy
+        M13Out(ck, out.rtype,
+          names.find(_.classifiedAs.contains(LaMerge.primaryNameId)).map(_.content).orNull,
+          names.find(_.classifiedAs.contains(LaMerge.sortNameId)).map(_.content).orNull,
+          names(1).content,
+          out.subjectOfAps.size.toLong, out.classifiedAs.size.toLong,
+          out.timespan.map(_.begin).orNull, out.timespan.map(_.end).orNull)
+      }.toDF()
+  }
+
+  /** Election replayed as CASE logic (fixture pins one language bucket):
+    *  - primary: existing primary wins (ck%3=0 -> the long mixed-case
+    *    name, because the all-caps NM name is acronym-demoted when both
+    *    are primary); otherwise shortest non-alternate candidate — the
+    *    2-char name, except Places rotate sub-3-char names away (-> NM);
+    *  - sort: the explicit sortName if present, else the elected primary;
+    *  - second: display order is stable score-descending;
+    *  - pages: the www variant always collapses; the extra URL survives;
+    *  - classifications: dedupe + metatype injection from equivalents. */
+  private val cleanNamesOracle: String =
+    """SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 4 = 0 THEN 'Place' ELSE 'Person' END AS rtype,
+      |  CASE WHEN c_custkey % 3 = 0 THEN c_name
+      |    WHEN c_custkey % 4 = 0 THEN 'NM' || CAST(c_custkey % 50 AS VARCHAR)
+      |    ELSE 'x' || CAST(c_custkey % 9 AS VARCHAR) END AS primary_name,
+      |  CASE WHEN c_custkey % 5 = 0 THEN 'NM' || CAST(c_custkey % 50 AS VARCHAR)
+      |    WHEN c_custkey % 3 = 0 THEN c_name
+      |    WHEN c_custkey % 4 = 0 THEN 'NM' || CAST(c_custkey % 50 AS VARCHAR)
+      |    ELSE 'x' || CAST(c_custkey % 9 AS VARCHAR) END AS sort_name,
+      |  CASE WHEN c_custkey % 3 = 0 THEN 'NM' || CAST(c_custkey % 50 AS VARCHAR)
+      |    ELSE c_name END AS second_name,
+      |  CAST(1 + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_pages,
+      |  CAST((CASE WHEN c_custkey % 10 < 5 THEN 1 ELSE 2 END)
+      |    + (CASE WHEN c_custkey % 4 = 0 THEN 1
+      |        WHEN c_custkey % 4 = 1 THEN 2 ELSE 0 END) AS BIGINT) AS n_cls,
+      |  CASE WHEN c_custkey % 11 = 1 THEN '-9999-01-01T00:00:00'
+      |    ELSE '1950-01-01T00:00:00' END AS ts_begin,
+      |  CASE WHEN c_custkey % 11 = 0 THEN '9999-12-31T23:59:59'
+      |    ELSE '1950-12-31T23:59:59' END AS ts_end
+      |FROM customer""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("a1_merge_fold", mergeFold, Some(mergeFoldOracle), bench = true))
     Queries.register(QueryDef("a2_record_merge", recordMerge, Some(recordMergeOracle)))
+    Queries.register(QueryDef("m13_clean_names", cleanNames, Some(cleanNamesOracle)))
   }
 
   private val mergeFoldOracle: String =
