@@ -62,13 +62,29 @@ object LuxQueries extends QueryGroup {
     * joins are co-partitioned; in-process, persist() plays that role. */
   private val substrateCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap[SparkSession, Boolean]()
 
-  private[graft] def substrate(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[graft] def substrate(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // evict on context shutdown so a long-lived multi-session embedding
+    // doesn't pin dead SparkSession references (the cached blocks
+    // themselves die with the context)
+    evictionHooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          substrateCache.keys.filter(_._1 eq spark).foreach(substrateCache.remove)
+          evictionHooked.remove(spark)
+        }
+      })
+      true
+    })
     substrateCache.getOrElseUpdate((spark, dir), {
       val e = entities(spark, dir).persist()
       val t = triples(spark, dir).persist()
       (e, t)
     })
+  }
 
   private def run(query: String)(spark: SparkSession, dir: String): DataFrame = {
     val (e, t) = substrate(spark, dir)

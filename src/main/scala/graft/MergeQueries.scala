@@ -107,18 +107,25 @@ object MergeQueries extends QueryGroup {
 
   /** The fold replayed relationally. Rule-by-rule:
     *  - base = first row by (ord, ck) per yuid;
-    *  - kept = base, plus candidates passing the J10 veto (HMO base x
-    *    wikidata cand, HMO cand x wikidata base) and type compatibility
-    *    (same type, or Type/Language absorbing — order-free here because
-    *    a Language candidate is accepted whenever it arrives);
-    *  - resolved type upgrades Type -> Language iff any kept Language;
-    *  - names/idents/eqs: distinct over kept (fold dedupes on content);
-    *  - primary = first kept row (fold order) carrying the primary flag;
+    *  - veto-passing = base, plus candidates passing the J10 veto (HMO
+    *    base x wikidata cand, HMO cand x wikidata base); of those,
+    *    `compat` = type-compatible (same type, or Type/Language
+    *    absorbing — order-free here because a Language candidate is
+    *    accepted whenever it arrives);
+    *  - n_merged counts ALL veto-passing rows — a type-conflicting
+    *    candidate contributes no data but is still counted
+    *    (merger.py:1007-1015 appends the source unconditionally);
+    *  - resolved type upgrades Type -> Language iff any compat Language;
+    *  - names/idents/eqs: distinct over compat (fold dedupes on content);
+    *  - primary = first compat row (fold order) carrying the primary flag;
     *  - stmts: distinct non-AI + at most one AI (the first in fold order);
     *  - dims: distinct (value, unit) pairs (class is constant);
-    *  - timespan: smallest interval in SECONDS wins (leap years make two
-    *    same-k spans differ!), earliest in fold order on ties; end-of-year
-    *    fixup applies only when a merge step actually ran (n_merged >= 2). */
+    *  - timespan: smallest POSITIVE interval in SECONDS wins (leap years
+    *    make two same-k spans differ!), earliest in fold order on ties; a
+    *    zero-length span never replaces (timedelta(0) falsy,
+    *    merger.py:622) and a zero-length BASE span is unbeatable (nothing
+    *    is < 0); end-of-year fixup applies only when a compat merge step
+    *    actually ran. */
   private val recordMergeOracle: String =
     """WITH recs AS (
       |  SELECT c_custkey AS ck, c_custkey % 211 AS yuid, c_custkey % 5 AS ord,
@@ -148,27 +155,40 @@ object MergeQueries extends QueryGroup {
       |base AS (SELECT yuid, rtype AS btype, source AS bsource, label AS blabel
       |  FROM ordered WHERE rn = 1),
       |kept AS (
-      |  SELECT o.* FROM ordered o JOIN base b USING (yuid)
+      |  SELECT o.*,
+      |    (o.rn = 1
+      |      OR (b.btype IN ('Person','HumanMadeObject') AND o.rtype = b.btype)
+      |      OR (b.btype IN ('Type','Language') AND o.rtype IN ('Type','Language'))
+      |    ) AS compat
+      |  FROM ordered o JOIN base b USING (yuid)
       |  WHERE o.rn = 1 OR (
       |    NOT (b.btype = 'HumanMadeObject' AND o.source = 'wikidata')
-      |    AND NOT (o.rtype = 'HumanMadeObject' AND b.bsource = 'wikidata')
-      |    AND ((b.btype IN ('Person','HumanMadeObject') AND o.rtype = b.btype)
-      |      OR (b.btype IN ('Type','Language') AND o.rtype IN ('Type','Language'))))),
+      |    AND NOT (o.rtype = 'HumanMadeObject' AND b.bsource = 'wikidata'))),
       |agg AS (
       |  SELECT k2.yuid,
       |    COUNT(*) AS n_merged,
-      |    array_to_string(list_sort(list(DISTINCT k2.nm)), ';') AS names,
-      |    array_to_string(list_sort(list(DISTINCT k2.ident)), ';') AS idents,
-      |    arg_min(k2.nm, k2.rn) FILTER (WHERE k2.is_primary) AS primary_name,
-      |    CAST(COUNT(DISTINCT k2.stmt) FILTER (WHERE NOT k2.is_ai) AS BIGINT)
-      |      + (CASE WHEN bool_or(k2.is_ai) THEN 1 ELSE 0 END) AS n_stmts,
-      |    arg_min(k2.stmt, k2.rn) FILTER (WHERE k2.is_ai) AS ai_stmt,
-      |    COUNT(DISTINCT k2.dimkey) AS n_dims,
-      |    array_to_string(list_sort(list(DISTINCT k2.eq)), ';') AS eqs,
-      |    arg_min(k2.y, CAST(k2.ts_secs AS BIGINT) * 100000 + k2.rn) AS ts_y,
-      |    arg_min(k2.k, CAST(k2.ts_secs AS BIGINT) * 100000 + k2.rn) AS ts_k,
-      |    bool_or(k2.rtype = 'Language') AS any_lang
-      |  FROM kept k2 GROUP BY k2.yuid)
+      |    bool_or(k2.compat AND k2.rn > 1) AS merged_any,
+      |    array_to_string(list_sort(list(DISTINCT k2.nm) FILTER (WHERE k2.compat)), ';') AS names,
+      |    array_to_string(list_sort(list(DISTINCT k2.ident) FILTER (WHERE k2.compat)), ';') AS idents,
+      |    arg_min(k2.nm, k2.rn) FILTER (WHERE k2.is_primary AND k2.compat) AS primary_name,
+      |    CAST(COUNT(DISTINCT k2.stmt) FILTER (WHERE NOT k2.is_ai AND k2.compat) AS BIGINT)
+      |      + (CASE WHEN bool_or(k2.is_ai AND k2.compat) THEN 1 ELSE 0 END) AS n_stmts,
+      |    arg_min(k2.stmt, k2.rn) FILTER (WHERE k2.is_ai AND k2.compat) AS ai_stmt,
+      |    COUNT(DISTINCT k2.dimkey) FILTER (WHERE k2.compat) AS n_dims,
+      |    array_to_string(list_sort(list(DISTINCT k2.eq) FILTER (WHERE k2.compat)), ';') AS eqs,
+      |    arg_min(k2.y, CAST(k2.ts_secs AS BIGINT) * 100000 + k2.rn)
+      |      FILTER (WHERE k2.ts_secs > 0 AND k2.compat) AS pos_y,
+      |    arg_min(k2.k, CAST(k2.ts_secs AS BIGINT) * 100000 + k2.rn)
+      |      FILTER (WHERE k2.ts_secs > 0 AND k2.compat) AS pos_k,
+      |    MAX(CASE WHEN k2.rn = 1 THEN k2.y END) AS base_y,
+      |    MAX(CASE WHEN k2.rn = 1 THEN k2.k END) AS base_k,
+      |    bool_or(k2.rtype = 'Language' AND k2.compat) AS any_lang
+      |  FROM kept k2 GROUP BY k2.yuid),
+      |ts AS (
+      |  SELECT yuid,
+      |    CASE WHEN base_k = 0 THEN base_y ELSE pos_y END AS ts_y,
+      |    CASE WHEN base_k = 0 THEN 0 ELSE pos_k END AS ts_k
+      |  FROM agg)
       |SELECT a.yuid,
       |  CASE WHEN b.btype = 'Type' AND a.any_lang THEN 'Language'
       |    ELSE b.btype END AS rtype,
@@ -177,12 +197,12 @@ object MergeQueries extends QueryGroup {
       |  a.names, a.idents, a.primary_name,
       |  CAST(a.n_stmts AS BIGINT) AS n_stmts, a.ai_stmt,
       |  CAST(a.n_dims AS BIGINT) AS n_dims, a.eqs,
-      |  CAST(a.ts_y AS VARCHAR) || '-01-01T00:00:00Z' AS ts_begin,
-      |  CASE WHEN a.n_merged >= 2 AND a.ts_k = 1
-      |    THEN CAST(a.ts_y AS VARCHAR) || '-12-31T23:59:59Z'
-      |    ELSE CAST(a.ts_y + a.ts_k AS VARCHAR) || '-01-01T00:00:00Z'
+      |  CAST(t.ts_y AS VARCHAR) || '-01-01T00:00:00Z' AS ts_begin,
+      |  CASE WHEN a.merged_any AND t.ts_k = 1
+      |    THEN CAST(t.ts_y AS VARCHAR) || '-12-31T23:59:59Z'
+      |    ELSE CAST(t.ts_y + t.ts_k AS VARCHAR) || '-01-01T00:00:00Z'
       |  END AS ts_end
-      |FROM agg a JOIN base b USING (yuid)""".stripMargin
+      |FROM agg a JOIN base b USING (yuid) JOIN ts t ON a.yuid = t.yuid""".stripMargin
 
   import operators.Cleaner
 

@@ -36,7 +36,7 @@ object DateLib {
   private val bceSuffix = "(?i)^(\\d{1,4})\\s+(?:B\\.?C\\.?E?\\.?|BCE)$".r
   private val isoLike =
     "^(-?)(\\d{1,6})(?:-(\\d{1,2})(?:-(\\d{1,2})(?:[T ](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?Z?)?)?)?$".r
-  private val masked = "^(-?)(\\d{1,3})X{1,3}$".r
+  private val masked = "^(-?)(\\d{1,3})(X{1,3})$".r
   private val approxYear = "^(-?\\d{1,4})[?~]$".r
   private val yearRange = "^(-?\\d{1,4})\\s*-\\s*(-?\\d{1,4})$".r
   private val century =
@@ -111,12 +111,19 @@ object DateLib {
       m.group(1) + ("0" * (4 - m.group(2).length)) + m.group(2) + m.group(3))
     if (v.contains("-00T00:00:00")) v = v.substring(0, v.indexOf('T'))
     germanBc.findFirstMatchIn(v).foreach { m =>
-      v = if (m.group(1) != null) s"-${m.group(3)}-${m.group(2)}-${m.group(1)}"
-      else "-" + ("0" * (4 - m.group(3).length)) + m.group(3)
+      // German "v" (vor Christus) is human BCE numbering too: N BCE -> ISO -(N-1)
+      val isoY = 1 - m.group(3).toInt
+      val ys = if (isoY == 0) "0000" else f"-${-isoY}%04d"
+      v = if (m.group(1) != null) s"$ys-${m.group(2)}-${m.group(1)}" else ys
     }
     if (sixDigit.matches(v)) v = s"${v.substring(0, 4)}-${v.substring(4)}"
-    // BCE suffix form: "1000 BC" -> "-1000"
-    bceSuffix.findFirstMatchIn(v).foreach { m => v = "-" + m.group(1).trim }
+    // BCE suffix form uses human year numbering (no year zero), while ISO is
+    // astronomical (year 0 = 1 BCE) — same convention the century path uses,
+    // so "1000 BC" and "10th century BCE" agree: year N BCE -> ISO -(N-1).
+    bceSuffix.findFirstMatchIn(v).foreach { m =>
+      val isoY = 1 - m.group(1).trim.toInt
+      v = if (isoY == 0) "0000" else f"-${-isoY}%04d"
+    }
 
     val effPrec: String => Char = inferred =>
       if (precision.nonEmpty) precision.head else inferred.head
@@ -130,8 +137,10 @@ object DateLib {
         else Some(rangeYears((c - 1) * 100, (c - 1) * 100 + 99))
       case centuryRange(a, b) =>
         Some(rangeYears((a.toInt - 1) * 100, (b.toInt - 1) * 100 + 99))
-      case masked(sign, digits) =>
-        val missing = 4 - digits.length
+      case masked(sign, digits, xs) =>
+        // EDTF masked year: the X run is the unknown span, so "1XX" is the
+        // 3-digit range 100-199, not 1000-1999.
+        val missing = xs.length
         val lo = (digits + "0" * missing).toInt
         val hi = (digits + "9" * missing).toInt
         if (sign == "-") Some(rangeYears(-hi, -lo)) else Some(rangeYears(lo, hi))

@@ -65,8 +65,9 @@ object Wkt {
   }
 
   /** merger.py:177-244 preference: polygon beats point; among polygons the
-    * one with more coordinates wins; equal shape+coords → the one whose
-    * first coordinate has more textual decimal precision; ties keep `a`.
+    * one with more coordinates wins; otherwise (b has the same or FEWER
+    * coords, merger.py:222-233's else-branch) the one whose first
+    * coordinate has more textual decimal precision wins; ties keep `a`.
     * POLYGON vs POINT keeps the polygon side regardless of order
     * (merger.py:239-241: "Nope"). */
   def better(a: String, b: String): String =
@@ -74,13 +75,13 @@ object Wkt {
       case (Some(ga), Some(gb)) =>
         if (ga.kind != gb.kind) { if (ga.kind == "POLYGON") a else b }
         else if (gb.nCoords > ga.nCoords) b
-        else if (gb.nCoords == ga.nCoords) {
+        else {
           ((firstCoordText(a), firstCoordText(b)) match {
             case (Some((ax, ay)), Some((bx, by)))
               if bx.length > ax.length || by.length > ay.length => b
             case _ => a
           })
-        } else a
+        }
       case (Some(_), None) => a
       case (None, Some(_)) => b
       case _ => a

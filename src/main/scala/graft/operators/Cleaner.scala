@@ -118,14 +118,6 @@ object Cleaner {
       recIn.identifiedBy.filter(n => n.ntype != "Name" ||
         Option(n.content).exists(_.trim.nonEmpty)): _*)
 
-    // fallback records with no names at all (:578-612)
-    if (!names.exists(_.ntype == "Name")) {
-      if (recIn.label != null && recIn.label.nonEmpty)
-        names += LaName("Name", recIn.label, Seq(primaryNameId), Nil)
-      else if (recIn.rtype == "DigitalObject") return None
-      else names += LaName("Name", s"Unnamed ${recIn.rtype}", Seq(primaryNameId), Nil)
-    }
-
     def cls(i: Int): Seq[String] = names(i).classifiedAs
     def setCls(i: Int, c: Seq[String]): Unit =
       names(i) = names(i).copy(classifiedAs = c)
@@ -215,6 +207,16 @@ object Cleaner {
       primaryNameLangs.get("en").orElse(primaryNameLangs.get(""))
         .orElse(primaryNameLangs.headOption.map(_._2))
         .foreach(i => setCls(i, cls(i) :+ sortNameId))
+    }
+
+    // fallback AFTER election (:578-612), so the injected name never gains
+    // a sort name; it fires only when identified_by is entirely empty — a
+    // record holding only Identifiers keeps them and gets no fallback.
+    if (names.isEmpty) {
+      if (recIn.label != null && recIn.label.nonEmpty)
+        names += LaName("Name", recIn.label, Seq(primaryNameId), Nil)
+      else if (recIn.rtype == "DigitalObject") return None // bad record (:589-595)
+      else names += LaName("Name", s"Unnamed ${recIn.rtype}", Seq(primaryNameId), Nil)
     }
 
     // display ordering (:617-646); Scala sortBy is stable like Python's

@@ -137,7 +137,9 @@ object LaMerge {
     } yield e - b
 
   /** merger.py:542-622: throw out an estimated current span; otherwise
-    * keep the most specific (strictly smaller) interval. */
+    * keep the most specific (strictly smaller) interval. A zero-length
+    * incoming span never replaces: `if mdelta and mdelta < rdelta`
+    * (merger.py:622) treats timedelta(0) as falsy. */
   def mergeTimespan(cur: LaTimespan, inc: LaTimespan): LaTimespan = {
     val c = fixEndOfYear(cur)
     val m = fixEndOfYear(inc)
@@ -145,7 +147,7 @@ object LaMerge {
     else {
       val cd = intervalSecs(c).getOrElse(Long.MaxValue)
       intervalSecs(m) match {
-        case Some(md) if md < cd => m
+        case Some(md) if md > 0 && md < cd => m
         case _ => c
       }
     }
@@ -321,7 +323,10 @@ object LaMerge {
 
   /** Fold a merge_order-sorted cluster into one record (MergeHandler.merge,
     * merger.py:37-83 + :962-1024). Vetoed or type-conflicting candidates
-    * are skipped, not fatal. */
+    * are skipped, not fatal. A type-conflicting candidate contributes no
+    * data but IS counted: the reference appends to_merge's source after
+    * merge_common returns even when it aborted (merger.py:1007-1015);
+    * only a should_merge veto leaves sources/n untouched. */
   def mergeCluster(sorted: Seq[LaRecord], cfg: MergeConfig): Option[MergedCluster] =
     sorted.headOption.map { base =>
       val fixed = preMergeFixes(sorted, cfg)
@@ -331,9 +336,11 @@ object LaMerge {
       for (cand <- fixed.tail) {
         if (shouldMerge(rec, cand, cfg)) {
           mergeRecord(rec, cand, cfg) match {
-            case Some(m) => rec = m; sources = sources :+ cand.source; n += 1
-            case None => () // type conflict: skip the pair (merger.py:691-694)
+            case Some(m) => rec = m
+            case None => () // type conflict: no data absorbed (merger.py:691-694)
           }
+          sources = sources :+ cand.source
+          n += 1
         }
       }
       MergedCluster(rec, sources, n)

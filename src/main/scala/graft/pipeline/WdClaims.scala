@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import graft.functions.DateLib
+
+/** M3/M4/M5: the wikidata claim processors — re-expression of
+  * `pipeline/sources/general/wikidata/mapper.py`:
+  *
+  *   - `process_labels` / `process_only_label` (:297-368): multilingual
+  *     prefLabel → PrimaryName list, must-have top-10 languages first,
+  *     content-deduped with language union; descriptions for must-have
+  *     languages; `mul` entries appended without a language.
+  *   - `process_equivalents` (:370-417): claim → URI template expansion
+  *     (the ext_hash table), the P244 LC subjects/names first-character
+  *     split, and the P6766 Who's-On-First 3-digit path chunking.
+  *   - `process_person` (:547-658) + `process_actor` (:464-510): birth /
+  *     death events with precision-ranged timespans and 10-char display
+  *     names, event places, gender and nationality lookup tables,
+  *     occupation classifications.
+  *
+  * All pure functions over an ordered claims model, usable inside a typed
+  * `Dataset.map` stage (SURVEY §2.3) — per-record, shuffle-free, so the
+  * map stage is embarrassingly parallel at any scale. Dates flow through
+  * DateLib (F1/F2), never TimestampType.
+  */
+object WdClaims {
+
+  /** mapper.py:114 — the top-10 languages processed first, in order. */
+  val mustHave: Seq[String] =
+    Seq("en", "es", "fr", "pt", "de", "nl", "zh", "ja", "ar", "hi")
+
+  /** The resolvable language set (process_langs keys): must-haves plus the
+    * rest of the reference's "top 25 or so" (mapper.py:312-317). */
+  val processLangs: Set[String] = mustHave.toSet ++ Set(
+    "it", "ru", "el", "sv", "fi", "tr", "ko", "th", "id", "fa",
+    "ur", "bn", "te", "ta", "mr", "pa", "sw")
+
+  final case class WdName(content: String, languages: Seq[String])
+  final case class LabelResult(label: Option[String], names: Seq[WdName],
+      descriptions: Seq[WdName])
+
+  /** M3 process_labels (mapper.py:311-368). `prefLabel`/`description` are
+    * ordered (lang, content) pairs — the JSON dict's insertion order. */
+  def processLabels(prefLabel: Seq[(String, String)],
+      description: Seq[(String, String)] = Nil,
+      processAllLangs: Boolean = false): LabelResult = {
+    val prefByLang = prefLabel.toMap
+    var names = Vector.empty[WdName]
+    var label: Option[String] = None
+
+    def addNew(content: String, lang: Option[String]): Unit = {
+      names :+= WdName(content, lang.toSeq)
+      if (label.isEmpty) label = Some(content)
+    }
+    def addLang(content: String, lang: String): Unit = {
+      val i = names.indexWhere(_.content == content)
+      names = names.updated(i,
+        names(i).copy(languages = (names(i).languages :+ lang).distinct))
+    }
+
+    for (lang <- mustHave; v <- prefByLang.get(lang) if v != null && v.nonEmpty) {
+      if (!names.exists(_.content == v)) addNew(v, None)
+      addLang(v, lang) // language set in both branches (mapper.py:329-333)
+    }
+    // the all-langs fallback (mapper.py:336-348); the `hasattr` check runs
+    // once, before the loop
+    if (processAllLangs || names.isEmpty) {
+      for ((lang, v) <- prefLabel if v != null && v.nonEmpty) {
+        if (processLangs.contains(lang) && !names.exists(_.content == v)) {
+          addNew(v, Some(lang))
+        } else if (lang == "mul") {
+          // "default for multiple languages": appended unconditionally,
+          // no language, no content dedupe (mapper.py:343-348)
+          addNew(v, None)
+        }
+      }
+    }
+
+    val descByLang = description.toMap
+    var descs = Vector.empty[WdName]
+    for (lang <- mustHave; v <- descByLang.get(lang) if v != null && v.nonEmpty)
+      descs :+= WdName(v, Seq(lang))
+    if (processAllLangs)
+      for ((lang, v) <- description
+           if processLangs.contains(v) && !descs.exists(_.content == v))
+        descs :+= WdName(v, Seq(lang))
+
+    LabelResult(label, names, descs)
+  }
+
+  /** process_only_label (mapper.py:297-309). */
+  def onlyLabel(prefLabel: Seq[(String, String)]): Option[String] = {
+    val byLang = prefLabel.toMap
+    mustHave.collectFirst {
+      case l if byLang.get(l).exists(v => v != null && v.nonEmpty) => byLang(l)
+    }.orElse(prefLabel.collectFirst {
+      case (l, v) if processLangs.contains(l) => v
+    }).orElse(byLang.get("mul"))
+  }
+
+  /** mapper.py:26-45 ext_hash, in iteration (insertion) order; P244 and
+    * P6766 are handled specially below. */
+  val extTemplates: Seq[(String, String)] = Seq(
+    "P2163" -> "http://id.worldcat.org/fast/{ident}",
+    "P1014" -> "http://vocab.getty.edu/aat/{ident}",
+    "P245" -> "http://vocab.getty.edu/ulan/{ident}",
+    "P1667" -> "http://vocab.getty.edu/tgn/{ident}",
+    "P214" -> "https://viaf.org/viaf/{ident}",
+    "P1566" -> "https://sws.geonames.org/{ident}",
+    "P227" -> "https://d-nb.info/gnd/{ident}",
+    "P4801" -> "http://id.loc.gov/vocabulary/{ident}",
+    "P268" -> "http://data.bnf.fr/ark:/12148/cb{ident}",
+    "P8516" -> "https://id.loc.gov/authorities/performanceMediums/{ident}",
+    "P3763" -> "http://www.mimo-db.eu/InstrumentsKeywords/{ident}",
+    "P846" -> "https://www.gbif.org/species/{ident}",
+    "P11858" -> "https://nsf.gov/awards/{ident}",
+    "P3500" -> "https://ringgold.com/{ident}",
+    "P6782" -> "https://ror.org/{ident}",
+    "P496" -> "https://orcid.org/{ident}",
+    "P3430" -> "https://snaccooperative.org/ark:/99166/{ident}")
+
+  /** P6766 Who's-On-First path chunking (mapper.py:394-407): the numeric
+    * id split into 3-digit path segments, remainder kept as the tail. */
+  def wofUrl(id: String): String =
+    s"https://data.whosonfirst.org/${id.grouped(3).mkString("/")}/$id.geojson"
+
+  /** M4 process_equivalents (mapper.py:370-417): template expansion in
+    * ext_hash order, then the P244 s/n split (unknown prefixes dropped),
+    * then WOF chunking. */
+  def processEquivalents(claims: Map[String, Seq[String]]): Seq[String] = {
+    val sames = Vector.newBuilder[String]
+    for ((p, tmpl) <- extTemplates; v <- claims.getOrElse(p, Nil))
+      sames += tmpl.replace("{ident}", v)
+    for (x <- claims.getOrElse("P244", Nil) if x.nonEmpty) x.charAt(0) match {
+      case 's' => sames += s"http://id.loc.gov/authorities/subjects/$x"
+      case 'n' => sames += s"http://id.loc.gov/authorities/names/$x"
+      case _   => () // unknown LC authority: dropped (mapper.py:388-390)
+    }
+    for (x <- claims.getOrElse("P6766", Nil)) sames += wofUrl(x)
+    sames.result()
+  }
+
+  /** mapper.py:17-23 gender map (instance labels, not URIs, here). */
+  val genderMap: Map[String, String] = Map(
+    "Q6581072" -> "female", "Q6581097" -> "male",
+    "Q2449503" -> "transgender", "Q1052281" -> "transgender",
+    "Q1097630" -> "intersex")
+
+  /** mapper.py:47-66 nationality → AAT. */
+  val natMap: Map[String, String] = Map(
+    "Q30" -> "http://vocab.getty.edu/aat/300107956",
+    "Q142" -> "http://vocab.getty.edu/aat/300111188",
+    "Q183" -> "http://vocab.getty.edu/aat/300111192",
+    "Q17" -> "http://vocab.getty.edu/aat/300018519",
+    "Q145" -> "http://vocab.getty.edu/aat/300111159",
+    "Q29" -> "http://vocab.getty.edu/aat/300111215",
+    "Q38" -> "http://vocab.getty.edu/aat/300111198",
+    "Q15180" -> "http://vocab.getty.edu/aat/300111276",
+    "Q9903" -> "http://vocab.getty.edu/aat/300018322",
+    "Q36" -> "http://vocab.getty.edu/aat/300111204",
+    "Q34" -> "http://vocab.getty.edu/aat/300111218",
+    "Q16" -> "http://vocab.getty.edu/aat/300107962",
+    "Q252" -> "http://vocab.getty.edu/aat/300018704",
+    "Q29999" -> "http://vocab.getty.edu/aat/300111175",
+    "Q155" -> "http://vocab.getty.edu/aat/300107967",
+    "Q159" -> "http://vocab.getty.edu/aat/300111276",
+    "Q174193" -> "http://vocab.getty.edu/aat/300111159",
+    "Q668" -> "http://vocab.getty.edu/aat/300018863")
+
+  def expandUri(qid: String): String = s"http://www.wikidata.org/entity/$qid"
+
+  /** clean_date (mapper.py:79-96): strip +/Z, clamp -00 month/day to -01
+    * without touching a leading BCE sign. */
+  def cleanDate(time: String): String = {
+    var t = if (time.startsWith("+")) time.substring(1) else time
+    if (t.endsWith("Z")) t = t.dropRight(1)
+    if (t.length > 1 && t.substring(1).contains("-00"))
+      t = t.charAt(0) + t.substring(1).replace("-00", "-01")
+    t
+  }
+
+  final case class WdDate(time: String, precision: Int)
+  /** A birth/death/formation event: precision-ranged timespan, the 10-char
+    * display date (mapper.py:578-580), and an optional place. */
+  final case class WdEvent(begin: String, end: String, display: String,
+      place: Option[String])
+  final case class PersonResult(born: Option[WdEvent], died: Option[WdEvent],
+      genders: Seq[String], nationalities: Seq[String], occupations: Seq[String])
+
+  private def mkEvent(d: WdDate, place: Option[String]): Option[WdEvent] =
+    DateLib.makeDatetimeWikidata(d.time, d.precision).map { r =>
+      WdEvent(r.begin, r.end, cleanDate(d.time).take(10), place.map(expandUri))
+    }
+
+  /** M5 process_person (mapper.py:547-658): birth/death events (place-only
+    * events when just P19/P20 exist), gender/nationality via lookup,
+    * occupations via process_actor's P106 (:489-493). Unknown genders and
+    * nationalities are dropped. */
+  def processPerson(birth: Option[WdDate], death: Option[WdDate],
+      birthPlace: Seq[String], deathPlace: Seq[String],
+      genders: Seq[String], nationalities: Seq[String],
+      occupations: Seq[String] = Nil): PersonResult = {
+    val bp = birthPlace.headOption // "can only be born in one place" (:585-588)
+    val dp = deathPlace.headOption
+    val born = birth.flatMap(mkEvent(_, bp))
+      .orElse(bp.map(p => WdEvent(null, null, null, Some(expandUri(p)))))
+    val died = death.flatMap(mkEvent(_, dp))
+      .orElse(dp.map(p => WdEvent(null, null, null, Some(expandUri(p)))))
+    PersonResult(born, died,
+      genders.flatMap(genderMap.get),
+      nationalities.flatMap(natMap.get),
+      occupations.map(expandUri))
+  }
+}

@@ -132,9 +132,17 @@ class CleanerSpec extends AnyFunSuite {
   test("no names: label is copied as primary; else Unnamed <type>") {
     val out = electNames(LaRecord("r1", "Group", "The Label", "src")).get
     assert(out.map(_.content) == Seq("The Label"))
-    assert(out.head.classifiedAs == Seq(primaryNameId, sortNameId))
+    // the fallback runs after the election, so it never gains a sort name
+    assert(out.head.classifiedAs == Seq(primaryNameId))
     val un = electNames(LaRecord("r2", "Place", null, "src")).get
     assert(un.map(_.content) == Seq("Unnamed Place"))
+  }
+
+  test("a record holding only Identifiers keeps them and gets no fallback (:578)") {
+    val out = electNames(LaRecord("r1", "Person", "Lbl", "src").copy(
+      identifiedBy = Seq(LaName("Identifier", "ID-1", Nil, Nil)))).get
+    assert(out.map(_.content) == Seq("ID-1"))
+    assert(!out.exists(_.ntype == "Name"))
   }
 
   test("nameless pointer DigitalObject is dropped") {

@@ -21,13 +21,24 @@ class DateLibSpec extends AnyFunSuite {
 
   test("BCE forms never touch TimestampType semantics") {
     assert(rng("-0500") === Some(("-0500-01-01T00:00:00", "-0500-12-31T23:59:59")))
-    assert(rng("1000 BC") === Some(("-1000-01-01T00:00:00", "-1000-12-31T23:59:59")))
-    assert(rng("250 BCE").get._1.startsWith("-0250"))
+    // human numbering: year N BCE = ISO -(N-1) (astronomical, year 0 = 1 BCE)
+    assert(rng("1000 BC") === Some(("-0999-01-01T00:00:00", "-0999-12-31T23:59:59")))
+    assert(rng("250 BCE").get._1.startsWith("-0249"))
+    assert(rng("1 BC").get._1 === "0000-01-01T00:00:00")
+  }
+
+  test("BC suffix and century-BCE phrases agree on one convention") {
+    // 10th century BCE covers years 1000..901 BCE = ISO -999..-900;
+    // "1000 BC" must land on the first year of that span.
+    assert(rng("10th century BCE").get._1 === rng("1000 BC").get._1)
   }
 
   test("EDTF masked and approximate years") {
     assert(rng("19XX") === Some(("1900-01-01T00:00:00", "1999-12-31T23:59:59")))
     assert(rng("185X") === Some(("1850-01-01T00:00:00", "1859-12-31T23:59:59")))
+    // the X run determines the span width: 1XX is a 3-digit year range
+    assert(rng("1XX") === Some(("0100-01-01T00:00:00", "0199-12-31T23:59:59")))
+    assert(rng("19X") === Some(("0190-01-01T00:00:00", "0199-12-31T23:59:59")))
     assert(rng("1985?") === Some(("1984-01-01T00:00:00", "1986-12-31T23:59:59")))
   }
 

@@ -35,7 +35,9 @@ class LaMergeSpec extends AnyFunSuite {
       rec("c", "Material").copy(equivalent = Seq("e2")), // Language vs Material: skip
       rec("d", "Type").copy(equivalent = Seq("e3"))), cfg).get
     assert(out.record.rtype == "Language")
-    assert(out.nMerged == 3)
+    // the conflicting candidate contributes no data but IS counted
+    // (merger.py:1007-1015 appends the source even after an abort)
+    assert(out.nMerged == 4)
     assert(out.record.equivalent == Seq("e1", "e3"))
   }
 
@@ -157,6 +159,12 @@ class LaMergeSpec extends AnyFunSuite {
     // unparseable current treated as infinitely wide
     val broken = LaTimespan("not a date", "also not", false)
     assert(mergeTimespan(broken, wide) == wide)
+    // zero-length spans: timedelta(0) is falsy in the reference
+    // (merger.py:622), so a zero-length incoming never replaces, and a
+    // zero-length current is unbeatable (nothing is strictly < 0)
+    val zero = LaTimespan("1905-01-01T00:00:00Z", "1905-01-01T00:00:00Z", false)
+    assert(mergeTimespan(wide, zero) == wide)
+    assert(mergeTimespan(zero, tight) == zero)
   }
 
   // --- Place geometry (merger.py:177-244) ---
@@ -205,10 +213,14 @@ class LaMergeSpec extends AnyFunSuite {
     assert(out.record.subjectOfAps == Seq("s1", "s2"))
   }
 
-  test("sources list tracks what actually folded") {
+  test("sources list counts veto-passing candidates even on type conflict") {
     val out = mergeCluster(Seq(rec("a", source = "ycba"),
-      rec("b", "Group", source = "ulan"),     // type conflict: skipped
+      rec("b", "Group", source = "ulan"),     // type conflict: no data, still listed
       rec("c", source = "viaf")), cfg).get
-    assert(out.sources == Seq("ycba", "viaf"))
+    assert(out.sources == Seq("ycba", "ulan", "viaf"))
+    // a should_merge veto really does drop the source
+    val vetoed = mergeCluster(Seq(rec("a", "HumanMadeObject", source = "ycba"),
+      rec("b", "HumanMadeObject", source = "wikidata")), cfg).get
+    assert(vetoed.sources == Seq("ycba"))
   }
 }

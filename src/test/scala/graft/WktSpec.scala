@@ -30,4 +30,19 @@ class WktSpec extends AnyFunSuite {
     assert(Wkt.better(pt, "bogus") === pt)
     assert(Wkt.better("bogus", pt) === pt)
   }
+
+  test("precision tiebreak fires whenever b does not have more coords (merger.py:222-237)") {
+    // equal coords, b textually more precise -> b
+    val coarse = "POLYGON((1 2, 2 2, 2 3, 1 2))"
+    val precise = "POLYGON((1.253 2, 2 2, 2 3, 1.253 2))"
+    assert(Wkt.better(coarse, precise) === precise)
+    assert(Wkt.better(precise, coarse) === precise)
+    // b has FEWER coords but longer first-coordinate text: the reference's
+    // else-branch still runs the string compare, so b wins
+    val poly5coarse = "POLYGON((1 2, 2 2, 2 3, 1 3, 1 2))"
+    val poly4precise = "POLYGON((1.253 2, 2 2, 2 3, 1.253 2))"
+    assert(Wkt.better(poly5coarse, poly4precise) === poly4precise)
+    // points use the same compare
+    assert(Wkt.better("POINT(1 2)", "POINT(1.25 2)") === "POINT(1.25 2)")
+  }
 }
