@@ -31,7 +31,8 @@ object Queries {
   private lazy val groups: Seq[QueryGroup] = Seq(
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
     GraphQueries, MergeQueries, LuxQueries, StreamQueries, SourceQueries,
-    OpsQueries, ExportQueries, ScaleQueries, MapperQueries, PatchQueries)
+    OpsQueries, ExportQueries, ScaleQueries, MapperQueries, PatchQueries,
+    WdQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 

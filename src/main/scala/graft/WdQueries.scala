@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.{WdClaims, WdTypes}
+import graft.pipeline.WdClaims.WdDate
+
+/** M3-M5: the wikidata claim mappers (`wikidata/mapper.py:297-658`) as
+  * oracle-checked queries. Claims are synthesized deterministically from
+  * `customer` and pushed through the pure WdClaims lib inside a typed
+  * Dataset.map — the per-source mapper shape of SURVEY §2.3: map-only,
+  * shuffle-free, embarrassingly parallel at any scale. The oracles replay
+  * each processor's decision tree as CASE expressions. */
+object WdQueries extends QueryGroup {
+
+  final case class M3Out(id: Long, label: String, names: String, descs: String)
+
+  /** M3 process_labels: must-have langs in order, content dedupe with
+    * language union, all-langs fallback (incl. the no-language `mul`
+    * append), must-have descriptions. */
+  def labels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val pref = Seq(("ru", s"ru${ck % 7}")) ++
+          (if (ck % 3 != 0) Seq(("en", s"nm${ck % 50}")) else Nil) ++
+          (if (ck % 4 != 0)
+            Seq(("fr", if (ck % 5 == 0) s"nm${ck % 50}" else s"fr${ck % 50}"))
+          else Nil) ++
+          (if (ck % 11 == 0) Seq(("mul", s"mul${ck % 9}")) else Nil)
+        val desc = (if (ck % 2 == 0) Seq(("en", s"d${ck % 30}")) else Nil) ++
+          Seq(("ru", "never processed: not a must-have lang"))
+        val r = WdClaims.processLabels(pref, desc)
+        M3Out(ck, r.label.orNull,
+          r.names.map(n => s"${n.content}|${n.languages.mkString(",")}").mkString(";"),
+          r.descriptions.map(d => s"${d.content}|${d.languages.mkString(",")}").mkString(";"))
+      }.toDF()
+  }
+
+  /** The label fold replayed: en processed before fr (must-have order);
+    * same-content fr merges into the en name's language list; when
+    * neither must-have lang is present the fallback walks the claim
+    * order (ru, then mul — mul appended without a language). */
+  private val labelsOracle: String =
+    """SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 3 <> 0 THEN 'nm' || CAST(c_custkey % 50 AS VARCHAR)
+      |    WHEN c_custkey % 4 <> 0 THEN
+      |      CASE WHEN c_custkey % 5 = 0 THEN 'nm' || CAST(c_custkey % 50 AS VARCHAR)
+      |        ELSE 'fr' || CAST(c_custkey % 50 AS VARCHAR) END
+      |    ELSE 'ru' || CAST(c_custkey % 7 AS VARCHAR) END AS label,
+      |  CASE
+      |    WHEN c_custkey % 3 <> 0 AND c_custkey % 4 <> 0 AND c_custkey % 5 = 0
+      |      THEN 'nm' || CAST(c_custkey % 50 AS VARCHAR) || '|en,fr'
+      |    WHEN c_custkey % 3 <> 0 AND c_custkey % 4 <> 0
+      |      THEN 'nm' || CAST(c_custkey % 50 AS VARCHAR) || '|en;fr'
+      |        || CAST(c_custkey % 50 AS VARCHAR) || '|fr'
+      |    WHEN c_custkey % 3 <> 0
+      |      THEN 'nm' || CAST(c_custkey % 50 AS VARCHAR) || '|en'
+      |    WHEN c_custkey % 4 <> 0 AND c_custkey % 5 = 0
+      |      THEN 'nm' || CAST(c_custkey % 50 AS VARCHAR) || '|fr'
+      |    WHEN c_custkey % 4 <> 0
+      |      THEN 'fr' || CAST(c_custkey % 50 AS VARCHAR) || '|fr'
+      |    ELSE 'ru' || CAST(c_custkey % 7 AS VARCHAR) || '|ru'
+      |      || CASE WHEN c_custkey % 11 = 0
+      |           THEN ';mul' || CAST(c_custkey % 9 AS VARCHAR) || '|'
+      |           ELSE '' END
+      |  END AS names,
+      |  CASE WHEN c_custkey % 2 = 0
+      |    THEN 'd' || CAST(c_custkey % 30 AS VARCHAR) || '|en'
+      |    ELSE '' END AS descs
+      |FROM customer""".stripMargin
+
+  final case class M4Out(id: Long, n_eqs: Long, eqs: String)
+
+  /** M4 process_equivalents: ext_hash template expansion in table order,
+    * the P244 s/n authority split (unknown prefixes dropped), WOF
+    * 3-digit path chunking. */
+  def equivalents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val claims = Map(
+          "P2163" -> (if (ck % 2 == 0) Seq(s"${ck % 1000}") else Nil),
+          "P1014" -> (if (ck % 3 == 0) Seq(s"3000${ck % 100}") else Nil),
+          "P214" -> (if (ck % 5 == 0) Seq(s"${ck % 500}", s"${ck % 500 + 1}") else Nil),
+          "P244" -> Seq((ck % 3) match {
+            case 0 => s"n$ck"
+            case 1 => s"s$ck"
+            case _ => s"x$ck" // unknown LC authority: dropped
+          }),
+          "P6766" -> (if (ck % 7 == 0) Seq(s"${100000000L + ck}") else Nil))
+        val eqs = WdClaims.processEquivalents(claims)
+        M4Out(ck, eqs.size.toLong, eqs.mkString(";"))
+      }.toDF()
+  }
+
+  private val equivalentsOracle: String =
+    """WITH e AS (
+      |  SELECT c_custkey AS ck,
+      |    list_filter([
+      |      CASE WHEN c_custkey % 2 = 0
+      |        THEN 'http://id.worldcat.org/fast/' || CAST(c_custkey % 1000 AS VARCHAR) END,
+      |      CASE WHEN c_custkey % 3 = 0
+      |        THEN 'http://vocab.getty.edu/aat/3000' || CAST(c_custkey % 100 AS VARCHAR) END,
+      |      CASE WHEN c_custkey % 5 = 0
+      |        THEN 'https://viaf.org/viaf/' || CAST(c_custkey % 500 AS VARCHAR) END,
+      |      CASE WHEN c_custkey % 5 = 0
+      |        THEN 'https://viaf.org/viaf/' || CAST(c_custkey % 500 + 1 AS VARCHAR) END,
+      |      CASE WHEN c_custkey % 3 = 0
+      |        THEN 'http://id.loc.gov/authorities/names/n' || CAST(c_custkey AS VARCHAR)
+      |        WHEN c_custkey % 3 = 1
+      |        THEN 'http://id.loc.gov/authorities/subjects/s' || CAST(c_custkey AS VARCHAR) END,
+      |      CASE WHEN c_custkey % 7 = 0
+      |        THEN 'https://data.whosonfirst.org/'
+      |          || substr(CAST(100000000 + c_custkey AS VARCHAR), 1, 3) || '/'
+      |          || substr(CAST(100000000 + c_custkey AS VARCHAR), 4, 3) || '/'
+      |          || substr(CAST(100000000 + c_custkey AS VARCHAR), 7, 3) || '/'
+      |          || CAST(100000000 + c_custkey AS VARCHAR) || '.geojson' END
+      |    ], x -> x IS NOT NULL) AS segs
+      |  FROM customer)
+      |SELECT ck AS id, CAST(len(segs) AS BIGINT) AS n_eqs,
+      |  COALESCE(array_to_string(segs, ';'), '') AS eqs
+      |FROM e""".stripMargin
+
+  final case class M5Out(id: Long, rtype: String, b_begin: String,
+      b_end: String, b_display: String, b_place: String, d_begin: String,
+      d_end: String, gender: String, nationality: String)
+
+  /** M5 process_person + M2 guess_type in one map stage: precision-ranged
+    * birth/death (incl. the clean_date -00 clamp on year-precision
+    * dumps), 10-char display dates, first-birthplace rule, gender /
+    * nationality lookup with unknown-drop, and the entity class from the
+    * P31 table with property-vote fallback. */
+  def person(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val y = 1800 + (ck % 150)
+        val bprec = (ck % 3) match { case 0 => 9 case 1 => 10 case _ => 11 }
+        val btime =
+          if (bprec == 9) f"+$y%04d-00-00T00:00:00Z" else f"+$y%04d-03-15T00:00:00Z"
+        val y2 = y + 20 + (ck % 50)
+        val dprec = ((ck + 1) % 3) match { case 0 => 9 case 1 => 10 case _ => 11 }
+        val death =
+          if (ck % 4 != 0) Some(WdDate(f"+$y2%04d-03-15T00:00:00Z", dprec.toInt))
+          else None
+        val genders = Seq((ck % 4) match {
+          case 0 => "Q6581072"
+          case 1 => "Q6581097"
+          case 2 => "Q2449503"
+          case _ => "Q999999" // unknown: dropped
+        })
+        val nats = (ck % 5) match {
+          case 0 => Seq("Q30")
+          case 1 => Seq("Q142")
+          case 2 => Seq("Q30", "Q183")
+          case _ => Seq("Q1") // unknown: dropped
+        }
+        val bplace = if (ck % 2 == 0) Seq(s"Q${ck % 97}") else Nil
+        val r = WdClaims.processPerson(Some(WdDate(btime, bprec.toInt)), death,
+          bplace, Nil, genders, nats)
+        val p31 = (ck % 6) match {
+          case 0 => Seq("Q5")
+          case 1 => Seq("Q515")
+          case 2 => Seq("Q43229")
+          case _ => Seq(s"QX$ck") // unknown (never a real QID): vote decides
+        }
+        val props = Seq("P569", "P106") ++ (if (death.isDefined) Seq("P570") else Nil)
+        M5Out(ck, WdTypes.guessType(p31, props).orNull,
+          r.born.map(_.begin).orNull, r.born.map(_.end).orNull,
+          r.born.map(_.display).orNull, r.born.flatMap(_.place).orNull,
+          r.died.map(_.begin).orNull, r.died.map(_.end).orNull,
+          Option(r.genders.mkString(",")).filter(_.nonEmpty).orNull,
+          Option(r.nationalities.mkString(",")).filter(_.nonEmpty).orNull)
+      }.toDF()
+  }
+
+  private val personOracle: String =
+    """WITH p AS (
+      |  SELECT c_custkey AS ck,
+      |    1800 + (c_custkey % 150) AS y,
+      |    1800 + (c_custkey % 150) + 20 + (c_custkey % 50) AS y2,
+      |    c_custkey % 3 AS bp, (c_custkey + 1) % 3 AS dp
+      |  FROM customer)
+      |SELECT ck AS id,
+      |  CASE WHEN ck % 6 = 0 THEN 'Person' WHEN ck % 6 = 1 THEN 'Place'
+      |    WHEN ck % 6 = 2 THEN 'Group' ELSE 'Person' END AS rtype,
+      |  CASE bp WHEN 0 THEN CAST(y AS VARCHAR) || '-01-01T00:00:00'
+      |    WHEN 1 THEN CAST(y AS VARCHAR) || '-03-01T00:00:00'
+      |    ELSE CAST(y AS VARCHAR) || '-03-15T00:00:00' END AS b_begin,
+      |  CASE bp WHEN 0 THEN CAST(y AS VARCHAR) || '-12-31T23:59:59'
+      |    WHEN 1 THEN CAST(y AS VARCHAR) || '-03-31T23:59:59'
+      |    ELSE CAST(y AS VARCHAR) || '-03-15T23:59:59' END AS b_end,
+      |  CASE bp WHEN 0 THEN CAST(y AS VARCHAR) || '-01-01'
+      |    ELSE CAST(y AS VARCHAR) || '-03-15' END AS b_display,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN 'http://www.wikidata.org/entity/Q' || CAST(ck % 97 AS VARCHAR)
+      |  END AS b_place,
+      |  CASE WHEN ck % 4 = 0 THEN NULL
+      |    WHEN dp = 0 THEN CAST(y2 AS VARCHAR) || '-01-01T00:00:00'
+      |    WHEN dp = 1 THEN CAST(y2 AS VARCHAR) || '-03-01T00:00:00'
+      |    ELSE CAST(y2 AS VARCHAR) || '-03-15T00:00:00' END AS d_begin,
+      |  CASE WHEN ck % 4 = 0 THEN NULL
+      |    WHEN dp = 0 THEN CAST(y2 AS VARCHAR) || '-12-31T23:59:59'
+      |    WHEN dp = 1 THEN CAST(y2 AS VARCHAR) || '-03-31T23:59:59'
+      |    ELSE CAST(y2 AS VARCHAR) || '-03-15T23:59:59' END AS d_end,
+      |  CASE ck % 4 WHEN 0 THEN 'female' WHEN 1 THEN 'male'
+      |    WHEN 2 THEN 'transgender' END AS gender,
+      |  CASE ck % 5 WHEN 0 THEN 'http://vocab.getty.edu/aat/300107956'
+      |    WHEN 1 THEN 'http://vocab.getty.edu/aat/300111188'
+      |    WHEN 2 THEN 'http://vocab.getty.edu/aat/300107956,http://vocab.getty.edu/aat/300111192'
+      |  END AS nationality
+      |FROM p""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("m3_labels", labels, Some(labelsOracle)))
+    Queries.register(QueryDef("m4_equivalents", equivalents, Some(equivalentsOracle)))
+    Queries.register(QueryDef("m5_person", person, Some(personOracle)))
+  }
+}

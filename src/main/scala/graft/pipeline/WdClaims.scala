@@ -81,7 +81,7 @@ object WdClaims {
       descs :+= WdName(v, Seq(lang))
     if (processAllLangs)
       for ((lang, v) <- description
-           if processLangs.contains(v) && !descs.exists(_.content == v))
+           if processLangs.contains(lang) && !descs.exists(_.content == v))
         descs :+= WdName(v, Seq(lang))
 
     LabelResult(label, names, descs)
