@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   * shuffle until the LSH band join, which shuffles only (band_idx, hash,
   * doc_id) tuples, never documents. Candidate verification joins back the
   * (small) shingle-id arrays by doc_id. At 100 TB the band join is the only
-  * wide stage and is uniformly hash-partitioned; hot bands (skew) would be
-  * handled by salting the band key.
+  * wide stage and is uniformly hash-partitioned. Skew defenses on that
+  * stage (both implemented, both replayed exactly by the oracles):
+  *   - hot-band CAP: a band bucket larger than `BandCap` docs is a
+  *     boilerplate cluster (empty docs, license headers); its quadratic
+  *     candidate set is noise, so the bucket is dropped — other bands
+  *     still recover genuinely similar pairs (the standard production
+  *     guard, cf. Spark's own MinHashLSH + Google's near-dup papers);
+  *   - SALT: the surviving self-join is salted (left side hashed into
+  *     `BandSalt` sub-keys, right side replicated) so one hot bucket
+  *     spreads over `BandSalt` reducers instead of one straggler. Pure
+  *     repartitioning — pair set provably unchanged.
   *
   * Hash arithmetic is mod 2^31-1 polynomial folding so the DuckDB oracle
   * reproduces results bit-for-bit (validated).
@@ -28,6 +37,35 @@ object DedupQueries extends QueryGroup {
   val SimK = 32
   def aj(j: Int): Long = (2L * j + 3) * 104729L % P
   def bj(j: Int): Long = (j + 1L) * 179426549L % P
+
+  /** Hot-band guard: a single (band_idx, band_hash) bucket holding more
+    * docs than this is dropped from candidate generation (quadratic
+    * boilerplate cluster, see header). Sized so one bucket contributes
+    * at most ~BandCap^2/2 ≈ 0.5M candidate rows. */
+  val BandCap = 1024L
+
+  /** Salt fan-out for the band self-join (header). */
+  val BandSalt = 8
+
+  /** Buckets up to this size join unsalted — salting replicates the right
+    * side BandSalt×, which is pure overhead when no bucket is big enough
+    * to straggle a reducer. Only the (rare) buckets in (SaltAt, BandCap]
+    * pay the replication. */
+  val SaltAt = 64L
+
+  /** Salted self-join on equal `keys` with `idCol` inequality pairing:
+    * left side keyed by hash(id) % BandSalt, right side replicated to
+    * every salt — every (a<b) pair survives exactly once per matching
+    * key, but a hot key's work is spread over BandSalt reducers. */
+  private[graft] def saltedSelfJoin(rows: DataFrame, keys: Seq[String],
+      idCol: String): DataFrame = {
+    val a = rows.withColumn("salt", pmod(hash(col(idCol)), lit(BandSalt)))
+    val b = rows.withColumn("salt",
+      explode(sequence(lit(0), lit(BandSalt - 1)).cast("array<int>")))
+    val cond = (keys :+ "salt").map(k => col(s"a.$k") <=> col(s"b.$k"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    a.as("a").join(b.as("b"), cond)
+  }
 
   // ------------------------------------------------------------ helpers
 
@@ -99,13 +137,37 @@ object DedupQueries extends QueryGroup {
     val bandCols = (0 until K / 2).map(b =>
       struct(lit(b).as("band_idx"),
         (($"m${2 * b}" * 131L + $"m${2 * b + 1}") % P).as("band_hash")))
+    // the LSH band index is materialized once (at 100 TB this is the
+    // on-disk index-build stage) — three joins below read it
     val bandRows = sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("band"))
       .select($"doc_id", $"band.band_idx", $"band.band_hash")
-    val cand = bandRows.as("a").join(bandRows.as("b"),
+      .persist()
+    // bucket sizes: partial-agg count per bucket (map-side combined).
+    // Three regimes, each a broadcast of the (tiny) oversize-bucket list:
+    //   n > BandCap          dropped (boilerplate cluster, see header)
+    //   SaltAt < n <= BandCap salted self-join (skew spread over reducers)
+    //   n <= SaltAt           plain self-join (no replication overhead)
+    val counts = bandRows.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > SaltAt) // only oversize buckets matter downstream
+      .localCheckpoint() // tiny; feeds two broadcasts without recompute
+    val hot = counts.filter($"n" > BandCap).select($"band_idx", $"band_hash")
+    val big = counts.filter($"n" <= BandCap)
+      .select($"band_idx", $"band_hash")
+    val capped = bandRows.join(broadcast(hot),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val smallRows = capped.join(broadcast(big),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val bigRows = capped.join(broadcast(big),
+      Seq("band_idx", "band_hash"), "left_semi")
+    val plainPairs = smallRows.as("a").join(smallRows.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val saltedPairs = saltedSelfJoin(bigRows, Seq("band_idx", "band_hash"), "doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val cand = plainPairs.union(saltedPairs).distinct()
       // Materialization barrier: candidate pairs are tiny relative to the
       // corpus; fusing signature generation + band join + verify into one
       // whole-stage-codegen tree makes Catalyst inline the minhash
@@ -134,7 +196,14 @@ object DedupQueries extends QueryGroup {
        |base AS (SELECT doc_id, sid FROM shing WHERE len(sid) > 0),
        |sigs AS (SELECT doc_id, $mh FROM base),
        |bandsig AS (SELECT doc_id, $bands FROM sigs),
-       |bandrows AS ($bandRows),
+       |bandrows0 AS ($bandRows),
+       |hot AS (
+       |  SELECT band_idx, band_hash FROM bandrows0
+       |  GROUP BY 1, 2 HAVING COUNT(*) > $BandCap),
+       |bandrows AS (
+       |  SELECT * FROM bandrows0 r
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.band_idx = r.band_idx AND h.band_hash = r.band_hash)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandrows a JOIN bandrows b
@@ -206,80 +275,188 @@ object DedupQueries extends QueryGroup {
        |FROM fps f LEFT JOIN near n ON f.doc_id = n.doc_id""".stripMargin
   }
 
-  /** N-gram (word-bigram) Jaccard near-dup with length-bucket blocking:
-    * all-pairs only inside a block — the classic blocked pairwise dedup.
-    * At scale the block key bounds the quadratic term. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** N-gram (word-bigram) Jaccard near-dup via EXACT prefix filtering
+    * (AllPairs / PPJoin family, Bayardo et al. WWW'07): with shingle ids
+    * globally ordered, two sets with J >= t MUST share an element within
+    * their first |x| - ceil(t*|x|) + 1 ids — so the candidate join is an
+    * inverted-index join on prefix tokens, not an all-pairs block join.
+    * Zero false negatives: the result equals the unblocked quadratic
+    * join (the oracle runs exactly that), but candidate volume scales
+    * with token-frequency, not block-size^2 — this replaces the round-2
+    * len/32 length-block whose hot block was quadratic at 100 TB. A
+    * pathological token shared by k docs still costs k^2/2; such tokens
+    * are by construction near-universal grams, and their pairs are
+    * length-filtered before verification (the `lenOk` predicate). */
+  private[graft] def ngramBase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // two-step projection: h must be an attribute before the gram lambda
     // references it (see shingleIdsFrom scaling note)
     val bigramIds = when(size($"h") >= 2,
-      array_distinct(transform(sequence(lit(1), size($"h") - 1), i =>
-        (element_at($"h", i) * 131L + element_at($"h", i + 1)) % P)))
+      array_sort(array_distinct(transform(sequence(lit(1), size($"h") - 1), i =>
+        (element_at($"h", i) * 131L + element_at($"h", i + 1)) % P))))
       .otherwise(array().cast("array<long>"))
-    val base = Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .select($"doc_id", transform(tokensCol($"text"), wordHash(_)).as("h"))
-      .select($"doc_id", bigramIds.as("sid"),
-        intDiv(size($"h").cast("long"), lit(32L)).as("blk"))
-      .persist() // barrier before filter (see minhashLsh) + both join sides
+      .select($"doc_id", bigramIds.as("sid"))
+      .persist() // barrier before filter (see minhashLsh) + verify joins
       .filter(size($"sid") > 0)
-    base.as("a").join(base.as("b"),
-        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        intDiv(size(array_intersect($"a.sid", $"b.sid")).cast("long") * 1000L,
-          size(array_union($"a.sid", $"b.sid")).cast("long")).as("jacc_milli"))
-      .filter($"jacc_milli" >= 500L)
+      .withColumn("len", size($"sid").cast("long"))
   }
+
+  /** Candidate stage (pre-barrier), exposed for plan-shape tests. */
+  private[graft] def ngramCandidates(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val t = 500L // Jaccard threshold, milli
+    // prefix length for J>=0.5: len - ceil(len/2) + 1
+    val prefLen = ($"len" - intDiv($"len" + 1L, lit(2L)) + 1L).cast("int")
+    val inv = base.select($"doc_id", $"len",
+      explode(slice($"sid", lit(1), prefLen)).as("tok"))
+    // J >= t implies t*max(|a|,|b|) <= |a∩b| <= min(|a|,|b|)
+    val lenOk = least($"a.len", $"b.len") * 1000L >=
+      greatest($"a.len", $"b.len") * t
+    inv.as("a").join(inv.as("b"),
+        $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id" && lenOk)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = 500L
+    val base = ngramBase(spark, dir)
+    val cand = ngramCandidates(base)
+      .localCheckpoint() // barrier before verify (see minhashLsh)
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"sid".as("sid_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"sid".as("sid_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        intDiv(size(array_intersect($"sid_a", $"sid_b")).cast("long") * 1000L,
+          size(array_union($"sid_a", $"sid_b")).cast("long")).as("jacc_milli"))
+      .filter($"jacc_milli" >= t)
+  }
+  /** The oracle is the UNBLOCKED all-pairs join: prefix filtering is
+    * exact, so the Spark plan must reproduce it bit-for-bit. */
   private val ngramJaccardOracle: String =
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
        |base AS (
        |  SELECT doc_id,
        |    CASE WHEN len(t) >= 2 THEN list_distinct([ (h[i]*131 + h[i+1]) % $P for i in range(1, len(t)) ])
-       |         ELSE CAST([] AS BIGINT[]) END AS sid,
-       |    CAST(len(t) AS BIGINT) // 32 AS blk
+       |         ELSE CAST([] AS BIGINT[]) END AS sid
        |  FROM th),
        |nz AS (SELECT * FROM base WHERE len(sid) > 0)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) AS jacc_milli
-       |FROM nz a JOIN nz b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 500""".stripMargin
 
-  /** Embedding cosine near-dup, blocked by label (the coarse-quantizer
-    * cell): exact integer dot products over milli-quantized vectors, then
-    * one correctly-rounded IEEE sqrt+divide — bit-stable across engines. */
+  /** Number of hyperplanes / bands for the embedding near-dup blocking.
+    * 16 planes in 4 bands of 4 bits: a (label, band, 4-bit value) bucket
+    * holds ~1/16 of its label cell. At 100 TB both knobs grow with the
+    * corpus (more bands for recall, more bits per band for bucket size);
+    * they are compile-time constants only because the oracle must replay
+    * them. Plane k is offset +32 from the v2_ann_lsh planes so the two
+    * query families stay independent. */
+  val EmbPlanes = 16
+  val EmbBands = 4
+
+  /** Embedding cosine near-dup: label (the coarse-quantizer / IVF cell)
+    * × random-hyperplane band sub-bucketing — candidates must agree on
+    * label AND on all bits of at least one 4-bit signature band; exact
+    * integer-dot-product verification keeps pairs with cos >= 0.3.
+    *
+    * Round 2 blocked on label alone: with O(10) labels the in-block join
+    * is an intra-cell cartesian product — the named 100 TB scale-killer.
+    * The band sub-bucket bounds block size by corpus/(labels * 2^bits)
+    * regardless of label cardinality; recall is the standard LSH OR-of-
+    * ANDs curve (≥95% at cos 0.9, lower near the loose 0.3 floor), and
+    * the oracle replays the same banding so the check stays bit-exact.
+    * Dot products are exact integer arithmetic over milli-quantized
+    * vectors; the single IEEE sqrt+divide is correctly rounded on both
+    * engines. */
+  /** Candidate stage (pre-barrier), exposed for plan-shape tests. */
+  private[graft] def embCandidates(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    // bit k of the signature: sign of q . h_k, h_k[i] = ±1 pseudo-random
+    val bits = (0 until EmbPlanes).map { k =>
+      val s = aggregate(
+        transform(sequence(lit(1), size($"q")), i =>
+          element_at($"q", i) *
+            (((lit(aj(k + 32)) * i + lit(bj(k + 32))) % P) % 2L * 2L - 1L)),
+        lit(0L), _ + _)
+      when(s > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bitsPerBand = EmbPlanes / EmbBands
+    val bandCols = (0 until EmbBands).map(b =>
+      struct(lit(b).as("band_idx"),
+        shiftright($"sig", bitsPerBand * b)
+          .bitwiseAND((1L << bitsPerBand) - 1).as("band_val")))
+    val bandRows = base.withColumn("sig", bits)
+      .select($"vec_id", $"label", explode(array(bandCols: _*)).as("band"))
+      .select($"vec_id", $"label", $"band.band_idx", $"band.band_val")
+    bandRows.as("a").join(bandRows.as("b"),
+        $"a.label" === $"b.label" && $"a.band_idx" === $"b.band_idx" &&
+          $"a.band_val" === $"b.band_val" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b")).distinct()
+  }
+
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
       .withColumn("n2", aggregate(zip_with($"q", $"q", _ * _), lit(0L), _ + _))
-    base.as("a").join(base.as("b"),
-        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+      .persist() // signature fan-out + both verify joins read this
+    val cand = embCandidates(base)
+      .localCheckpoint() // barrier before verify (see minhashLsh)
+    cand
+      .join(base.select($"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("n2a")), "vec_a")
+      .join(base.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("n2b")), "vec_b")
+      .select($"vec_a", $"vec_b",
         floor(lit(1000d) *
-          aggregate(zip_with($"a.q", $"b.q", _ * _), lit(0L), _ + _).cast("double") /
-          sqrt($"a.n2".cast("double") * $"b.n2".cast("double"))).cast("long")
+          aggregate(zip_with($"qa", $"qb", _ * _), lit(0L), _ + _).cast("double") /
+          sqrt($"n2a".cast("double") * $"n2b".cast("double"))).cast("long")
           .as("cos_milli"))
       .filter($"cos_milli" >= 300L)
   }
-  private val embeddingNearDupOracle: String =
+  private val embeddingNearDupOracle: String = {
+    val bits = (0 until EmbPlanes).map { k =>
+      val s = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i] * (((${aj(k + 32)}*i+${bj(k + 32)}) % $P) % 2 * 2 - 1) for i in range(1, len(q)+1)]), (a,b)->a+b)"
+      s"(CASE WHEN $s > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val bitsPerBand = EmbPlanes / EmbBands
+    val bandRows = (0 until EmbBands).map(b =>
+      s"SELECT vec_id, label, $b AS band_idx, (sig >> ${bitsPerBand * b}) & ${(1L << bitsPerBand) - 1} AS band_val FROM sigs")
+      .mkString("\nUNION ALL\n")
     s"""WITH base AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
        |  FROM embeddings),
        |n AS (SELECT vec_id, label, q,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i]*q[i] for i in range(1, len(q)+1)]), (a,b)->a+b) AS n2
-       |  FROM base)
+       |  FROM base),
+       |sigs AS (SELECT vec_id, label, CAST($bits AS BIGINT) AS sig FROM n),
+       |bandrows AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.label = b.label AND a.band_idx = b.band_idx
+       |   AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos_milli FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    CAST(floor(1000.0 *
-       |      list_reduce(list_prepend(CAST(0 AS BIGINT), [a.q[i]*b.q[i] for i in range(1, len(a.q)+1)]), (x,y)->x+y)
-       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))) AS BIGINT) AS cos_milli
-       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  SELECT vec_a, vec_b,
+       |    ${cosPairSql}
+       |  FROM cand
+       |  JOIN n a ON a.vec_id = vec_a
+       |  JOIN n b ON b.vec_id = vec_b)
        |WHERE cos_milli >= 300""".stripMargin
+  }
+  // def, not val: referenced by embeddingNearDupOracle which initializes
+  // earlier in declaration order
+  private def cosPairSql: String =
+    s"""CAST(floor(1000.0 *
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), [a.q[i]*b.q[i] for i in range(1, len(a.q)+1)]), (x,y)->x+y)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))) AS BIGINT) AS cos_milli""".stripMargin
 
   override def register(): Unit = {
     Queries.register(QueryDef("d1_exact_dedup", exactDedup, Some(exactDedupOracle)))

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Scale-shape guards for the dedup family: the round-4 rewrites replaced
+  * quadratic block joins with bounded candidate generation; these tests pin
+  * the plan/semantics properties that make the 100 TB story hold. */
+class DedupPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("saltedSelfJoin produces exactly the unsalted pair set") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 30L)).toDF("doc_id", "band_hash").withColumn("band_idx", lit(0))
+    val salted = DedupQueries
+      .saltedSelfJoin(rows, Seq("band_idx", "band_hash"), "doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y"))
+      .as[(Long, Long)].collect().sorted
+    val plain = rows.as("a").join(rows.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y"))
+      .as[(Long, Long)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 3 + 1) // {1,2,3} pairs + {4,5}
+  }
+
+  test("d4 candidate generation is an inverted-index join on prefix tokens") {
+    val p = DedupQueries.ngramCandidates(
+        DedupQueries.ngramBase(spark, TestSpark.sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("tok"), s"no prefix-token join key in plan:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), "cartesian product in d4 plan")
+  }
+
+  test("d4 prefix filter finds exactly the unblocked all-pairs result") {
+    // the oracle is the quadratic join; at sf0.001 replicate it in Spark
+    // and require set equality (prefix filtering must be lossless)
+    import spark.implicits._
+    val got = Queries.queries("d4_ngram_jaccard")(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val base = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", transform(TextQueries.tokensCol($"text"),
+        TextQueries.wordHash(_)).as("h"))
+      .select($"doc_id",
+        when(size($"h") >= 2, array_distinct(transform(
+          sequence(lit(1), size($"h") - 1), i =>
+            (element_at($"h", i) * 131L + element_at($"h", i + 1)) % TextQueries.HashP)))
+          .otherwise(array().cast("array<long>")).as("sid"))
+      .filter(size($"sid") > 0)
+    val want = base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.sid"), col("b.sid"))).cast("long") * 1000L /
+          size(array_union(col("a.sid"), col("b.sid"))).cast("long")).as("j"))
+      .filter(col("j") >= 500L)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("d5 candidates are bounded by (label, band) sub-buckets, not label alone") {
+    import spark.implicits._
+    val base = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
+    val p = DedupQueries.embCandidates(base)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("band_val"), s"no band sub-bucket join key in plan:\n$p")
+  }
+
+  test("d2 band join drops hot buckets above BandCap before pairing") {
+    // semantic probe: a synthetic corpus where one band bucket exceeds the
+    // cap contributes no pairs from that bucket
+    import spark.implicits._
+    val n = (DedupQueries.BandCap + 2).toInt
+    val rows = (0 until n).map(i => (i.toLong, 0L, 7L)) // one hot bucket
+      .toDF("doc_id", "band_idx", "band_hash")
+    val hot = rows.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n")).filter($"n" > DedupQueries.BandCap)
+      .select($"band_idx", $"band_hash")
+    val capped = rows.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    assert(capped.count() == 0L)
+  }
+}
