@@ -24,12 +24,23 @@ import org.apache.spark.sql.functions._
   * Declares queryable leaf fields and relationship predicates; the
   * compiler rejects anything outside it (the reference errors the same
   * way on unknown fields, `ml_lexer.py:259-321`). */
-final case class LuxCatalog(fields: Set[String], predicates: Set[String])
+final case class LuxCatalog(fields: Set[String], predicates: Set[String],
+    exactFields: Set[String] = Set("etype"))
 
 object LuxCatalog {
   val default: LuxCatalog = LuxCatalog(
     fields = Set("etype", "name", "num"),
     predicates = Set("placedBy", "contains", "suppliedBy", "locatedIn"))
+
+  /** Catalog over the M14 record substrate (MlIndexQueries): facet
+    * booleans are numeric leaf fields; predicates are the shortcut /
+    * reference triple names. */
+  val records: LuxCatalog = LuxCatalog(
+    fields = Set("etype", "is_online", "has_digital_image",
+      "is_collection_item", "is_public_domain"),
+    predicates = Set("lux:about_or_depicts", "lux:agentOfProduction",
+      "lux:placeOfProduction", "lux:any", "lux:refCtr", "crm:P129_is_about",
+      "la:member_of", "skos:broader"))
 }
 
 final class LuxCompiler(entities: DataFrame, triples: DataFrame,
@@ -45,13 +56,11 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     case InvRel(pred, _) if !catalog.predicates(pred) =>
       sys.error(s"unknown relationship '^$pred'")
     case Leaf(field, op, str, num, isNum) =>
-      val col = field match {
-        case "etype" | "name" if !isNum => entities.col(field)
-        case "num" if isNum => entities.col("num")
-        case other => sys.error(s"unknown field/type combination: $other")
-      }
+      // catalog membership already checked above; any catalog field is a
+      // column of the entity substrate (facet booleans are numeric)
+      val col = entities.col(field)
       val pred = (op, isNum) match {
-        case ("=", false) if field == "etype" => col === str
+        case ("=", false) if catalog.exactFields(field) => col === str
         case ("=", false) => instr(lower(col), str.toLowerCase) > 0
         case ("=", true) => col === num
         case ("<", true) => col < num

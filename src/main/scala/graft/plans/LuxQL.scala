@@ -55,7 +55,9 @@ object LuxQL {
         val j = (i + 1 until s.length).find(k => !s(k).isDigit).getOrElse(s.length)
         out += TNum(s.substring(i, j).toLong); i = j
       } else if (c.isLetter || c == '_') {
-        val j = (i until s.length).find(k => !(s(k).isLetterOrDigit || s(k) == '_'))
+        // ':' inside a word supports namespaced predicates (lux:any)
+        val j = (i until s.length).find(k =>
+          !(s(k).isLetterOrDigit || s(k) == '_' || s(k) == ':'))
           .getOrElse(s.length)
         out += TWord(s.substring(i, j)); i = j
       } else sys.error(s"unexpected char '$c' at $i")
