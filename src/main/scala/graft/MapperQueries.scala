@@ -152,10 +152,69 @@ object MapperQueries extends QueryGroup {
       |  CAST(LENGTH(regexp_replace('<p class="t">' || text || '</p><br/>', '<[^>]*>', '', 'g')) AS BIGINT) AS text_len
       |FROM documents""".stripMargin
 
+  /** F8: the URI canonicalizer over a 12-variant fixture exercising
+    * every branch: direct match, page/aat pre-fix, alternate match
+    * (wiki), trailing slash, trailing .html, quote strip, rewrite +
+    * other-external passthrough, double-wrapping recursion, unmatched
+    * passthrough, trash, embedded space, empty identifier. */
+  def uriCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ck = $"c_custkey".cast("long")
+    val x = (ck % 1000).cast("string")
+    val cs = ck.cast("string")
+    val uri = when(ck % 12 === 0, concat(lit("http://vocab.getty.edu/aat/300"), x))
+      .when(ck % 12 === 1, concat(lit("https://vocab.getty.edu/page/aat/300"), x))
+      .when(ck % 12 === 2, concat(lit("http://www.wikidata.org/wiki/Q"), cs))
+      .when(ck % 12 === 3, concat(lit("https://id.loc.gov/authorities/names/n"), cs, lit("/")))
+      .when(ck % 12 === 4, concat(lit("http://viaf.org/viaf/"), cs, lit(".html")))
+      .when(ck % 12 === 5, concat(lit("https://www.geonames.org/"), x, lit("\"")))
+      .when(ck % 12 === 6, concat(lit("http://isni-url.oclc.nl/isni/0000"), cs))
+      .when(ck % 12 === 7, concat(lit("https://viaf.org/viaf/http://vocab.getty.edu/aat/300"), x))
+      .when(ck % 12 === 8, lit("https://creativecommons.org/licenses/by/4.0/"))
+      .when(ck % 12 === 9, concat(lit("https://random.junk.example/"), cs))
+      .when(ck % 12 === 10, concat(lit("http://id.loc.gov/authorities/subjects/sh "), cs))
+      .otherwise(lit("http://vocab.getty.edu/aat/"))
+    Tables.load(spark, dir, "customer")
+      .select(ck.as("id"), uri.as("uri"))
+      .select($"id", $"uri", functions.UriCanon.canonicalize($"uri").as("canonical"))
+  }
+  private val uriCanonicalizeOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck, c_custkey % 12 AS v,
+      |  CAST(c_custkey % 1000 AS VARCHAR) AS x FROM customer)
+      |SELECT ck AS id,
+      |  CASE v
+      |    WHEN 0 THEN 'http://vocab.getty.edu/aat/300' || x
+      |    WHEN 1 THEN 'https://vocab.getty.edu/page/aat/300' || x
+      |    WHEN 2 THEN 'http://www.wikidata.org/wiki/Q' || ck
+      |    WHEN 3 THEN 'https://id.loc.gov/authorities/names/n' || ck || '/'
+      |    WHEN 4 THEN 'http://viaf.org/viaf/' || ck || '.html'
+      |    WHEN 5 THEN 'https://www.geonames.org/' || x || '"'
+      |    WHEN 6 THEN 'http://isni-url.oclc.nl/isni/0000' || ck
+      |    WHEN 7 THEN 'https://viaf.org/viaf/http://vocab.getty.edu/aat/300' || x
+      |    WHEN 8 THEN 'https://creativecommons.org/licenses/by/4.0/'
+      |    WHEN 9 THEN 'https://random.junk.example/' || ck
+      |    WHEN 10 THEN 'http://id.loc.gov/authorities/subjects/sh ' || ck
+      |    ELSE 'http://vocab.getty.edu/aat/' END AS uri,
+      |  CASE v
+      |    WHEN 0 THEN 'http://vocab.getty.edu/aat/300' || x
+      |    WHEN 1 THEN 'http://vocab.getty.edu/aat/300' || x
+      |    WHEN 2 THEN 'http://www.wikidata.org/entity/Q' || ck
+      |    WHEN 3 THEN 'http://id.loc.gov/authorities/names/n' || ck
+      |    WHEN 4 THEN 'https://viaf.org/viaf/' || ck
+      |    WHEN 5 THEN 'https://sws.geonames.org/' || x
+      |    WHEN 6 THEN 'http://isni.org/isni/0000' || ck
+      |    WHEN 7 THEN 'http://vocab.getty.edu/aat/300' || x
+      |    WHEN 8 THEN 'https://creativecommons.org/licenses/by/4.0/'
+      |    WHEN 9 THEN NULL
+      |    WHEN 10 THEN 'http://id.loc.gov/authorities/subjects/sh' || ck
+      |    ELSE NULL END AS canonical
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("f10_geometry_merge", geometryMerge, Some(geometryMergeOracle)))
     Queries.register(QueryDef("f11_html_strip", htmlStrip, Some(htmlStripOracle)))
+    Queries.register(QueryDef("f8_uri_canonicalize", uriCanonicalize, Some(uriCanonicalizeOracle)))
   }
 }

@@ -23,6 +23,7 @@ object Sessions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.PolyHash.register(spark)
+    graft.functions.UriCanon.register(spark)
     spark
   }
 }

@@ -79,10 +79,17 @@ object LinkedArt {
       .join(self.select(col("identifier"), col("selfUri")), Seq("identifier"))
       .select(qua(col("selfUri"), col("rectype")).as("src"),
         qua(col("idxuri"), col("idxtype")).as("dst"))
+    // F8: equivalents are canonicalized before the index lookup
+    // (reference: config.canonicalize inside the reconciler walk); URIs
+    // outside the routing table fall back to their raw form — they
+    // simply miss the (canonical-keyed) index, same outcome as the
+    // reference trashing them
     val byUri = parsedEnv.select(col("body.id").as("selfUri"),
         col("body.type").as("rectype"),
         explode(col("body.equivalent")).as("eq"))
-      .join(uriIndex, col("eq.id") === col("idxuri"))
+      .join(uriIndex,
+        coalesce(graft.functions.UriCanon.canonicalize(col("eq.id")),
+          col("eq.id")) === col("idxuri"))
       .select(qua(col("selfUri"), col("rectype")).as("src"),
         qua(col("idxuri"), col("idxtype")).as("dst"))
     val edges = byName.union(byUri).distinct()

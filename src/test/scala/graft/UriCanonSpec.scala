@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.UriCanon
+
+/** Edge cases for the F8 canonicalizer (config.py:171-245), plus the
+  * codegen path through the registered `uri_canon` expression. */
+class UriCanonSpec extends AnyFunSuite {
+  private def c(u: String): String = UriCanon.canonicalizeJvm(u)
+
+  test("direct match rebuilds on the source namespace") {
+    assert(c("https://www.geonames.org/2950159") ==
+      "https://sws.geonames.org/2950159")
+  }
+
+  test("page/aat pre-split fix") {
+    assert(c("http://vocab.getty.edu/page/aat/300404670") ==
+      "http://vocab.getty.edu/aat/300404670")
+    assert(c("http://vocab.getty.edu/aat/page/300404670") ==
+      "http://vocab.getty.edu/aat/300404670")
+  }
+
+  test("identifier fixes: trailing slash, trailing .html, quotes, spaces") {
+    assert(c("http://id.loc.gov/authorities/names/n79022889/") ==
+      "http://id.loc.gov/authorities/names/n79022889")
+    assert(c("https://viaf.org/viaf/75121530.html") ==
+      "https://viaf.org/viaf/75121530")
+    assert(c("https://viaf.org/viaf/7512\"1530”") ==
+      "https://viaf.org/viaf/75121530")
+    assert(c("http://www.wikidata.org/wiki/Q 937") ==
+      "http://www.wikidata.org/entity/Q937")
+  }
+
+  test("trailing slash strip wins over .html (the reference's elif)") {
+    assert(c("https://viaf.org/viaf/x.html/") ==
+      "https://viaf.org/viaf/x.html")
+  }
+
+  test("first matching source wins; identifier after the LAST occurrence") {
+    assert(c("https://example.org/geonames.org/geonames.org/42") ==
+      "https://sws.geonames.org/42")
+  }
+
+  test("double-wrapped identifiers re-enter the splitter") {
+    assert(c("https://viaf.org/viaf/http://vocab.getty.edu/aat/300000123") ==
+      "http://vocab.getty.edu/aat/300000123")
+  }
+
+  test("rewrite table applies before routing") {
+    assert(c("http://isni-url.oclc.nl/isni/0000000121032683") ==
+      "http://isni.org/isni/0000000121032683")
+  }
+
+  test("other-external URIs pass through; junk is trashed; empty id dies") {
+    assert(c("https://creativecommons.org/licenses/by/4.0/") ==
+      "https://creativecommons.org/licenses/by/4.0/")
+    assert(c("https://random.junk.example/1") == null)
+    assert(c("http://vocab.getty.edu/aat/") == null)
+  }
+
+  test("codegen path produces the same results as the JVM function") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val in = Seq("http://vocab.getty.edu/page/aat/3001",
+      "https://junk.example/x", "https://www.geonames.org/77/")
+    val out = in.toDF("u")
+      .select(UriCanon.canonicalize($"u").as("c")).as[String].collect()
+    assert(out.toSeq == in.map(UriCanon.canonicalizeJvm))
+  }
+}
