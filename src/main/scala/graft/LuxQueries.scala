@@ -120,9 +120,45 @@ object LuxQueries extends QueryGroup {
       |  AND NOT EXISTS (SELECT 1 FROM nation
       |    WHERE n_nationkey = c_nationkey AND position('nation_0' IN lower(n_name)) > 0)""".stripMargin
 
+  /** NEAR + BOOST (id-set semantics: NEAR=AND, BOOST=its first arg —
+    * see LuxCompiler): big-order customers near their nation term. */
+  val q4 = """BOOST(NEAR(etype="customer", locatedIn(name="NATION_1"), ^placedBy(num>30000000)), name="Customer")"""
+  private val q4Oracle: String =
+    """SELECT 'c' || c_custkey AS id FROM customer
+      |WHERE EXISTS (SELECT 1 FROM nation
+      |  WHERE n_nationkey = c_nationkey AND position('nation_1' IN lower(n_name)) > 0)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND CAST(ROUND(o_totalprice*100) AS BIGINT) > 30000000)""".stripMargin
+
+  /** The JSON twin of q1 (ml_lexer JsonParser) — same oracle, and a
+    * spec asserts the ASTs compile identically. ANDNOT spells the veto. */
+  val q6Json: String =
+    """{"ANDNOT": [
+      |  {"AND": [
+      |    {"etype": "customer"},
+      |    {"locatedIn": {"name": "NATION_3"}},
+      |    {"^placedBy": {"AND": [{"etype": "order"},
+      |                           {"num": 30000000, "_comp": ">"}]}}]},
+      |  {"locatedIn": {"name": "NATION_0"}}]}""".stripMargin
+  private val q6Oracle: String =
+    """SELECT 'c' || c_custkey AS id FROM customer
+      |WHERE EXISTS (SELECT 1 FROM nation
+      |  WHERE n_nationkey = c_nationkey AND position('nation_3' IN lower(n_name)) > 0)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND CAST(ROUND(o_totalprice*100) AS BIGINT) > 30000000)
+      |  AND NOT EXISTS (SELECT 1 FROM nation
+      |    WHERE n_nationkey = c_nationkey AND position('nation_0' IN lower(n_name)) > 0)""".stripMargin
+
+  private def runJson(query: String)(spark: SparkSession, dir: String): DataFrame = {
+    val (e, t) = substrate(spark, dir)
+    new LuxCompiler(e, t).compileJson(query)
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("lux_q1_hop_range", run(q1), Some(q1Oracle), bench = true))
     Queries.register(QueryDef("lux_q2_or_word", run(q2), Some(q2Oracle)))
     Queries.register(QueryDef("lux_q3_andnot", run(q3), Some(q3Oracle)))
+    Queries.register(QueryDef("lux_q4_near", run(q4), Some(q4Oracle)))
+    Queries.register(QueryDef("lux_q6_json", runJson(q6Json), Some(q6Oracle)))
   }
 }

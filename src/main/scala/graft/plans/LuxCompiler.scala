@@ -74,6 +74,20 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     case Bool("OR", kids) =>
       kids.map(ids).reduce(_ union _).distinct()
 
+    // NEAR: proximity only affects ranking; over relevance-free id sets
+    // it reduces to AND (the reference's own cts compile raises
+    // NotImplementedError for NEAR/BOOST, ml_lexer.py:214 — the parser
+    // accepts them, query_token_rules.py:7; documented deviation)
+    case Bool("NEAR", kids) => ids(Bool("AND", kids))
+
+    // BOOST(matching, boosting): membership is the first argument;
+    // the second only lifts relevance (same deviation note as NEAR)
+    case Bool("BOOST", Seq(main, _)) => ids(main)
+
+    // ANDNOT (the JSON grammar's NOT spelling): positive minus negative
+    case Bool("ANDNOT", Seq(pos, neg)) =>
+      ids(pos).join(ids(neg), Seq("id"), "left_anti")
+
     case Bool("AND", kids) =>
       val (nots, pos) = kids.partition {
         case Bool("NOT", _) => true
@@ -108,4 +122,58 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
   }
 
   def compile(query: String): DataFrame = ids(LuxQL.parse(query))
+
+  /** JSON query form → same plan as its string twin. */
+  def compileJson(query: String): DataFrame = ids(LuxQL.parseJson(query))
+}
+
+/** Q4: the searchConfig field catalog with `*` template expansion
+  * (`ml_lexer.py:259-321`): the `*` pseudo-class holds templates whose
+  * index tag contains a literal `*` replaced by the lower-cased class
+  * name; entries typed string/xstring/date/number are leaf fields,
+  * anything else is a relationship whose type names the target class.
+  * Per-class entries then override/extend the expanded templates. */
+object LuxSearchConfig {
+  /** class → field → (index tag template, value type). */
+  type Config = Map[String, Map[String, (String, String)]]
+
+  val fieldTypes: Set[String] = Set("string", "xstring", "date", "number")
+
+  final case class ClassCatalog(
+      fields: Map[String, (String, String)], // name -> (index tag, type)
+      rels: Map[String, (String, String)])   // name -> (index tag, target)
+
+  /** Expand a config into per-class catalogs (process_config,
+    * ml_lexer.py:274-298). */
+  def expand(cfg: Config): Map[String, ClassCatalog] = {
+    val templates = cfg.getOrElse("*", Map.empty)
+    cfg.iterator.filter(_._1 != "*").map { case (cls, own) =>
+      val base = templates.map { case (name, (tag, vtype)) =>
+        name -> (tag.replace("*", cls.toLowerCase), vtype)
+      }
+      val merged = base ++ own
+      val (fs, rs) = merged.partition { case (_, (_, vtype)) => fieldTypes(vtype) }
+      cls -> ClassCatalog(fs, rs)
+    }.toMap
+  }
+
+  /** A searchConfig modeled on the reference's (shape, not content —
+    * tags name our substrate predicates). */
+  val default: Config = Map(
+    "*" -> Map(
+      "name" -> ("*Name", "string"),
+      "classification" -> ("*ClassifiedAs", "Concept"),
+      "memberOf" -> ("*MemberOf", "Set"),
+      "anyRef" -> ("*Any", "Reference")),
+    "Agent" -> Map(
+      "startAt" -> ("agentStartPlace", "Place"),
+      "endAt" -> ("agentEndPlace", "Place"),
+      "activeDate" -> ("agentActiveDate", "date")),
+    "Item" -> Map(
+      "producedBy" -> ("agentOfProduction", "Agent"),
+      "producedAt" -> ("placeOfProduction", "Place"),
+      "depth" -> ("itemDepth", "number")),
+    "Work" -> Map(
+      "aboutAgent" -> ("about_agent", "Agent"),
+      "language" -> ("workLanguage", "Concept")))
 }

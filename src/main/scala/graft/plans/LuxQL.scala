@@ -3,18 +3,32 @@ package graft.plans
 /** The LUX-style search-language front end (SURVEY §2.9) — a brand-new
   * Scala re-expression of the reference's query surface: lexer
   * (`pipeline/storage/marklogic/query_token_rules.py`), string parser + AST
-  * (`pipeline/storage/marklogic/ml_lexer.py:154-588`). Instead of compiling
-  * to cts JavaScript the AST compiles to DataFrame combinators
-  * (LuxCompiler).
+  * (`pipeline/storage/marklogic/ml_lexer.py:154-588`), JSON parser
+  * (`ml_lexer.py:324-405`). Instead of compiling to cts JavaScript the
+  * AST compiles to DataFrame combinators (LuxCompiler).
   *
-  * Grammar (string form):
+  * Grammar (string form; boolean set per query_token_rules.py:7):
   *   query   := bool | rel | invrel | leaf
-  *   bool    := ("AND"|"OR"|"NOT") "(" query ("," query)* ")"
+  *   bool    := ("AND"|"OR"|"NOT"|"NEAR"|"BOOST"|"ANDNOT")
+  *              "(" query ("," query)* ")"
   *   rel     := IDENT "(" query ")"          -- relationship hop
   *   invrel  := "^" IDENT "(" query ")"      -- inverse hop
   *   leaf    := IDENT ("="|"<"|">"|"<="|">=") (QUOTED | NUMBER)
+  *
+  * JSON form (ml_lexer.py:324-405): a clause is a one-field object
+  * `{field: value}` plus `_`-prefixed params; list value = boolean
+  * (AND/OR/NEAR/ANDNOT/BOOST, `:328`), object value = relationship
+  * (`^` prefix = inverse), scalar value = leaf with optional `_comp`
+  * comparator param.
   */
 object LuxQL {
+
+  /** Boolean operators of the string grammar. */
+  val booleans: Set[String] = Set("AND", "OR", "NOT", "NEAR", "BOOST", "ANDNOT")
+
+  /** Boolean operators of the JSON grammar (ml_lexer.py:328 — NOT is
+    * spelled ANDNOT there). */
+  val jsonBooleans: Set[String] = Set("AND", "OR", "NEAR", "ANDNOT", "BOOST")
 
   sealed trait Ast
   final case class Leaf(field: String, op: String, str: String, num: Long,
@@ -77,7 +91,7 @@ object LuxQL {
     case TCaret +: TWord(p) +: TLParen +: rest =>
       val (sub, r2) = parseQuery(rest)
       (InvRel(p, sub), expect(r2, TRParen))
-    case TWord(op) +: TLParen +: rest if Set("AND", "OR", "NOT")(op) =>
+    case TWord(op) +: TLParen +: rest if booleans(op) =>
       var kids = Vector[Ast]()
       var r = rest
       var done = false
@@ -91,6 +105,8 @@ object LuxQL {
         }
       }
       if (op == "NOT") require(kids.size == 1, "NOT takes exactly one child")
+      else if (op == "BOOST" || op == "ANDNOT")
+        require(kids.size == 2, s"$op takes exactly two children")
       else require(kids.size >= 2, s"$op takes at least two children")
       (Bool(op, kids), r)
     case TWord(f) +: TOp(op) +: TQuoted(v) +: rest =>
@@ -107,5 +123,50 @@ object LuxQL {
   private def expect(t: Seq[Tok], tok: Tok): Seq[Tok] = t match {
     case `tok` +: rest => rest
     case other => sys.error(s"expected $tok got $other")
+  }
+
+  // ------------------------------------------------- JSON parser (Q2)
+
+  /** Parse the JSON query form (ml_lexer.py:324-405). Uses json4s,
+    * which ships with Spark. `_scope` at the top level is accepted and
+    * ignored (class scoping is the catalog's job here). */
+  def parseJson(s: String): Ast = {
+    import org.json4s._
+    fromJson(org.json4s.jackson.JsonMethods.parse(s))
+  }
+
+  private def fromJson(v: org.json4s.JValue): Ast = {
+    import org.json4s._
+    v match {
+      case JObject(fields) =>
+        val (params, main) = fields
+          .filterNot(_._1 == "_scope")
+          .partition(_._1.startsWith("_"))
+        require(main.size == 1,
+          s"ambiguous clause with multiple types: ${main.map(_._1).mkString(",")}")
+        val (field, value) = main.head
+        val comp = params.collectFirst { case ("_comp", JString(c)) => c }
+          .getOrElse("=")
+        value match {
+          case JArray(items) =>
+            require(jsonBooleans(field), s"unknown Boolean $field")
+            items.foreach {
+              case _: JObject => ()
+              case other => sys.error(s"a raw value cannot be in a Boolean: $other")
+            }
+            Bool(field, items.map(fromJson))
+          case o: JObject =>
+            if (field.startsWith("^")) InvRel(field.drop(1), fromJson(o))
+            else Rel(field, fromJson(o))
+          case JString(sv) =>
+            require(comp == "=", s"string field $field only supports =")
+            Leaf(field, "=", sv, 0L, isNum = false)
+          case JInt(n) => Leaf(field, comp, null, n.toLong, isNum = true)
+          case JLong(n) => Leaf(field, comp, null, n, isNum = true)
+          case JDouble(d) => Leaf(field, comp, null, d.toLong, isNum = true)
+          case other => sys.error(s"unsupported clause value: $other")
+        }
+      case other => sys.error(s"query clause must be an object, got $other")
+    }
   }
 }

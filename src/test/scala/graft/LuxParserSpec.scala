@@ -38,4 +38,77 @@ class LuxParserSpec extends AnyFunSuite {
     assertThrows[Exception](LuxQL.parse(""""unterminated"""))
     assertThrows[Exception](LuxQL.parse("""name="x" extra"""))
   }
+
+  test("NEAR/BOOST/ANDNOT booleans with arity rules (query_token_rules.py:7)") {
+    assert(LuxQL.parse("""NEAR(num>1, num<5)""") ===
+      Bool("NEAR", Seq(Leaf("num", ">", null, 1L, isNum = true),
+        Leaf("num", "<", null, 5L, isNum = true))))
+    assert(LuxQL.parse("""BOOST(num>1, name="x")""") ===
+      Bool("BOOST", Seq(Leaf("num", ">", null, 1L, isNum = true),
+        Leaf("name", "=", "x", 0L, isNum = false))))
+    assertThrows[Exception](LuxQL.parse("""BOOST(num>1)"""))
+    assertThrows[Exception](LuxQL.parse("""ANDNOT(num>1)"""))
+    assertThrows[Exception](LuxQL.parse("""ANDNOT(num>1, num<2, num<3)"""))
+  }
+
+  test("JSON parser mirrors the string parser (ml_lexer.py:324-405)") {
+    val fromJson = LuxQL.parseJson(
+      """{"AND": [{"etype": "part"},
+        |         {"suppliedBy": {"name": "x"}},
+        |         {"^placedBy": {"num": 40, "_comp": ">"}},
+        |         {"num": 10, "_comp": "<="}]}""".stripMargin)
+    assert(fromJson === Bool("AND", Seq(
+      Leaf("etype", "=", "part", 0L, isNum = false),
+      Rel("suppliedBy", Leaf("name", "=", "x", 0L, isNum = false)),
+      InvRel("placedBy", Leaf("num", ">", null, 40L, isNum = true)),
+      Leaf("num", "<=", null, 10L, isNum = true))))
+  }
+
+  test("JSON parser rejects malformed clauses") {
+    // multiple non-param keys: ambiguous (ml_lexer.py:336-343)
+    assertThrows[Exception](
+      LuxQL.parseJson("""{"name": "x", "etype": "y"}"""))
+    // raw value inside a boolean (ml_lexer.py:352-355)
+    assertThrows[Exception](LuxQL.parseJson("""{"AND": ["x", {"num": 1}]}"""))
+    // unknown boolean — NOT must be spelled ANDNOT in JSON (:328)
+    assertThrows[Exception](LuxQL.parseJson("""{"NOT": [{"num": 1}]}"""))
+    // _scope is tolerated and ignored
+    assert(LuxQL.parseJson("""{"_scope": "Agent", "name": "x"}""") ===
+      Leaf("name", "=", "x", 0L, isNum = false))
+  }
+
+  test("catalog * template expansion (ml_lexer.py:274-298)") {
+    import graft.plans.LuxSearchConfig
+    val cats = LuxSearchConfig.expand(LuxSearchConfig.default)
+    // template fields expand with the lower-cased class name
+    assert(cats("Agent").fields("name") == ("agentName", "string"))
+    assert(cats("Item").fields("name") == ("itemName", "string"))
+    // template relationships carry their target class
+    assert(cats("Agent").rels("classification") == ("agentClassifiedAs", "Concept"))
+    assert(cats("Work").rels("anyRef") == ("workAny", "Reference"))
+    // class-specific entries extend the template set
+    assert(cats("Item").rels("producedBy") == ("agentOfProduction", "Agent"))
+    assert(cats("Agent").fields("activeDate") == ("agentActiveDate", "date"))
+    // field vs relationship split follows the value type
+    assert(!cats("Item").fields.contains("producedBy"))
+    assert(!cats("Agent").rels.contains("activeDate"))
+    // '*' itself never becomes a class
+    assert(!cats.contains("*"))
+  }
+
+  test("string and JSON forms of the same query compile to equal results") {
+    val spark = TestSpark.spark
+    val sAst = LuxQL.parse(
+      """ANDNOT(AND(etype="customer", locatedIn(name="NATION_3")), locatedIn(name="NATION_0"))""")
+    val jAst = LuxQL.parseJson(
+      """{"ANDNOT": [{"AND": [{"etype": "customer"},
+        |                     {"locatedIn": {"name": "NATION_3"}}]},
+        |            {"locatedIn": {"name": "NATION_0"}}]}""".stripMargin)
+    assert(sAst === jAst) // identical ASTs => identical plans by construction
+    val (e, t) = LuxQueries.substrate(spark, TestSpark.sf)
+    val c = new graft.plans.LuxCompiler(e, t)
+    val a = c.ids(sAst).collect().map(_.getString(0)).sorted
+    val b = c.ids(jAst).collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+  }
 }
