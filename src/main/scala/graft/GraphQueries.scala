@@ -79,9 +79,72 @@ object GraphQueries extends QueryGroup {
       |  WHERE walk.dist < 3)
       |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin
 
+  /** J5: the filtered equivalence crawl. Nodes/edges are synthesized in
+    * blocks of 10 customer keys: the block seed (k=0, root type cycling
+    * Person/Place/Language per block) crawls its block; candidates
+    * exercise every garbage filter — date-far Persons (k=2, +50y),
+    * type-guarded Places and concept subtypes, the containment cycle
+    * guard (k=4 refs its feeder k=1), and the >2-per-prefix fanout cap
+    * (k=1's edges to k∈{5,6,7} share a prefix block and all drop). */
+  def collectFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long").as("ck"))
+      .withColumn("k", $"ck" % 10)
+    val rootType = when(($"ck" / 10).cast("long") % 3 === 0, "Person")
+      .when(($"ck" / 10).cast("long") % 3 === 1, "Place")
+      .otherwise("Language")
+    val nodes = c.select($"ck".as("node"),
+      when($"k" === 0, rootType)
+        .when($"k".isin(1L, 2L, 3L, 4L, 5L), "Person")
+        .when($"k" === 6, "Group")
+        .when($"k" === 7, "Place")
+        .when($"k" === 8, "Language")
+        .otherwise("Material").as("rtype"),
+      when($"k" === 0 && rootType === "Person", lit(1800) + $"ck" % 100)
+        .when($"k".isin(1L, 2L, 3L, 4L, 5L),
+          lit(1800) + $"ck" % 100 + when($"k" === 2, 50).otherwise(0))
+        .when($"k" === 6, lit(1800) + $"ck" % 100)
+        .otherwise(lit(null).cast("long")).as("byear"),
+      lit(null).cast("long").as("dyear"),
+      when($"k" === 4, array($"ck" - 3))
+        .otherwise(array().cast("array<long>")).as("refs"))
+    val seedEdges = c.filter($"k" === 0).select($"ck".as("src"),
+      explode(array(lit(1L), lit(2L), lit(6L), lit(7L), lit(8L), lit(9L)))
+        .as("off"))
+      .select($"src", ($"src" + $"off").as("dst"))
+    val l1Edges = c.filter($"k" === 1).select($"ck".as("src"),
+      explode(array(lit(2L), lit(3L), lit(4L), lit(5L), lit(6L))).as("off"))
+      .select($"src", ($"src" + $"off").as("dst"))
+    val seeds = c.filter($"k" === 0).select($"ck".as("node"))
+    operators.Collector
+      .collect(nodes, seedEdges.union(l1Edges), seeds, maxDist = 2,
+        prefixOf = d => (d / 5).cast("long"))
+      .select($"seed", $"node", $"dist".cast("long").as("dist"))
+  }
+  private val collectFilteredOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer),
+      |mx AS (SELECT MAX(ck) AS m FROM c),
+      |seeds AS (SELECT ck AS seed, (ck // 10) % 3 AS rmod FROM c WHERE ck % 10 = 0),
+      |d1 AS (
+      |  SELECT seed, seed + off AS node FROM seeds,
+      |    (VALUES (1),(2),(6),(7),(8),(9)) AS o(off)
+      |  WHERE seed + off <= (SELECT m FROM mx)
+      |    AND ((rmod = 0 AND off IN (1,6,7,8,9))
+      |      OR (rmod = 1 AND off = 7)
+      |      OR (rmod = 2 AND off IN (1,2,6,7,8)))),
+      |d2 AS (
+      |  SELECT seed, seed + 3 AS node FROM seeds
+      |  WHERE rmod IN (0,2) AND seed + 3 <= (SELECT m FROM mx))
+      |SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+      |UNION ALL SELECT seed, node, 1 FROM d1
+      |UNION ALL SELECT seed, node, 2 FROM d2""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("g1_connected_components", connectedComponents,
       Some(ccOracle), bench = true))
     Queries.register(QueryDef("g2_bfs_walk", bfsWalk, Some(bfsOracle)))
+    Queries.register(QueryDef("j5_collect_filtered", collectFiltered,
+      Some(collectFilteredOracle)))
   }
 }
