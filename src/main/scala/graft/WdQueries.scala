@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipeline.{WdClaims, WdTypes}
+import graft.pipeline.{WdClaims, WdReconcile, WdTypes}
 import graft.pipeline.WdClaims.WdDate
 
 /** M3-M5: the wikidata claim mappers (`wikidata/mapper.py:297-658`) as
@@ -214,9 +214,50 @@ object WdQueries extends QueryGroup {
       |  END AS nationality
       |FROM p""".stripMargin
 
+  final case class Vote(rec: Long, key: String, qid: String, truth: String)
+
+  /** J3: the voting reconciler — 8 fixture variants exercise every
+    * decision path: unanimity, truth confirm/veto, two-way strip,
+    * one-qid-with-majority (rule 1), viaf/geonames noise strip (rule 2),
+    * and the 2:1 count majority (rule 3). One shuffle on rec, decision
+    * map-side via groupByKey+mapGroups (the §2.11 typed-fold shape). */
+  def vote(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val votes = Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].flatMap { ck =>
+        val x = ck % 50
+        val (qa, qb, qc) = (s"Q$x", s"Q${x + 50}", s"Q${x + 100}")
+        def v(key: String, q: String, truth: String = null) = Vote(ck, key, q, truth)
+        (ck % 8) match {
+          case 0 => Seq(v(s"aat:a$ck", qa), v(s"lcnaf:n$ck", qa))
+          case 1 => Seq(v(s"aat:a$ck", qa, truth = qa))
+          case 2 => Seq(v(s"aat:a$ck", qa, truth = qb))
+          case 3 => Seq(v(s"aat:a$ck", qa), v(s"lcnaf:n$ck", qb))
+          case 4 => Seq(v(s"aat:a$ck", qa), v(s"lcnaf:n$ck", qa), v(s"viaf:$ck", qb))
+          case 5 => Seq(v(s"aat:a$ck", qa), v(s"viaf:$ck", qb), v(s"geonames:$ck", qc))
+          case 6 => Seq(v(s"aat:a$ck", qa), v(s"viaf:$ck", qb))
+          case _ => Seq(v(s"aat:a$ck", qa), v(s"ulan:u$ck", qa),
+            v(s"lcnaf:n$ck", qa), v(s"tgn:t$ck", qb), v(s"japan:j$ck", qc))
+        }
+      }
+    votes.groupByKey(_.rec).mapGroups { (rec, it) =>
+      val vs = it.toSeq
+      val truth = vs.flatMap(v => Option(v.truth)).headOption
+      (rec, WdReconcile.decide(vs.map(v => (v.key, v.qid)), truth).orNull)
+    }.toDF("rec", "qid")
+  }
+
+  private val voteOracle: String =
+    """SELECT c_custkey AS rec,
+      |  CASE WHEN c_custkey % 8 IN (0, 1, 4, 5, 6, 7)
+      |    THEN 'Q' || (c_custkey % 50) END AS qid
+      |FROM customer""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("m3_labels", labels, Some(labelsOracle)))
     Queries.register(QueryDef("m4_equivalents", equivalents, Some(equivalentsOracle)))
     Queries.register(QueryDef("m5_person", person, Some(personOracle)))
+    Queries.register(QueryDef("j3_vote", vote, Some(voteOracle)))
   }
 }
