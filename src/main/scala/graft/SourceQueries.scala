@@ -25,17 +25,51 @@ object SourceQueries extends QueryGroup {
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin
 
-  /** Multimodal decode stage: documents' UTF-8 bytes as the opaque
-    * payload through the typed mapPartitions pipeline (sources.Multimodal);
-    * the oracle recomputes the stub checksum by folding byte values. */
+  /** Multimodal decode stage with REAL header decode: per customer key
+    * a synthetic-but-valid PNG/GIF/JPEG/BMP header (dimensions derived
+    * from the key) travels as a binary payload through the typed
+    * mapPartitions pipeline; ImageCodec parses the actual bytes back to
+    * (format, width, height). The oracle replays the dimension formulas
+    * and the per-format header sizes. */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long")).as[Long].map { ck =>
+        val w = (ck % 640 + 1).toInt
+        val h = (ck % 480 + 1).toInt
+        val bytes = (ck % 4) match {
+          case 0 => sources.ImageCodec.synthPng(w, h)
+          case 1 => sources.ImageCodec.synthGif(w, h)
+          case 2 => sources.ImageCodec.synthJpeg(w, h)
+          case _ => sources.ImageCodec.synthBmp(w, h)
+        }
+        (ck, bytes)
+      }
+    sources.Multimodal.decodeAll(media)
+      .select($"mediaId".as("media_id"), $"format",
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+        $"nBytes".as("n_bytes"))
+  }
+  private val binaryMetaOracle: String =
+    """SELECT c_custkey AS media_id,
+      |  CASE c_custkey % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |    WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+      |  CAST(c_custkey % 640 + 1 AS BIGINT) AS width,
+      |  CAST(c_custkey % 480 + 1 AS BIGINT) AS height,
+      |  CAST(CASE c_custkey % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
+      |    WHEN 2 THEN 41 ELSE 54 END AS BIGINT) AS n_bytes
+      |FROM customer""".stripMargin
+
+  /** The non-image fallback path: documents' UTF-8 text bytes through
+    * the same pipeline — unknown format, 0×0, checksum still exact. */
+  def mediaFallback(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     sources.Multimodal.documentsAsMedia(Tables.load(spark, dir, "documents"))
       .select($"mediaId".as("media_id"), $"nBytes".as("n_bytes"),
-        $"checksum", $"width".cast("long").as("width"),
-        $"height".cast("long").as("height"))
+        $"checksum", $"format",
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"))
   }
-  private val binaryMetaOracle: String =
+  private val mediaFallbackOracle: String =
     s"""WITH m AS (
        |  SELECT doc_id AS media_id,
        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -43,12 +77,13 @@ object SourceQueries extends QueryGroup {
        |      [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text)+1)]),
        |      (a,b) -> (a*31+b) % 2147483647) AS checksum
        |  FROM documents)
-       |SELECT media_id, n_bytes, checksum,
-       |  checksum % 640 + 1 AS width, checksum % 480 + 1 AS height
+       |SELECT media_id, n_bytes, checksum, 'unknown' AS format,
+       |  CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height
        |FROM m""".stripMargin
 
   override def register(): Unit = {
     Queries.register(QueryDef("s3_json_extract", jsonExtract, Some(jsonExtractOracle)))
     Queries.register(QueryDef("m1_binary_meta", binaryMeta, Some(binaryMetaOracle)))
+    Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))
   }
 }
