@@ -81,9 +81,78 @@ object SourceQueries extends QueryGroup {
        |  CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height
        |FROM m""".stripMargin
 
+  /** S7: the PMH paged harvest over a deterministic fake feed (pages of
+    * 100, newest-first datestamps derived from the customer keys),
+    * incremental cutoff at D0500. The crawl is the driver-side token
+    * walk (sources.Pmh); the harvested set becomes a Dataset. */
+  def pmhWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "customer").count()
+    def date(i: Long): String = f"D${1000 - (i % 997)}%04d"
+    val feed = (0L until n).sortBy(i => (i % 997, i)) // keys are 0-based
+      .map(i => sources.Pmh.Header(s"r$i", date(i)))
+    val pages = feed.grouped(100).toVector
+    val src = new sources.Pmh.PageSource {
+      def fetch(token: Option[String]): (Seq[sources.Pmh.Header], Option[String]) = {
+        val idx = token.map(_.toInt).getOrElse(0)
+        val next = if (idx + 1 < pages.size) Some((idx + 1).toString) else None
+        (pages(idx), next)
+      }
+    }
+    sources.Pmh.toDataset(spark, sources.Pmh.crawl(src, "D0500"))
+      .toDF("change", "ident", "datestamp")
+  }
+  private val pmhWalkOracle: String =
+    """SELECT 'update' AS change, 'r' || c_custkey AS ident,
+      |  'D' || lpad(CAST(1000 - c_custkey % 997 AS VARCHAR), 4, '0') AS datestamp
+      |FROM customer WHERE c_custkey % 997 <= 500""".stripMargin
+
+  /** S4/S5: the archive-dir loader over a generated type/uu/uuid.json
+    * tree (written once per sf-dir under the JVM temp dir): path-derived
+    * identifiers, deleted-record (short body) skip, cache-through
+    * anti-join against already-loaded ids (keys % 10 == 0), schema'd
+    * JSON parse. */
+  def archiveLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "customer").count()
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_archive_${math.abs(dir.hashCode)}_$n")
+    val marker = new java.io.File(base, "_DONE")
+    if (!marker.exists()) {
+      (0L until n).foreach { i => // keys are 0-based
+        val d = new java.io.File(base, s"t${i % 3}/u${i % 10}")
+        d.mkdirs()
+        val body =
+          if (i % 13 == 0) "{}" // prior deletion: short body
+          else s"""{"id": $i, "v": ${i % 7}, "pad": "xxxxxxxxxxxxxxxx"}"""
+        java.nio.file.Files.writeString(
+          new java.io.File(d, s"$i.json").toPath, body)
+      }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val cached = Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" % 10 === 0)
+      .select(concat(lit("t"), $"c_custkey" % 3, lit("/u"), $"c_custkey" % 10,
+        lit("/"), $"c_custkey", lit(".json")).as("ident"))
+    sources.Archive.loadDir(spark, base.getAbsolutePath, schema, Some(cached))
+      .filter(!$"ident".endsWith("_DONE")) // the generation marker
+      .select($"ident", $"data.id".as("id"), $"data.v".as("v"))
+  }
+  private val archiveLoadOracle: String =
+    """SELECT 't' || (c_custkey % 3) || '/u' || (c_custkey % 10) || '/'
+      |    || c_custkey || '.json' AS ident,
+      |  CAST(c_custkey AS BIGINT) AS id,
+      |  CAST(c_custkey % 7 AS BIGINT) AS v
+      |FROM customer
+      |WHERE c_custkey % 13 <> 0 AND c_custkey % 10 <> 0""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("s3_json_extract", jsonExtract, Some(jsonExtractOracle)))
     Queries.register(QueryDef("m1_binary_meta", binaryMeta, Some(binaryMetaOracle)))
     Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))
+    Queries.register(QueryDef("s7_pmh_walk", pmhWalk, Some(pmhWalkOracle)))
+    Queries.register(QueryDef("s4_archive_load", archiveLoad, Some(archiveLoadOracle)))
   }
 }

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S4/S5: the archive-of-files loader — re-expression of the reference's
+  * tar/directory loaders (`pipeline/sources/yale/ycba/loader.py:30-76`,
+  * `load_from_disk` `:78-108`) against Spark's distributed file reader
+  * instead of a sequential tarfile walk:
+  *
+  *   - identifiers are the last three path segments (`type/uu/uuid.json`,
+  *     loader.py:55-56), derived from `input_file_name()`;
+  *   - records under 30 bytes are prior deletions and skipped (`:49-51`);
+  *   - records already in the output cache are skipped — here an
+  *     anti-join against the cached-id table instead of a per-record
+  *     dict probe (`:57-62`), i.e. the S9 cache-through shape;
+  *   - bodies parse with an explicit schema (from_json), bad JSON → null
+  *     body retained for the caller to route (`:66-69` logs and skips).
+  *
+  * At 100 TB this is exactly Spark's bread and butter: the file listing
+  * shards across executors, `maxPartitionBytes` packs small files, and
+  * the anti-join is a broadcast when the cache-id list is small.
+  */
+object Archive {
+
+  /** Load a directory tree of JSON files. `cachedIds`: one-column
+    * ("ident") table of already-loaded identifiers. */
+  def loadDir(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cachedIds: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("wholetext", "true")
+      .text(path)
+      .select(input_file_name().as("path"), $"value".as("body"))
+      .filter($"path".endsWith(".json") && $"path".contains("/"))
+    val withId = raw.select(
+      // type/uu/uuid.json: last three segments (loader.py:55-56)
+      concat_ws("/", slice(split($"path", "/"), -3, 3)).as("ident"),
+      $"body")
+      .filter(length($"body") >= 30) // deleted-record skip (loader.py:49)
+    val fresh = cachedIds match {
+      case Some(c) => withId.join(broadcast(c), Seq("ident"), "left_anti")
+      case None => withId
+    }
+    fresh.withColumn("data", from_json($"body", schema))
+  }
+}
