@@ -152,8 +152,64 @@ object ExportQueries extends QueryGroup {
       |WHERE l_orderkey % 20 = 0
       |GROUP BY l_orderkey""".stripMargin
 
+  /** M15: the full record→triples walk (pipeline.NtWalk) over nested
+    * fixture records: bnode minting, internal-ref short-circuit,
+    * external sanitization, type-dependent part_of/member_of predicates,
+    * literal/date handling. Map-only — one record in, ~14 rows out. */
+  def ntWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val I = graft.pipeline.MlMapper.InternalPfx
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long")).as[Long].flatMap { ck =>
+        val member = if (ck % 2 == 0) "Set" else "Group"
+        val json =
+          s"""{"id": "${I}obj/$ck", "type": "HumanMadeObject",
+             |"produced_by": {"type": "Production",
+             |  "carried_out_by": [{"id": "${I}agent/${ck % 50}", "type": "Person"}],
+             |  "timespan": {"type": "TimeSpan", "begin_of_the_begin": "1900-01-01T00:00:00"}},
+             |"identified_by": [{"type": "Name", "content": "Object $ck"}],
+             |"equivalent": [{"id": "http://ex.org/a b{$ck}", "type": "HumanMadeObject"}],
+             |"part_of": [{"id": "${I}obj/p${ck % 100}", "type": "HumanMadeObject"}],
+             |"member_of": [{"id": "${I}set/${ck % 20}", "type": "$member"}]}""".stripMargin
+        val (triples, _) = graft.pipeline.NtWalk.transform(json)
+        triples.map(t => (t.subject, t.predicate, t.obj, t.kind))
+      }.toDF("subject", "predicate", "obj", "kind")
+  }
+  private val ntWalkOracle: String = {
+    val I = graft.pipeline.MlMapper.InternalPfx
+    val base = s"'$I' || 'obj/' || ck"
+    val b0 = s"$base || '_0'"
+    val b1 = s"$base || '_1'"
+    val b2 = s"$base || '_2'"
+    val agent = s"'$I' || 'agent/' || (ck % 50)"
+    val ext = "'http://ex.org/a%20b%7B' || ck || '%7D'"
+    def r(s: String, p: String, o: String, kind: String = "uri",
+        cond: String = "TRUE") =
+      s"SELECT $s AS subject, '$p' AS predicate, $o AS obj, '$kind' AS kind FROM b WHERE $cond"
+    val rows = Seq(
+      r(base, "rdf:type", "'crm:E22_Human-Made_Object'"),
+      r(b0, "rdf:type", "'crm:E12_Production'"),
+      r(b0, "crm:P14_carried_out_by", agent),
+      r(b1, "rdf:type", "'crm:E52_Time-Span'"),
+      r(b1, "crm:P82a_begin_of_the_begin", "'1900-01-01T00:00:00'", "date"),
+      r(b0, "crm:P4_has_time-span", b1),
+      r(base, "crm:P108i_was_produced_by", b0),
+      r(b2, "rdf:type", "'crm:E33_E41_Linguistic_Appellation'"),
+      r(b2, "crm:P190_has_symbolic_content", "'Object ' || ck", "literal"),
+      r(base, "crm:P1_is_identified_by", b2),
+      r(ext, "rdf:type", "'crm:E22_Human-Made_Object'"),
+      r(base, "la:equivalent", ext),
+      r(base, "crm:P46i_forms_part_of", s"'$I' || 'obj/p' || (ck % 100)"),
+      r(base, "la:member_of", s"'$I' || 'set/' || (ck % 20)", "uri", "ck % 2 = 0"),
+      r(base, "crm:P107i_is_current_or_former_member_of",
+        s"'$I' || 'set/' || (ck % 20)", "uri", "ck % 2 <> 0"))
+    s"""WITH b AS (SELECT c_custkey AS ck FROM customer)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("k2_nt_triples", ntTriples, Some(ntTriplesOracle), bench = true))
+    Queries.register(QueryDef("m15_nt_walk", ntWalk, Some(ntWalkOracle)))
     Queries.register(QueryDef("f7_extract_names", extractNames, Some(extractNamesOracle)))
     Queries.register(QueryDef("j13_delete_cascade", deleteCascade, Some(deleteCascadeOracle)))
     Queries.register(QueryDef("w3_lang_order", langOrder, Some(langOrderOracle)))

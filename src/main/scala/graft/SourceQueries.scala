@@ -148,11 +148,91 @@ object SourceQueries extends QueryGroup {
       |FROM customer
       |WHERE c_custkey % 13 <> 0 AND c_custkey % 10 <> 0""".stripMargin
 
+  /** S2: the zip-of-JSON dump loader — four generated zips holding the
+    * same type/uu/uuid.json tree as s4 (distinct key space), unzipped
+    * executor-side per archive. No cache table: the dump load is the
+    * cold path. */
+  def zipLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "customer").count()
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_zips_${math.abs(dir.hashCode)}_$n")
+    val marker = new java.io.File(base, "_DONE")
+    if (!marker.exists()) {
+      base.mkdirs()
+      (0 until 4).foreach { z =>
+        val zout = new java.util.zip.ZipOutputStream(
+          new java.io.FileOutputStream(new java.io.File(base, s"dump$z.zip")))
+        (0L until n).filter(_ % 4 == z).foreach { i =>
+          zout.putNextEntry(new java.util.zip.ZipEntry(s"z${i % 3}/u${i % 10}/$i.json"))
+          val body =
+            if (i % 13 == 0) "{}"
+            else s"""{"id": $i, "v": ${i % 7}, "pad": "xxxxxxxxxxxxxxxx"}"""
+          zout.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          zout.closeEntry()
+        }
+        zout.close()
+      }
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    sources.Archive.loadZips(spark, base.getAbsolutePath, schema)
+      .select($"ident", $"data.id".as("id"), $"data.v".as("v"))
+  }
+  private val zipLoadOracle: String =
+    """SELECT 'z' || (c_custkey % 3) || '/u' || (c_custkey % 10) || '/'
+      |    || c_custkey || '.json' AS ident,
+      |  CAST(c_custkey AS BIGINT) AS id,
+      |  CAST(c_custkey % 7 AS BIGINT) AS v
+      |FROM customer WHERE c_custkey % 13 <> 0""".stripMargin
+
+  /** S8: the fetcher pass over a deterministic transport — invalid ids
+    * dropped (keys % 13), networkmap redirects re-template (% 5 → key+1),
+    * recorded failures re-request, transport 404s (% 7 of the effective
+    * key) surface as networkmap updates, 200s parse to envelopes. */
+  def fetchPass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val template = (id: String) => s"https://api.example/rec/$id"
+    val keyOf = (s: String) => s.replaceAll("\\D", "").toLong
+    val ids = Tables.load(spark, dir, "customer")
+      .select(concat(lit("rec"), $"c_custkey").as("i")).as[String]
+    val nm = Tables.load(spark, dir, "customer")
+      .select(concat(lit("https://api.example/rec/rec"), $"c_custkey").as("url"),
+        when($"c_custkey" % 5 === 0, concat(lit("rec"), $"c_custkey" + 1))
+          .when($"c_custkey" % 11 === 0, lit("404"))
+          .otherwise(lit(null)).as("resp"))
+      .filter($"resp".isNotNull)
+    val transport = (url: String) => {
+      val k = keyOf(url)
+      if (k % 7 == 0) (404, null) else (200, s"""{"v": $k}""")
+    }
+    val out = sources.Fetcher.fetchAll(ids, template,
+      id => keyOf(id) % 13 != 0, nm, transport)
+    val schema = StructType(Seq(StructField("v", LongType)))
+    out.toDF()
+      .select($"kind", $"identifier", $"url", $"status".cast("long").as("status"),
+        from_json($"body", schema).getField("v").as("v"))
+  }
+  private val fetchPassOracle: String =
+    """WITH b AS (
+      |  SELECT c_custkey AS ck,
+      |    CASE WHEN c_custkey % 5 = 0 THEN c_custkey + 1 ELSE c_custkey END AS n
+      |  FROM customer WHERE c_custkey % 13 <> 0)
+      |SELECT CASE WHEN n % 7 = 0 THEN 'err' ELSE 'ok' END AS kind,
+      |  'rec' || ck AS identifier,
+      |  'https://api.example/rec/rec' || n AS url,
+      |  CAST(CASE WHEN n % 7 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status,
+      |  CASE WHEN n % 7 = 0 THEN NULL ELSE CAST(n AS BIGINT) END AS v
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("s3_json_extract", jsonExtract, Some(jsonExtractOracle)))
     Queries.register(QueryDef("m1_binary_meta", binaryMeta, Some(binaryMetaOracle)))
     Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))
     Queries.register(QueryDef("s7_pmh_walk", pmhWalk, Some(pmhWalkOracle)))
     Queries.register(QueryDef("s4_archive_load", archiveLoad, Some(archiveLoadOracle)))
+    Queries.register(QueryDef("s2_zip_load", zipLoad, Some(zipLoadOracle)))
+    Queries.register(QueryDef("s8_fetch_pass", fetchPass, Some(fetchPassOracle)))
   }
 }

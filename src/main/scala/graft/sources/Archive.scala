@@ -46,4 +46,43 @@ object Archive {
     }
     fresh.withColumn("data", from_json($"body", schema))
   }
+
+  /** S2: zip-of-JSON loader — the dump-shaped cousin of loadDir
+    * (reference: the zipfile walks in the per-source loaders). Each zip
+    * is one task's unit of work: `binaryFile` ships the archive bytes to
+    * an executor, a ZipInputStream walk yields (ident, body) per .json
+    * entry, and the same skip/parse rules as loadDir apply. At 100 TB a
+    * dump is thousands of zips — the parallelism is per-archive, which
+    * is exactly how the reference shards its dump files. */
+  def loadZips(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cachedIds: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val entries = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip").load(path)
+      .select($"content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val zin = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = Seq.newBuilder[(String, String)]
+        var e = zin.getNextEntry
+        while (e != null) {
+          if (e.getName.endsWith(".json") && e.getName.contains("/")) {
+            val body = new String(zin.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val ident = e.getName.split("/").takeRight(3).mkString("/")
+            out += ((ident, body))
+          }
+          e = zin.getNextEntry
+        }
+        zin.close()
+        out.result()
+      }.toDF("ident", "body")
+      .filter(length($"body") >= 30) // deleted-record skip, as loadDir
+    val fresh = cachedIds match {
+      case Some(c) => entries.join(broadcast(c), Seq("ident"), "left_anti")
+      case None => entries
+    }
+    fresh.withColumn("data", from_json($"body", schema))
+  }
 }

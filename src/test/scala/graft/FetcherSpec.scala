@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Archive, Fetcher}
+
+/** S8 fetcher + S2 zip-loader fixtures. */
+class FetcherSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(ids: Seq[String], nm: Seq[(String, String)],
+      transport: String => (Int, String)): Map[String, (String, String, Int)] = {
+    import spark.implicits._
+    Fetcher.fetchAll(ids.toDS(), id => s"u:$id", _ != "bad",
+        nm.toDF("url", "resp"), transport)
+      .collect().map(f => f.identifier -> (f.kind, f.url, f.status)).toMap
+  }
+
+  test("redirects re-template; short or numeric entries re-request") {
+    val nm = Seq(
+      "u:a" -> "longtarget", // redirect (len > 3)
+      "u:b" -> "404",        // recorded failure: request anyway
+      "u:c" -> "0",          // recorded network error: request anyway
+      "u:d" -> "x")          // short junk: request as-is (len <= 3)
+    val out = run(Seq("a", "b", "c", "d", "e", "bad"), nm,
+      url => if (url == "u:longtarget") (200, "{}") else (200, "{}"))
+    assert(out("a")._2 == "u:longtarget")
+    assert(out("b")._2 == "u:b" && out("c")._2 == "u:c" && out("d")._2 == "u:d")
+    assert(!out.contains("bad")) // validation drops it before templating
+    assert(out.size == 5)
+  }
+
+  test("non-200 responses surface as networkmap updates") {
+    val out = run(Seq("a", "b"), Nil,
+      url => if (url == "u:a") (500, null) else (200, """{"x":1}"""))
+    assert(out("a") == (("err", "u:a", 500)))
+    assert(out("b")._1 == "ok")
+  }
+
+  test("zip loader: per-archive unzip with the loadDir skip rules") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_spec").toFile
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "d.zip")))
+    def entry(name: String, body: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(body.getBytes("UTF-8")); zout.closeEntry()
+    }
+    entry("t/a/1.json", """{"id": 1, "pad": "xxxxxxxxxxxxxxxxxxxxx"}""")
+    entry("t/a/2.json", "{}") // deleted
+    entry("t/a/readme.txt", "ignored")
+    entry("noslash.json", "ignored: no directory component")
+    zout.close()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val out = Archive.loadZips(spark, dir.getAbsolutePath, schema)
+      .select($"ident", $"data.id").as[(String, Long)].collect().toMap
+    assert(out == Map("t/a/1.json" -> 1L))
+  }
+}
