@@ -95,8 +95,9 @@ object MapperQueries extends QueryGroup {
   def geometryMerge(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val kindUdf = udf((w: String) => functions.Wkt.kindOf(w))
-    val coordsUdf = udf((w: String) => functions.Wkt.coordCount(w))
+    // columnar WKT inspection (codegen'd; see Wkt.kindCol)
+    val kindUdf = (c: org.apache.spark.sql.Column) => functions.Wkt.kindCol(c)
+    val coordsUdf = (c: org.apache.spark.sql.Column) => functions.Wkt.coordCountCol(c)
     val x = $"s_suppkey".cast("string")
     val x1 = ($"s_suppkey" + 1).cast("string")
     val y = $"s_nationkey".cast("string")

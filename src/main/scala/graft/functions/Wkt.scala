@@ -43,6 +43,24 @@ object Wkt {
     }
   }
 
+  // ---- columnar equivalents: stay inside whole-stage codegen, unlike
+  // the UDF wrappers (kept for typed JVM-side callers like LaMerge)
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Geometry kind as a codegen'd expression (NULL for non-WKT). */
+  def kindCol(w: Column): Column =
+    when(w.rlike("^\\s*POINT\\s*\\("), "POINT")
+      .when(w.rlike("^\\s*POLYGON\\s*\\(\\("), "POLYGON")
+
+  /** Exterior coordinate count as a codegen'd expression: 1 for points,
+    * comma-count + 1 of the exterior ring for polygons. */
+  def coordCountCol(w: Column): Column =
+    when(kindCol(w) === "POINT", lit(1))
+      .when(kindCol(w) === "POLYGON",
+        size(split(regexp_extract(w, "\\(\\((.*)\\)\\)", 1), ",")))
+
   def kindOf(wkt: String): Option[String] = parse(wkt).map(_.kind)
   def coordCount(wkt: String): Option[Int] = parse(wkt).map(_.nCoords)
 

@@ -168,8 +168,10 @@ object LinkedArt {
     import spark.implicits._
     val orderCol = coalesce(
       element_at(typedLit(mergeOrder), col("source")), lit(99))
-    val kindUdf = udf((w: String) => graft.functions.Wkt.kindOf(w))
-    val coordsUdf = udf((w: String) => graft.functions.Wkt.coordCount(w))
+    // columnar WKT inspection (codegen'd; the UDF forms fell out of
+    // whole-stage codegen, flagged in round 3 review)
+    val kindUdf = (c: org.apache.spark.sql.Column) => graft.functions.Wkt.kindCol(c)
+    val coordsUdf = (c: org.apache.spark.sql.Column) => graft.functions.Wkt.coordCountCol(c)
     val withYuid = parsedEnv
       .withColumn("qua", concat(col("body.id"), lit("##qua"), col("body.type")))
       .join(idmapDf, Seq("qua"))

@@ -33,4 +33,9 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(p.contains("Exchange"))
   }
+
+  test("geometry arbitration stays inside codegen (no UDF in the plan)") {
+    val p = planOf("f10_geometry_merge")
+    assert(!p.contains("UDF"), s"Scala UDF escaped codegen:\n$p")
+  }
 }
