@@ -129,8 +129,69 @@ object SimilarityQueries extends QueryGroup {
        |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** Multi-probe ANN: each query additionally probes the 8 buckets at
+    * Hamming distance 1 from its own signature (flip one hyperplane) —
+    * the standard recall-widening move (multi-probe LSH, Lv et al.
+    * VLDB'07): near neighbors that landed just across one hyperplane
+    * are recovered without rebuilding the index or adding tables. Probe
+    * volume is 9× the single-probe join's probe side (still tiny);
+    * corpus-side work is unchanged. */
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = quantized(spark, dir)
+    val bucketCol = (0 until LshBits).map { k =>
+      val s = aggregate(
+        transform(sequence(lit(1), size($"q")), i =>
+          element_at($"q", i) * signExpr(k, i)),
+        lit(0L), _ + _)
+      when(s > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = base.withColumn("bucket", bucketCol)
+    val probeBuckets = array(lit(0L) +:
+      (0 until LshBits).map(k => lit(1L << k)): _*)
+    val probes = bucketed.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"),
+        explode(probeBuckets).as("flip"),
+        $"bucket".as("pbucket"))
+      .select($"query_id", $"pq", $"pn2",
+        $"pbucket".bitwiseXOR($"flip").as("probe"))
+    val scored = bucketed.join(broadcast(probes),
+        $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+  }
+  private val annMultiprobeOracle: String = {
+    val bits = (0 until LshBits).map { k =>
+      val s = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i] * (((${aj(k + 16)}*i+${bj(k + 16)}) % $P) % 2 * 2 - 1) for i in range(1, len(q)+1)]), (a,b)->a+b)"
+      s"(CASE WHEN $s > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val flips = (Seq(0L) ++ (0 until LshBits).map(k => 1L << k))
+      .map(f => s"SELECT $f AS flip").mkString("\nUNION ALL\n")
+    s"""WITH base AS ($quantizedSql),
+       |bucketed AS (SELECT vec_id, q, n2, CAST($bits AS BIGINT) AS bucket FROM base),
+       |flips AS ($flips),
+       |probes AS (SELECT vec_id AS query_id, q AS pq, n2 AS pn2,
+       |    xor(bucket, flip) AS probe
+       |  FROM bucketed, flips WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${cosMilliSql("pq", "q", "pn2", "n2")} AS cos_milli
+       |  FROM bucketed JOIN probes ON bucket = probe AND vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_milli DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
+    Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))
   }
 }
