@@ -176,8 +176,31 @@ object TextQueries extends QueryGroup {
       sum(when($"text".isNull, 1L).otherwise(0L)).as("null_texts"))
   }
 
+  /** The oracle-checked companion of t_profile: the same profiling
+    * shape with EXACT distincts (count_distinct is engine-portable;
+    * the HLL++ variant above stays for the scale path where exact
+    * distinct would shuffle the full column). */
+  def profileExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"text").as("n_texts"),
+        countDistinct($"lang").as("n_langs"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("null_texts"),
+        sum(length($"text")).cast("long").as("total_chars"))
+  }
+  private val profileExactOracle: String =
+    """SELECT source, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT text) AS n_texts,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_texts,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("t_profile", profile, None))
+    Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
     Queries.register(QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)))
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))
     Queries.register(QueryDef("t_quality_score", qualityScore, Some(qualityOracle)))
