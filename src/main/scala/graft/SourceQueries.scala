@@ -234,5 +234,51 @@ object SourceQueries extends QueryGroup {
     Queries.register(QueryDef("s4_archive_load", archiveLoad, Some(archiveLoadOracle)))
     Queries.register(QueryDef("s2_zip_load", zipLoad, Some(zipLoadOracle)))
     Queries.register(QueryDef("s8_fetch_pass", fetchPass, Some(fetchPassOracle)))
+    Queries.register(QueryDef("s6_as_walk", asWalk, Some(asWalkOracle)))
   }
+
+  /** S6: the AS page walk over a deterministic fake stream — items in
+    * stream order (endTime ascending), pages of 80 walked last→first,
+    * identifiers recycled mod 800 so the seen-dedupe keeps newest,
+    * mixed change types (bogus → update, case-normalized), mixed URI
+    * schemes smushed to the http namespace, cutoff at E0300. */
+  def asWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "customer").count()
+    val ns = "http://ex.org/data/"
+    def item(i: Long): sources.AsStream.AsItem = {
+      val scheme = if (i % 2 == 0) "https://" else "http://"
+      val chg = (i % 5) match {
+        case 0 => "update" case 1 => "create" case 2 => "delete"
+        case 3 => "bogus" case _ => "Move"
+      }
+      sources.AsStream.AsItem(chg, s"${scheme}ex.org/data/r${i % 800}",
+        f"E${i}%04d")
+    }
+    val pages = (0L until n).map(item).grouped(80).toVector
+    val src = new sources.AsStream.PageSource {
+      def lastPage: Option[String] =
+        if (pages.isEmpty) None else Some((pages.size - 1).toString)
+      def page(id: String): (Seq[sources.AsStream.AsItem], Option[String]) = {
+        val i = id.toInt
+        (pages(i), if (i > 0) Some((i - 1).toString) else None)
+      }
+    }
+    sources.Pmh.toDataset(spark,
+        sources.AsStream.crawl(src, ns, "E0300")
+          .map(h => sources.Pmh.Harvested(h.change, h.ident, h.datestamp)))
+      .toDF("change", "ident", "datestamp")
+  }
+  private val asWalkOracle: String =
+    """WITH p AS (SELECT COUNT(*) AS n FROM customer),
+      |m AS (SELECT c_custkey AS k FROM customer, p WHERE c_custkey < 800),
+      |w AS (SELECT k,
+      |    CASE WHEN k + 800 <= (SELECT n - 1 FROM p) THEN k + 800 ELSE k END AS wi
+      |  FROM m)
+      |SELECT CASE wi % 5 WHEN 0 THEN 'update' WHEN 1 THEN 'create'
+      |    WHEN 2 THEN 'delete' WHEN 3 THEN 'update' ELSE 'move' END AS change,
+      |  'r' || k AS ident,
+      |  CASE WHEN wi % 5 = 2 THEN ''
+      |    ELSE 'E' || lpad(CAST(wi AS VARCHAR), 4, '0') END AS datestamp
+      |FROM w WHERE wi >= 300""".stripMargin
 }

@@ -57,4 +57,62 @@ class HarvestSpec extends AnyFunSuite {
     val ds = Pmh.toDataset(spark, Seq(Harvested("update", "x", "2024-01")))
     assert(ds.count() == 1)
   }
+
+  // ------------------------------------------------ S6 AS stream walk
+  import graft.sources.AsStream
+  import graft.sources.AsStream.AsItem
+
+  private def asSrc(ps: Seq[Seq[AsItem]],
+      selfLoop: Boolean = false): AsStream.PageSource =
+    new AsStream.PageSource {
+      def lastPage = if (ps.isEmpty) None else Some((ps.size - 1).toString)
+      def page(id: String) = {
+        val i = id.toInt
+        val prev = if (selfLoop && i == 0) Some("0")
+          else if (i > 0) Some((i - 1).toString) else None
+        (ps(i), prev)
+      }
+    }
+
+  test("AS walk: newest occurrence wins; a delete shadows older changes") {
+    val ns = "http://n/"
+    val items = Seq( // stream order: oldest first
+      AsItem("update", s"${ns}a", "T1"),
+      AsItem("update", s"${ns}b", "T2"),
+      AsItem("delete", s"${ns}a", "T3"),
+      AsItem("create", s"${ns}b", "T4"))
+    val out = AsStream.crawl(asSrc(Seq(items)), ns, "T0")
+    // processing is newest->oldest: b@T4 create wins, a@T3 delete wins,
+    // the older a/b rows are seen-skipped; delete datestamp is empty
+    assert(out == Seq(
+      AsStream.Harvested("create", "b", "T4"),
+      AsStream.Harvested("delete", "a", "")))
+  }
+
+  test("AS walk: an old item stops the whole stream, not just its page") {
+    val ns = "http://n/"
+    val p0 = Seq(AsItem("update", s"${ns}x", "T1")) // older page: never reached
+    val p1 = Seq(AsItem("update", s"${ns}y", "T2"),
+      AsItem("update", s"${ns}z", "T9"))
+    val out = AsStream.crawl(asSrc(Seq(p0, p1)), ns, "T5")
+    assert(out.map(_.ident) == Seq("z")) // y@T2 < T5 kills the crawl
+  }
+
+  test("AS walk: refresh stops; bogus types become updates; scheme smush") {
+    val ns = "http://n/"
+    val items = Seq(
+      AsItem("refresh", s"${ns}r", "T2"),
+      AsItem("Whatever", "https://n/w", "T3")) // https -> http namespace
+    val out = AsStream.crawl(asSrc(Seq(items)), ns, "T0")
+    assert(out == Seq(AsStream.Harvested("update", "w", "T3")))
+  }
+
+  test("AS walk: harvest_from window skips too-new items; self-loop guard") {
+    val ns = "http://n/"
+    val items = Seq(AsItem("update", s"${ns}a", "T1"),
+      AsItem("update", s"${ns}b", "T9"))
+    val out = AsStream.crawl(asSrc(Seq(items), selfLoop = true), ns, "T0",
+      harvestFrom = Some("T5"))
+    assert(out == Seq(AsStream.Harvested("update", "a", "T1"))) // b too new
+  }
 }
