@@ -47,20 +47,23 @@ object Graph {
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist()
-    // decimal sum: node ids may span the full long range (hashed keys),
-    // so a long sum would overflow under ANSI arithmetic
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node").localCheckpoint()
-    var prevSum = labelSum(labels)
+    // DELTA propagation: only nodes whose label changed last round send
+    // neighbor-min messages — a label minimum can only drop if some
+    // neighbor dropped since it was last read, so restricting senders to
+    // the changed frontier is exact (standard delta iteration). Round 1
+    // everything is "changed"; on real identity graphs the frontier
+    // collapses geometrically, so late rounds shuffle a sliver of |E|.
+    var changed = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val minNbr = sym.join(labels, sym("src") === labels("node"))
+      val msgs = sym.join(changed, sym("src") === changed("node"))
         .groupBy($"dst".as("node2")).agg(min($"label").as("nbrMin"))
-      val stepped = labels.join(minNbr, labels("node") === minNbr("node2"), "left")
-        .select($"node", least($"label", coalesce($"nbrMin", $"label")).as("label"))
+      val stepped = labels.join(msgs, labels("node") === msgs("node2"), "left")
+        .select($"node", $"label".as("prev"),
+          least($"label", coalesce($"nbrMin", $"label")).as("label"))
         // materialized: referenced twice by the shortcut self-join below
         .localCheckpoint(eager = false)
       // pointer doubling: l(u) := l(l(u)); left join because a label is
@@ -68,14 +71,16 @@ object Graph {
       val next = stepped
         .join(stepped.select($"node".as("pNode"), $"label".as("pLabel")),
           stepped("label") === $"pNode", "left")
-        .select($"node", coalesce($"pLabel", $"label").as("label"))
+        .select($"node", $"prev", coalesce($"pLabel", $"label").as("label"))
         // lazy checkpoint: the convergence aggregate below materializes it,
         // so each round costs ONE job (still truncates lineage for reuse)
         .localCheckpoint(eager = false)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0 // labels are monotone non-increasing
-      prevSum = nextSum
-      labels = next
+      // ONE job: count of changed labels doubles as the convergence test
+      // (labels only decrease, so zero changes = neighbor-min fixpoint)
+      val nChanged = next.agg(count(when($"label" < $"prev", 1))).head().getLong(0)
+      converged = nChanged == 0L
+      changed = next.filter($"label" < $"prev").select($"node", $"label")
+      labels = next.select($"node", $"label")
       iter += 1
     }
     sym.unpersist()
