@@ -235,7 +235,50 @@ object SourceQueries extends QueryGroup {
     Queries.register(QueryDef("s2_zip_load", zipLoad, Some(zipLoadOracle)))
     Queries.register(QueryDef("s8_fetch_pass", fetchPass, Some(fetchPassOracle)))
     Queries.register(QueryDef("s6_as_walk", asWalk, Some(asWalkOracle)))
+    Queries.register(QueryDef("s5_geonames_tsv", geonamesTsv, Some(geonamesTsvOracle)))
   }
+
+  /** S5: the geonames TSV loader over a generated allCountries +
+    * hierarchy fixture — primary/alternate names (primary filtered out
+    * of the alternates), POINT geometry with the reference's spacing,
+    * broadcast hierarchy parents. */
+  def geonamesTsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "customer").count()
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_geonames_${math.abs(dir.hashCode)}_$n")
+    val marker = new java.io.File(base, "_DONE")
+    if (!marker.exists()) {
+      base.mkdirs()
+      val all = (0L until n).map { i =>
+        val (lat, lng) =
+          if (i % 9 == 0) ("", "") else (s"${i % 90}.25", s"${i % 180}.5")
+        s"$i\tPlace$i\tPlace$i\tAlt${i % 50},Place$i\t$lat\t$lng"
+      }.mkString("\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(base, "allCountries.txt").toPath, all)
+      val hier = (0L until n).filter(_ % 10 != 0)
+        .map(i => s"${i - i % 10}\t$i\tADM").mkString("\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(base, "hierarchy.txt").toPath, hier)
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    sources.Geonames.load(spark,
+        new java.io.File(base, "allCountries.txt").getAbsolutePath,
+        new java.io.File(base, "hierarchy.txt").getAbsolutePath, "gn:")
+      .select($"ident", $"primary", concat_ws(",", $"alt_names").as("alt_csv"),
+        $"wkt", $"parent_ident")
+  }
+  private val geonamesTsvOracle: String =
+    """SELECT 'gn:' || c_custkey AS ident,
+      |  'Place' || c_custkey AS primary,
+      |  'Alt' || (c_custkey % 50) AS alt_csv,
+      |  CASE WHEN c_custkey % 9 <> 0
+      |    THEN 'POINT ( ' || (c_custkey % 180) || '.5 ' || (c_custkey % 90) || '.25 )'
+      |  END AS wkt,
+      |  CASE WHEN c_custkey % 10 <> 0
+      |    THEN 'gn:' || (c_custkey - c_custkey % 10) END AS parent_ident
+      |FROM customer""".stripMargin
 
   /** S6: the AS page walk over a deterministic fake stream — items in
     * stream order (endTime ascending), pages of 80 walked last→first,
