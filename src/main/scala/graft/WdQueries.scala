@@ -214,6 +214,291 @@ object WdQueries extends QueryGroup {
       |  END AS nationality
       |FROM p""".stripMargin
 
+  final case class M5GroupOut(id: Long, member_of: String, f_begin: String,
+      f_end: String, f_display: String, f_place: String, founders: String,
+      d_begin: String, d_end: String, address: String)
+
+  /** M5 process_group (wikidata/mapper.py:661-742): formation/dissolution
+    * events with precision-ranged timespans, P740 formation place,
+    * founders kept only when the reference resolves to Person/Group
+    * (fixture class = qid number % 4: 0=Person 1=Group 2=Place 3=Type),
+    * P749 parents, P6375 street address. */
+  def group(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val refClass: String => Option[String] = q => {
+      val n = q.drop(1).toLong
+      Some(Seq("Person", "Group", "Place", "Type")((n % 4).toInt))
+    }
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val y = 1700 + (ck % 200)
+        val fprec = (ck % 3) match { case 0 => 9 case 1 => 10 case _ => 11 }
+        val ftime =
+          if (fprec == 9) f"+$y%04d-00-00T00:00:00Z" else f"+$y%04d-03-15T00:00:00Z"
+        val formation =
+          if (ck % 4 != 3) Some(WdDate(ftime, fprec.toInt)) else None
+        val fplace = if (ck % 2 == 0) Seq(s"Q${ck % 77}") else Nil
+        val parents = (ck % 3) match {
+          case 0 => Seq(s"Q${ck % 50}")
+          case 1 => Seq(s"Q${ck % 50}", s"Q${ck % 50 + 1}")
+          case _ => Nil
+        }
+        val founders = Seq(s"Q$ck", s"Q${ck + 1}", s"Q${ck + 2}")
+        val dissolution =
+          if (ck % 5 == 0) Some(WdDate(f"+${y + (ck % 80) + 1}%04d-03-15T00:00:00Z", 11))
+          else None
+        val address = if (ck % 7 == 0) Some(s"$ck Main St") else None
+        val r = WdClaims.processGroup(formation, dissolution, fplace, parents,
+          founders, address, refClass)
+        M5GroupOut(ck, r.memberOf.mkString(";"),
+          r.formed.map(_.begin).orNull, r.formed.map(_.end).orNull,
+          r.formed.map(_.display).orNull, r.formed.flatMap(_.place).orNull,
+          r.founders.mkString(";"),
+          r.dissolved.map(_.begin).orNull, r.dissolved.map(_.end).orNull,
+          r.address.orNull)
+      }.toDF()
+  }
+
+  private def wd(expr: String): String =
+    s"'http://www.wikidata.org/entity/Q' || CAST($expr AS VARCHAR)"
+
+  private val groupOracle: String =
+    s"""WITH p AS (
+      |  SELECT c_custkey AS ck, 1700 + (c_custkey % 200) AS y,
+      |    c_custkey % 3 AS fp
+      |  FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 3 WHEN 0 THEN ${wd("ck % 50")}
+      |    WHEN 1 THEN ${wd("ck % 50")} || ';' || ${wd("ck % 50 + 1")}
+      |    ELSE '' END AS member_of,
+      |  CASE WHEN ck % 4 = 3 THEN NULL
+      |    WHEN fp = 0 THEN CAST(y AS VARCHAR) || '-01-01T00:00:00'
+      |    WHEN fp = 1 THEN CAST(y AS VARCHAR) || '-03-01T00:00:00'
+      |    ELSE CAST(y AS VARCHAR) || '-03-15T00:00:00' END AS f_begin,
+      |  CASE WHEN ck % 4 = 3 THEN NULL
+      |    WHEN fp = 0 THEN CAST(y AS VARCHAR) || '-12-31T23:59:59'
+      |    WHEN fp = 1 THEN CAST(y AS VARCHAR) || '-03-31T23:59:59'
+      |    ELSE CAST(y AS VARCHAR) || '-03-15T23:59:59' END AS f_end,
+      |  CASE WHEN ck % 4 = 3 THEN NULL
+      |    WHEN fp = 0 THEN CAST(y AS VARCHAR) || '-01-01'
+      |    ELSE CAST(y AS VARCHAR) || '-03-15' END AS f_display,
+      |  CASE WHEN ck % 2 = 0 AND ck % 4 <> 3 THEN ${wd("ck % 77")} END AS f_place,
+      |  CASE ck % 4
+      |    WHEN 0 THEN ${wd("ck")} || ';' || ${wd("ck + 1")}
+      |    WHEN 1 THEN ${wd("ck")}
+      |    WHEN 2 THEN ${wd("ck + 2")}
+      |    ELSE ${wd("ck + 1")} || ';' || ${wd("ck + 2")} END AS founders,
+      |  CASE WHEN ck % 5 = 0
+      |    THEN CAST(y + (ck % 80) + 1 AS VARCHAR) || '-03-15T00:00:00' END AS d_begin,
+      |  CASE WHEN ck % 5 = 0
+      |    THEN CAST(y + (ck % 80) + 1 AS VARCHAR) || '-03-15T23:59:59' END AS d_end,
+      |  CASE WHEN ck % 7 = 0 THEN CAST(ck AS VARCHAR) || ' Main St' END AS address
+      |FROM p""".stripMargin
+
+  final case class M5PlaceOut(id: Long, cls: String, part_of: String,
+      defined_by: String)
+
+  /** M5 process_place (wikidata/mapper.py:744-827): the P31→AAT map in
+    * dict order, broader P361+P131-else-P17 filtered to Place refs
+    * (fixture class: even qid number = Place), and defined_by — extreme
+    * points → NW..SW box WKT with the shoelace-area>2000 reject, falling
+    * back to the P625 point. */
+  def place(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.WdClaims.WdCoord
+    val refClass: String => Option[String] = q =>
+      Some(if (q.drop(1).toLong % 2 == 0) "Place" else "Person")
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val types = (ck % 7) match {
+          case 0 => Seq("Q6256")
+          case 1 => Seq("Q515")
+          case 2 => Seq("Q0", "Q35657") // unmapped first: map order decides
+          case 3 => Seq("Q106458883")
+          case 4 => Seq("Q5107")
+          case 5 => Seq("Q515", "Q6256") // both present: country (map order) wins
+          case _ => Seq("Q1")
+        }
+        val p361 = if (ck % 3 == 0) Seq(s"Q${3 * ck}") else Nil
+        val p131 = if (ck % 3 <= 1) Seq(s"Q${3 * ck + 1}") else Nil
+        val p17 = Seq(s"Q${3 * ck + 2}")
+        val (n, s, e, w) =
+          if (ck % 3 == 0) {
+            val nLat = (ck % 60).toDouble + 0.5
+            val sLat = nLat - ((ck % 7) + 1) * 5
+            val wLon = (ck % 80).toDouble
+            val eLon = wLon + ((ck % 9) + 1) * 10
+            (Some(WdCoord(0, nLat)), Some(WdCoord(0, sLat)),
+              Some(WdCoord(eLon, 0)), Some(WdCoord(wLon, 0)))
+          } else (None, None, None, None)
+        val point =
+          if (ck % 2 == 0)
+            Some(WdCoord((ck % 360).toDouble - 179.5, (ck % 180).toDouble - 89.5))
+          else None
+        val r = WdClaims.processPlace(types, p361, p131, p17, n, s, e, w,
+          point, refClass)
+        M5PlaceOut(ck, r.classifiedAs.orNull, r.partOf.mkString(";"),
+          r.definedBy.orNull)
+      }.toDF()
+  }
+
+  private val placeOracle: String = {
+    // the shoelace area of the fixture box is width*height; the box is
+    // kept only at area <= 2000
+    val width = "((ck % 9) + 1) * 10"
+    val height = "((ck % 7) + 1) * 5"
+    def f(expr: String) = s"CAST(CAST($expr AS DOUBLE) AS VARCHAR)"
+    val nLat = f("(ck % 60) + 0.5")
+    val sLat = f("((ck % 60) + 0.5) - ((ck % 7) + 1) * 5")
+    val wLon = f("ck % 80")
+    val eLon = f("(ck % 80) + ((ck % 9) + 1) * 10")
+    s"""WITH p AS (SELECT c_custkey AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 7
+      |    WHEN 0 THEN 'http://vocab.getty.edu/aat/300128207'
+      |    WHEN 1 THEN 'http://vocab.getty.edu/aat/300008389'
+      |    WHEN 2 THEN 'http://vocab.getty.edu/aat/300000776'
+      |    WHEN 3 THEN 'http://vocab.getty.edu/aat/300000776'
+      |    WHEN 4 THEN 'http://vocab.getty.edu/aat/300128176'
+      |    WHEN 5 THEN 'http://vocab.getty.edu/aat/300128207'
+      |  END AS cls,
+      |  CASE WHEN ck % 3 = 0 THEN
+      |      CASE WHEN (3 * ck) % 2 = 0 AND (3 * ck + 1) % 2 = 0
+      |          THEN ${wd("3 * ck")} || ';' || ${wd("3 * ck + 1")}
+      |        WHEN (3 * ck) % 2 = 0 THEN ${wd("3 * ck")}
+      |        WHEN (3 * ck + 1) % 2 = 0 THEN ${wd("3 * ck + 1")}
+      |        ELSE '' END
+      |    WHEN ck % 3 = 1 THEN
+      |      CASE WHEN (3 * ck + 1) % 2 = 0 THEN ${wd("3 * ck + 1")} ELSE '' END
+      |    ELSE
+      |      CASE WHEN (3 * ck + 2) % 2 = 0 THEN ${wd("3 * ck + 2")} ELSE '' END
+      |  END AS part_of,
+      |  CASE WHEN ck % 3 = 0 AND $width * $height <= 2000 THEN
+      |      'POLYGON (( ' || $wLon || ' ' || $nLat || ',' || $eLon || ' ' || $nLat
+      |        || ',' || $eLon || ' ' || $sLat || ',' || $wLon || ' ' || $sLat
+      |        || ',' || $wLon || ' ' || $nLat || ' ))'
+      |    WHEN ck % 2 = 0 THEN
+      |      'POINT ( ' || ${f("(ck % 360) - 179.5")} || ' '
+      |        || ${f("(ck % 180) - 89.5")} || ' )'
+      |  END AS defined_by
+      |FROM p""".stripMargin
+  }
+
+  final case class M5HmoOut(id: Long, cls: String, p_begin: String,
+      p_end: String, creators: String, p_places: String, cats: String,
+      accs: String, mats: String, dims: String, e_begin: String,
+      e_end: String, e_places: String)
+
+  /** M5 process_humanmadeobject (wikidata/mapper.py:890-1032): P31→AAT,
+    * production (P571 + P170-else-P176 creators filtered to Person/Group
+    * — fixture class = qid number % 3: 0=Person 1=Group 2=Place — +
+    * P1071 places), P528/P217 identifiers, P186 materials, first-claim
+    * dimensions with '+'-strip and cm/inch unit mapping, P189/P575
+    * encounter. */
+  def hmo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val refClass: String => Option[String] = q => {
+      val n = q.drop(1).toLong
+      Some(Seq("Person", "Group", "Place")((n % 3).toInt))
+    }
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val types = (ck % 5) match {
+          case 0 => Seq("Q3305213")
+          case 1 => Seq("Q860861")
+          case 2 => Seq("Q93184")
+          case 3 => Seq("Q125191")
+          case _ => Seq("Q42")
+        }
+        val y = 1400 + (ck % 600)
+        val prodDate =
+          if (ck % 3 != 0) Some(WdDate(f"+$y%04d-06-10T00:00:00Z", 11)) else None
+        val p170 = if (ck % 4 == 0) Seq(s"Q${2 * ck}", s"Q${2 * ck + 1}") else Nil
+        val p176 = if (ck % 4 <= 1) Seq(s"Q${2 * ck + 2}") else Nil
+        val prodPlaces = if (ck % 6 == 0) Seq(s"Q${ck % 13}") else Nil
+        val cats = if (ck % 2 == 0) Seq(s"cat${ck % 40}") else Nil
+        val accs = if (ck % 3 == 0) Seq(s"acc$ck") else Nil
+        val mats = (ck % 3) match {
+          case 0 => Seq(s"Q${ck % 20}")
+          case 1 => Seq(s"Q${ck % 20}", s"Q${ck % 20 + 1}")
+          case _ => Nil
+        }
+        val width =
+          if (ck % 2 == 0) Some((s"+${ck % 90}.5", "Q174728")) else None
+        val height =
+          if (ck % 3 == 0) Some((s"${ck % 50}.5", "Q218593")) else None
+        val depth =
+          if (ck % 5 == 0) Some((s"+${ck % 30}.5", s"Q${ck % 11}")) else None
+        val encPlaces = if (ck % 7 == 0) Seq(s"Q${ck % 17}") else Nil
+        val y3 = 1900 + (ck % 100)
+        val encDate =
+          if (ck % 8 == 0) Some(WdDate(f"+$y3%04d-05-15T00:00:00Z", 10)) else None
+        val r = WdClaims.processHmo(types, prodDate, p170, p176, prodPlaces,
+          cats, accs, mats, width, height, depth, encPlaces, encDate, refClass)
+        M5HmoOut(ck, r.classifiedAs.orNull,
+          r.production.map(_.begin).orNull, r.production.map(_.end).orNull,
+          r.creators.mkString(";"), r.prodPlaces.mkString(";"),
+          r.catalogIds.mkString(";"), r.accessionNumbers.mkString(";"),
+          r.materials.mkString(";"),
+          r.dimensions.map(d => s"${d.kind}:${d.value}:${d.unit}").mkString(";"),
+          r.encounter.map(_.begin).orNull, r.encounter.map(_.end).orNull,
+          r.encounterPlaces.mkString(";"))
+      }.toDF()
+  }
+
+  private val hmoOracle: String = {
+    def f(expr: String) = s"CAST(CAST($expr AS DOUBLE) AS VARCHAR)"
+    val cm = "http://vocab.getty.edu/aat/300379098"
+    val in = "http://vocab.getty.edu/aat/300379100"
+    s"""WITH p AS (
+      |  SELECT c_custkey AS ck, 1400 + (c_custkey % 600) AS y,
+      |    1900 + (c_custkey % 100) AS y3
+      |  FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 5
+      |    WHEN 0 THEN 'http://vocab.getty.edu/aat/300033618'
+      |    WHEN 1 THEN 'http://vocab.getty.edu/aat/300047090'
+      |    WHEN 2 THEN 'http://vocab.getty.edu/aat/300033973'
+      |    WHEN 3 THEN 'http://vocab.getty.edu/aat/300046300'
+      |  END AS cls,
+      |  CASE WHEN ck % 3 <> 0
+      |    THEN CAST(y AS VARCHAR) || '-06-10T00:00:00' END AS p_begin,
+      |  CASE WHEN ck % 3 <> 0
+      |    THEN CAST(y AS VARCHAR) || '-06-10T23:59:59' END AS p_end,
+      |  CASE WHEN ck % 4 = 0 THEN
+      |      CASE (2 * ck) % 3
+      |        WHEN 0 THEN ${wd("2 * ck")} || ';' || ${wd("2 * ck + 1")}
+      |        WHEN 1 THEN ${wd("2 * ck")}
+      |        ELSE ${wd("2 * ck + 1")} END
+      |    WHEN ck % 4 = 1 THEN
+      |      CASE WHEN (2 * ck + 2) % 3 <= 1 THEN ${wd("2 * ck + 2")} ELSE '' END
+      |    ELSE '' END AS creators,
+      |  CASE WHEN ck % 6 = 0 THEN ${wd("ck % 13")} ELSE '' END AS p_places,
+      |  CASE WHEN ck % 2 = 0 THEN 'cat' || CAST(ck % 40 AS VARCHAR) ELSE '' END AS cats,
+      |  CASE WHEN ck % 3 = 0 THEN 'acc' || CAST(ck AS VARCHAR) ELSE '' END AS accs,
+      |  CASE ck % 3 WHEN 0 THEN ${wd("ck % 20")}
+      |    WHEN 1 THEN ${wd("ck % 20")} || ';' || ${wd("ck % 20 + 1")}
+      |    ELSE '' END AS mats,
+      |  COALESCE(array_to_string(list_filter([
+      |    CASE WHEN ck % 2 = 0
+      |      THEN 'width:' || ${f("(ck % 90) + 0.5")} || ':$cm' END,
+      |    CASE WHEN ck % 3 = 0
+      |      THEN 'height:' || ${f("(ck % 50) + 0.5")} || ':$in' END,
+      |    CASE WHEN ck % 5 = 0
+      |      THEN 'depth:' || ${f("(ck % 30) + 0.5")}
+      |        || ':http://www.wikidata.org/entity/Q' || CAST(ck % 11 AS VARCHAR) END
+      |  ], x -> x IS NOT NULL), ';'), '') AS dims,
+      |  CASE WHEN ck % 8 = 0
+      |    THEN CAST(y3 AS VARCHAR) || '-05-01T00:00:00' END AS e_begin,
+      |  CASE WHEN ck % 8 = 0
+      |    THEN CAST(y3 AS VARCHAR) || '-05-31T23:59:59' END AS e_end,
+      |  CASE WHEN ck % 7 = 0 THEN ${wd("ck % 17")} ELSE '' END AS e_places
+      |FROM p""".stripMargin
+  }
+
   final case class Vote(rec: Long, key: String, qid: String, truth: String)
 
   /** J3: the voting reconciler — 8 fixture variants exercise every
@@ -258,6 +543,9 @@ object WdQueries extends QueryGroup {
     Queries.register(QueryDef("m3_labels", labels, Some(labelsOracle)))
     Queries.register(QueryDef("m4_equivalents", equivalents, Some(equivalentsOracle)))
     Queries.register(QueryDef("m5_person", person, Some(personOracle)))
+    Queries.register(QueryDef("m5_group", group, Some(groupOracle)))
+    Queries.register(QueryDef("m5_place", place, Some(placeOracle)))
+    Queries.register(QueryDef("m5_hmo", hmo, Some(hmoOracle)))
     Queries.register(QueryDef("j3_vote", vote, Some(voteOracle)))
   }
 }

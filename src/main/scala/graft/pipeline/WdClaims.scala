@@ -210,4 +210,142 @@ object WdClaims {
       nationalities.flatMap(natMap.get),
       occupations.map(expandUri))
   }
+
+  final case class GroupResult(memberOf: Seq[String], formed: Option[WdEvent],
+      founders: Seq[String], dissolved: Option[WdEvent], address: Option[String])
+
+  /** M5 process_group (mapper.py:661-742): P749 parents → member_of,
+    * P571/P740 formation event (place-only when just P740), P112 founders
+    * kept only when the referenced record is a Person or Group
+    * (`get_reference` class check, :696-700), P576 dissolution, and the
+    * P6375 street address (first claim; dict claims resolve to their first
+    * value before reaching here). */
+  def processGroup(formation: Option[WdDate], dissolution: Option[WdDate],
+      formationPlace: Seq[String], parents: Seq[String], founders: Seq[String],
+      address: Option[String], refClass: String => Option[String]): GroupResult = {
+    val fp = formationPlace.headOption // same one-place rule as birth (:681-684)
+    val formed = formation.flatMap(mkEvent(_, fp))
+      .orElse(fp.map(p => WdEvent(null, null, null, Some(expandUri(p)))))
+    GroupResult(
+      parents.map(expandUri),
+      formed,
+      founders.filter(f => refClass(f).exists(c => c == "Person" || c == "Group"))
+        .map(expandUri),
+      dissolution.flatMap(mkEvent(_, None)),
+      address)
+  }
+
+  final case class WdCoord(lon: Double, lat: Double)
+  final case class PlaceResult(classifiedAs: Option[String], partOf: Seq[String],
+      definedBy: Option[String])
+
+  /** mapper.py:746-752 place_type_map, in dict order — first map entry
+    * whose QID appears in P31 wins (the loop breaks). */
+  val placeTypeMap: Seq[(String, String)] = Seq(
+    "Q5107" -> "300128176", // Continent
+    "Q6256" -> "300128207", // Country
+    "Q35657" -> "300000776", // US State -> Province / State
+    "Q106458883" -> "300000776", // State
+    "Q515" -> "300008389") // City
+
+  /** Planar shoelace area of a closed ring — what shapely's
+    * `Polygon.area` computes for the mapper's box (mapper.py:816). */
+  def ringArea(ring: Seq[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      s += ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  /** M5 process_place (mapper.py:744-827): P31 → AAT via place_type_map,
+    * broader = P361+P131 (else P17) kept only when the reference resolves
+    * to a Place, and defined_by from the four extreme points as a
+    * NW→NE→SE→SW box — rejected when the planar area exceeds 2000 square
+    * degrees (:815-817) — falling back to the P625 point. Coordinate
+    * formatting follows Python `str(float)` (shortest round-trip), which
+    * JVM `Double.toString` matches for these values. */
+  def processPlace(types: Seq[String], broaderP361: Seq[String],
+      locatedInP131: Seq[String], countryP17: Seq[String],
+      north: Option[WdCoord], south: Option[WdCoord], east: Option[WdCoord],
+      west: Option[WdCoord], point: Option[WdCoord],
+      refClass: String => Option[String]): PlaceResult = {
+    val cls = placeTypeMap.collectFirst {
+      case (q, aat) if types.contains(q) => s"http://vocab.getty.edu/aat/$aat"
+    }
+    val broader0 = broaderP361 ++ locatedInP131
+    val broader = if (broader0.nonEmpty) broader0 else countryP17
+    val partOf = broader.filter(b => refClass(b).contains("Place")).map(expandUri)
+    val box = for (n <- north; s <- south; e <- east; w <- west) yield Seq(
+      (w.lon, n.lat), (e.lon, n.lat), (e.lon, s.lat), (w.lon, s.lat), (w.lon, n.lat))
+    val poly = box.filter(ringArea(_) <= 2000).map { ring =>
+      s"POLYGON (( ${ring.map(p => s"${p._1} ${p._2}").mkString(",")} ))"
+    }
+    PlaceResult(cls, partOf,
+      poly.orElse(point.map(c => s"POINT ( ${c.lon} ${c.lat} )")))
+  }
+
+  final case class WdDimension(kind: String, value: Double, unit: String)
+  final case class HmoResult(classifiedAs: Option[String],
+      production: Option[WdEvent], creators: Seq[String], prodPlaces: Seq[String],
+      catalogIds: Seq[String], accessionNumbers: Seq[String],
+      materials: Seq[String], dimensions: Seq[WdDimension],
+      encounter: Option[WdEvent], encounterPlaces: Seq[String])
+
+  /** mapper.py:894-899 type_map, first match in dict order wins. */
+  val hmoTypeMap: Seq[(String, String)] = Seq(
+    "Q3305213" -> "300033618", // Painting
+    "Q860861" -> "300047090", // Sculpture
+    "Q93184" -> "300033973", // Drawing
+    "Q125191" -> "300046300") // Photograph
+
+  /** The cromulent vocab instances the unit map resolves to
+    * (mapper.py:988-992): cm and inches as their AAT unit terms. */
+  val unitCm = "http://vocab.getty.edu/aat/300379098"
+  val unitInches = "http://vocab.getty.edu/aat/300379100"
+
+  def mapUnit(unit: String): String =
+    if (unit.endsWith("Q174728")) unitCm
+    else if (unit.endsWith("Q218593")) unitInches
+    else expandUri(unit)
+
+  /** M5 process_humanmadeobject (mapper.py:890-1032): P31 → AAT type_map,
+    * production from P571 date + P170 creators (P176 manufacturer
+    * fallback, Person/Group refs only) + P1071 places, P528/P217
+    * identifiers, P186 materials, width/height/depth dimensions (first
+    * claim only, '+'-stripped value, cm/inches unit mapping), and the
+    * P189/P575 encounter. */
+  def processHmo(types: Seq[String], prodDate: Option[WdDate],
+      creatorsP170: Seq[String], manufacturersP176: Seq[String],
+      prodPlaces: Seq[String], catalogCodes: Seq[String],
+      accessions: Seq[String], materials: Seq[String],
+      width: Option[(String, String)], height: Option[(String, String)],
+      depth: Option[(String, String)], encPlaces: Seq[String],
+      encDate: Option[WdDate], refClass: String => Option[String]): HmoResult = {
+    val cls = hmoTypeMap.collectFirst {
+      case (q, aat) if types.contains(q) => s"http://vocab.getty.edu/aat/$aat"
+    }
+    // P170 falls back to P176 only when absent entirely (mapper.py:909-912)
+    val creatorClaims = if (creatorsP170.nonEmpty) creatorsP170 else manufacturersP176
+    val creators = creatorClaims
+      .filter(c => refClass(c).exists(x => x == "Person" || x == "Group"))
+      .map(expandUri)
+    def dim(kind: String, d: Option[(String, String)]): Option[WdDimension] =
+      d.map { case (v0, u) =>
+        val v = if (v0.startsWith("+")) v0.substring(1) else v0 // mapper.py:983-986
+        WdDimension(kind, v.toDouble, mapUnit(u))
+      }
+    HmoResult(cls,
+      prodDate.flatMap(mkEvent(_, None)),
+      creators,
+      prodPlaces.map(expandUri),
+      catalogCodes,
+      accessions,
+      materials.map(expandUri),
+      Seq(dim("width", width), dim("height", height), dim("depth", depth)).flatten,
+      encDate.flatMap(mkEvent(_, None)),
+      encPlaces.map(expandUri))
+  }
 }

@@ -109,4 +109,108 @@ class WdClaimsSpec extends AnyFunSuite {
     assert(b.begin == null && b.place.contains("http://www.wikidata.org/entity/Q365"))
     assert(r.died.isEmpty) // precision 8 (decade): ignored (mapper.py:99-103)
   }
+
+  // --- process_group (:661-742) ---
+
+  private val cls4: String => Option[String] =
+    q => Some(Seq("Person", "Group", "Place", "Type")((q.drop(1).toInt % 4)))
+
+  test("group formation/dissolution events, founders filtered to Person/Group") {
+    val r = processGroup(
+      formation = Some(WdDate("+1701-00-00T00:00:00Z", 9)),
+      dissolution = Some(WdDate("+1890-03-02T00:00:00Z", 11)),
+      formationPlace = Seq("Q84", "Q90"), parents = Seq("Q312"),
+      founders = Seq("Q4", "Q5", "Q6", "Q7"), // Person, Group, Place, Type
+      address = Some("1 High St"), refClass = cls4)
+    val f = r.formed.get
+    assert(f.begin == "1701-01-01T00:00:00" && f.end == "1701-12-31T23:59:59")
+    assert(f.display == "1701-01-01")
+    assert(f.place.contains("http://www.wikidata.org/entity/Q84")) // first only
+    assert(r.founders == Seq("http://www.wikidata.org/entity/Q4",
+      "http://www.wikidata.org/entity/Q5")) // Place/Type refs dropped (:696-700)
+    assert(r.dissolved.get.begin == "1890-03-02T00:00:00")
+    assert(r.memberOf == Seq("http://www.wikidata.org/entity/Q312"))
+    assert(r.address.contains("1 High St"))
+  }
+
+  test("place-only formation when the date is absent") {
+    val r = processGroup(None, None, Seq("Q84"), Nil, Nil, None, cls4)
+    assert(r.formed.get.begin == null &&
+      r.formed.get.place.contains("http://www.wikidata.org/entity/Q84"))
+    assert(r.dissolved.isEmpty)
+  }
+
+  // --- process_place (:744-827) ---
+
+  private val clsPlaceEven: String => Option[String] =
+    q => Some(if (q.drop(1).toInt % 2 == 0) "Place" else "Person")
+
+  test("place type map first-match in dict order; broader filtered to Place refs") {
+    // both city and country present: country (earlier map entry) wins
+    val r = processPlace(Seq("Q515", "Q6256"), Seq("Q2", "Q3"), Seq("Q4"),
+      Seq("Q6"), None, None, None, None, None, clsPlaceEven)
+    assert(r.classifiedAs.contains("http://vocab.getty.edu/aat/300128207"))
+    // P361+P131 concat; odd (non-Place) refs dropped; P17 unused
+    assert(r.partOf == Seq("http://www.wikidata.org/entity/Q2",
+      "http://www.wikidata.org/entity/Q4"))
+    // P17 only when both P361 and P131 are empty
+    val r2 = processPlace(Nil, Nil, Nil, Seq("Q6"), None, None, None, None,
+      None, clsPlaceEven)
+    assert(r2.partOf == Seq("http://www.wikidata.org/entity/Q6"))
+  }
+
+  test("extreme points become a NW..SW box; area>2000 falls back to point") {
+    val n = Some(WdCoord(0, 10.5)); val s = Some(WdCoord(0, 0.5))
+    val e = Some(WdCoord(25.0, 0)); val w = Some(WdCoord(5.0, 0))
+    val r = processPlace(Nil, Nil, Nil, Nil, n, s, e, w,
+      Some(WdCoord(1.5, 2.5)), clsPlaceEven)
+    // 20 x 10 degrees = area 200: kept, ring closed back at NW
+    assert(r.definedBy.contains(
+      "POLYGON (( 5.0 10.5,25.0 10.5,25.0 0.5,5.0 0.5,5.0 10.5 ))"))
+    // 210 x 10 = 2100 > 2000: box rejected, P625 point wins (:815-817)
+    val wide = processPlace(Nil, Nil, Nil, Nil, n, s, Some(WdCoord(215.0, 0)), w,
+      Some(WdCoord(1.5, 2.5)), clsPlaceEven)
+    assert(wide.definedBy.contains("POINT ( 1.5 2.5 )"))
+    // no point either: nothing
+    assert(processPlace(Nil, Nil, Nil, Nil, n, s, Some(WdCoord(215.0, 0)), w,
+      None, clsPlaceEven).definedBy.isEmpty)
+  }
+
+  // --- process_humanmadeobject (:890-1032) ---
+
+  private val cls3: String => Option[String] =
+    q => Some(Seq("Person", "Group", "Place")((q.drop(1).toInt % 3)))
+
+  test("hmo production, P176 fallback, dimensions with unit mapping") {
+    val r = processHmo(types = Seq("Q3305213"),
+      prodDate = Some(WdDate("+1642-00-00T00:00:00Z", 9)),
+      creatorsP170 = Nil, manufacturersP176 = Seq("Q3", "Q4", "Q5"),
+      prodPlaces = Seq("Q727"), catalogCodes = Seq("SK-C-5"),
+      accessions = Seq("A1"), materials = Seq("Q296955"),
+      width = Some(("+453.5", "Q174728")), height = Some(("379.5", "Q218593")),
+      depth = Some(("+4.0", "Q218")), encPlaces = Nil, encDate = None,
+      refClass = cls3)
+    assert(r.classifiedAs.contains("http://vocab.getty.edu/aat/300033618"))
+    assert(r.production.get.begin == "1642-01-01T00:00:00")
+    // P176 fallback used; Q5 (Place) dropped
+    assert(r.creators == Seq("http://www.wikidata.org/entity/Q3",
+      "http://www.wikidata.org/entity/Q4"))
+    assert(r.prodPlaces == Seq("http://www.wikidata.org/entity/Q727"))
+    assert(r.dimensions == Seq(
+      WdDimension("width", 453.5, unitCm),
+      WdDimension("height", 379.5, unitInches),
+      WdDimension("depth", 4.0, "http://www.wikidata.org/entity/Q218")))
+    assert(r.materials == Seq("http://www.wikidata.org/entity/Q296955"))
+  }
+
+  test("hmo P170 present suppresses P176; encounter event") {
+    val r = processHmo(Seq("Q42"), None, Seq("Q3"), Seq("Q99"), Nil, Nil, Nil,
+      Nil, None, None, None, encPlaces = Seq("Q30"),
+      encDate = Some(WdDate("+1922-11-15T00:00:00Z", 10)), refClass = cls3)
+    assert(r.classifiedAs.isEmpty)
+    assert(r.creators == Seq("http://www.wikidata.org/entity/Q3"))
+    assert(r.encounter.get.begin == "1922-11-01T00:00:00")
+    assert(r.encounter.get.end == "1922-11-30T23:59:59")
+    assert(r.encounterPlaces == Seq("http://www.wikidata.org/entity/Q30"))
+  }
 }
