@@ -34,7 +34,7 @@ object DedupQueries extends QueryGroup {
 
   /** Deterministic per-permutation constants for minhash/simhash. */
   val K = 16
-  val SimK = 32
+  val SimK = 64
   def aj(j: Int): Long = (2L * j + 3) * 104729L % P
   def bj(j: Int): Long = (j + 1L) * 179426549L % P
 
@@ -65,6 +65,38 @@ object DedupQueries extends QueryGroup {
     val cond = (keys :+ "salt").map(k => col(s"a.$k") <=> col(s"b.$k"))
       .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
     a.as("a").join(b.as("b"), cond)
+  }
+
+  /** The three-regime guarded band self-join (header): buckets > BandCap
+    * dropped, buckets in (SaltAt, BandCap] salted, the rest plain. All
+    * regime decisions are made on a localCheckpointed tiny count table
+    * feeding broadcasts. Returns distinct `<`-ordered pairs as columns
+    * `{id}_a`/`{id}_b` plus `{c}_a`/`{c}_b` for every `carry` column. */
+  private[graft] def guardedBandPairs(bandRows: DataFrame, keys: Seq[String],
+      idCol: String, carry: Seq[String] = Nil): DataFrame = {
+    val counts = bandRows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > SaltAt) // only oversize buckets matter downstream
+      .localCheckpoint() // tiny; feeds two broadcasts without recompute
+    val hot = counts.filter(col("n") > BandCap).select(keys.map(col): _*)
+    // no-silent-caps: the checkpoint above already materialized counts,
+    // so surfacing how many buckets the cap drops costs one tiny scan
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"guardedBandPairs: dropping $nHot band buckets larger than $BandCap docs")
+    val big = counts.filter(col("n") <= BandCap).select(keys.map(col): _*)
+    val capped = bandRows.join(broadcast(hot), keys, "left_anti")
+    val smallRows = capped.join(broadcast(big), keys, "left_anti")
+    val bigRows = capped.join(broadcast(big), keys, "left_semi")
+    val outCols = (idCol +: carry).flatMap(c =>
+      Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
+    val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _) &&
+      col(s"a.$idCol") < col(s"b.$idCol")
+    val plainPairs = smallRows.as("a").join(smallRows.as("b"), cond)
+      .select(outCols: _*)
+    val saltedPairs = saltedSelfJoin(bigRows, keys, idCol).select(outCols: _*)
+    plainPairs.union(saltedPairs).distinct()
   }
 
   // ------------------------------------------------------------ helpers
@@ -143,31 +175,10 @@ object DedupQueries extends QueryGroup {
       .select($"doc_id", explode(array(bandCols: _*)).as("band"))
       .select($"doc_id", $"band.band_idx", $"band.band_hash")
       .persist()
-    // bucket sizes: partial-agg count per bucket (map-side combined).
-    // Three regimes, each a broadcast of the (tiny) oversize-bucket list:
-    //   n > BandCap          dropped (boilerplate cluster, see header)
-    //   SaltAt < n <= BandCap salted self-join (skew spread over reducers)
-    //   n <= SaltAt           plain self-join (no replication overhead)
-    val counts = bandRows.groupBy($"band_idx", $"band_hash")
-      .agg(count(lit(1)).as("n"))
-      .filter($"n" > SaltAt) // only oversize buckets matter downstream
-      .localCheckpoint() // tiny; feeds two broadcasts without recompute
-    val hot = counts.filter($"n" > BandCap).select($"band_idx", $"band_hash")
-    val big = counts.filter($"n" <= BandCap)
-      .select($"band_idx", $"band_hash")
-    val capped = bandRows.join(broadcast(hot),
-      Seq("band_idx", "band_hash"), "left_anti")
-    val smallRows = capped.join(broadcast(big),
-      Seq("band_idx", "band_hash"), "left_anti")
-    val bigRows = capped.join(broadcast(big),
-      Seq("band_idx", "band_hash"), "left_semi")
-    val plainPairs = smallRows.as("a").join(smallRows.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-    val saltedPairs = saltedSelfJoin(bigRows, Seq("band_idx", "band_hash"), "doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-    val cand = plainPairs.union(saltedPairs).distinct()
+    // the three-regime guarded band join (guardedBandPairs): cap, salt,
+    // plain — shared with d3
+    val cand = guardedBandPairs(bandRows, Seq("band_idx", "band_hash"), "doc_id")
+      .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"))
       // Materialization barrier: candidate pairs are tiny relative to the
       // corpus; fusing signature generation + band join + verify into one
       // whole-stage-codegen tree makes Catalyst inline the minhash
@@ -219,9 +230,17 @@ object DedupQueries extends QueryGroup {
        |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT) >= 800""".stripMargin
   }
 
-  /** SimHash: 32-bit tf-weighted fingerprint per doc (map-side), byte-band
-    * blocking join, near-partner count at hamming <= 2. Compact per-doc
-    * output (pairs stay internal — the corpus is dense in near-dups). */
+  /** SimHash: 64-bit tf-weighted fingerprint per doc (map-side), 4×16-bit
+    * band blocking join, near-partner count at hamming <= 2. Compact
+    * per-doc output (pairs stay internal — the corpus is dense in
+    * near-dups).
+    *
+    * Scale shape: 16-bit bands give 65,536 bucket values per band (256
+    * was quadratic at corpus scale), and the band join goes through the
+    * same three-regime guardedBandPairs as d2 — hot buckets above
+    * BandCap (boilerplate fingerprints: empty docs, templated text hash
+    * identically) are dropped, mid-size buckets salted. The oracle
+    * replays the banding and the cap exactly. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables.load(spark, dir, "documents")
@@ -235,18 +254,20 @@ object DedupQueries extends QueryGroup {
       .reduce(_ + _)
     val fps = ids.select($"doc_id" +: votes: _*)
       .select($"doc_id", fpCol.as("fp"))
+      .persist() // band fan-out + final left join read this
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
-        shiftright($"fp", 8 * b).bitwiseAND(255L).as("band_hash")))
+        shiftright($"fp", 16 * b).bitwiseAND(65535L).as("band_hash")))
     val bandRows = fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("band"))
       .select($"doc_id", $"fp", $"band.band_idx", $"band.band_hash")
-    val pairs = bandRows.as("a").join(bandRows.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" =!= $"b.doc_id")
-      .select($"a.doc_id".as("doc_id"), $"b.doc_id".as("partner"),
-        bit_count($"a.fp".bitwiseXOR($"b.fp")).as("ham"))
-      .distinct()
-    val near = pairs.filter($"ham" <= 2)
+    val pairs = guardedBandPairs(bandRows, Seq("band_idx", "band_hash"),
+        "doc_id", carry = Seq("fp"))
+      .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"),
+        bit_count($"fp_a".bitwiseXOR($"fp_b")).as("ham"))
+      .filter($"ham" <= 2)
+    // per-doc partner counts: each `<`-ordered pair counts for both ends
+    val near = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id")))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_near"))
     fps.join(near, Seq("doc_id"), "left")
       .select($"doc_id", $"fp", coalesce($"n_near", lit(0L)).as("n_near"))
@@ -255,22 +276,37 @@ object DedupQueries extends QueryGroup {
     val whash = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(w[k]) AS BIGINT) for k in range(1, len(w)+1)]), (a,b) -> (a*31+b) % $P)"
     val votes = (0 until SimK).map(j =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ids, x -> ((${aj(j)}*x+${bj(j)}) % $P) % 2 * 2 - 1)), (a,b)->a+b) AS v$j").mkString(",\n  ")
-    val fp = (0 until SimK).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    // bit 63 is the BIGINT sign bit: spell MinValue without a bare
+    // 9223372036854775808 literal (which DuckDB would parse as HUGEINT)
+    def bitLit(j: Int): String =
+      if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+    val fp = (0 until SimK).map(j => s"(CASE WHEN v$j > 0 THEN ${bitLit(j)} ELSE 0 END)").mkString(" + ")
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, fp, $b AS band_idx, (fp >> ${8 * b}) & 255 AS band_hash FROM fps").mkString("\nUNION ALL\n")
+      s"SELECT doc_id, fp, $b AS band_idx, (fp >> ${16 * b}) & 65535 AS band_hash FROM fps").mkString("\nUNION ALL\n")
     s"""WITH ids AS (
        |  SELECT doc_id, list_transform(${tokensSql("text")}, w -> $whash) AS ids
        |  FROM documents),
        |sv AS (SELECT doc_id, $votes FROM ids WHERE len(ids) > 0),
        |fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM sv),
-       |bandrows AS ($bandRows),
+       |bandrows0 AS ($bandRows),
+       |hot AS (
+       |  SELECT band_idx, band_hash FROM bandrows0
+       |  GROUP BY 1, 2 HAVING COUNT(*) > $BandCap),
+       |bandrows AS (
+       |  SELECT * FROM bandrows0 r
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.band_idx = r.band_idx AND h.band_hash = r.band_hash)),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS partner,
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    bit_count(xor(a.fp, b.fp)) AS ham
        |  FROM bandrows a JOIN bandrows b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |   AND a.doc_id <> b.doc_id),
-       |near AS (SELECT doc_id, COUNT(*) AS n_near FROM pairs WHERE ham <= 2 GROUP BY doc_id)
+       |   AND a.doc_id < b.doc_id),
+       |ends AS (
+       |  SELECT doc_a AS doc_id FROM pairs WHERE ham <= 2
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id FROM pairs WHERE ham <= 2),
+       |near AS (SELECT doc_id, COUNT(*) AS n_near FROM ends GROUP BY doc_id)
        |SELECT f.doc_id, f.fp, COALESCE(n.n_near, 0) AS n_near
        |FROM fps f LEFT JOIN near n ON f.doc_id = n.doc_id""".stripMargin
   }

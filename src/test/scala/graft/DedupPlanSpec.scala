@@ -68,6 +68,22 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(p.contains("band_val"), s"no band sub-bucket join key in plan:\n$p")
   }
 
+  test("guardedBandPairs drops >BandCap buckets, salted mid-size stays complete") {
+    import spark.implicits._
+    val hotN = (DedupQueries.BandCap + 2).toInt
+    val midN = (DedupQueries.SaltAt + 2).toInt
+    val rows = ((0 until hotN).map(i => (10000L + i, 0L, 1L)) ++ // dropped
+      (0 until midN).map(i => (1000L + i, 0L, 2L)) ++ // salted regime
+      Seq((1L, 0L, 3L), (2L, 0L, 3L), (3L, 0L, 3L))) // plain regime
+      .toDF("doc_id", "band_idx", "band_hash")
+    val pairs = DedupQueries
+      .guardedBandPairs(rows, Seq("band_idx", "band_hash"), "doc_id")
+      .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect()
+    assert(!pairs.exists(_._1 >= 10000L), "hot bucket contributed pairs")
+    assert(pairs.count(p => p._1 >= 1000L && p._1 < 10000L) == midN * (midN - 1) / 2)
+    assert(pairs.count(_._1 < 1000L) == 3)
+  }
+
   test("d2 band join drops hot buckets above BandCap before pairing") {
     // semantic probe: a synthetic corpus where one band bucket exceeds the
     // cap contributes no pairs from that bucket
