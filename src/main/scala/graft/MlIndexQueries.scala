@@ -99,11 +99,38 @@ object MlIndexQueries extends QueryGroup {
         Seq("https://creativecommons.org/publicdomain/zero/1.0/") else Nil)
   }
 
+  /** Companion records exercising the Set-curation and event
+    * used_specific_object paths (mapper.py:485-505, :722-730): a Set for
+    * every ck % 4 == 2 key and an Activity for every ck % 4 == 3 key, in
+    * their own `x`/`y` id spaces. */
+  private[graft] def extraFixture(ck: Long): Seq[MlRecord] = {
+    val set = if (ck % 4 == 2) Seq(MlRecord(
+      id = I + "x" + ck,
+      rtype = "Set",
+      about = if (ck % 5 == 0) Seq(Ref(I + "ab" + (ck % 33), "Person")) else Nil,
+      about_influences =
+        if (ck % 5 == 2) Seq(Ref(I + "inf" + (ck % 44), "Place")) else Nil,
+      used_for_refs = if (ck % 3 == 1) Seq(I + "uf" + (ck % 22)) else Nil,
+      events = if (ck % 3 != 1) Map("used_for" -> Event(
+        classified_as = Seq(CurationMeta),
+        carried_out_by = Seq(Ref(I + "cu" + (ck % 19))))) else Map.empty))
+    else Nil
+    val act = if (ck % 4 == 3) Seq(MlRecord(
+      id = I + "y" + ck,
+      rtype = "Activity",
+      carried_out_by = if (ck % 3 != 0) Seq(I + "a" + (ck % 50)) else Nil,
+      used_specific_object =
+        if (ck % 5 <= 1) Seq(I + "uso" + (ck % 27)) else Nil))
+    else Nil
+    set ++ act
+  }
+
   private def docs(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.load(spark, dir, "customer")
       .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
-      .as[Long].map(ck => MlMapper.transform(fixture(ck), Excludes))
+      .as[Long].flatMap(ck =>
+        (fixture(ck) +: extraFixture(ck)).map(MlMapper.transform(_, Excludes)))
   }
 
   /** M14 triples: the full shortcut/classification/reference triple set. */
@@ -296,8 +323,46 @@ object MlIndexQueries extends QueryGroup {
       // t6 digitally_carries is internal but under an ignored prop
       row(s"t=6 AND ck % 3 = 0", "lux:refCtr", lo))
 
+    // companion Set (x ids) / Activity (y ids) records
+    def srow(subj: String, cond: String, pred: String, obj: String): String =
+      s"SELECT $subj AS subject, '$pred' AS predicate, $obj AS obj FROM b WHERE $cond"
+    val xs = s"$internal || 'x' || ck"
+    val ys = s"$internal || 'y' || ck"
+    val uf = s"$internal || 'uf' || (ck % 22)"
+    val cu = s"$internal || 'cu' || (ck % 19)"
+    val ab2 = s"$internal || 'ab' || (ck % 33)"
+    val inf = s"$internal || 'inf' || (ck % 44)"
+    val uso = s"$internal || 'uso' || (ck % 27)"
+    val setRows = Seq(
+      srow(xs, "ck % 4 = 2", "rdf:type", "'la:Set'"),
+      srow(xs, "ck % 4 = 2 AND ck % 3 = 1", "crm:P16i_was_used_for", uf),
+      srow(xs, "ck % 4 = 2 AND ck % 3 <> 1", "lux:agentOfCuration", cu),
+      // the curation event also walks as the used_for -> Publication shortcut
+      srow(xs, "ck % 4 = 2 AND ck % 3 <> 1", "lux:agentOfPublication", cu),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 0", "lux:about_or_depicts", ab2),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 0", "crm:P129_is_about", ab2),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 0", "lux:about_or_depicts_agent", ab2),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 0", "lux:about_agent", ab2),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 2", "lux:about_or_depicts", inf),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 2", "crm:P129_is_about", inf),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 2", "lux:about_or_depicts_place", inf),
+      srow(xs, "ck % 4 = 2 AND ck % 5 = 2", "lux:about_place", inf)) ++
+      Seq(cu -> "ck % 3 <> 1", ab2 -> "ck % 5 = 0", inf -> "ck % 5 = 2",
+        uf -> "ck % 3 = 1").flatMap { case (o, c) => Seq(
+          srow(xs, s"ck % 4 = 2 AND $c", "lux:setAny", o),
+          srow(xs, s"ck % 4 = 2 AND $c", "lux:any", o)) }
+    val actRows = Seq(
+      srow(ys, "ck % 4 = 3", "rdf:type", "'crm:E7_Activity'"),
+      srow(ys, "ck % 4 = 3", "rdf:type", "'lux:Event'"),
+      srow(ys, "ck % 4 = 3 AND ck % 3 <> 0", "lux:eventCarriedOutBy", a),
+      srow(ys, "ck % 4 = 3 AND ck % 5 <= 1", "crm:P16_used_specific_object", uso)) ++
+      Seq(a -> "ck % 3 <> 0", uso -> "ck % 5 <= 1").flatMap { case (o, c) => Seq(
+        srow(ys, s"ck % 4 = 3 AND $c", "lux:eventAny", o),
+        srow(ys, s"ck % 4 = 3 AND $c", "lux:any", o),
+        srow(ys, s"ck % 4 = 3 AND $c", "lux:referenceAny", o)) }
+
     val all = (typeRows ++ classificationRows ++ memberRows ++ shortcutRows ++
-      classRows ++ refRows ++ refCtrRows).mkString("\nUNION ALL\n")
+      classRows ++ refRows ++ refCtrRows ++ setRows ++ actRows).mkString("\nUNION ALL\n")
     s"""WITH b AS (
        |  SELECT c_custkey AS ck, c_custkey % 8 AS t,
        |    '$I' || 'r' || c_custkey AS s
@@ -319,7 +384,17 @@ object MlIndexQueries extends QueryGroup {
        |      OR (ck % 5 = 0 AND ck % 10 <> 0))
        |    THEN 1 ELSE 0 END AS is_online,
        |  CASE WHEN t IN (5,7) AND ck % 7 = 0 THEN 1 ELSE 0 END AS is_public_domain
-       |FROM (SELECT c_custkey AS ck, c_custkey % 8 AS t FROM customer)""".stripMargin
+       |FROM (SELECT c_custkey AS ck, c_custkey % 8 AS t FROM customer)
+       |UNION ALL
+       |SELECT '$I' || 'x' || c_custkey AS id, 'Set' AS data_type,
+       |  0 AS is_collection_item, 0 AS has_digital_image, 0 AS is_online,
+       |  0 AS is_public_domain
+       |FROM customer WHERE c_custkey % 4 = 2
+       |UNION ALL
+       |SELECT '$I' || 'y' || c_custkey AS id, 'Activity' AS data_type,
+       |  0 AS is_collection_item, 0 AS has_digital_image, 0 AS is_online,
+       |  0 AS is_public_domain
+       |FROM customer WHERE c_custkey % 4 = 3""".stripMargin
 
   override def register(): Unit = {
     Queries.register(QueryDef("m14_shortcuts", shortcutTriples, Some(shortcutsOracle)))

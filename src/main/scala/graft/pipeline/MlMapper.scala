@@ -15,9 +15,6 @@ package graft.pipeline
   * Deviations (documented):
   *   - namespaces are short prefixes (`lux:`, `crm:`, `la:`, `skos:`,
   *     `rdf:`) instead of full URIs — pure renaming;
-  *   - `about` entries reachable only via created_by.influenced_by
-  *     (mapper.py:584-588) and Set curation (`:495-505`) / event
-  *     used_specific_object (`:722-730`) are not modeled;
   *   - TimeSpan epoch-second injection (mapper.py:85-97) lives in
   *     DateLib/LaMerge, not here.
   */
@@ -33,6 +30,9 @@ object MlMapper {
   val OccupationMeta = "aat:occupation"
   val GenderMeta = "aat:gender"
   val ActiveMeta = "aat:active"
+  /** globals["curation"] — the Set used_for classification that marks a
+    * curating activity (mapper.py:495-505). */
+  val CurationMeta = "aat:curation"
 
   /** mapper.py:790-805 — collection-site prefixes: access points here
     * mark collection items and do NOT count as "online". */
@@ -106,6 +106,14 @@ object MlMapper {
       digitally_carries: Seq[String] = Nil,
       digitally_shows: Seq[String] = Nil,
       about: Seq[Ref] = Nil,
+      /** about entries with no id of their own, reachable only through
+        * their created_by.influenced_by refs (mapper.py:584-588) —
+        * expanded into the same triple set as direct about refs. */
+      about_influences: Seq[Ref] = Nil,
+      /** Set used_for entries that are plain references (mapper.py:
+        * 486-494) — vs the embedded used_for Event in `events`. */
+      used_for_refs: Seq[String] = Nil,
+      used_specific_object: Seq[String] = Nil, // events, mapper.py:722-730
       represents: Seq[Ref] = Nil,
       language: Seq[String] = Nil,
       part_of: Seq[String] = Nil,
@@ -284,7 +292,19 @@ object MlMapper {
           ts += Triple("la:digitally_shows", s)
         }
       case "LinguisticObject" | "Set" =>
-        rec.about.foreach { a =>
+        // Set curation (mapper.py:485-505): plain used_for references,
+        // and the curation-classified embedded activity's agents
+        if (rec.rtype == "Set") {
+          rec.used_for_refs.foreach(uf =>
+            ts += Triple("crm:P16i_was_used_for", uf))
+          for (uf <- rec.events.get("used_for").toSeq
+               if uf.classified_as.contains(CurationMeta);
+               who <- uf.carried_out_by)
+            ts += Triple("lux:agentOfCuration", who.id)
+        }
+        // about with id, plus entries reachable only via
+        // created_by.influenced_by (mapper.py:582-600) — same triple set
+        (rec.about ++ rec.about_influences).foreach { a =>
           ts += Triple("lux:about_or_depicts", a.id)
           ts += Triple("crm:P129_is_about", a.id)
           Option(a.rtype).map(pfxOf).foreach { apfx =>
@@ -319,6 +339,8 @@ object MlMapper {
       case _ if pfx == "event" =>
         rec.carried_out_by.foreach(a => ts += Triple(s"lux:${pfx}CarriedOutBy", a))
         rec.took_place_at.foreach(p => ts += Triple(s"lux:${pfx}TookPlaceAt", p))
+        rec.used_specific_object.foreach(u => // mapper.py:722-730
+          ts += Triple("crm:P16_used_specific_object", u))
       case _ if pfx == "concept" =>
         rec.broader.foreach(b => ts += Triple("skos:broader", b))
       case _ => ()
@@ -388,6 +410,9 @@ object MlMapper {
     rec.digitally_carries.foreach(add(_, true))
     rec.digitally_shows.foreach(add(_, true))
     rec.about.foreach(r => add(r.id, false))
+    rec.about_influences.foreach(r => add(r.id, false))
+    rec.used_for_refs.foreach(add(_, false))
+    rec.used_specific_object.foreach(add(_, false))
     rec.represents.foreach(r => add(r.id, false))
     rec.language.foreach(add(_, true))
     rec.part_of.foreach(add(_, false))

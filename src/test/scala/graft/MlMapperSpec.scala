@@ -142,4 +142,50 @@ class MlMapperSpec extends AnyFunSuite {
     assert(preds(d, "lux:typeOfProfessionalActivity") ==
       Seq("aat:job1", "aat:job2"))
   }
+
+  test("about via created_by.influenced_by expands to the full triple set") {
+    // mapper.py:584-588: an about entry with no id contributes its
+    // created_by.influenced_by refs exactly as direct about refs
+    val rec = MlRecord(id = I + "x", rtype = "LinguisticObject",
+      about = Seq(Ref(I + "direct", "Person")),
+      about_influences = Seq(Ref(I + "via", "Place")))
+    val d = MlMapper.transform(rec)
+    assert(preds(d, "lux:about_or_depicts") == Seq(I + "direct", I + "via"))
+    assert(preds(d, "crm:P129_is_about") == Seq(I + "direct", I + "via"))
+    assert(preds(d, "lux:about_agent") == Seq(I + "direct"))
+    assert(preds(d, "lux:about_place") == Seq(I + "via"))
+    // both are real refs: lux:any, never refCtr
+    assert(preds(d, "lux:any") == Seq(I + "direct", I + "via"))
+    assert(preds(d, "lux:refCtr").isEmpty)
+  }
+
+  test("Set curation: used_for refs and curation-classified agents") {
+    // mapper.py:486-505
+    val rec = MlRecord(id = I + "x", rtype = "Set",
+      used_for_refs = Seq(I + "exhibit"),
+      events = Map("used_for" -> Event(
+        classified_as = Seq(MlMapper.CurationMeta),
+        carried_out_by = Seq(Ref(I + "curator")))))
+    val d = MlMapper.transform(rec)
+    assert(preds(d, "crm:P16i_was_used_for") == Seq(I + "exhibit"))
+    assert(preds(d, "lux:agentOfCuration") == Seq(I + "curator"))
+    // the embedded activity still walks as the used_for shortcut
+    assert(preds(d, "lux:agentOfPublication") == Seq(I + "curator"))
+    // a non-curation used_for event yields no curation triple
+    val plain = MlMapper.transform(rec.copy(events = Map("used_for" ->
+      Event(classified_as = Seq("aat:other"),
+        carried_out_by = Seq(Ref(I + "curator"))))))
+    assert(preds(plain, "lux:agentOfCuration").isEmpty)
+  }
+
+  test("event used_specific_object emits P16 and counts as a ref") {
+    // mapper.py:722-730
+    val rec = MlRecord(id = I + "y", rtype = "Activity",
+      used_specific_object = Seq(I + "obj1", "http://ext/obj2"))
+    val d = MlMapper.transform(rec)
+    assert(preds(d, "crm:P16_used_specific_object") ==
+      Seq(I + "obj1", "http://ext/obj2"))
+    assert(preds(d, "lux:eventAny") == Seq(I + "obj1")) // internal only
+    assert(preds(d, "lux:referenceAny") == Seq(I + "obj1")) // Activity in list
+  }
 }
