@@ -41,6 +41,50 @@ object PatchQueries extends QueryGroup {
       |  CASE WHEN op = 'UPDATE_SOURCE' THEN 'curated' ELSE source END AS source
       |FROM documents d LEFT JOIN patches p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** M10 post_reconcile (`process/base/mapper.py:434-440`): equivalent-
+    * driven reclass of `Type` records — the FIRST equivalent present in
+    * the type_overrides table rewrites the record type (Material /
+    * Language / ...). As an operator: posexplode the equivalents of Type
+    * records, broadcast-join the (small) overrides table, min_by on the
+    * claim position for first-match-wins, left-join back. One map-side
+    * stage at any corpus size — the overrides table is a dim table, never
+    * a shuffle key. */
+  def reclass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def aat(k: org.apache.spark.sql.Column) =
+      concat(lit("http://vocab.getty.edu/aat/3000"), k.cast("string"))
+    val docs = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long").as("id"))
+      .select($"id",
+        when($"id" % 3 === 0, "Type")
+          .when($"id" % 2 === 0, "Person").otherwise("Group").as("rtype"),
+        when($"id" % 2 === 0, array(aat($"id" % 40), aat(($"id" + 1) % 40)))
+          .otherwise(array(aat($"id" % 40))).as("equivalent"))
+    // the type_overrides.json analog: a small dim table
+    val overrides = spark.range(40).select(
+        aat($"id").as("uri"),
+        when($"id" % 4 === 1, "Material")
+          .when($"id" % 4 === 2, "Language").as("new_type"))
+      .filter($"new_type".isNotNull)
+    val hits = docs.filter($"rtype" === "Type") // post_reconcile: Type only
+      .select($"id", posexplode($"equivalent"))
+      .toDF("id", "pos", "uri")
+      .join(broadcast(overrides), "uri")
+      .groupBy($"id").agg(min_by($"new_type", $"pos").as("override_type"))
+    docs.join(hits, Seq("id"), "left")
+      .select($"id", coalesce($"override_type", $"rtype").as("rtype"))
+  }
+  private val reclassOracle: String =
+    """SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 3 <> 0 THEN
+      |      CASE WHEN c_custkey % 2 = 0 THEN 'Person' ELSE 'Group' END
+      |    WHEN (c_custkey % 40) % 4 = 1 THEN 'Material'
+      |    WHEN (c_custkey % 40) % 4 = 2 THEN 'Language'
+      |    WHEN c_custkey % 2 = 0 AND ((c_custkey + 1) % 40) % 4 = 1 THEN 'Material'
+      |    WHEN c_custkey % 2 = 0 AND ((c_custkey + 1) % 40) % 4 = 2 THEN 'Language'
+      |    ELSE 'Type' END AS rtype
+      |FROM customer""".stripMargin
+
   /** F13: ISO-639 2-letter -> 3-letter literal map (the reference keeps
     * the 70-entry inverse map as a literal, `process/base/mapper.py:47-112`). */
   def langMap(spark: SparkSession, dir: String): DataFrame = {
@@ -81,6 +125,7 @@ object PatchQueries extends QueryGroup {
 
   override def register(): Unit = {
     Queries.register(QueryDef("m9_patch_records", patchRecords, Some(patchRecordsOracle)))
+    Queries.register(QueryDef("m10_reclass", reclass, Some(reclassOracle)))
     Queries.register(QueryDef("f13_lang_map", langMap, Some(langMapOracle)))
     Queries.register(QueryDef("f4_lifespan_check", lifespanCheck, Some(lifespanCheckOracle)))
   }

@@ -20,7 +20,6 @@ import java.time.temporal.ChronoUnit
   * Deviations from the reference (documented, deliberate):
   *  - the EDTF library's double end-second subtraction quirk is not
   *    reproduced; end is always exactly next-period-start minus 1s;
-  *  - Hebrew-calendar years (>4500) are rejected rather than converted;
   *  - locale fallbacks beyond English month names are unsupported.
   */
 object DateLib {
@@ -55,6 +54,77 @@ object DateLib {
   private val monthDayYear = "(?i)^([a-z]{3,9})\\.?\\s+(\\d{1,2})(?:st|nd|rd|th)?,?\\s+(\\d{3,4})$".r
   private val numericDmy = "^(\\d{1,2})[./](\\d{1,2})[./](\\d{4})$".r
   private val numericYmd = "^(\\d{4})[./](\\d{1,2})[./](\\d{1,2})$".r
+
+  /** F15: Hebrew-calendar conversion (mapper_utils.py:200-211). Years
+    * above 4500 (~740 CE) are taken as Hebrew dates — month numbering as
+    * the reference's calendar library: Nisan=1..Elul=6, Tishrei=7..
+    * Adar I=12, Adar II=13 — and converted to the proleptic-Gregorian
+    * day via the standard molad arithmetic with the four postponement
+    * rules (Dershowitz & Reingold, Calendrical Calculations; public
+    * algorithm). Verified against known anchors: 5784-07-01 ->
+    * 2023-09-16, 5784-01-15 -> 2024-04-23. */
+  object Hebrew {
+    def isLeap(y: Int): Boolean = (7 * y + 1) % 19 < 7
+    /** Days from the Hebrew epoch to Rosh Hashanah of `year`. */
+    def elapsedDays(year: Int): Long = {
+      val monthsElapsed = 235L * ((year - 1) / 19) + 12L * ((year - 1) % 19) +
+        (7L * ((year - 1) % 19) + 1) / 19
+      val partsElapsed = 204L + 793L * (monthsElapsed % 1080)
+      val hoursElapsed = 5L + 12L * monthsElapsed +
+        793L * (monthsElapsed / 1080) + partsElapsed / 1080
+      val day = 1L + 29L * monthsElapsed + hoursElapsed / 24
+      val parts = (hoursElapsed % 24) * 1080 + partsElapsed % 1080
+      val postponed =
+        if (parts >= 19440 ||
+          (day % 7 == 2 && parts >= 9924 && !isLeap(year)) ||
+          (day % 7 == 1 && parts >= 16789 && isLeap(year - 1))) day + 1
+        else day
+      if (postponed % 7 == 0 || postponed % 7 == 3 || postponed % 7 == 5)
+        postponed + 1
+      else postponed
+    }
+    def yearLength(y: Int): Long = elapsedDays(y + 1) - elapsedDays(y)
+    def monthLength(y: Int, m: Int): Int = m match {
+      case 1 | 3 | 5 | 7 | 11 => 30 // Nisan, Sivan, Av, Tishrei, Shevat
+      case 8 => if (yearLength(y) % 10 == 5) 30 else 29 // Heshvan (full yr)
+      case 9 => if (yearLength(y) % 10 == 3) 29 else 30 // Kislev (defic. yr)
+      case 12 => if (isLeap(y)) 30 else 29 // Adar I leap / Adar normal
+      case _ => 29 // Iyar, Tammuz, Elul, Tevet, Adar II
+    }
+    /** Months of year y in civil order, Tishrei first. */
+    private def civilOrder(y: Int): Seq[Int] =
+      (7 to (if (isLeap(y)) 13 else 12)) ++ (1 to 6)
+    /** Rata Die (proleptic-Gregorian day number, 1 = 0001-01-01) of the
+      * Hebrew date, or None when the date is invalid for that year. */
+    def toRataDie(y: Int, m: Int, d: Int): Option[Long] = {
+      val months = civilOrder(y)
+      if (y < 1 || !months.contains(m) || d < 1 || d > monthLength(y, m)) None
+      else {
+        val offset = months.takeWhile(_ != m).map(monthLength(y, _)).sum
+        Some(elapsedDays(y) - 1373428L + offset + (d - 1))
+      }
+    }
+    private val cum = Array(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+    private def gregLeap(y: Int) = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+    private def rdOfJan1(y: Int): Long =
+      365L * (y - 1) + (y - 1) / 4 - (y - 1) / 100 + (y - 1) / 400 + 1
+    /** RD -> proleptic-Gregorian (year, month, day). */
+    def gregorianOf(rd: Long): (Int, Int, Int) = {
+      val d0 = rd - 1
+      val n400 = d0 / 146097; val d1 = d0 % 146097
+      val n100 = d1 / 36524; val d2 = d1 % 36524
+      val n4 = d2 / 1461; val d3 = d2 % 1461
+      val n1 = d3 / 365
+      val year0 = (400 * n400 + 100 * n100 + 4 * n4 + n1).toInt
+      val year = if (n100 == 4 || n1 == 4) year0 else year0 + 1
+      val doy = (rd - rdOfJan1(year)).toInt // 0-based day of year
+      val leapAdj = if (gregLeap(year)) 1 else 0
+      def before(m: Int) = cum(m - 1) + (if (m > 2) leapAdj else 0)
+      var m = 12
+      while (m > 1 && doy < before(m)) m -= 1
+      (year, m, doy - before(m) + 1)
+    }
+  }
 
   /** Precision char -> ChronoUnit for interval width. */
   private def unitOf(prec: Char): ChronoUnit = prec match {
@@ -150,7 +220,21 @@ object DateLib {
       case yearRange(a, b) if a.toInt <= b.toInt && a.length == 4 =>
         Some(rangeYears(a.toInt, b.toInt))
       case isoLike(sign, y, mo, d, h, mi, s) =>
-        if (y.toInt > 4500 && sign.isEmpty) None // Hebrew-calendar years: unsupported
+        if (y.toInt > 4500 && sign.isEmpty) {
+          // Hebrew-calendar year (mapper_utils.py:200-211, :488-492):
+          // convert the y-m-d through the calendar arithmetic — time of
+          // day drops to midnight, precision is kept
+          val inferred: Char =
+            if (s != null) 's' else if (mi != null) 'm' else if (h != null) 'h'
+            else if (d != null) 'D' else if (mo != null) 'M' else 'Y'
+          Hebrew.toRataDie(y.toInt, if (mo != null) mo.toInt else 1,
+              if (d != null) d.toInt else 1)
+            .map { rd =>
+              val (gy, gm, gd) = Hebrew.gregorianOf(rd)
+              range(LocalDateTime.of(gy, gm, gd, 0, 0, 0),
+                if (precision.nonEmpty) precision.head else inferred)
+            }
+        }
         else parseIso(sign, y, mo, d, h, mi, s).map { case (begin, inferred) =>
           range(begin, if (precision.nonEmpty) precision.head else inferred)
         }

@@ -59,7 +59,28 @@ class DateLibSpec extends AnyFunSuite {
     assert(rng("0000") === None)
     assert(rng("not a date") === None)
     assert(rng(null) === None)
-    assert(rng("6000") === None) // Hebrew-calendar years unsupported, documented
+  }
+
+  test("F15: years above 4500 convert through the Hebrew calendar") {
+    // Rosh Hashanah 5784 (Tishrei 1) = 2023-09-16
+    assert(rng("5784-07-01").get ===
+      ("2023-09-16T00:00:00", "2023-09-16T23:59:59"))
+    // Pesach 5784 (Nisan 15, leap year) = 2024-04-23
+    assert(rng("5784-01-15").get._1 === "2024-04-23T00:00:00")
+    // Rosh Hashanah 5785 = 2024-10-03 (383-day deficient leap 5784 between)
+    assert(rng("5785-07-01").get._1 === "2024-10-03T00:00:00")
+    // Rosh Hashanah 5700 = 1939-09-14
+    assert(rng("5700-07-01").get._1 === "1939-09-14T00:00:00")
+    // year-only anchors at Nisan 1 (the parse clamps month/day to 1),
+    // year precision spans one Gregorian year from the converted day
+    assert(rng("5784").get ===
+      ("2024-04-09T00:00:00", "2025-04-08T23:59:59"))
+    // invalid for the year: Adar II in non-leap 5783; Kislev 30 in
+    // deficient 5784
+    assert(rng("5783-13-01") === None)
+    assert(rng("5784-09-30") === None)
+    // BCE years are NOT Hebrew: -5000 parses as a plain ISO year
+    assert(rng("-5000").get._1 === "-5000-01-01T00:00:00")
   }
 
   test("wikidata precision wrapper") {
