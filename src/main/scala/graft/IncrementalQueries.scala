@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end incremental changeset replay (reference
+  * `test_updates.py:41-310`): classify a changeset into creates /
+  * updates / deletes, diff each update's referenced-id set old-vs-new,
+  * treat removed references and explicit deletes as delete candidates
+  * decided by surviving inbound references (the reference's
+  * "preventing records subset of the deletions" single-pass rule), and
+  * rebuild ONLY the affected records — standing rows are kept verbatim,
+  * inbound counts are delta-propagated from the changed edges alone.
+  *
+  * The DuckDB oracle computes the FULL rebuild from scratch, so the
+  * driver's hash comparison IS the assertion that the affected-only
+  * incremental path equals a complete rebuild (the reference test's
+  * closing invariant).
+  *
+  * Scale shape: the snapshot is scanned once (reading the standing
+  * state), the delta aggregation touches only changed edges, and the
+  * patch is a left_anti + union on the affected-id set — at 100 TB the
+  * recompute cost is proportional to the changeset, not the corpus.
+  */
+object IncrementalQueries extends QueryGroup {
+
+  /** Fixture semantics (deterministic from customer keys; replayed
+    * exactly by the oracle):
+    *   - snapshot record ck: name nm(ck%40), refs ck→(7ck+3)%100 and,
+    *     for ck%3==0, ck→(11ck+5)%100; reference-only when ck%4==2;
+    *   - changeset: deletes ck%17==0; updates ck%5==0 (new name, refs
+    *     replaced by ck→(7ck+4)%100 — one removed, one added); creates
+    *     100000+ck for ck%13==0 with (100000+ck)→(3ck)%100;
+    *   - final state: explicit deletes with surviving inbound refs stay
+    *     as stubs, reference-only records with zero inbound refs drop
+    *     (single-pass decision over the survivors' edge set). */
+  def changesetReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def isDel(c: Column) = c % 17 === 0
+    def isUpd(c: Column) = c % 5 === 0 && c % 17 =!= 0
+    def isRefOnly(c: Column) = c % 4 === 2
+    val ids = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"))
+      .persist() // snapshot scan is reused by edges / standing / deltas
+
+    // snapshot edge set and standing inbound counts
+    val e0 = ids.select($"id".as("src"), (($"id" * 7 + 3) % 100).as("dst"))
+      .union(ids.filter($"id" % 3 === 0)
+        .select($"id".as("src"), (($"id" * 11 + 5) % 100).as("dst")))
+    val inbound0 = e0.groupBy($"dst").agg(count(lit(1)).as("n0"))
+      .withColumnRenamed("dst", "id")
+
+    // the standing output of the previous full run (snapshot transform)
+    val standing = ids.join(inbound0, Seq("id"), "left")
+      .select($"id", concat(lit("nm"), $"id" % 40).as("name"),
+        coalesce($"n0", lit(0L)).as("n_in"))
+      .filter(!(isRefOnly($"id") && $"n_in" === 0))
+
+    // referenced-id diff: edges leaving the graph (updates drop their old
+    // refs, deletes drop everything) and edges entering it
+    val touched = ids.filter(isUpd($"id") || isDel($"id"))
+    val removed = touched.select($"id".as("src"), (($"id" * 7 + 3) % 100).as("dst"))
+      .union(touched.filter($"id" % 3 === 0)
+        .select($"id".as("src"), (($"id" * 11 + 5) % 100).as("dst")))
+    val added = ids.filter(isUpd($"id"))
+      .select($"id".as("src"), (($"id" * 7 + 4) % 100).as("dst"))
+      .union(ids.filter($"id" % 13 === 0)
+        .select(($"id" + 100000L).as("src"), (($"id" * 3) % 100).as("dst")))
+
+    // affected = touched records + creates + endpoints of changed edges
+    val affected = touched.select($"id")
+      .union(ids.filter($"id" % 13 === 0).select(($"id" + 100000L).as("id")))
+      .union(removed.select($"dst".as("id")))
+      .union(added.select($"dst".as("id")))
+      .distinct()
+
+    // delta-propagated inbound: only the changed edges are aggregated
+    val deltaIn = added.select($"dst", lit(1L).as("d"))
+      .union(removed.select($"dst", lit(-1L).as("d")))
+      .groupBy($"dst").agg(sum($"d").as("dn"))
+      .withColumnRenamed("dst", "id")
+
+    // recompute ONLY the affected snapshot records under the new state
+    val affectedRows = ids.join(affected, Seq("id"), "left_semi")
+      .join(inbound0, Seq("id"), "left")
+      .join(deltaIn, Seq("id"), "left")
+      .select($"id",
+        when(isDel($"id"), concat(lit("stub"), $"id"))
+          .when(isUpd($"id"), concat(lit("upd"), $"id"))
+          .otherwise(concat(lit("nm"), $"id" % 40)).as("name"),
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_in"))
+      .filter(!(isDel($"id") && $"n_in" === 0) &&
+        !(!isDel($"id") && !isUpd($"id") && isRefOnly($"id") && $"n_in" === 0))
+    val creates = ids.filter($"id" % 13 === 0)
+      .select(($"id" + 100000L).as("id"), concat(lit("new"), $"id").as("name"),
+        lit(0L).as("n_in")) // creates are never referenced (targets < 100)
+
+    standing.join(affected, Seq("id"), "left_anti")
+      .union(affectedRows)
+      .union(creates)
+  }
+
+  /** The oracle is the FULL rebuild: survivors' edges from scratch,
+    * inbound counts over the whole graph, every rule re-evaluated. */
+  private val changesetReplayOracle: String =
+    """WITH ids AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+      |e AS (
+      |  SELECT id AS src, (id*7+3) % 100 AS dst FROM ids
+      |    WHERE id % 17 <> 0 AND id % 5 <> 0
+      |  UNION ALL
+      |  SELECT id, (id*11+5) % 100 FROM ids
+      |    WHERE id % 17 <> 0 AND id % 5 <> 0 AND id % 3 = 0
+      |  UNION ALL
+      |  SELECT id, (id*7+4) % 100 FROM ids WHERE id % 17 <> 0 AND id % 5 = 0
+      |  UNION ALL
+      |  SELECT 100000 + id, (id*3) % 100 FROM ids WHERE id % 13 = 0),
+      |inb AS (SELECT dst AS id, COUNT(*) AS n_in FROM e GROUP BY dst),
+      |old AS (
+      |  SELECT i.id,
+      |    CASE WHEN i.id % 17 = 0 THEN 'stub' || i.id
+      |         WHEN i.id % 5 = 0 THEN 'upd' || i.id
+      |         ELSE 'nm' || (i.id % 40) END AS name,
+      |    COALESCE(n.n_in, 0) AS n_in
+      |  FROM ids i LEFT JOIN inb n ON n.id = i.id)
+      |SELECT id, name, n_in FROM old
+      |WHERE NOT (id % 17 = 0 AND n_in = 0)
+      |  AND NOT (id % 17 <> 0 AND id % 5 <> 0 AND id % 4 = 2 AND n_in = 0)
+      |UNION ALL
+      |SELECT 100000 + id AS id, 'new' || id AS name, CAST(0 AS BIGINT) AS n_in
+      |FROM ids WHERE id % 13 = 0""".stripMargin
+
+  override def register(): Unit = {
+    Queries.register(QueryDef("u1_changeset_replay", changesetReplay,
+      Some(changesetReplayOracle)))
+  }
+}

@@ -32,7 +32,7 @@ object Queries {
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
     GraphQueries, MergeQueries, LuxQueries, StreamQueries, SourceQueries,
     OpsQueries, ExportQueries, ScaleQueries, MapperQueries, PatchQueries,
-    WdQueries, MlIndexQueries, CleanupQueries)
+    WdQueries, MlIndexQueries, CleanupQueries, IncrementalQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 

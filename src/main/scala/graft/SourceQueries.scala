@@ -236,7 +236,65 @@ object SourceQueries extends QueryGroup {
     Queries.register(QueryDef("s8_fetch_pass", fetchPass, Some(fetchPassOracle)))
     Queries.register(QueryDef("s6_as_walk", asWalk, Some(asWalkOracle)))
     Queries.register(QueryDef("s5_geonames_tsv", geonamesTsv, Some(geonamesTsvOracle)))
+    Queries.register(QueryDef("s5_wof", wofLoad, Some(wofLoadOracle)))
   }
+
+  /** S5: the WOF sqlite dump loader (`wof/fetcher.py:34-57`) — a
+    * generated single-table sqlite file (geojson(id, body)) scanned
+    * executor-side by the self-contained page parser (`sources.Sqlite`),
+    * bodies parsed with an explicit schema, plus the chunked network
+    * URL each record would fall back to (`:17-31`, `WdClaims.wofUrl`).
+    * Even keys get 8-digit ids, odd keys 9-digit — exercising the
+    * remainder-tail chunk. */
+  def wofLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "customer").count()
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_wof_${math.abs(dir.hashCode)}_$n")
+    val marker = new java.io.File(base, "_DONE")
+    if (!marker.exists()) {
+      base.mkdirs()
+      val rows = (0L until n).map { ck =>
+        val id = if (ck % 2 == 0) 10000000L + ck else 100000000L + ck
+        val pt = Seq("locality", "region", "country")((ck % 3).toInt)
+        Seq(id.toString,
+          s"""{"wof:name": "p${ck % 60}", "wof:placetype": "$pt"}""": Any)
+      }
+      sources.Sqlite.writeDb(new java.io.File(base, "wof.db"), "geojson",
+        "CREATE TABLE geojson (id TEXT, body TEXT)", rows)
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    val schema = StructType(Seq(
+      StructField("wof:name", org.apache.spark.sql.types.StringType),
+      StructField("wof:placetype", org.apache.spark.sql.types.StringType)))
+    val wofUrl = udf((id: String) => graft.pipeline.WdClaims.wofUrl(id))
+    spark.read.format("binaryFile")
+      .load(new java.io.File(base, "wof.db").getAbsolutePath)
+      .select($"content")
+      .as[Array[Byte]]
+      .flatMap(db => sources.Sqlite.scanTable(db, "geojson").map(r =>
+        (r(0).asInstanceOf[String], r(1).asInstanceOf[String])))
+      .toDF("ident", "body")
+      .select($"ident", wofUrl($"ident").as("url"),
+        from_json($"body", schema).as("data"))
+      .select($"ident", $"url", col("data.`wof:name`").as("name"),
+        col("data.`wof:placetype`").as("ptype"))
+  }
+  private val wofLoadOracle: String =
+    """WITH b AS (
+      |  SELECT c_custkey AS ck,
+      |    CASE WHEN c_custkey % 2 = 0
+      |      THEN CAST(10000000 + c_custkey AS VARCHAR)
+      |      ELSE CAST(100000000 + c_custkey AS VARCHAR) END AS ident
+      |  FROM customer)
+      |SELECT ident,
+      |  'https://data.whosonfirst.org/' || substr(ident, 1, 3) || '/'
+      |    || substr(ident, 4, 3) || '/' || substr(ident, 7, 3) || '/'
+      |    || ident || '.geojson' AS url,
+      |  'p' || (ck % 60) AS name,
+      |  CASE ck % 3 WHEN 0 THEN 'locality' WHEN 1 THEN 'region'
+      |    ELSE 'country' END AS ptype
+      |FROM b""".stripMargin
 
   /** S5: the geonames TSV loader over a generated allCountries +
     * hierarchy fixture — primary/alternate names (primary filtered out

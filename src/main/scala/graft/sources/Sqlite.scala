@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** S5: the WOF dump-database loader — the reference keeps Who's-On-First
+  * records in a sqlite file with a single `geojson(id, body)` table and
+  * reads it cache-through (`pipeline/sources/general/wof/fetcher.py:
+  * 34-57`; the chunked network fallback URL is `:17-31`, implemented as
+  * `WdClaims.wofUrl`).
+  *
+  * No sqlite JDBC driver ships with Spark, so this is a self-contained
+  * read-only parser of the public SQLite 3 file format (header + table
+  * b-tree pages; www.sqlite.org/fileformat2.html): enough to scan a
+  * whole table — which is exactly what a bulk loader wants; the
+  * reference's per-id point reads exist because it processes records one
+  * at a time. Limitations (documented): no overflow-page chains, no
+  * freeblock reuse, no WAL — dump files are written once and scanned.
+  *
+  * Scale shape: a sqlite dump is a single non-splittable file (the
+  * reference's is one local file too), so the load is one task shipping
+  * the bytes to an executor via `binaryFile`; the parsed table is
+  * dim-scale and feeds broadcasts. Sharded dumps parallelize per file.
+  */
+object Sqlite {
+
+  // ------------------------------------------------------------ varint
+
+  /** SQLite big-endian 7-bit varint at `off` -> (value, bytesConsumed). */
+  def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val x = b(off + i) & 0xff
+      v = (v << 7) | (x & 0x7f)
+      i += 1
+      if ((x & 0x80) == 0) return (v, i)
+    }
+    ((v << 8) | (b(off + 8) & 0xff), 9)
+  }
+
+  def varintBytes(v: Long): Array[Byte] = {
+    require(v >= 0 && v < (1L << 56), s"varint out of supported range: $v")
+    if (v == 0) return Array(0)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var x = v
+    while (x > 0) { parts.prepend((x & 0x7f).toByte); x >>= 7 }
+    for (i <- 0 until parts.length - 1) parts(i) = (parts(i) | 0x80).toByte
+    parts.toArray
+  }
+
+  // ------------------------------------------------------------ reader
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def u32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Decode one record payload at `off`: header varints (serial types),
+    * then the values. Text -> String, ints -> Long, NULL -> null. */
+  def parseRecord(b: Array[Byte], off: Int): Seq[Any] = {
+    val (hlen, h0) = varint(b, off)
+    var p = off + h0
+    val types = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (p < off + hlen) {
+      val (t, n) = varint(b, p); types += t; p += n
+    }
+    var d = off + hlen.toInt
+    types.toSeq.map { t =>
+      def intOf(n: Int): Long = {
+        var v = if ((b(d) & 0x80) != 0) -1L else 0L // sign-extend
+        for (i <- 0 until n) v = (v << 8) | (b(d + i) & 0xff)
+        d += n; v
+      }
+      t match {
+        case 0 => null
+        case 1 => intOf(1)
+        case 2 => intOf(2)
+        case 3 => intOf(3)
+        case 4 => intOf(4)
+        case 5 => intOf(6)
+        case 6 => intOf(8)
+        case 8 => 0L
+        case 9 => 1L
+        case txt if txt >= 13 && txt % 2 == 1 =>
+          val n = ((txt - 13) / 2).toInt
+          val s = new String(b, d, n, UTF_8); d += n; s
+        case blob if blob >= 12 && blob % 2 == 0 =>
+          val n = ((blob - 12) / 2).toInt
+          val arr = java.util.Arrays.copyOfRange(b, d, d + n); d += n; arr
+        case other => sys.error(s"unsupported serial type $other")
+      }
+    }
+  }
+
+  /** Walk a table b-tree from `page`, yielding (rowid, values). */
+  def walkTable(db: Array[Byte], pageSize: Int, page: Int): Seq[(Long, Seq[Any])] = {
+    val base = (page - 1) * pageSize
+    val hdr = base + (if (page == 1) 100 else 0)
+    val ptype = db(hdr) & 0xff
+    val ncells = u16(db, hdr + 3)
+    ptype match {
+      case 13 => // leaf table page
+        (0 until ncells).map { i =>
+          val off = base + u16(db, hdr + 8 + 2 * i)
+          val (_, c1) = varint(db, off)
+          val (rowid, c2) = varint(db, off + c1)
+          (rowid, parseRecord(db, off + c1 + c2))
+        }
+      case 5 => // interior table page: children + rightmost pointer
+        val children = (0 until ncells).map { i =>
+          u32(db, base + u16(db, hdr + 12 + 2 * i))
+        } :+ u32(db, hdr + 8)
+        children.flatMap(walkTable(db, pageSize, _))
+      case other => sys.error(s"unsupported b-tree page type $other")
+    }
+  }
+
+  /** Scan a whole table by name: sqlite_master (root page 1) gives the
+    * root page; rows come back in b-tree order. */
+  def scanTable(db: Array[Byte], table: String): Seq[Seq[Any]] = {
+    require(new String(db, 0, 15, UTF_8) == "SQLite format 3", "not a sqlite db")
+    val pageSize = u16(db, 16)
+    val master = walkTable(db, pageSize, 1)
+    master.map(_._2)
+      .find(r => r.head == "table" && r(1) == table)
+      .map(r => walkTable(db, pageSize, r(3).asInstanceOf[Long].toInt).map(_._2))
+      .getOrElse(Nil)
+  }
+
+  // ------------------------------------------------------------ writer
+
+  val PageSize = 4096
+
+  private def record(values: Seq[Any]): Array[Byte] = {
+    val enc = values.map {
+      case s: String => val b = s.getBytes(UTF_8); (2L * b.length + 13, b)
+      case l: Long =>
+        (6L, java.nio.ByteBuffer.allocate(8).putLong(l).array())
+      case null => (0L, Array.empty[Byte])
+      case other => sys.error(s"unsupported fixture value $other")
+    }
+    val typeBytes = enc.flatMap(e => varintBytes(e._1)).toArray
+    val hlen = typeBytes.length + 1
+    require(hlen < 128, "record header too large for the fixture writer")
+    varintBytes(hlen) ++ typeBytes ++ enc.flatMap(_._2)
+  }
+
+  private def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] =
+    varintBytes(payload.length) ++ varintBytes(rowid) ++ payload
+
+  /** Pack cells into leaf-table pages; returns pages + each page's max
+    * rowid (for the interior index). `headerRoom` reserves the 100-byte
+    * db header on page 1. */
+  private def leafPages(cells: Seq[(Long, Array[Byte])],
+      headerRoom: Int = 0): Seq[(Array[Byte], Long)] = {
+    val pages = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
+    var pending = cells
+    var room = headerRoom // only the first page carries the db header
+    while (pending.nonEmpty || pages.isEmpty) {
+      val avail = PageSize - room - 8
+      var used = 0
+      val take = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      while (pending.nonEmpty &&
+        used + pending.head._2.length + 2 <= avail) {
+        used += pending.head._2.length + 2
+        take += pending.head
+        pending = pending.tail
+      }
+      require(take.nonEmpty || pending.isEmpty, "cell larger than a page")
+      val page = new Array[Byte](PageSize - room)
+      page(0) = 13
+      page(3) = (take.length >> 8).toByte; page(4) = (take.length & 0xff).toByte
+      var content = PageSize - room
+      for (((_, cell), i) <- take.zipWithIndex.reverse) {
+        content -= cell.length
+        System.arraycopy(cell, 0, page, content, cell.length)
+        // the stored offset is relative to the page START in the file,
+        // so add headerRoom back for page 1
+        val off = content + room
+        page(8 + 2 * i) = (off >> 8).toByte; page(8 + 2 * i + 1) = (off & 0xff).toByte
+      }
+      page(5) = ((content + room) >> 8).toByte; page(6) = ((content + room) & 0xff).toByte
+      pages += ((page, take.lastOption.map(_._1).getOrElse(0L)))
+      room = 0
+    }
+    pages.toSeq
+  }
+
+  /** Write a single-table database: sqlite_master on page 1, the table's
+    * leaves from page 2, one interior root if more than one leaf. */
+  def writeDb(file: java.io.File, table: String, createSql: String,
+      rows: Seq[Seq[Any]]): Unit = {
+    val cells = rows.zipWithIndex.map { case (r, i) =>
+      (i + 1L, leafCell(i + 1L, record(r)))
+    }
+    val leaves = leafPages(cells)
+    val rootPage = if (leaves.length == 1) 2 else 2 + leaves.length
+    val masterRow: Seq[Any] =
+      Seq("table", table, table, rootPage.toLong, createSql)
+    val masterPages = leafPages(Seq((1L, leafCell(1L, record(masterRow)))),
+      headerRoom = 100)
+    require(masterPages.length == 1, "sqlite_master must fit page 1")
+
+    val interior: Option[Array[Byte]] =
+      if (leaves.length == 1) None
+      else {
+        val page = new Array[Byte](PageSize)
+        page(0) = 5
+        val n = leaves.length - 1 // last leaf is the rightmost pointer
+        page(3) = (n >> 8).toByte; page(4) = (n & 0xff).toByte
+        val right = 2 + leaves.length - 1
+        page(8) = (right >> 24).toByte; page(9) = (right >> 16).toByte
+        page(10) = (right >> 8).toByte; page(11) = right.toByte
+        var content = PageSize
+        for (i <- (0 until n).reverse) {
+          val child = 2 + i
+          val cell = Array[Byte]((child >> 24).toByte, (child >> 16).toByte,
+            (child >> 8).toByte, child.toByte) ++ varintBytes(leaves(i)._2)
+          content -= cell.length
+          System.arraycopy(cell, 0, page, content, cell.length)
+          page(12 + 2 * i) = (content >> 8).toByte
+          page(12 + 2 * i + 1) = (content & 0xff).toByte
+        }
+        page(5) = (content >> 8).toByte; page(6) = (content & 0xff).toByte
+        Some(page)
+      }
+
+    val nPages = 1 + leaves.length + interior.size
+    val header = new Array[Byte](100)
+    System.arraycopy("SQLite format 3".getBytes(UTF_8), 0, header, 0, 15)
+    header(16) = (PageSize >> 8).toByte; header(17) = (PageSize & 0xff).toByte
+    header(18) = 1; header(19) = 1 // legacy file format versions
+    header(21) = 64; header(22) = 32; header(23) = 32 // payload fractions
+    header(27) = 1 // file change counter
+    header(28) = (nPages >> 24).toByte; header(29) = (nPages >> 16).toByte
+    header(30) = (nPages >> 8).toByte; header(31) = nPages.toByte
+    header(43) = 1 // schema cookie
+    header(47) = 4 // schema format
+    header(59) = 1 // text encoding: utf8
+    header(95) = 1 // version-valid-for
+
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
+    try {
+      out.write(header)
+      out.write(masterPages.head._1)
+      leaves.foreach(p => out.write(p._1))
+      interior.foreach(out.write)
+    } finally out.close()
+  }
+}
