@@ -86,6 +86,18 @@ object LuxQueries extends QueryGroup {
     })
   }
 
+  /** Evict cached substrates and unpersist their blocks — the hook a
+    * long-lived service embedding this module calls when an index epoch
+    * rolls over (`dir = None` drops every substrate of the session).
+    * Queries rebuild the substrate lazily on next use. */
+  def evictSubstrate(spark: SparkSession, dir: Option[String] = None): Unit = {
+    val keys = substrateCache.keys
+      .filter(k => (k._1 eq spark) && dir.forall(_ == k._2)).toSeq
+    for (k <- keys; (e, t) <- substrateCache.remove(k)) {
+      e.unpersist(); t.unpersist()
+    }
+  }
+
   private def run(query: String)(spark: SparkSession, dir: String): DataFrame = {
     val (e, t) = substrate(spark, dir)
     new LuxCompiler(e, t).compile(query)

@@ -69,12 +69,21 @@ object SourceQueries extends QueryGroup {
         $"checksum", $"format",
         $"width".cast("long").as("width"), $"height".cast("long").as("height"))
   }
+  // the checksum folds UTF-8 BYTES (what the Spark side hashes), so each
+  // code point is expanded to its UTF-8 byte sequence arithmetically —
+  // engine-identical even for non-ASCII text
   private val mediaFallbackOracle: String =
     s"""WITH m AS (
        |  SELECT doc_id AS media_id,
        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text)+1)]),
+       |      flatten([
+       |        CASE WHEN u < 128 THEN [u]
+       |          WHEN u < 2048 THEN [192 + u//64, 128 + u%64]
+       |          WHEN u < 65536 THEN [224 + u//4096, 128 + (u//64)%64, 128 + u%64]
+       |          ELSE [240 + u//262144, 128 + (u//4096)%64, 128 + (u//64)%64, 128 + u%64]
+       |        END
+       |        for u in [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text)+1)]])),
        |      (a,b) -> (a*31+b) % 2147483647) AS checksum
        |  FROM documents)
        |SELECT media_id, n_bytes, checksum, 'unknown' AS format,

@@ -55,11 +55,13 @@ object Wkt {
       .when(w.rlike("^\\s*POLYGON\\s*\\(\\("), "POLYGON")
 
   /** Exterior coordinate count as a codegen'd expression: 1 for points,
-    * comma-count + 1 of the exterior ring for polygons. */
+    * comma-count + 1 of the EXTERIOR ring for polygons — the capture
+    * stops at the ring's first ')' so interior rings never inflate the
+    * count (the JVM parser above reads only the exterior ring too). */
   def coordCountCol(w: Column): Column =
     when(kindCol(w) === "POINT", lit(1))
       .when(kindCol(w) === "POLYGON",
-        size(split(regexp_extract(w, "\\(\\((.*)\\)\\)", 1), ",")))
+        size(split(regexp_extract(w, "\\(\\(([^)]*)\\)", 1), ",")))
 
   def kindOf(wkt: String): Option[String] = parse(wkt).map(_.kind)
   def coordCount(wkt: String): Option[Int] = parse(wkt).map(_.nCoords)

@@ -147,18 +147,26 @@ object NtWalk {
     val refs = scala.collection.mutable.LinkedHashSet[String]()
   }
 
-  /** Walk one record's JSON → its triple rows + collected internal refs. */
+  /** Walk one record's JSON → its triple rows + collected internal refs.
+    * Malformed records (unparseable JSON, non-object roots, missing id)
+    * yield an EMPTY triple set instead of throwing: inside a flatMap over
+    * a large corpus one bad record must not fail the stage — the
+    * reference logs and skips comparable bad input. */
   def transform(json: String,
       internalPfx: String = MlMapper.InternalPfx): (Seq[Nt], Seq[String]) = {
-    val root = org.json4s.jackson.JsonMethods.parse(json) match {
-      case o: JObject => o
-      case other => sys.error(s"record must be an object, got $other")
-    }
-    val base = root.obj.collectFirst { case ("id", JString(s)) => s }
-      .getOrElse(sys.error("record has no id"))
-    val conf = new Conf(base)
-    walk(root, conf, internalPfx, ignore = false)
-    (conf.triples.result(), conf.refs.toSeq)
+    val rootOpt =
+      try org.json4s.jackson.JsonMethods.parse(json) match {
+        case o: JObject => Some(o)
+        case _ => None
+      } catch { case _: Exception => None }
+    (for {
+      root <- rootOpt
+      base <- root.obj.collectFirst { case ("id", JString(s)) => s }
+    } yield {
+      val conf = new Conf(base)
+      walk(root, conf, internalPfx, ignore = false)
+      (conf.triples.result(), conf.refs.toSeq)
+    }).getOrElse((Nil, Nil))
   }
 
   private def walk(node: JObject, conf: Conf, pfx: String,

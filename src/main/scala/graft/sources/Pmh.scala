@@ -43,6 +43,10 @@ object Pmh {
         .takeWhile(_.datestamp >= lastHarvest)
         .map(h => Harvested("update", h.ident, h.datestamp))
       next match {
+        // a server handing back the SAME token forever would loop the
+        // driver: stop on a repeated token (mirrors AsStream's
+        // prev==self page guard)
+        case Some(t) if token.contains(t) => done = true
         case Some(t) => token = Some(t)
         case None => done = true
       }

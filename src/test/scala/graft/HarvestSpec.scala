@@ -24,6 +24,15 @@ class HarvestSpec extends AnyFunSuite {
     assert(Pmh.crawl(src, "2024-03").map(_.ident) == Seq("a", "d"))
   }
 
+  test("a repeated resumption token stops the walk instead of looping") {
+    val loop = new Pmh.PageSource {
+      def fetch(token: Option[String]) =
+        (Seq(Header(s"p${token.getOrElse("-")}", "2024-05")), Some("same"))
+    }
+    // page for None, page for "same", then the repeated token stops it
+    assert(Pmh.crawl(loop, "2024-01").map(_.ident) == Seq("p-", "psame"))
+  }
+
   test("everything is an update; empty feed and all-old pages are fine") {
     val src = pages(Seq(Header("a", "2024-05")))
     assert(Pmh.crawl(src, "2024-01") ==

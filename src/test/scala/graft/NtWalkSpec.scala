@@ -64,4 +64,10 @@ class NtWalkSpec extends AnyFunSuite {
     assert(!ts.exists(t => t.predicate.contains("frob")))
     assert(!ts.exists(t => t.obj == "NotAClass"))
   }
+
+  test("malformed records yield empty triples instead of failing the stage") {
+    assert(NtWalk.transform("not json at all") === ((Nil, Nil)))
+    assert(NtWalk.transform("[1, 2]") === ((Nil, Nil))) // non-object root
+    assert(NtWalk.transform("""{"type": "Person"}""") === ((Nil, Nil))) // no id
+  }
 }

@@ -38,4 +38,15 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("f10_geometry_merge")
     assert(!p.contains("UDF"), s"Scala UDF escaped codegen:\n$p")
   }
+
+  test("substrate eviction unpersists and the cache rebuilds lazily") {
+    val (e1, _) = LuxQueries.substrate(spark, TestSpark.sf)
+    val (e2, _) = LuxQueries.substrate(spark, TestSpark.sf)
+    assert(e1 eq e2) // cached: same persisted instance
+    LuxQueries.evictSubstrate(spark)
+    assert(e1.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val (e3, _) = LuxQueries.substrate(spark, TestSpark.sf)
+    assert(!(e3 eq e1)) // rebuilt fresh after eviction
+    LuxQueries.evictSubstrate(spark) // leave the session clean
+  }
 }

@@ -45,4 +45,14 @@ class WktSpec extends AnyFunSuite {
     // points use the same compare
     assert(Wkt.better("POINT(1 2)", "POINT(1.25 2)") === "POINT(1.25 2)")
   }
+
+  test("columnar coord count reads only the exterior ring") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val multiRing =
+      "POLYGON((0 0, 4 0, 4 4, 0 0),(1 1, 2 1, 2 2, 1 1))" // 4 + hole
+    val got = Seq(multiRing, "POINT(1 2)").toDF("w")
+      .select(Wkt.coordCountCol($"w").as("n")).as[Int].collect().toSeq
+    assert(got === Seq(4, 1)) // interior ring does not inflate the count
+  }
 }
