@@ -24,6 +24,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L) && got.length == 40)
   }
 
+  test("local contraction preserves connectivity and the node set") {
+    import spark.implicits._
+    // force everything into ONE partition so the union-find sees the
+    // whole chain: the star edges must collapse it to depth 1
+    val sym = (1L until 20L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst").repartition(1)
+    val star = Graph.localContraction(sym)
+      .as[(Long, Long)].collect().toMap
+    assert(star.keySet === (1L to 20L).toSet) // every node kept
+    assert(star.values.forall(_ == 1L)) // one local component, min rep
+    // and across many partitions the global result is unchanged
+    val spread = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+      .repartition(8)
+    val got = Graph.connectedComponents(spread).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L) && got.length == 40)
+  }
+
   test("bfs min-dist with bound") {
     import spark.implicits._
     // 1 -> 2 -> 3 -> 4 -> 5, plus shortcut 1 -> 4
