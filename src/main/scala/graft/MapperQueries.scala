@@ -211,7 +211,98 @@ object MapperQueries extends QueryGroup {
       |    ELSE NULL END AS canonical
       |FROM b""".stripMargin
 
+  final case class LcOut(id: Long, label: String, names: String,
+      alts: String, eqs: String)
+
+  /** M1c: the LC authority mapper exemplar (`lc/mapper.py:187-340`) —
+    * madsrdf label/variant name assembly plus the equivalence selection
+    * rules, as a typed map stage over claims synthesized from customer
+    * keys. The oracle replays every rule, including the viaf-seen
+    * suppression and the wikidata 4-cap close-match break. */
+  def lcNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.LcNames
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val prefs = Seq((s"nm${ck % 40}",
+          (ck % 3) match {
+            case 0 => Some("en")
+            case 1 => Some("xx") // not in process_langs: dropped
+            case _ => None
+          })) ++
+          (if (ck % 4 == 0) Seq((s"alt${ck % 40}", Some("fr": String))) else Nil)
+        val (label, names) = LcNames.mapLabel(prefs)
+        val alts = LcNames.variants(
+          if (ck % 2 == 0)
+            Seq((s"var${ck % 30}", Some(if (ck % 5 == 0) "de" else "yy")))
+          else Nil)
+        val idby =
+          (if (ck % 2 == 0) Seq(s"http://dbpedia.org/resource/x$ck") else Nil) ++
+          (if (ck % 3 == 0) Seq(s"http://vocab.getty.edu/tgn/${ck % 100}-place") else Nil) ++
+          (if (ck % 5 == 0) Seq(s"https://viaf.org/viaf/${ck % 500}") else Nil) ++
+          (if (ck % 7 == 0) Seq(s"http://id.loc.gov/rwo/agents/r$ck") else Nil) ++
+          Seq(s"https://other.org/a$ck")
+        val exact =
+          (if (ck % 3 == 1) Seq(s"https://viaf.org/viaf/${ck % 500}") else Nil) ++
+          (if (ck % 2 == 1) Seq(s"https://exact.org/e$ck") else Nil)
+        val later = if (ck % 6 == 0) Seq(s"https://later.org/l$ck") else Nil
+        val close =
+          (if (ck % 4 == 0) Seq(s"https://www.wikidata.org/entity/Q${ck % 90}") else Nil) ++
+          (if (ck % 4 <= 1) Seq(s"https://data.bnf.fr/ark:$ck") else Nil) ++
+          (if (ck % 9 == 0) Seq(s"https://close.org/c$ck") else Nil)
+        val eqs = LcNames.selectEquivalents(idby, exact, later, close,
+          isGroup = ck % 8 == 0)
+        LcOut(ck, label.orNull,
+          names.map(n => s"${n.content}|${n.lang.getOrElse("")}").mkString(";"),
+          alts.map(n => s"${n.content}|${n.lang.getOrElse("")}").mkString(";"),
+          eqs.mkString(";"))
+      }.toDF()
+  }
+
+  private val lcNamesOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer),
+      |parts AS (
+      |  SELECT ck,
+      |    CASE WHEN ck % 3 = 0 THEN
+      |      'http://vocab.getty.edu/tgn/' || (ck % 100) END AS tgn,
+      |    CASE WHEN ck % 5 = 0 THEN
+      |      'https://viaf.org/viaf/' || (ck % 500) END AS viaf,
+      |    'https://other.org/a' || ck AS other,
+      |    CASE WHEN ck % 3 = 1 AND ck % 5 <> 0 THEN
+      |      'https://viaf.org/viaf/' || (ck % 500) END AS viafx,
+      |    CASE WHEN ck % 2 = 1 THEN 'https://exact.org/e' || ck END AS exct,
+      |    CASE WHEN ck % 6 = 0 AND ck % 8 <> 0 THEN
+      |      'https://later.org/l' || ck END AS later,
+      |    CASE WHEN ck % 4 = 0 THEN
+      |      'https://www.wikidata.org/entity/Q' || (ck % 90) END AS wd,
+      |    CASE WHEN ck % 9 = 0 THEN 'https://close.org/c' || ck END AS clo
+      |  FROM b),
+      |counted AS (
+      |  SELECT *,
+      |    (CASE WHEN tgn IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN viaf IS NULL THEN 0 ELSE 1 END + 1
+      |     + CASE WHEN viafx IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN exct IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN later IS NULL THEN 0 ELSE 1 END) AS base_n
+      |  FROM parts)
+      |SELECT ck AS id,
+      |  'nm' || (ck % 40) AS label,
+      |  'nm' || (ck % 40) || '|' ||
+      |    CASE WHEN ck % 3 = 0 THEN 'en' ELSE '' END ||
+      |    CASE WHEN ck % 4 = 0 THEN ';alt' || (ck % 40) || '|fr' ELSE '' END
+      |    AS names,
+      |  CASE WHEN ck % 2 = 0 THEN 'var' || (ck % 30) || '|' ||
+      |    CASE WHEN ck % 5 = 0 THEN 'de' ELSE '' END ELSE '' END AS alts,
+      |  array_to_string(list_filter([
+      |    tgn, viaf, other, viafx, exct, later, wd,
+      |    CASE WHEN NOT (wd IS NOT NULL AND base_n + 1 >= 4)
+      |      THEN clo END
+      |  ], x -> x IS NOT NULL), ';') AS eqs
+      |FROM counted""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("f10_geometry_merge", geometryMerge, Some(geometryMergeOracle)))
