@@ -499,6 +499,176 @@ object WdQueries extends QueryGroup {
       |FROM p""".stripMargin
   }
 
+  /** Fixture reference resolver for the work/event queries: qid number
+    * % 5 → Person/Group/Place/Type, 4 = unresolvable (get_reference
+    * returned None). */
+  private def cls5(q: String): Option[String] = {
+    val n = q.drop(1).toLong
+    if (n % 5 == 4) None
+    else Some(Seq("Person", "Group", "Place", "Type")((n % 5).toInt))
+  }
+
+  final case class M5WorkOut(id: Long, genres: String, movements: String,
+      about: String, c_begin: String, c_end: String, c_display: String,
+      creators: String, c_places: String, p_begin: String, p_end: String,
+      publishers: String, p_places: String, depicts: String, langs: String)
+
+  /** M5 process_work + visualitem/linguisticobject wrappers
+    * (wikidata/mapper.py:1034-1121): genres/movements, about with
+    * resolvability filtering, Creation and Publishing events with
+    * Person/Group agent filtering, depicts, languages. */
+  def work(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val genres = if (ck % 3 == 0) Seq(s"Q${ck % 25}", s"Q${ck % 25 + 1}") else Nil
+        val movements = if (ck % 4 == 0) Seq(s"Q${ck % 15}") else Nil
+        val subjects = if (ck % 2 == 0) Seq(s"Q$ck", s"Q${ck + 1}") else Nil
+        val authors = if (ck % 3 != 0) Seq(s"Q${3 * ck}", s"Q${3 * ck + 1}") else Nil
+        val crePlaces = if (ck % 6 == 0) Seq(s"Q${ck % 19}") else Nil
+        val y = 1500 + (ck % 500)
+        val creDate = if (ck % 4 != 0) Some(WdDate(f"+$y%04d-00-00T00:00:00Z", 9)) else None
+        val publishers = if (ck % 5 == 0) Seq(s"Q${7 * ck}") else Nil
+        val pubPlaces = if (ck % 7 == 0) Seq(s"Q${ck % 23}") else Nil
+        val y2 = 1900 + (ck % 120)
+        val pubDate = if (ck % 2 == 1) Some(WdDate(f"+$y2%04d-09-05T00:00:00Z", 11)) else None
+        val depicts = if (ck % 4 == 2) Seq(s"Q${ck + 5}") else Nil
+        val langs = if (ck % 8 == 0) Seq(s"Q${ck % 12}") else Nil
+        val r = WdClaims.processWork(genres, subjects, movements, authors,
+          crePlaces, creDate, publishers, pubPlaces, pubDate, depicts, langs, cls5)
+        M5WorkOut(ck, r.genres.mkString(";"), r.movements.mkString(";"),
+          r.about.mkString(";"),
+          r.creation.map(_.begin).orNull, r.creation.map(_.end).orNull,
+          r.creation.map(_.display).orNull,
+          r.creators.mkString(";"), r.creationPlaces.mkString(";"),
+          r.publishing.map(_.begin).orNull, r.publishing.map(_.end).orNull,
+          r.publishers.mkString(";"), r.pubPlaces.mkString(";"),
+          r.represents.mkString(";"), r.languages.mkString(";"))
+      }.toDF()
+  }
+
+  private val workOracle: String =
+    s"""WITH p AS (
+      |  SELECT c_custkey AS ck, 1500 + (c_custkey % 500) AS y,
+      |    1900 + (c_custkey % 120) AS y2
+      |  FROM customer)
+      |SELECT ck AS id,
+      |  CASE WHEN ck % 3 = 0
+      |    THEN ${wd("ck % 25")} || ';' || ${wd("ck % 25 + 1")} ELSE '' END AS genres,
+      |  CASE WHEN ck % 4 = 0 THEN ${wd("ck % 15")} ELSE '' END AS movements,
+      |  CASE WHEN ck % 2 = 0 THEN
+      |      CASE WHEN ck % 5 <> 4 AND (ck + 1) % 5 <> 4
+      |          THEN ${wd("ck")} || ';' || ${wd("ck + 1")}
+      |        WHEN ck % 5 <> 4 THEN ${wd("ck")}
+      |        WHEN (ck + 1) % 5 <> 4 THEN ${wd("ck + 1")}
+      |        ELSE '' END
+      |    ELSE '' END AS about,
+      |  CASE WHEN ck % 4 <> 0
+      |    THEN CAST(y AS VARCHAR) || '-01-01T00:00:00' END AS c_begin,
+      |  CASE WHEN ck % 4 <> 0
+      |    THEN CAST(y AS VARCHAR) || '-12-31T23:59:59' END AS c_end,
+      |  CASE WHEN ck % 4 <> 0
+      |    THEN CAST(y AS VARCHAR) || '-01-01' END AS c_display,
+      |  CASE WHEN ck % 3 <> 0 THEN
+      |      CASE WHEN (3 * ck) % 5 <= 1 AND (3 * ck + 1) % 5 <= 1
+      |          THEN ${wd("3 * ck")} || ';' || ${wd("3 * ck + 1")}
+      |        WHEN (3 * ck) % 5 <= 1 THEN ${wd("3 * ck")}
+      |        WHEN (3 * ck + 1) % 5 <= 1 THEN ${wd("3 * ck + 1")}
+      |        ELSE '' END
+      |    ELSE '' END AS creators,
+      |  CASE WHEN ck % 6 = 0 THEN ${wd("ck % 19")} ELSE '' END AS c_places,
+      |  CASE WHEN ck % 2 = 1
+      |    THEN CAST(y2 AS VARCHAR) || '-09-05T00:00:00' END AS p_begin,
+      |  CASE WHEN ck % 2 = 1
+      |    THEN CAST(y2 AS VARCHAR) || '-09-05T23:59:59' END AS p_end,
+      |  CASE WHEN ck % 5 = 0 AND (7 * ck) % 5 <= 1
+      |    THEN ${wd("7 * ck")} ELSE '' END AS publishers,
+      |  CASE WHEN ck % 7 = 0 THEN ${wd("ck % 23")} ELSE '' END AS p_places,
+      |  CASE WHEN ck % 4 = 2 AND (ck + 5) % 5 <> 4
+      |    THEN ${wd("ck + 5")} ELSE '' END AS depicts,
+      |  CASE WHEN ck % 8 = 0 THEN ${wd("ck % 12")} ELSE '' END AS langs
+      |FROM p""".stripMargin
+
+  final case class M5EventOut(id: Long, bb: String, eb: String, be: String,
+      ee: String, places: String, participants: String, part_of: String)
+
+  /** M5 process_activity/process_event (wikidata/mapper.py:1123-1186):
+    * four-point timespan, P17+P276+P2293 places in claim order,
+    * P710+P488 participants filtered to Person/Group, P361 broader. */
+  def event(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val ya = 1800 + (ck % 100)
+        val yb = ya + (ck % 30)
+        val start = if (ck % 3 != 0) Some(WdDate(f"+$ya%04d-00-00T00:00:00Z", 9)) else None
+        val end = if (ck % 4 != 0) Some(WdDate(f"+$yb%04d-06-20T00:00:00Z", 11)) else None
+        val countries = if (ck % 2 == 0) Seq(s"Q${ck % 31}") else Nil
+        val locations = if (ck % 3 == 0) Seq(s"Q${ck % 37}") else Nil
+        val venues = if (ck % 5 == 0) Seq(s"Q${ck % 41}") else Nil
+        val parts = if (ck % 2 == 1) Seq(s"Q${2 * ck}") else Nil
+        val chairs = if (ck % 6 == 0) Seq(s"Q${2 * ck + 1}") else Nil
+        val broader = if (ck % 7 == 0) Seq(s"Q${ck % 29}", s"Q${ck % 29 + 1}") else Nil
+        val r = WdClaims.processEvent(start, end, countries, locations, venues,
+          parts, chairs, broader, cls5)
+        M5EventOut(ck, r.beginBegin, r.endBegin, r.beginEnd, r.endEnd,
+          r.places.mkString(";"), r.participants.mkString(";"),
+          r.partOf.mkString(";"))
+      }.toDF()
+  }
+
+  private val eventOracle: String =
+    s"""WITH p AS (
+      |  SELECT c_custkey AS ck, 1800 + (c_custkey % 100) AS ya,
+      |    1800 + (c_custkey % 100) + (c_custkey % 30) AS yb
+      |  FROM customer)
+      |SELECT ck AS id,
+      |  CASE WHEN ck % 3 <> 0 THEN CAST(ya AS VARCHAR) || '-01-01T00:00:00' END AS bb,
+      |  CASE WHEN ck % 3 <> 0 THEN CAST(ya AS VARCHAR) || '-12-31T23:59:59' END AS eb,
+      |  CASE WHEN ck % 4 <> 0 THEN CAST(yb AS VARCHAR) || '-06-20T00:00:00' END AS be,
+      |  CASE WHEN ck % 4 <> 0 THEN CAST(yb AS VARCHAR) || '-06-20T23:59:59' END AS ee,
+      |  COALESCE(array_to_string(list_filter([
+      |    CASE WHEN ck % 2 = 0 THEN ${wd("ck % 31")} END,
+      |    CASE WHEN ck % 3 = 0 THEN ${wd("ck % 37")} END,
+      |    CASE WHEN ck % 5 = 0 THEN ${wd("ck % 41")} END
+      |  ], x -> x IS NOT NULL), ';'), '') AS places,
+      |  COALESCE(array_to_string(list_filter([
+      |    CASE WHEN ck % 2 = 1 AND (2 * ck) % 5 <= 1 THEN ${wd("2 * ck")} END,
+      |    CASE WHEN ck % 6 = 0 AND (2 * ck + 1) % 5 <= 1 THEN ${wd("2 * ck + 1")} END
+      |  ], x -> x IS NOT NULL), ';'), '') AS participants,
+      |  CASE WHEN ck % 7 = 0
+      |    THEN ${wd("ck % 29")} || ';' || ${wd("ck % 29 + 1")} ELSE '' END AS part_of
+      |FROM p""".stripMargin
+
+  /** M5 process_concept identifier codes (wikidata/mapper.py:832-867). */
+  def concept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val ids = WdClaims.processConcept(
+          p246 = if (ck % 2 == 0) Seq(s"Fe$ck") else Nil,
+          p274 = if (ck % 3 == 0) Seq(s"H2O$ck") else Nil,
+          p218 = if (ck % 4 == 0) Seq("aa") else Nil,
+          p219 = if (ck % 5 == 0) Seq(s"eng$ck") else Nil,
+          p220 = if (ck % 7 == 0) Seq(s"deu$ck") else Nil)
+        (ck, ids.mkString(";"))
+      }.toDF("id", "idents")
+  }
+
+  private val conceptOracle: String =
+    """SELECT c_custkey AS id,
+      |  COALESCE(array_to_string(list_filter([
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'Fe' || c_custkey
+      |      WHEN c_custkey % 3 = 0 THEN 'H2O' || c_custkey END,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'aa' END,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 'eng' || c_custkey
+      |      WHEN c_custkey % 7 = 0 THEN 'deu' || c_custkey END
+      |  ], x -> x IS NOT NULL), ';'), '') AS idents
+      |FROM customer""".stripMargin
+
   final case class Vote(rec: Long, key: String, qid: String, truth: String)
 
   /** J3: the voting reconciler — 8 fixture variants exercise every
@@ -546,6 +716,9 @@ object WdQueries extends QueryGroup {
     Queries.register(QueryDef("m5_group", group, Some(groupOracle)))
     Queries.register(QueryDef("m5_place", place, Some(placeOracle)))
     Queries.register(QueryDef("m5_hmo", hmo, Some(hmoOracle)))
+    Queries.register(QueryDef("m5_work", work, Some(workOracle)))
+    Queries.register(QueryDef("m5_event", event, Some(eventOracle)))
+    Queries.register(QueryDef("m5_concept", concept, Some(conceptOracle)))
     Queries.register(QueryDef("j3_vote", vote, Some(voteOracle)))
   }
 }

@@ -311,6 +311,76 @@ object WdClaims {
     else if (unit.endsWith("Q218593")) unitInches
     else expandUri(unit)
 
+  final case class WorkResult(genres: Seq[String], movements: Seq[String],
+      about: Seq[String], creation: Option[WdEvent], creators: Seq[String],
+      creationPlaces: Seq[String], publishing: Option[WdEvent],
+      publishers: Seq[String], pubPlaces: Seq[String],
+      represents: Seq[String], languages: Seq[String])
+
+  /** M5 process_work (mapper.py:1034-1102) + the thin visualitem /
+    * linguisticobject wrappers (:1104-1121): P136 genres and P135
+    * movements as classifications, P921 subjects → about (any resolvable
+    * reference counts), P50/P495/P571 Creation and P123/P291/P577
+    * Publishing (agents filtered to Person/Group, unresolved refs
+    * dropped), P180 depicts (VisualItem), P407 languages
+    * (LinguisticObject). `refClass` returning None = get_reference
+    * failed. */
+  def processWork(genres: Seq[String], subjects: Seq[String],
+      movements: Seq[String], authors: Seq[String], crePlaces: Seq[String],
+      creDate: Option[WdDate], publishers: Seq[String], pubPlaces: Seq[String],
+      pubDate: Option[WdDate], depicts: Seq[String], langs: Seq[String],
+      refClass: String => Option[String]): WorkResult = {
+    def agents(claims: Seq[String]) = claims
+      .filter(c => refClass(c).exists(x => x == "Person" || x == "Group"))
+      .map(expandUri)
+    WorkResult(
+      genres.map(expandUri),
+      movements.map(expandUri),
+      subjects.filter(refClass(_).isDefined).map(expandUri),
+      creDate.flatMap(mkEvent(_, None)),
+      agents(authors),
+      crePlaces.map(expandUri),
+      pubDate.flatMap(mkEvent(_, None)),
+      agents(publishers),
+      pubPlaces.map(expandUri),
+      depicts.filter(refClass(_).isDefined).map(expandUri),
+      langs.map(expandUri))
+  }
+
+  final case class ActivityResult(beginBegin: String, endBegin: String,
+      beginEnd: String, endEnd: String, places: Seq[String],
+      participants: Seq[String], partOf: Seq[String])
+
+  /** M5 process_activity / process_event (mapper.py:1123-1186): the
+    * P580/P582 four-point timespan (start claim ranges the begin, end
+    * claim ranges the end), took_place_at = P17 + P276 + P2293 in that
+    * order, P710 participants + P488 chairs filtered to Person/Group,
+    * and P361 broader events. */
+  def processEvent(start: Option[WdDate], end: Option[WdDate],
+      countries: Seq[String], locations: Seq[String], venues: Seq[String],
+      participants: Seq[String], chairs: Seq[String], broader: Seq[String],
+      refClass: String => Option[String]): ActivityResult = {
+    val b = start.flatMap(mkEvent(_, None))
+    val e = end.flatMap(mkEvent(_, None))
+    ActivityResult(
+      b.map(_.begin).orNull, b.map(_.end).orNull,
+      e.map(_.begin).orNull, e.map(_.end).orNull,
+      (countries ++ locations ++ venues).map(expandUri),
+      (participants ++ chairs)
+        .filter(c => refClass(c).exists(x => x == "Person" || x == "Group"))
+        .map(expandUri),
+      broader.map(expandUri))
+  }
+
+  /** M5 process_concept (mapper.py:832-867): identifier codes — element
+    * symbol P246 (else formula P274), ISO 639-1 P218, ISO 639-2 P219
+    * (else P220); first claim each, appended in that order. */
+  def processConcept(p246: Seq[String], p274: Seq[String], p218: Seq[String],
+      p219: Seq[String], p220: Seq[String]): Seq[String] =
+    (p246.headOption.orElse(p274.headOption).toSeq ++
+      p218.headOption.toSeq ++
+      p219.headOption.orElse(p220.headOption).toSeq)
+
   /** M5 process_humanmadeobject (mapper.py:890-1032): P31 → AAT type_map,
     * production from P571 date + P170 creators (P176 manufacturer
     * fallback, Person/Group refs only) + P1071 places, P528/P217

@@ -213,4 +213,55 @@ class WdClaimsSpec extends AnyFunSuite {
     assert(r.encounter.get.end == "1922-11-30T23:59:59")
     assert(r.encounterPlaces == Seq("http://www.wikidata.org/entity/Q30"))
   }
+
+  // --- process_work / process_event / process_concept (:832-1186) ---
+
+  private val cls5: String => Option[String] = q => {
+    val n = q.drop(1).toInt
+    if (n % 5 == 4) None
+    else Some(Seq("Person", "Group", "Place", "Type")(n % 5))
+  }
+
+  test("work: about keeps any resolvable ref, agents keep Person/Group") {
+    val r = processWork(
+      genres = Seq("Q100"), subjects = Seq("Q2", "Q4"), // Place kept, unresolved dropped
+      movements = Seq("Q200"), authors = Seq("Q5", "Q6", "Q7"), // P, G, Place
+      crePlaces = Seq("Q30"), creDate = Some(WdDate("+1667-00-00T00:00:00Z", 9)),
+      publishers = Seq("Q10"), pubPlaces = Nil,
+      pubDate = Some(WdDate("+1668-02-03T00:00:00Z", 11)),
+      depicts = Seq("Q9", "Q11"), langs = Seq("Q1860"), refClass = cls5)
+    assert(r.about == Seq("http://www.wikidata.org/entity/Q2"))
+    assert(r.creators == Seq("http://www.wikidata.org/entity/Q5",
+      "http://www.wikidata.org/entity/Q6"))
+    assert(r.creation.get.begin == "1667-01-01T00:00:00")
+    assert(r.creation.get.display == "1667-01-01")
+    assert(r.publishing.get.begin == "1668-02-03T00:00:00")
+    assert(r.publishers == Seq("http://www.wikidata.org/entity/Q10")) // Q10%5=0 Person
+    // Q9%5=4 unresolved dropped; Q11%5=1 kept
+    assert(r.represents == Seq("http://www.wikidata.org/entity/Q11"))
+    assert(r.languages == Seq("http://www.wikidata.org/entity/Q1860"))
+  }
+
+  test("event: four-point timespan and P17+P276+P2293 place order") {
+    val r = processEvent(
+      start = Some(WdDate("+1914-00-00T00:00:00Z", 9)),
+      end = Some(WdDate("+1918-11-11T00:00:00Z", 11)),
+      countries = Seq("Q17c"), locations = Seq("Q276l"), venues = Seq("Q2293v"),
+      participants = Seq("Q5"), chairs = Seq("Q7"), // Person kept, Place dropped
+      broader = Seq("Q361b"), refClass = q => cls5("Q" + q.drop(1).takeWhile(_.isDigit)))
+    assert(r.beginBegin == "1914-01-01T00:00:00" && r.endBegin == "1914-12-31T23:59:59")
+    assert(r.beginEnd == "1918-11-11T00:00:00" && r.endEnd == "1918-11-11T23:59:59")
+    assert(r.places.map(_.stripPrefix("http://www.wikidata.org/entity/")) ==
+      Seq("Q17c", "Q276l", "Q2293v"))
+    assert(r.participants == Seq("http://www.wikidata.org/entity/Q5"))
+    assert(r.partOf == Seq("http://www.wikidata.org/entity/Q361b"))
+  }
+
+  test("concept identifier codes: P246-else-P274, P218, P219-else-P220") {
+    assert(processConcept(Seq("Fe"), Seq("H2O"), Seq("en"), Seq("eng"), Seq("deu"))
+      == Seq("Fe", "en", "eng"))
+    assert(processConcept(Nil, Seq("H2O"), Nil, Nil, Seq("deu"))
+      == Seq("H2O", "deu"))
+    assert(processConcept(Nil, Nil, Nil, Nil, Nil) == Nil)
+  }
 }
