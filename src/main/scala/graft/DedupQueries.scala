@@ -32,11 +32,12 @@ object DedupQueries extends QueryGroup {
   import TextQueries.{HashP => P, tokensCol, tokensSql, wordHash, intDiv,
     docFingerprint, docFingerprintSql}
 
-  /** Deterministic per-permutation constants for minhash/simhash. */
+  /** Deterministic per-permutation constants for minhash/simhash —
+    * shared with the codegen vector expressions (functions.VecMath). */
   val K = 16
   val SimK = 64
-  def aj(j: Int): Long = (2L * j + 3) * 104729L % P
-  def bj(j: Int): Long = (j + 1L) * 179426549L % P
+  def aj(j: Int): Long = functions.VecMath.aj(j)
+  def bj(j: Int): Long = functions.VecMath.bj(j)
 
   /** Hot-band guard: a single (band_idx, band_hash) bucket holding more
     * docs than this is dropped from candidate generation (quadratic
@@ -246,14 +247,10 @@ object DedupQueries extends QueryGroup {
     val ids = Tables.load(spark, dir, "documents")
       .select($"doc_id", transform(tokensCol($"text"), wordHash(_)).as("ids"))
       .filter(size($"ids") > 0)
-    val votes = (0 until SimK).map(j =>
-      aggregate($"ids", lit(0L),
-        (acc, x) => acc + ((lit(aj(j)) * x + lit(bj(j))) % P) % 2L * 2L - 1L).as(s"v$j"))
-    val fpCol = (0 until SimK).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val fps = ids.select($"doc_id" +: votes: _*)
-      .select($"doc_id", fpCol.as("fp"))
+    // all 64 vote bits in ONE codegen pass (HOFs are interpreted and
+    // would run 64 per-element lambda folds per row)
+    val fps = ids
+      .select($"doc_id", functions.VecMath.simhashCol($"ids", SimK).as("fp"))
       .persist() // band fan-out + final left join read this
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
@@ -415,14 +412,8 @@ object DedupQueries extends QueryGroup {
   private[graft] def embCandidates(base: DataFrame): DataFrame = {
     import base.sparkSession.implicits._
     // bit k of the signature: sign of q . h_k, h_k[i] = ±1 pseudo-random
-    val bits = (0 until EmbPlanes).map { k =>
-      val s = aggregate(
-        transform(sequence(lit(1), size($"q")), i =>
-          element_at($"q", i) *
-            (((lit(aj(k + 32)) * i + lit(bj(k + 32))) % P) % 2L * 2L - 1L)),
-        lit(0L), _ + _)
-      when(s > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // — one codegen pass over the vector for all planes (VecMath)
+    val bits = functions.VecMath.sigCol($"q", EmbPlanes, offset = 32)
     val bitsPerBand = EmbPlanes / EmbBands
     val bandCols = (0 until EmbBands).map(b =>
       struct(lit(b).as("band_idx"),
@@ -442,7 +433,7 @@ object DedupQueries extends QueryGroup {
     val base = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
-      .withColumn("n2", aggregate(zip_with($"q", $"q", _ * _), lit(0L), _ + _))
+      .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
       .persist() // signature fan-out + both verify joins read this
     val cand = embCandidates(base)
       .localCheckpoint() // barrier before verify (see minhashLsh)
@@ -451,7 +442,7 @@ object DedupQueries extends QueryGroup {
       .join(base.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("n2b")), "vec_b")
       .select($"vec_a", $"vec_b",
         floor(lit(1000d) *
-          aggregate(zip_with($"qa", $"qb", _ * _), lit(0L), _ + _).cast("double") /
+          functions.VecMath.dotCol($"qa", $"qb").cast("double") /
           sqrt($"n2a".cast("double") * $"n2b".cast("double"))).cast("long")
           .as("cos_milli"))
       .filter($"cos_milli" >= 300L)

@@ -24,6 +24,7 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.PolyHash.register(spark)
     graft.functions.UriCanon.register(spark)
+    graft.functions.VecMath.register(spark)
     spark
   }
 }

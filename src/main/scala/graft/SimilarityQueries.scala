@@ -30,7 +30,7 @@ object SimilarityQueries extends QueryGroup {
     Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
-      .withColumn("n2", aggregate(zip_with($"q", $"q", _ * _), lit(0L), _ + _))
+      .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
   }
   private val quantizedSql: String =
     s"""SELECT vec_id, label,
@@ -42,7 +42,7 @@ object SimilarityQueries extends QueryGroup {
 
   private def cosMilli(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
     floor(lit(1000d) *
-      aggregate(zip_with(qa, qb, _ * _), lit(0L), _ + _).cast("double") /
+      functions.VecMath.dotCol(qa, qb).cast("double") /
       sqrt(n2a.cast("double") * n2b.cast("double"))).cast("long")
   private def cosMilliSql(qa: String, qb: String, n2a: String, n2b: String): String =
     s"""CAST(floor(1000.0 *
@@ -78,10 +78,6 @@ object SimilarityQueries extends QueryGroup {
        |  FROM scored)
        |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane sign for (plane k, dim i). */
-  private def signExpr(k: Int, i: Column): Column =
-    ((lit(aj(k + 16)) * i + lit(bj(k + 16))) % P) % 2L * 2L - 1L
-
   /** LSH-bucketed ANN: 8-bit random-hyperplane signature per vector
     * (map-side), probes search only their own bucket, top-5 by cosine.
     * The IVF-style scale path: bucket size ~ corpus/2^bits. */
@@ -89,14 +85,8 @@ object SimilarityQueries extends QueryGroup {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val base = quantized(spark, dir)
-    val bucketCol = (0 until LshBits).map { k =>
-      val s = aggregate(
-        transform(sequence(lit(1), size($"q")), i =>
-          element_at($"q", i) * signExpr(k, i)),
-        lit(0L), _ + _)
-      when(s > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bucketed = base.withColumn("bucket", bucketCol)
+    val bucketed = base.withColumn("bucket",
+      functions.VecMath.sigCol($"q", LshBits, offset = 16))
     val probes = bucketed.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"bucket".as("pbucket"),
         $"q".as("pq"), $"n2".as("pn2"))
@@ -140,14 +130,8 @@ object SimilarityQueries extends QueryGroup {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val base = quantized(spark, dir)
-    val bucketCol = (0 until LshBits).map { k =>
-      val s = aggregate(
-        transform(sequence(lit(1), size($"q")), i =>
-          element_at($"q", i) * signExpr(k, i)),
-        lit(0L), _ + _)
-      when(s > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bucketed = base.withColumn("bucket", bucketCol)
+    val bucketed = base.withColumn("bucket",
+      functions.VecMath.sigCol($"q", LshBits, offset = 16))
     val probeBuckets = array(lit(0L) +:
       (0 until LshBits).map(k => lit(1L << k)): _*)
     val probes = bucketed.filter($"vec_id" < NQueries)
