@@ -258,8 +258,13 @@ object SourceQueries extends QueryGroup {
   def wofLoad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.load(spark, dir, "customer").count()
+    // key the fixture dir by the full (sanitized) sf path, not its
+    // hashCode — equal-rowcount sf dirs must not collide; and publish
+    // the db with write-temp + atomic rename so a concurrent driver
+    // either sees the marker with a complete db or regenerates.
+    val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_wof_${math.abs(dir.hashCode)}_$n")
+      s"graft_wof_${safeDir}_$n")
     val marker = new java.io.File(base, "_DONE")
     if (!marker.exists()) {
       base.mkdirs()
@@ -269,9 +274,18 @@ object SourceQueries extends QueryGroup {
         Seq(id.toString,
           s"""{"wof:name": "p${ck % 60}", "wof:placetype": "$pt"}""": Any)
       }
-      sources.Sqlite.writeDb(new java.io.File(base, "wof.db"), "geojson",
+      val tmpDb = java.io.File.createTempFile("wof", ".db.tmp", base)
+      sources.Sqlite.writeDb(tmpDb, "geojson",
         "CREATE TABLE geojson (id TEXT, body TEXT)", rows)
-      java.nio.file.Files.writeString(marker.toPath, "ok")
+      java.nio.file.Files.move(tmpDb.toPath,
+        new java.io.File(base, "wof.db").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val tmpMark = java.io.File.createTempFile("done", ".tmp", base)
+      java.nio.file.Files.writeString(tmpMark.toPath, "ok")
+      java.nio.file.Files.move(tmpMark.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val schema = StructType(Seq(
       StructField("wof:name", org.apache.spark.sql.types.StringType),

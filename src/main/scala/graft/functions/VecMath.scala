@@ -24,14 +24,21 @@ object VecMath {
   def aj(j: Int): Long = (2L * j + 3) * 104729L % P
   def bj(j: Int): Long = (j + 1L) * 179426549L % P
 
-  /** Exact integer dot product of two long arrays (shorter length wins,
-    * matching zip_with semantics on equal-length fixture vectors). */
-  def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Exact integer dot product of two long arrays, preserving the
+    * `aggregate(zip_with(a, b, _*_))` HOF semantics it replaced: NULL
+    * on a length mismatch (zip_with pads the shorter side with nulls)
+    * and NULL if any element is null. */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
   /** All `planes` hyperplane sign bits in one pass: bit k is set iff
@@ -125,12 +132,19 @@ final case class DotLong(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"dot_long requires ARRAY<BIGINT>, got ${left.dataType}")
 
+  // nullable even with non-null children: length mismatch / null slot -> NULL
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VecMath.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecMath.dotLong($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""java.lang.Long $tmp = graft.functions.VecMath.dotLong($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotLong =

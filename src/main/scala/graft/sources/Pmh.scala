@@ -35,6 +35,7 @@ object Pmh {
     * string compare in `:79`). */
   def crawl(src: PageSource, lastHarvest: String): Seq[Harvested] = {
     val out = Seq.newBuilder[Harvested]
+    val seen = scala.collection.mutable.Set.empty[String]
     var token: Option[String] = None
     var done = false
     while (!done) {
@@ -43,10 +44,11 @@ object Pmh {
         .takeWhile(_.datestamp >= lastHarvest)
         .map(h => Harvested("update", h.ident, h.datestamp))
       next match {
-        // a server handing back the SAME token forever would loop the
-        // driver: stop on a repeated token (mirrors AsStream's
-        // prev==self page guard)
-        case Some(t) if token.contains(t) => done = true
+        // a server cycling tokens (A -> B -> A ...) would loop the
+        // driver forever: stop the walk the first time ANY token
+        // repeats, bounding it against cycles of every length
+        // (mirrors AsStream's prev==self page guard)
+        case Some(t) if !seen.add(t) => done = true
         case Some(t) => token = Some(t)
         case None => done = true
       }

@@ -13,8 +13,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * b-tree pages; www.sqlite.org/fileformat2.html): enough to scan a
   * whole table — which is exactly what a bulk loader wants; the
   * reference's per-id point reads exist because it processes records one
-  * at a time. Limitations (documented): no overflow-page chains, no
-  * freeblock reuse, no WAL — dump files are written once and scanned.
+  * at a time. Limitations (documented): overflow-page chains are
+  * detected and rejected (payload vs max-inline check in `walkTable`),
+  * no freeblock reuse, no WAL — dump files are written once and scanned.
   *
   * Scale shape: a sqlite dump is a single non-splittable file (the
   * reference's is one local file too), so the load is one task shipping
@@ -101,9 +102,19 @@ object Sqlite {
     val ncells = u16(db, hdr + 3)
     ptype match {
       case 13 => // leaf table page
+        // max inline payload for a table leaf: usableSize - 35 (file
+        // format §B-tree Pages); a longer payload spills to overflow
+        // pages, which this reader does not follow — fail loudly
+        // instead of decoding the inline prefix + 4-byte page pointer
+        // as record bytes.
+        val usable = pageSize - (db(20) & 0xff) // minus reserved region
+        val maxLocal = usable - 35
         (0 until ncells).map { i =>
           val off = base + u16(db, hdr + 8 + 2 * i)
-          val (_, c1) = varint(db, off)
+          val (plen, c1) = varint(db, off)
+          if (plen > maxLocal) sys.error(
+            s"record payload $plen exceeds max inline $maxLocal " +
+              "(overflow-page chains unsupported)")
           val (rowid, c2) = varint(db, off + c1)
           (rowid, parseRecord(db, off + c1 + c2))
         }
@@ -120,7 +131,8 @@ object Sqlite {
     * root page; rows come back in b-tree order. */
   def scanTable(db: Array[Byte], table: String): Seq[Seq[Any]] = {
     require(new String(db, 0, 15, UTF_8) == "SQLite format 3", "not a sqlite db")
-    val pageSize = u16(db, 16)
+    // header value 1 is the sentinel for a 65536-byte page
+    val pageSize = u16(db, 16) match { case 1 => 65536; case n => n }
     val master = walkTable(db, pageSize, 1)
     master.map(_._2)
       .find(r => r.head == "table" && r(1) == table)
@@ -146,8 +158,12 @@ object Sqlite {
     varintBytes(hlen) ++ typeBytes ++ enc.flatMap(_._2)
   }
 
-  private def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] =
+  private def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] = {
+    // the reader rejects overflow payloads; never write one
+    require(payload.length <= PageSize - 35,
+      s"payload ${payload.length} would need an overflow chain")
     varintBytes(payload.length) ++ varintBytes(rowid) ++ payload
+  }
 
   /** Pack cells into leaf-table pages; returns pages + each page's max
     * rowid (for the interior index). `headerRoom` reserves the 100-byte

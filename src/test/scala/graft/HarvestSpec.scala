@@ -33,6 +33,19 @@ class HarvestSpec extends AnyFunSuite {
     assert(Pmh.crawl(loop, "2024-01").map(_.ident) == Seq("p-", "psame"))
   }
 
+  test("a token cycle of length > 1 (A -> B -> A) also stops the walk") {
+    val cycle = new Pmh.PageSource {
+      def fetch(token: Option[String]) = token match {
+        case None      => (Seq(Header("p0", "2024-05")), Some("A"))
+        case Some("A") => (Seq(Header("pA", "2024-05")), Some("B"))
+        case Some("B") => (Seq(Header("pB", "2024-05")), Some("A")) // cycles back
+        case other     => fail(s"unexpected token $other")
+      }
+    }
+    // pages None, A, B harvested; the second "A" is seen and stops it
+    assert(Pmh.crawl(cycle, "2024-01").map(_.ident) == Seq("p0", "pA", "pB"))
+  }
+
   test("everything is an update; empty feed and all-old pages are fine") {
     val src = pages(Seq(Header("a", "2024-05")))
     assert(Pmh.crawl(src, "2024-01") ==

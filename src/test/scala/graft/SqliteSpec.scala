@@ -39,6 +39,45 @@ class SqliteSpec extends AnyFunSuite {
     assert(got.toSet === rows.toSet)
   }
 
+  test("overflow-sized payloads are rejected at write AND at read") {
+    // writer side: a payload needing an overflow chain must not be
+    // silently truncated into the file
+    val big = "x" * Sqlite.PageSize // record > pageSize - 35
+    val f = java.io.File.createTempFile("graft_sqlite3", ".db")
+    f.deleteOnExit()
+    val e = intercept[IllegalArgumentException] {
+      Sqlite.writeDb(f, "t", "CREATE TABLE t (v TEXT)", Seq(Seq[Any](big)))
+    }
+    assert(e.getMessage.contains("overflow"))
+
+    // reader side: a cell claiming a payload past max-inline must error,
+    // not decode the inline prefix + the 4-byte overflow pointer as
+    // record bytes. Synthesize a leaf page whose single cell claims a
+    // 5000-byte payload (> 4096 - 35).
+    val pageSize = 4096
+    val db = new Array[Byte](pageSize * 2)
+    db(pageSize) = 13 // page 2: table leaf
+    db(pageSize + 3) = 0; db(pageSize + 4) = 1 // one cell
+    db(pageSize + 8) = 1; db(pageSize + 9) = 0 // cell offset 0x100
+    val vb = Sqlite.varintBytes(5000L)
+    System.arraycopy(vb, 0, db, pageSize + 0x100, vb.length)
+    val e2 = intercept[RuntimeException] {
+      Sqlite.walkTable(db, pageSize, 2)
+    }
+    assert(e2.getMessage.contains("overflow"))
+  }
+
+  test("page-size sentinel 1 decodes as 65536") {
+    // craft a minimal header + page-1 leaf with zero cells so
+    // scanTable walks an empty master at the 65536-byte page size
+    val db = new Array[Byte](65536)
+    System.arraycopy("SQLite format 3".getBytes("UTF-8"), 0, db, 0, 15)
+    db(16) = 0; db(17) = 1 // sentinel: page size 65536
+    db(100) = 13 // page-1 leaf header right after the 100-byte db header
+    // ncells = 0 -> empty master -> table not found -> Nil (no crash)
+    assert(Sqlite.scanTable(db, "t") === Nil)
+  }
+
   test("unknown table yields no rows; long values decode") {
     val f = java.io.File.createTempFile("graft_sqlite2", ".db")
     f.deleteOnExit()

@@ -27,6 +27,21 @@ class VecMathSpec extends AnyFunSuite {
     assert(got === want && got === Seq(4L - 10L - 18L, 0L))
   }
 
+  test("dot_long preserves HOF null semantics: mismatch/null slot -> NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),   // clean
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](3L, 4L)), // length mismatch
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L))  // null element
+    ).toDF("a", "b")
+    val got = df.select(VecMath.dotCol($"a", $"b")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    val want = df.select(
+      aggregate(zip_with($"a", $"b", _ * _), lit(0L), _ + _)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    assert(got === want && got === Seq(11L, null, null))
+  }
+
   test("hyperplane_sig equals the per-plane HOF bits") {
     import spark.implicits._
     val P = VecMath.P
