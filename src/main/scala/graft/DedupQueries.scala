@@ -195,14 +195,17 @@ object DedupQueries extends QueryGroup {
           size(array_union($"sid_a", $"sid_b")).cast("long")).as("jacc_milli"))
       .filter($"jacc_milli" >= 800L)
   }
-  private val minhashOracle: String = {
+  /** The d2 oracle pipeline as a reusable CTE chain ending in `pairs`
+    * (doc_a, doc_b, jacc_milli with jacc >= 800) — shared by the d2
+    * oracle and the d6 cluster oracle built on top of it. */
+  private def minhashPairsCtes: String = {
     val mh = (0 until K).map(j =>
       s"list_min(list_transform(sid, s -> (${aj(j)}*s + ${bj(j)}) % $P)) AS m$j").mkString(",\n  ")
     val bands = (0 until K / 2).map(b =>
       s"((m${2 * b}*131 + m${2 * b + 1}) % $P) AS band$b").mkString(", ")
     val bandRows = (0 until K / 2).map(b =>
       s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM bandsig").mkString("\nUNION ALL\n")
-    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
        |shing AS (SELECT doc_id, $shingleIdsSql AS sid FROM th),
        |base AS (SELECT doc_id, sid FROM shing WHERE len(sid) > 0),
@@ -220,16 +223,20 @@ object DedupQueries extends QueryGroup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandrows a JOIN bandrows b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |   AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
-       |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT) AS jacc_milli
-       |FROM cand
-       |JOIN base sa ON sa.doc_id = doc_a
-       |JOIN base sb ON sb.doc_id = doc_b
-       |WHERE CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
-       |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT) >= 800""".stripMargin
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
+       |      // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT) AS jacc_milli
+       |  FROM cand
+       |  JOIN base sa ON sa.doc_id = doc_a
+       |  JOIN base sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
+       |      // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT) >= 800)""".stripMargin
   }
+  private val minhashOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jacc_milli FROM pairs""".stripMargin
 
   /** SimHash: 64-bit tf-weighted fingerprint per doc (map-side), 4×16-bit
     * band blocking join, near-partner count at hamming <= 2. Compact
@@ -485,11 +492,99 @@ object DedupQueries extends QueryGroup {
        |      list_reduce(list_prepend(CAST(0 AS BIGINT), [a.q[i]*b.q[i] for i in range(1, len(a.q)+1)]), (x,y)->x+y)
        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))) AS BIGINT) AS cos_milli""".stripMargin
 
+  /** End-to-end corpus dedup: the operation a production 100 TB dedup
+    * run actually performs — LSH near-dup PAIRS (d2) are only the edge
+    * list; the corpus decision is per-DOCUMENT: union the pairs into
+    * clusters (connected components over the pair graph, reusing the
+    * identity-resolution CC operator J7) and elect one canonical
+    * survivor per cluster (min doc_id, the same deterministic winner
+    * rule as the reference's idmap clustering).
+    *
+    * Scale shape: the pair table is tiny relative to the corpus (it
+    * only holds near-dups), so the CC loop runs on a sliver; the final
+    * assignment is one left join of the cluster map onto the corpus —
+    * cluster map size is bounded by the number of near-dup docs. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = minhashLsh(spark, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val clusters = operators.Graph.connectedComponents(edges)
+      .select($"node".as("doc_id"), $"component")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"component", $"doc_id").as("cluster"),
+        (coalesce($"component", $"doc_id") === $"doc_id").as("keep"))
+  }
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+       |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |cnodes AS (SELECT DISTINCT src AS node FROM sym),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM cnodes
+       |  UNION
+       |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  COALESCE(c.component, d.doc_id) AS cluster,
+       |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
+       |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag every training document sharing a
+    * word-3-gram shingle with a held-out "benchmark" set (here: docs
+    * with doc_id % 37 = 0 stand in for the eval suite). The standard
+    * contamination sweep before LLM training — n-gram overlap against
+    * benchmarks (13-grams in the published recipes; 3-grams at this
+    * fixture's doc length).
+    *
+    * Scale shape: benchmarks are tiny next to the corpus, so the
+    * distinct benchmark shingle set is BROADCAST and the sweep is a
+    * map-side semi-join over the corpus shingles — no wide shuffle;
+    * the per-doc hit count folds map-side. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sid = Tables.load(spark, dir, "documents")
+      .select($"doc_id", transform(tokensCol($"text"), wordHash(_)).as("h"))
+      .select($"doc_id", shingleIdsFrom($"h").as("sid"))
+      .persist() // HOF-CSE guard: shingles feed both branches below
+    val benchSids = sid.filter($"doc_id" % 37 === 0)
+      .select(explode($"sid").as("s")).distinct()
+    sid.filter($"doc_id" % 37 =!= 0)
+      .select($"doc_id", explode($"sid").as("s"))
+      .join(broadcast(benchSids), Seq("s"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .join(sid.filter($"doc_id" % 37 =!= 0).select($"doc_id"), Seq("doc_id"), "right")
+      .select($"doc_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)) > 0L).as("contaminated"))
+  }
+  private val decontaminateOracle: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
+       |shing AS (SELECT doc_id, $shingleIdsSql AS sid FROM th),
+       |bench AS (
+       |  SELECT DISTINCT unnest(sid) AS s FROM shing WHERE doc_id % 37 = 0),
+       |train AS (SELECT doc_id, sid FROM shing WHERE doc_id % 37 <> 0),
+       |hits AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_hits
+       |  FROM (SELECT doc_id, unnest(sid) AS s FROM train) t
+       |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.s = t.s)
+       |  GROUP BY t.doc_id)
+       |SELECT tr.doc_id,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  (COALESCE(h.n_hits, 0) > 0) AS contaminated
+       |FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("d1_exact_dedup", exactDedup, Some(exactDedupOracle)))
     Queries.register(QueryDef("d2_minhash_lsh", minhashLsh, Some(minhashOracle), bench = true))
     Queries.register(QueryDef("d3_simhash", simhash, Some(simhashOracle)))
     Queries.register(QueryDef("d4_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)))
     Queries.register(QueryDef("d5_embedding_neardup", embeddingNearDup, Some(embeddingNearDupOracle), bench = true))
+    Queries.register(QueryDef("d6_dedup_clusters", dedupClusters, Some(dedupClustersOracle)))
+    Queries.register(QueryDef("d7_decontaminate", decontaminate, Some(decontaminateOracle)))
   }
 }

@@ -89,6 +89,79 @@ object MapperQueries extends QueryGroup {
       |INTERSECT
       |SELECT doc_id FROM inverted WHERE term = 'merge'""".stripMargin
 
+  /** Q5+: BM25-shaped relevance ranking over the same inverted-index
+    * substrate as q5 — integer-quantized BM25 (k1=1.2, b=0.75 in milli
+    * units; rational idf (N-df+1)/(df+1) instead of the log so both
+    * engines compute the identical exact integers; monotone in the same
+    * tf/df/length quantities as the textbook formula).
+    *
+    * Scale shape: per-doc tf and length are map-side columnar folds
+    * (no explode); the corpus stats (N, avgdl, per-term df) are ONE
+    * tiny aggregate broadcast back — so the ranking is scan + map +
+    * top-k, no wide shuffle. */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("merge", "scan", "fast")
+    val k1 = 1200L // milli
+    val b = 750L   // milli
+    val m = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
+      .select($"doc_id" +: size($"t").cast("long").as("dl") +:
+        terms.map(tm =>
+          size(filter($"t", x => x === lit(tm))).cast("long").as(s"tf_$tm")): _*)
+    val statCols =
+      TextQueries.intDiv(sum($"dl") * 1000L, count(lit(1))).as("avgdl_milli") +:
+        terms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0L, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = m.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val scored = m.crossJoin(broadcast(stats))
+    val termScore = terms.map { tm =>
+      val tf = col(s"tf_$tm"); val df = col(s"df_$tm")
+      val idf = TextQueries.intDiv(($"n_docs" - df + 1L) * 1000L, df + 1L)
+      val lenNorm = lit(1000L) - b +
+        TextQueries.intDiv(lit(b) * $"dl" * 1000L, $"avgdl_milli")
+      val denom = tf * 1000L + TextQueries.intDiv(lit(k1) * lenNorm, lit(1000L))
+      when(tf > 0L,
+        TextQueries.intDiv(idf * tf * (1000L + k1), denom)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    scored.select($"doc_id", termScore.as("score_milli"))
+      .filter($"score_milli" > 0L)
+      .orderBy($"score_milli".desc, $"doc_id")
+      .limit(100)
+  }
+  private val bm25Oracle: String = {
+    val terms = Seq("merge", "scan", "fast")
+    val k1 = 1200L
+    val b = 750L
+    val t = TextQueries.tokensSql("lower(text)")
+    val tfs = terms.map(tm =>
+      s"CAST(len(list_filter(t, x -> x = '$tm')) AS BIGINT) AS tf_$tm").mkString(",\n    ")
+    val dfs = terms.map(tm =>
+      s"CAST(SUM(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$tm").mkString(",\n    ")
+    val scoreTerms = terms.map { tm =>
+      val idf = s"(((n_docs - df_$tm + 1) * 1000) // (df_$tm + 1))"
+      val lenNorm = s"(1000 - $b + (($b * dl * 1000) // avgdl_milli))"
+      val denom = s"(tf_$tm * 1000 + (($k1 * $lenNorm) // 1000))"
+      s"CASE WHEN tf_$tm > 0 THEN ($idf * tf_$tm * ${1000 + k1}) // $denom ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM toks),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) * 1000 // COUNT(*) AS avgdl_milli,
+       |    $dfs
+       |  FROM m),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $scoreTerms AS score_milli
+       |  FROM m, stats)
+       |SELECT doc_id, score_milli FROM scored WHERE score_milli > 0
+       |ORDER BY score_milli DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   /** F10: geometry arbitration — per nation elect the best supplier
     * geometry (polygon > point, then more coordinates) over synthesized
     * WKT strings parsed by the Wkt UDF lib. */
@@ -305,6 +378,7 @@ object MapperQueries extends QueryGroup {
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
+    Queries.register(QueryDef("q10_bm25", bm25Rank, Some(bm25Oracle)))
     Queries.register(QueryDef("f10_geometry_merge", geometryMerge, Some(geometryMergeOracle)))
     Queries.register(QueryDef("f11_html_strip", htmlStrip, Some(htmlStripOracle)))
     Queries.register(QueryDef("f8_uri_canonicalize", uriCanonicalize, Some(uriCanonicalizeOracle)))

@@ -105,10 +105,43 @@ object StreamQueries extends QueryGroup {
       |SELECT user_id, MIN(us) AS start_us, COUNT(*) AS n_events
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** Streaming dedup, batch-checked: keep the FIRST event per
+    * (user_id, event_type) — min (event-time, event_id) — and count the
+    * duplicates it shadows. The batch form of
+    * `dropDuplicatesWithinWatermark` (exercised on a real stream in
+    * StreamingSpec); at 100 TB this is one hash shuffle on the dedup
+    * key with map-side partial min/count, and in the streaming form
+    * the watermark bounds the state store exactly like the reference's
+    * harvest cut-off bounds its re-reads. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .groupBy($"user_id", $"event_type")
+      .agg(min(struct($"us", $"event_id")).as("first"),
+        count(lit(1)).as("n"))
+      .select($"user_id", $"event_type",
+        $"first.us".as("first_us"), $"first.event_id".as("first_event"),
+        ($"n" - 1L).as("n_dupes"))
+  }
+  private val streamDedupOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+      |r AS (
+      |  SELECT user_id, event_type, event_id, us,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY us, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM ev)
+      |SELECT user_id, event_type, us AS first_us, event_id AS first_event,
+      |  n - 1 AS n_dupes
+      |FROM r WHERE rn = 1""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("st1_tumbling_window", tumbling, Some(tumblingOracle), bench = true))
     Queries.register(QueryDef("st2_sliding_window", sliding, Some(slidingOracle)))
     Queries.register(QueryDef("st3_sessionize", sessionize, Some(sessionizeOracle)))
     Queries.register(QueryDef("st5_session_window", sessionWindow, Some(sessionWindowOracle)))
+    Queries.register(QueryDef("st6_stream_dedup", streamDedup, Some(streamDedupOracle)))
   }
 }

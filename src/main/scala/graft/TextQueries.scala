@@ -198,6 +198,172 @@ object TextQueries extends QueryGroup {
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Repetition signals (the Gopher-style quality gates): fraction of
+    * the doc taken by its most-repeated token / bigram and the overall
+    * duplicate-token fraction, with a keep-flag at the published-recipe
+    * thresholds. Shuffle-free: the per-doc mode is computed as the max
+    * run length of the SORTED token array in one columnar fold — no
+    * explode/groupBy per document, so the op stays map-only at corpus
+    * scale (the DuckDB oracle takes the explode route to the same
+    * counts, cross-checking the fold). */
+  def repRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // max run length of a sorted array = count of the most frequent
+    // element; struct-accumulator fold keeps it inside one projection
+    def maxRun(sorted: Column, empty: Column): Column =
+      aggregate(sorted,
+        struct(empty.as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    val withCols = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokensCol($"text").as("t"))
+      .select($"doc_id", $"t",
+        when(size($"t") >= 2,
+          transform(sequence(lit(1), size($"t") - 1), i =>
+            concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+    val n = size($"t").cast("long")
+    val nd = size(array_distinct($"t")).cast("long")
+    withCols.select($"doc_id", n.as("n_tokens"),
+      intDiv(maxRun(array_sort($"t"), lit("")) * 1000L, greatest(n, lit(1L)))
+        .as("top_token_milli"),
+      intDiv(maxRun(array_sort($"bg"), lit("")) * 1000L,
+        greatest(n - 1L, lit(1L))).as("top_bigram_milli"),
+      intDiv((n - nd) * 1000L, greatest(n, lit(1L))).as("dup_milli"))
+  }
+  private val repRatioOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |top1 AS (SELECT doc_id, MAX(c) AS topc FROM tc GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+       |    for i in range(1, len(t))]) AS b
+       |  FROM toks WHERE len(t) >= 2),
+       |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |top2 AS (SELECT doc_id, MAX(c) AS topb FROM bc GROUP BY 1)
+       |SELECT toks.doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  COALESCE(topc, 0) * 1000
+       |    // GREATEST(CAST(len(t) AS BIGINT), 1) AS top_token_milli,
+       |  COALESCE(topb, 0) * 1000
+       |    // GREATEST(CAST(len(t) AS BIGINT) - 1, 1) AS top_bigram_milli,
+       |  (CAST(len(t) AS BIGINT) - CAST(len(list_distinct(t)) AS BIGINT)) * 1000
+       |    // GREATEST(CAST(len(t) AS BIGINT), 1) AS dup_milli
+       |FROM toks
+       |LEFT JOIN top1 ON top1.doc_id = toks.doc_id
+       |LEFT JOIN top2 ON top2.doc_id = toks.doc_id""".stripMargin
+  }
+
+  /** PII patterns shared by the scrub query and its oracle — kept to
+    * the regex subset Java and RE2 interpret identically (character
+    * classes, bounded repeats; no lookaround, no backrefs). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+", "<EMAIL>"),
+    ("phone", "555-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII detection + redaction: count and mask emails / phone numbers /
+    * IPs — the scrub pass a training-data pipeline runs before anything
+    * else sees the text. The synthetic corpus carries no PII, so the
+    * fixture injects deterministic markers keyed on doc_id (same
+    * expression in the oracle) and the scrubber must remove ALL of them
+    * (residue counted and asserted zero). Map-only columnar regex —
+    * linear scan, no shuffle, no UDF. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = concat($"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact u"), $"doc_id", lit("@example.org"))).otherwise(""),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" from 10.0."), $"doc_id" % 256, lit(".1"))).otherwise(""))
+    val scrubbed = piiPatterns.foldLeft(col("raw")) {
+      case (c, (_, re, mask)) => regexp_replace(c, re, mask)
+    }
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id" +:
+        piiPatterns.map { case (name, re, _) =>
+          regexp_count($"raw", lit(re)).cast("long").as(s"n_$name")
+        } :+ scrubbed.as("scrubbed"): _*)
+      .withColumn("residue",
+        piiPatterns.map { case (_, re, _) =>
+          regexp_count($"scrubbed", lit(re)).cast("long")
+        }.reduce(_ + _))
+  }
+  private val piiScrubOracle: String = {
+    val counts = piiPatterns.map { case (name, re, _) =>
+      s"CAST(len(regexp_extract_all(raw, '$re')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    val scrub = piiPatterns.foldLeft("raw") {
+      case (c, (_, re, mask)) => s"regexp_replace($c, '$re', '$mask', 'g')"
+    }
+    val residue = piiPatterns.map { case (_, re, _) =>
+      s"CAST(len(regexp_extract_all($scrub, '$re')) AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' contact u' || doc_id || '@example.org' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $counts,
+       |  $scrub AS scrubbed,
+       |  $residue AS residue
+       |FROM r""".stripMargin
+  }
+
+  /** Per-language sampling rates (milli) for the stratified sample —
+    * the domain-mixture weighting step of a training-data pipeline. */
+  val sampleRates: Seq[(String, Long)] =
+    Seq("en" -> 800L, "de" -> 400L, "es" -> 200L, "fr" -> 100L, "zh" -> 50L)
+
+  /** Deterministic stratified sampling / domain mixing: each language
+    * stratum keeps a fixed fraction of its documents, selected by a
+    * reproducible per-doc hash (LCG mod 1000) — the 100 TB form of
+    * "sample 80% of English, 5% of zh": a map-only filter, no shuffle,
+    * no RNG state, re-runnable to the identical sample. Survivors carry
+    * the inverse-probability weight (milli) used to de-bias downstream
+    * mixture statistics. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = ($"doc_id" * 1103515245L + 12345L) % HashP % 1000L
+    val rate = sampleRates.tail.foldLeft(
+      when($"lang" === sampleRates.head._1, sampleRates.head._2)) {
+      case (acc, (l, r)) => acc.when($"lang" === l, r)
+    }.otherwise(25L)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source", u.as("u"), rate.as("rate_milli"))
+      .filter($"u" < $"rate_milli")
+      .select($"doc_id", $"lang", $"source", $"u",
+        intDiv(lit(1000000L), $"rate_milli").as("weight_milli"))
+  }
+  private val stratifiedSampleOracle: String = {
+    val cases = sampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, source,
+       |    (doc_id * 1103515245 + 12345) % $HashP % 1000 AS u,
+       |    CASE $cases ELSE 25 END AS rate_milli
+       |  FROM documents)
+       |SELECT doc_id, lang, source, u, 1000000 // rate_milli AS weight_milli
+       |FROM m WHERE u < rate_milli""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("t_profile", profile, None))
     Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
@@ -205,5 +371,9 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))
     Queries.register(QueryDef("t_quality_score", qualityScore, Some(qualityOracle)))
     Queries.register(QueryDef("t_fingerprint", fingerprint, Some(fingerprintOracle)))
+    Queries.register(QueryDef("t_rep_ratio", repRatio, Some(repRatioOracle)))
+    Queries.register(QueryDef("t_pii_scrub", piiScrub, Some(piiScrubOracle)))
+    Queries.register(QueryDef("t_stratified_sample", stratifiedSample,
+      Some(stratifiedSampleOracle)))
   }
 }

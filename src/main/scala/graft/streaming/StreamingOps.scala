@@ -28,6 +28,18 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Streaming dedup: drop repeats of a dedup key inside the watermark
+    * horizon — the streaming form of StreamQueries.streamDedup (first
+    * event per key wins within a microbatch; across batches the state
+    * store remembers keys until the watermark expires them, bounding
+    * state exactly like the reference's harvest cut-off bounds
+    * re-reads). `keys` must not include the event-time column —
+    * dropDuplicatesWithinWatermark tracks it implicitly. */
+  def dedupFirst(events: DataFrame, watermark: String, keys: String*): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   final case class Ev(user_id: Long, event_id: Long, us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

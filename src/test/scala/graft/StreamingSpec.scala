@@ -35,6 +35,32 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-03-01 00:00:00", "b", 1L, 300L)))
   }
 
+  test("streaming dedup keeps the first event per key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamingOps.dedupFirst(df, "10 minutes", "user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-03-01 10:00:00"), 1L, "click"), // first -> kept
+      (t("2024-03-01 10:01:00"), 1L, "click"), // dup within watermark -> dropped
+      (t("2024-03-01 10:02:00"), 2L, "click")) // different key -> kept
+    q.processAllAvailable()
+    input.addData(
+      (t("2024-03-01 10:03:00"), 1L, "click")) // dup across batches -> dropped
+    q.processAllAvailable()
+    val got = spark.table("dedup_out")
+      .select($"ts".cast("string"), $"user_id", $"event_type")
+      .as[(String, Long, String)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      ("2024-03-01 10:00:00", 1L, "click"),
+      ("2024-03-01 10:02:00", 2L, "click")))
+  }
+
   test("keyed-state sessionization emits gap-closed sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
