@@ -164,12 +164,14 @@ object DedupQueries extends QueryGroup {
       .select($"doc_id", shingleIdsFrom($"h").as("sid"))
       .persist()
     val base = sidTbl.filter(size($"sid") > 0)
-    val sigs = base.select($"doc_id" +: $"sid" +:
-      (0 until K).map(j => array_min(transform($"sid",
-        s => (lit(aj(j)) * s + lit(bj(j))) % P)).as(s"m$j")): _*)
+    // all K permutation minima in ONE codegen pass (minhash_sig) —
+    // K interpreted array_min(transform(...)) folds per row otherwise
+    val sigs = base.select($"doc_id", $"sid",
+      functions.VecMath.minhashCol($"sid", K).as("m"))
     val bandCols = (0 until K / 2).map(b =>
       struct(lit(b).as("band_idx"),
-        (($"m${2 * b}" * 131L + $"m${2 * b + 1}") % P).as("band_hash")))
+        ((element_at($"m", 2 * b + 1) * 131L +
+          element_at($"m", 2 * b + 2)) % P).as("band_hash")))
     // the LSH band index is materialized once (at 100 TB this is the
     // on-disk index-build stage) — three joins below read it
     val bandRows = sigs

@@ -173,9 +173,168 @@ object SimilarityQueries extends QueryGroup {
        |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  private val IvfLists = 16 // coarse centroids
+  private val IvfProbe = 2  // lists probed per query
+
+  /** IVF (inverted-file) ANN — the OTHER standard scale path next to
+    * LSH: partition the corpus into `IvfLists` cells around coarse
+    * centroids, store each vector in its nearest cell, and have each
+    * query probe only its `IvfProbe` nearest cells. Centroids are
+    * picked deterministically (every (n/16)-th vector — the fixture's
+    * stand-in for a k-means codebook, which is just a better centroid
+    * set feeding the identical index/search machinery). Assignment is
+    * exact integer arithmetic: argmin ||v-c||^2 = n2_v - 2 v.c + n2_c,
+    * tie-broken by cell id, so the DuckDB oracle replays it.
+    *
+    * Scale shape: the 16-entry codebook is collapsed into ONE broadcast
+    * row and every vector computes its cell map-side with an array fold
+    * (16 codegen dot products, no shuffle, no per-vector join); the
+    * search join touches only the probed cells — corpus-side work per
+    * query is bounded by nprobe/nlists of the corpus, the IVF
+    * contract. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = quantized(spark, dir).persist() // feeds codebook + assign + search
+    val step = base.count() / IvfLists
+    val centsRow = base
+      .filter($"vec_id" % step === 0 && $"vec_id" < step * IvfLists)
+      .select(TextQueries.intDiv($"vec_id", lit(step)).as("cid"),
+        $"q".as("cv"), $"n2".as("cn2"))
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    val withDists = base.crossJoin(broadcast(centsRow))
+      .withColumn("dists", array_sort(transform($"cents", c =>
+        struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
+          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))))
+    val assigned = withDists
+      .select($"vec_id", $"q", $"n2",
+        element_at($"dists", 1).getField("cid").as("list_id"))
+    val probes = withDists.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"),
+        explode(slice($"dists", 1, IvfProbe)).as("probe"))
+      .select($"query_id", $"pq", $"pn2", $"probe.cid".as("probe_list"))
+    val scored = assigned.join(broadcast(probes),
+        $"list_id" === $"probe_list" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+  }
+  private val annIvfOracle: String = {
+    val dot = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [v.q[i]*c.cv[i] for i in range(1, len(v.q)+1)]), (x,y)->x+y)"
+    s"""WITH base AS ($quantizedSql),
+       |s AS (SELECT COUNT(*) // $IvfLists AS step FROM base),
+       |cents AS (
+       |  SELECT vec_id // step AS cid, q AS cv, n2 AS cn2
+       |  FROM base, s WHERE vec_id % step = 0 AND vec_id < step * $IvfLists),
+       |dists AS (
+       |  SELECT v.vec_id, c.cid,
+       |    v.n2 - 2 * $dot + c.cn2 AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 - 2 * $dot + c.cn2, c.cid) AS rn
+       |  FROM base v, cents c),
+       |assigned AS (
+       |  SELECT b.vec_id, b.q, b.n2, d.cid AS list_id
+       |  FROM base b JOIN dists d ON d.vec_id = b.vec_id AND d.rn = 1),
+       |probes AS (
+       |  SELECT b.vec_id AS query_id, b.q AS pq, b.n2 AS pn2, d.cid AS probe_list
+       |  FROM base b JOIN dists d ON d.vec_id = b.vec_id AND d.rn <= $IvfProbe
+       |  WHERE b.vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, a.vec_id,
+       |    ${cosMilliSql("pq", "a.q", "pn2", "a.n2")} AS cos_milli
+       |  FROM assigned a JOIN probes p
+       |    ON a.list_id = p.probe_list AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_milli DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** Int8 scalar quantization + brute-force search over the CODES — the
+    * memory/IO scale path ANN stacks deploy first (4x smaller vectors
+    * before any index): per-dimension [min,max] over the corpus maps
+    * each milli-int coordinate to a 0..255 code; search runs on the
+    * integer DEQUANTIZED vectors, so ranking is exact integer + one
+    * IEEE sqrt/divide and the oracle replays it bit-for-bit.
+    *
+    * Scale shape: the per-dim stats are one narrow (pos, lo, hi)
+    * aggregate collapsed into a single broadcast row; encode/decode are
+    * map-side array folds. At 100 TB the codes table is what you store
+    * and scan — this query materializes it and proves the round-trip
+    * ranking agrees with the oracle's replay. */
+  def quantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = quantized(spark, dir)
+    val statsRow = base
+      .select(posexplode($"q").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(min($"x").as("lo"), max($"x").as("hi"))
+      .agg(sort_array(collect_list(struct($"pos", $"lo", $"hi"))).as("st"))
+    def lo(i: Column) = element_at(col("st"), i).getField("lo")
+    def hi(i: Column) = element_at(col("st"), i).getField("hi")
+    def rng(i: Column) = greatest(hi(i) - lo(i), lit(1L))
+    // code_i = ((x_i - lo_i) * 255) // rng_i ; xhat_i = lo_i + (code_i * rng_i) // 255
+    val code = (q: Column) => transform(sequence(lit(1), size(q)), i =>
+      floor((element_at(q, i) - lo(i)) * 255d / rng(i)).cast("long"))
+    val deq = base.crossJoin(broadcast(statsRow))
+      .withColumn("c", code($"q"))
+      .withColumn("qh", transform(sequence(lit(1), size($"c")), i =>
+        lo(i) + floor(element_at($"c", i) * rng(i).cast("double") / 255d).cast("long")))
+      .select($"vec_id", $"qh",
+        functions.VecMath.dotCol($"qh", $"qh").as("n2h"))
+    val probes = deq.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"qh".as("pq"), $"n2h".as("pn2"))
+    val scored = deq.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosMilli($"pq", $"qh", $"pn2", $"n2h").as("cos_milli"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+  }
+  private val quantizedKnnOracle: String = {
+    val codeI = "((q[i] - lo_a[i]) * 255) // GREATEST(hi_a[i] - lo_a[i], 1)"
+    val xhatI = s"lo_a[i] + (($codeI) * (GREATEST(hi_a[i] - lo_a[i], 1))) // 255"
+    s"""WITH base AS ($quantizedSql),
+       |dims AS (
+       |  SELECT t.pos AS pos, b.q[t.pos] AS x
+       |  FROM base b, UNNEST(range(1, len(b.q) + 1)) AS t(pos)),
+       |stats AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY pos),
+       |st AS (
+       |  SELECT list(lo ORDER BY pos) AS lo_a, list(hi ORDER BY pos) AS hi_a
+       |  FROM stats),
+       |deq AS (
+       |  SELECT vec_id,
+       |    [$xhatI for i in range(1, len(q)+1)] AS qh
+       |  FROM base, st),
+       |deq2 AS (
+       |  SELECT vec_id, qh,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [qh[i]*qh[i] for i in range(1, len(qh)+1)]), (x,y)->x+y) AS n2h
+       |  FROM deq),
+       |probes AS (
+       |  SELECT vec_id AS query_id, qh AS pq, n2h AS pn2
+       |  FROM deq2 WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${cosMilliSql("pq", "qh", "pn2", "n2h")} AS cos_milli
+       |  FROM deq2 JOIN probes ON vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_milli DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
     Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))
+    Queries.register(QueryDef("v4_ann_ivf", annIvf, Some(annIvfOracle)))
+    Queries.register(QueryDef("v5_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)))
   }
 }

@@ -64,6 +64,29 @@ object VecMath {
     sig
   }
 
+  /** All `k` minhash permutation minima in one pass over the shingle
+    * ids: m_j = min_s (aj(j)*s + bj(j)) % P — identical arithmetic to
+    * the per-permutation `array_min(transform(...))` HOF chain it
+    * replaces (the DuckDB oracle is unchanged), but one tight loop
+    * instead of k interpreted per-element folds per row. */
+  def minhashSig(ids: ArrayData, k: Int): ArrayData = {
+    val n = ids.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = ids.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (aj(j) * s + bj(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** All `bits` simhash vote bits in one pass over the token-hash ids:
     * per plane j, sign(j, x) = ((aj(j)*x + bj(j)) % P) % 2 * 2 - 1
     * summed over elements; bit j set iff the vote sum is positive. */
@@ -97,6 +120,8 @@ object VecMath {
     call_function("hyperplane_sig", q, lit(planes), lit(offset))
   def simhashCol(ids: Column, bits: Int): Column =
     call_function("simhash_fp", ids, lit(bits))
+  def minhashCol(ids: Column, k: Int): Column =
+    call_function("minhash_sig", ids, lit(k))
 
   private def litInt(e: Expression): Int = e.eval(null) match {
     case i: Int  => i
@@ -113,6 +138,8 @@ object VecMath {
       args => HyperplaneSig(args(0), litInt(args(1)), litInt(args(2))), "built-in")
     reg.createOrReplaceTempFunction("simhash_fp",
       args => SimhashFp(args(0), litInt(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      args => MinhashSig(args(0), litInt(args(1))), "built-in")
   }
 }
 
@@ -171,6 +198,29 @@ final case class HyperplaneSig(child: Expression, planes: Int, offset: Int)
       s"${ev.value} = graft.functions.VecMath.hyperplaneSig($c, $planes, $offset);")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(array<long>, k) -> array<long>` as codegen. */
+final case class MinhashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(LongType, false) ||
+      child.dataType == ArrayType(LongType, true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires ARRAY<BIGINT>, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    VecMath.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecMath.minhashSig($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
     copy(child = newChild)
 }
 

@@ -61,6 +61,19 @@ class VecMathSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sig equals the per-permutation array_min folds") {
+    import spark.implicits._
+    val P = VecMath.P
+    val k = 16
+    val df = Seq(Tuple1(Seq(12345L, 67890L, 13L)), Tuple1(Seq(99L)))
+      .toDF("sid")
+    val hof = array((0 until k).map(j =>
+      array_min(transform($"sid",
+        s => (lit(VecMath.aj(j)) * s + lit(VecMath.bj(j))) % P))): _*)
+    assert(df.select(VecMath.minhashCol($"sid", k)).as[Seq[Long]].collect().toSeq
+      === df.select(hof).as[Seq[Long]].collect().toSeq)
+  }
+
   test("simhash_fp equals the per-plane vote fold") {
     import spark.implicits._
     val P = VecMath.P
