@@ -235,7 +235,89 @@ object SourceQueries extends QueryGroup {
       |  CASE WHEN n % 7 = 0 THEN NULL ELSE CAST(n AS BIGINT) END AS v
       |FROM b""".stripMargin
 
+  /** S5: the DNB dump loader quirks (`sources/libraries/dnb/loader.py`):
+    * the dump is ONE JSON array pretty-printed one record per line, so
+    * each line is stripped of its leading `[`/`,` (and the closing `]`
+    * line dropped) before parsing (`load`, `:62-76`); the record id is
+    * scanned out of the RAW line (`get_identifier_raw`, `:17-21` — the
+    * columnar analog is regexp_extract before from_json) so cached ids
+    * skip JSON parsing entirely; and a subject-headings file
+    * ("sachbegriff", irregular nested-list JSON-LD, `:31-53`) is merged
+    * into the cache FIRST, excluding `…about` ids — dump records for
+    * already-cached ids are skipped (cache-through, here an anti-join).
+    * The fixture writes both files in the reference's exact shapes. */
+  def dnbLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.load(spark, dir, "customer").count()
+    val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dnb_${safeDir}_$n")
+    val marker = new java.io.File(base, "_DONE")
+    if (!marker.exists()) {
+      base.mkdirs()
+      def rec(ck: Long, name: String, about: Boolean) =
+        s"""{"@id":"https://d-nb.info/gnd/$ck${if (about) "/about" else ""}","preferredName":"$name"}"""
+      val dumpLines =
+        (s"[${rec(0, "d0", about = false)}" +:
+          (1L until n).map(ck => s",${rec(ck, s"d${ck % 40}", about = false)}")) :+ "]"
+      val sachObjs = (0L until n).filter(_ % 11 == 0).map(ck =>
+        rec(ck, s"s${ck % 40}", about = ck % 33 == 0))
+      // the reference's irregular nesting: pairs in inner lists, a
+      // trailing odd object bare
+      val sachJson = sachObjs.grouped(2).map {
+        case Seq(a, b) => s"[$a,$b]"
+        case Seq(a)    => a
+      }.mkString("[", ",", "]")
+      def publish(nm: String, content: String): Unit = {
+        val tmp = java.io.File.createTempFile(nm, ".tmp", base)
+        java.nio.file.Files.writeString(tmp.toPath, content)
+        java.nio.file.Files.move(tmp.toPath, new java.io.File(base, nm).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      publish("dump.json", dumpLines.mkString("\n"))
+      publish("sachbegriff.json", sachJson)
+      publish("_DONE", "ok")
+    }
+    val schema = StructType(Seq(
+      StructField("@id", org.apache.spark.sql.types.StringType),
+      StructField("preferredName", org.apache.spark.sql.types.StringType)))
+    // subject headings first: flatten the irregular nesting by scanning
+    // the (flat) objects out of the one-line document — the columnar
+    // form of the reference's outer/inner type-dispatch walk
+    val sach = spark.read.option("wholetext", "true")
+      .text(new java.io.File(base, "sachbegriff.json").getAbsolutePath)
+      .select(explode(regexp_extract_all($"value", lit("\\{[^}]*\\}"), lit(0))).as("obj"))
+      .select(from_json($"obj", schema).as("r"))
+      .filter(col("r").getField("@id").contains("/d-nb.info/gnd/") &&
+        !col("r").getField("@id").endsWith("about"))
+      .select(regexp_extract(col("r").getField("@id"), "/gnd/([^\"]+)$", 1).as("ident"),
+        lit("sachbegriff").as("origin"),
+        col("r").getField("preferredName").as("name"))
+    val dump = spark.read
+      .text(new java.io.File(base, "dump.json").getAbsolutePath)
+      .select(regexp_replace(trim($"value"), "^[\\[,]", "").as("clean"))
+      .withColumn("ident",
+        regexp_extract($"clean", "\"@id\":\"https://d-nb\\.info/gnd/([^\"]+)\"", 1))
+      .filter($"ident" =!= "") // drops the bare ']' line
+      .join(sach.select($"ident"), Seq("ident"), "left_anti") // cache-through
+      .select($"ident", lit("dump").as("origin"),
+        from_json($"clean", schema).getField("preferredName").as("name"))
+    sach.unionByName(dump)
+  }
+  private val dnbLoadOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer),
+      |sach AS (
+      |  SELECT ck, 's' || (ck % 40) AS name FROM b
+      |  WHERE ck % 11 = 0 AND ck % 33 <> 0)
+      |SELECT CAST(ck AS VARCHAR) AS ident, 'sachbegriff' AS origin, name FROM sach
+      |UNION ALL
+      |SELECT CAST(ck AS VARCHAR) AS ident, 'dump' AS origin,
+      |  'd' || (ck % 40) AS name
+      |FROM b WHERE NOT (ck % 11 = 0 AND ck % 33 <> 0)""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s5_dnb", dnbLoad, Some(dnbLoadOracle)))
     Queries.register(QueryDef("s3_json_extract", jsonExtract, Some(jsonExtractOracle)))
     Queries.register(QueryDef("m1_binary_meta", binaryMeta, Some(binaryMetaOracle)))
     Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))

@@ -364,6 +364,98 @@ object TextQueries extends QueryGroup {
        |FROM m WHERE u < rate_milli""".stripMargin
   }
 
+  val ChunkTokens = 2048L
+
+  /** Sequence packing: concatenate each source's documents in doc_id
+    * order and chunk the token stream into fixed training windows —
+    * every doc gets its (bin, offset) in the packed stream plus a flag
+    * for crossing a window boundary. The standard concat-and-chunk
+    * packing step before LLM training, expressed as one prefix-sum
+    * window per source — at 100 TB each source/shard packs
+    * independently (the window key), so the stage parallelizes by
+    * shard and shuffles each row once. */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", size(tokensCol($"text")).cast("long").as("n"))
+      .withColumn("start_tok", sum($"n").over(w) - $"n")
+      .select($"doc_id", $"source", $"n".as("n_tokens"), $"start_tok",
+        intDiv($"start_tok", lit(ChunkTokens)).as("bin"),
+        ($"start_tok" % ChunkTokens).as("offset"),
+        (intDiv($"start_tok" + $"n" - 1L, lit(ChunkTokens)) >
+          intDiv($"start_tok", lit(ChunkTokens))).as("crosses"))
+  }
+  private val packChunksOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH m AS (
+       |  SELECT doc_id, source, CAST(len($t) AS BIGINT) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n,
+       |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n AS start_tok
+       |  FROM m)
+       |SELECT doc_id, source, n AS n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(start_tok // $ChunkTokens AS BIGINT) AS bin,
+       |  CAST(start_tok % $ChunkTokens AS BIGINT) AS offset,
+       |  ((start_tok + n - 1) // $ChunkTokens > start_tok // $ChunkTokens) AS crosses
+       |FROM c""".stripMargin
+  }
+
+  /** Corpus-level bigram novelty: the fraction of a document's distinct
+    * bigrams that occur in NO other document — the integer-exact stand-in
+    * for an n-gram LM perplexity filter (high novelty = unusual word
+    * transitions; low = boilerplate). The one genuinely wide text op:
+    * bigram document frequency is a corpus aggregation — one shuffle on
+    * the bigram key with map-side partial counts, the same shape (and
+    * the same skew answer) as the reference's refCtr counting. */
+  def bigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokensCol($"text").as("t"))
+      .select($"doc_id",
+        when(size($"t") >= 2,
+          array_distinct(transform(sequence(lit(1), size($"t") - 1), i =>
+            concat_ws(" ", element_at($"t", i), element_at($"t", i + 1)))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .persist() // feeds the df aggregation AND the per-doc join
+    val exploded = bigrams.select($"doc_id", explode($"bg").as("b"))
+    val df = exploded.groupBy($"b").agg(count(lit(1)).as("df"))
+    val perDoc = exploded.join(df, "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_unique"))
+    bigrams.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"n_unique", lit(0L)).as("n_unique"),
+        intDiv(coalesce($"n_unique", lit(0L)) * 1000L,
+          greatest(coalesce($"n_bigrams", lit(0L)), lit(1L))).as("novelty_milli"))
+  }
+  private val bigramNoveltyOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |bgs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 2 THEN list_distinct([t[i] || ' ' || t[i+1]
+       |      for i in range(1, len(t))]) ELSE [] END AS bg
+       |  FROM toks),
+       |ex AS (SELECT doc_id, unnest(bg) AS b FROM bgs),
+       |df AS (SELECT b, COUNT(*) AS df FROM ex GROUP BY b),
+       |per AS (
+       |  SELECT ex.doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |  FROM ex JOIN df ON df.b = ex.b GROUP BY ex.doc_id)
+       |SELECT bgs.doc_id,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(n_unique, 0) AS n_unique,
+       |  COALESCE(n_unique, 0) * 1000
+       |    // GREATEST(COALESCE(n_bigrams, 0), 1) AS novelty_milli
+       |FROM bgs LEFT JOIN per ON per.doc_id = bgs.doc_id""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("t_profile", profile, None))
     Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
@@ -373,6 +465,8 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_fingerprint", fingerprint, Some(fingerprintOracle)))
     Queries.register(QueryDef("t_rep_ratio", repRatio, Some(repRatioOracle)))
     Queries.register(QueryDef("t_pii_scrub", piiScrub, Some(piiScrubOracle)))
+    Queries.register(QueryDef("t_pack_chunks", packChunks, Some(packChunksOracle)))
+    Queries.register(QueryDef("t_bigram_novelty", bigramNovelty, Some(bigramNoveltyOracle)))
     Queries.register(QueryDef("t_stratified_sample", stratifiedSample,
       Some(stratifiedSampleOracle)))
   }
