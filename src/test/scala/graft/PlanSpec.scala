@@ -39,6 +39,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"Scala UDF escaped codegen:\n$p")
   }
 
+  test("bm25 corpus stats collapse to one broadcast row (no per-doc join)") {
+    val p = planOf("q10_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$p")
+    // the stats aggregate is partial (map-side) before the single-row exchange
+    assert(p.contains("partial_count"), s"no map-side stats combine:\n$p")
+  }
+
+  test("decontamination joins the benchmark shingles as a broadcast semi-join") {
+    val p = planOf("d7_decontaminate")
+    assert(p.contains("LeftSemi"), s"no semi-join in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+  }
+
+  test("pii scrub plan is map-only (no exchange, no UDF)") {
+    val p = planOf("t_pii_scrub")
+    assert(!p.contains("Exchange"), s"scrub should not shuffle:\n$p")
+    assert(!p.contains("UDF"), s"scrub should stay columnar:\n$p")
+  }
+
+  test("stratified sample plan is map-only (no exchange)") {
+    val p = planOf("t_stratified_sample")
+    assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
+  }
+
+  test("dedup clusters: survivors are cluster minima and cover all docs") {
+    import spark.implicits._
+    val rows = Queries.queries("d6_dedup_clusters")(spark, TestSpark.sf)
+      .as[(Long, Long, Boolean)].collect()
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.map(_._1).min == c, s"cluster $c canonical is not the min id")
+      assert(ms.count(_._3) == 1, s"cluster $c must keep exactly one doc")
+      assert(ms.find(_._3).get._1 == c)
+    }
+    val n = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(rows.length == n, "every document must receive a cluster decision")
+  }
+
   test("substrate eviction unpersists and the cache rebuilds lazily") {
     val (e1, _) = LuxQueries.substrate(spark, TestSpark.sf)
     val (e2, _) = LuxQueries.substrate(spark, TestSpark.sf)
