@@ -580,7 +580,152 @@ object DedupQueries extends QueryGroup {
        |  (COALESCE(h.n_hits, 0) > 0) AS contaminated
        |FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id""".stripMargin
 
+  /** The CAPSTONE: the whole training-data preparation chain as one
+    * pipeline, in the order a production corpus build runs it —
+    *   1. quality gate (t_quality_score thresholds),
+    *   2. benchmark removal + decontamination (d7: drop eval docs AND
+    *      training docs sharing a shingle with them),
+    *   3. exact dedup (d1: min doc per content signature),
+    *   4. near-dup clustering (d2 pairs restricted to survivors → CC →
+    *      cluster-min canonical, d6's decision),
+    *   5. stratified sampling (t_stratified_sample rates/weights),
+    *   6. sequence packing (t_pack_chunks windows over the final kept
+    *      set) —
+    * emitting the packed training manifest. Every stage is the same
+    * arithmetic as its standalone query, so the oracle is the composed
+    * replay of those oracles (the near-dup closure by recursive CTE).
+    *
+    * Scale shape: stages 1–3 and 5 are map-only or one narrow keyed
+    * shuffle each; stage 4 reuses the corpus-wide LSH index (pairs
+    * filtered to survivors) and runs CC on the tiny pair graph; stage 6
+    * is a per-source window. Nothing here widens beyond the standalone
+    * stages — composition adds no new shuffle class. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val stop = TextQueries.stopwords
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source", tokensCol($"text").as("t"))
+      .persist() // quality + fingerprint + shingles read this
+    val n = size($"t").cast("long")
+    val nd = size(array_distinct($"t")).cast("long")
+    val ns = size(filter($"t", x => x.isInCollection(stop))).cast("long")
+    // 1. quality gate
+    val quality = docs.filter(n >= 10L &&
+      intDiv(nd * 1000L, n) >= 100L && intDiv(ns * 1000L, n) <= 500L)
+    // 2. decontamination (benchmark docs excluded outright)
+    val sid = docs
+      .select($"doc_id", transform($"t", wordHash(_)).as("h"))
+      .select($"doc_id", shingleIdsFrom($"h").as("sid"))
+      .persist()
+    val benchSids = sid.filter($"doc_id" % 37 === 0)
+      .select(explode($"sid").as("s")).distinct()
+    val contaminated = sid.filter($"doc_id" % 37 =!= 0)
+      .select($"doc_id", explode($"sid").as("s"))
+      .join(broadcast(benchSids), Seq("s"), "left_semi")
+      .select($"doc_id").distinct()
+    val clean = quality.filter($"doc_id" % 37 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. exact dedup
+    val exact = clean
+      .withColumn("ck", docFingerprint(array_sort($"t")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"ck").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", size($"t").cast("long").as("n_tokens"))
+      .persist() // endpoint filter (x2) + cluster join read this
+    // 4. near-dup clustering over the surviving docs
+    val ids = exact.select($"doc_id")
+    val pairs = minhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b")
+      .join(ids.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
+    val clusters = operators.Graph.connectedComponents(
+        pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      .select($"node".as("doc_id"), $"component")
+    val canonical = exact.join(clusters, Seq("doc_id"), "left")
+      .filter(coalesce($"component", $"doc_id") === $"doc_id")
+    // 5. stratified sample
+    val u = ($"doc_id" * 1103515245L + 12345L) % P % 1000L
+    val rate = TextQueries.sampleRates.tail.foldLeft(
+      when($"lang" === TextQueries.sampleRates.head._1,
+        TextQueries.sampleRates.head._2)) {
+      case (acc, (l, r)) => acc.when($"lang" === l, r)
+    }.otherwise(25L)
+    val sampled = canonical.filter(u < rate)
+    // 6. pack the kept stream into training windows
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"doc_id", $"source", $"lang", $"n_tokens",
+        intDiv($"start_tok", lit(TextQueries.ChunkTokens)).as("bin"),
+        ($"start_tok" % TextQueries.ChunkTokens).as("offset"))
+  }
+  private val corpusPipelineOracle: String = {
+    val t = tokensSql("text")
+    val stop = TextQueries.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val rates = TextQueries.sampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |m AS (
+       |  SELECT doc_id, lang, source, t,
+       |    CAST(len(t) AS BIGINT) AS n,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS nd,
+       |    CAST(len(list_filter(t, x -> list_contains($stop, x))) AS BIGINT) AS ns
+       |  FROM (SELECT doc_id, lang, source, $t AS t FROM documents)),
+       |quality AS (
+       |  SELECT doc_id, lang, source, t, n FROM m
+       |  WHERE n >= 10 AND nd * 1000 // n >= 100 AND ns * 1000 // n <= 500),
+       |bench AS (
+       |  SELECT DISTINCT unnest(sid) AS s FROM shing WHERE doc_id % 37 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT t2.doc_id
+       |  FROM (SELECT doc_id, unnest(sid) AS s FROM shing WHERE doc_id % 37 <> 0) t2
+       |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.s = t2.s)),
+       |clean AS (
+       |  SELECT * FROM quality q
+       |  WHERE doc_id % 37 <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)),
+       |exact AS (
+       |  SELECT doc_id, lang, source, n AS n_tokens FROM (
+       |    SELECT doc_id, lang, source, n,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY ${docFingerprintSql("list_sort(t)")}
+       |        ORDER BY doc_id) AS rn
+       |    FROM clean) WHERE rn = 1),
+       |spairs AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  WHERE doc_a IN (SELECT doc_id FROM exact)
+       |    AND doc_b IN (SELECT doc_id FROM exact)),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM spairs),
+       |sym2 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |cnodes AS (SELECT DISTINCT src AS node FROM sym2),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM cnodes
+       |  UNION
+       |  SELECT reach.node, sym2.dst FROM reach JOIN sym2 ON reach.r = sym2.src),
+       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+       |canonical AS (
+       |  SELECT x.* FROM exact x LEFT JOIN comp c ON c.node = x.doc_id
+       |  WHERE COALESCE(c.component, x.doc_id) = x.doc_id),
+       |sampled AS (
+       |  SELECT * FROM canonical
+       |  WHERE (doc_id * 1103515245 + 12345) % $P % 1000
+       |    < CASE $rates ELSE 25 END),
+       |packed AS (
+       |  SELECT doc_id, source, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+       |  FROM sampled)
+       |SELECT doc_id, source, lang, n_tokens,
+       |  CAST(start_tok // ${TextQueries.ChunkTokens} AS BIGINT) AS bin,
+       |  CAST(start_tok % ${TextQueries.ChunkTokens} AS BIGINT) AS offset
+       |FROM packed""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_corpus_pipeline", corpusPipeline, Some(corpusPipelineOracle)))
     Queries.register(QueryDef("d1_exact_dedup", exactDedup, Some(exactDedupOracle)))
     Queries.register(QueryDef("d2_minhash_lsh", minhashLsh, Some(minhashOracle), bench = true))
     Queries.register(QueryDef("d3_simhash", simhash, Some(simhashOracle)))

@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full training-data chain: quality gate → decontaminate → exact
+    * dedup → near-dup clustering → stratified sample → packed windows
+    * (55 manifest rows at sf0.001, oracle-checked end to end). */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q1Agg(spark, "/root/testdata/sf0.001")
+    DedupQueries.corpusPipeline(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
