@@ -123,7 +123,79 @@ object PatchQueries extends QueryGroup {
       |       <= CAST(122 AS BIGINT)*365*24*3600 + 30*24*3600) AS plausible
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** F5+F12 on the query path: BCE-aware year extraction and proleptic
+    * epoch seconds over a mixed-precision date corpus (full timestamps,
+    * BCE date-only, year-one, leap days, garbage). The oracle
+    * regenerates the same strings, parses the year back with string
+    * ops, and replays epochSeconds with the era-based civil-days
+    * formula — years shifted +40000 (100 Gregorian eras) so DuckDB's
+    * truncating `//` equals floor division, then 100*146097 days
+    * subtracted back. Validated against java.time's proleptic ISO
+    * calendar (which is what DateLib.epochSeconds uses). */
+  def bceEpoch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long")).as[Long].map { ck =>
+        val iso = (ck % 6) match {
+          case 0 => f"${1900 + ck % 150}%04d-03-15T${ck % 24}%02d:${ck % 60}%02d:${(ck * 7) % 60}%02d"
+          case 1 => f"-${ck % 500 + 1}%04d-07-02"
+          case 2 => "0001-01-01"
+          case 3 => f"${2000 + (ck % 24) * 4}%04d-02-29"
+          case 4 => "1600-02-29T23:59:59"
+          case _ => "garbage"
+        }
+        val yr: java.lang.Long =
+          DateLib.yearOf(iso).map(y => java.lang.Long.valueOf(y.toLong)).orNull
+        val ep: java.lang.Long =
+          DateLib.epochSeconds(iso).map(java.lang.Long.valueOf).orNull
+        (ck, iso, yr, ep)
+      }.toDF("ident", "iso", "year", "epoch")
+  }
+  private val bceEpochOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer),
+      |g AS (
+      |  SELECT ck,
+      |    CASE ck % 6
+      |      WHEN 0 THEN lpad(CAST(1900 + ck % 150 AS VARCHAR), 4, '0')
+      |        || '-03-15T' || lpad(CAST(ck % 24 AS VARCHAR), 2, '0')
+      |        || ':' || lpad(CAST(ck % 60 AS VARCHAR), 2, '0')
+      |        || ':' || lpad(CAST((ck * 7) % 60 AS VARCHAR), 2, '0')
+      |      WHEN 1 THEN '-' || lpad(CAST(ck % 500 + 1 AS VARCHAR), 4, '0') || '-07-02'
+      |      WHEN 2 THEN '0001-01-01'
+      |      WHEN 3 THEN lpad(CAST(2000 + (ck % 24) * 4 AS VARCHAR), 4, '0') || '-02-29'
+      |      WHEN 4 THEN '1600-02-29T23:59:59'
+      |      ELSE 'garbage' END AS iso
+      |  FROM b),
+      |p AS (
+      |  SELECT ck,
+      |    CASE ck % 6 WHEN 0 THEN 1900 + ck % 150 WHEN 1 THEN -(ck % 500 + 1)
+      |      WHEN 2 THEN 1 WHEN 3 THEN 2000 + (ck % 24) * 4 WHEN 4 THEN 1600 END AS y,
+      |    CASE ck % 6 WHEN 0 THEN 3 WHEN 1 THEN 7 WHEN 2 THEN 1 ELSE 2 END AS m,
+      |    CASE ck % 6 WHEN 0 THEN 15 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 29 END AS d,
+      |    CASE ck % 6 WHEN 0 THEN ck % 24 WHEN 4 THEN 23 ELSE 0 END AS h,
+      |    CASE ck % 6 WHEN 0 THEN ck % 60 WHEN 4 THEN 59 ELSE 0 END AS mi,
+      |    CASE ck % 6 WHEN 0 THEN (ck * 7) % 60 WHEN 4 THEN 59 ELSE 0 END AS s
+      |  FROM b),
+      |e1 AS (SELECT *, y + 40000 AS yy FROM p),
+      |e2 AS (SELECT *, yy - CASE WHEN m <= 2 THEN 1 ELSE 0 END AS y2 FROM e1),
+      |e3 AS (SELECT *, y2 // 400 AS era, y2 % 400 AS yoe FROM e2),
+      |e4 AS (SELECT *,
+      |  (153 * (m + CASE WHEN m > 2 THEN -3 ELSE 9 END) + 2) // 5 + d - 1 AS doy
+      |  FROM e3),
+      |e5 AS (SELECT *, yoe * 365 + yoe // 4 - yoe // 100 + doy AS doe FROM e4),
+      |e6 AS (SELECT *,
+      |  CAST(era AS BIGINT) * 146097 + doe - 719468 - 14609700 AS days FROM e5)
+      |SELECT g.ck AS ident, g.iso,
+      |  CASE WHEN g.ck % 6 = 5 THEN NULL
+      |       WHEN starts_with(g.iso, '-')
+      |         THEN -CAST(string_split_regex(g.iso[2:], '[-T]')[1] AS BIGINT)
+      |       ELSE CAST(string_split_regex(g.iso, '[-T]')[1] AS BIGINT) END AS year,
+      |  CASE WHEN g.ck % 6 = 5 THEN NULL
+      |       ELSE days * 86400 + h * 3600 + mi * 60 + s END AS epoch
+      |FROM e6 JOIN g USING (ck)""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("f5f12_bce_epoch", bceEpoch, Some(bceEpochOracle)))
     Queries.register(QueryDef("m9_patch_records", patchRecords, Some(patchRecordsOracle)))
     Queries.register(QueryDef("m10_reclass", reclass, Some(reclassOracle)))
     Queries.register(QueryDef("f13_lang_map", langMap, Some(langMapOracle)))

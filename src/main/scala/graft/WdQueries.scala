@@ -709,7 +709,64 @@ object WdQueries extends QueryGroup {
       |    THEN 'Q' || (c_custkey % 50) END AS qid
       |FROM customer""".stripMargin
 
+  /** M2 guess_type (`wikidata/mapper.py:121-295`): P31 lookup first hit
+    * wins; otherwise the weighted property vote with max total weight,
+    * ties broken by class name ascending. The fixture exercises the
+    * lookup path (direct + later-position hit), the junk-P31 fallthrough
+    * to voting, every tie-break in the vote table, and the no-signal
+    * null. The oracle replays the vote as per-class weight columns +
+    * argmax window — the LOGIC, not the answers. */
+  def guessType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val p31 = (ck % 5) match {
+          case 0 => Seq("Q5")
+          case 1 => Seq("QX", "Q515") // later-position lookup hit
+          case 2 => Seq("QJUNK")      // no lookup hit -> vote path
+          case _ => Nil
+        }
+        val props = (ck % 8) match {
+          case 0 => Seq("P569", "P106") // Person 5
+          case 1 => Seq("P625")         // Place 3
+          case 2 => Seq("P571", "P186") // HMO 2 beats Group/Material 1
+          case 3 => Seq("P571")         // Group/HMO tie -> Group (name asc)
+          case 4 => Seq("P2079")        // Type/Material tie -> Material
+          case 5 => Seq("P170", "P407") // HMO/LinguisticObject tie -> HMO
+          case 6 => Seq("P50", "P279")  // LinguisticObject/Type tie -> LO
+          case _ => Nil                 // no signal -> null
+        }
+        (ck, WdTypes.guessType(p31, props).orNull)
+      }.toDF("ident", "cls")
+  }
+  private val guessTypeOracle: String =
+    """WITH v AS (
+      |  SELECT c_custkey AS ck, c_custkey % 5 AS a, c_custkey % 8 AS p
+      |  FROM customer),
+      |scores AS (
+      |  SELECT ck, 'Person' AS cls, CASE p WHEN 0 THEN 5 ELSE 0 END AS w FROM v
+      |  UNION ALL SELECT ck, 'Place', CASE p WHEN 1 THEN 3 ELSE 0 END FROM v
+      |  UNION ALL SELECT ck, 'Group', CASE p WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END FROM v
+      |  UNION ALL SELECT ck, 'HumanMadeObject',
+      |    CASE p WHEN 2 THEN 2 WHEN 3 THEN 1 WHEN 5 THEN 2 ELSE 0 END FROM v
+      |  UNION ALL SELECT ck, 'Material', CASE p WHEN 2 THEN 1 WHEN 4 THEN 1 ELSE 0 END FROM v
+      |  UNION ALL SELECT ck, 'Type', CASE p WHEN 4 THEN 1 WHEN 6 THEN 2 ELSE 0 END FROM v
+      |  UNION ALL SELECT ck, 'VisualItem', CASE p WHEN 5 THEN 1 ELSE 0 END FROM v
+      |  UNION ALL SELECT ck, 'LinguisticObject',
+      |    CASE p WHEN 5 THEN 2 WHEN 6 THEN 2 ELSE 0 END FROM v),
+      |best AS (
+      |  SELECT ck, cls,
+      |    ROW_NUMBER() OVER (PARTITION BY ck ORDER BY w DESC, cls ASC) AS rn
+      |  FROM scores WHERE w > 0)
+      |SELECT v.ck AS ident,
+      |  CASE WHEN v.a = 0 THEN 'Person'
+      |       WHEN v.a = 1 THEN 'Place'
+      |       ELSE b.cls END AS cls
+      |FROM v LEFT JOIN best b ON b.ck = v.ck AND b.rn = 1""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m2_guess_type", guessType, Some(guessTypeOracle)))
     Queries.register(QueryDef("m3_labels", labels, Some(labelsOracle)))
     Queries.register(QueryDef("m4_equivalents", equivalents, Some(equivalentsOracle)))
     Queries.register(QueryDef("m5_person", person, Some(personOracle)))
