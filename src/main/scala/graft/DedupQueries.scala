@@ -172,25 +172,32 @@ object DedupQueries extends QueryGroup {
       .select($"doc_id", shingleIdsFrom($"h").as("sid"))
   }
 
-  /** LSH band join + exact-Jaccard verification over a pre-built
-    * (persisted, size>0-filtered) shingle table. */
-  private[graft] def minhashVerified(base: DataFrame): DataFrame = {
+  /** The (doc_id, band_idx, band_hash) LSH index rows for a shingle
+    * table — the on-disk index-build stage at 100 TB; shared by the
+    * full self-join (d2) and the incremental probe (d8). */
+  private[graft] def bandIndex(base: DataFrame): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     // all K permutation minima in ONE codegen pass (minhash_sig) —
     // K interpreted array_min(transform(...)) folds per row otherwise
-    val sigs = base.select($"doc_id", $"sid",
+    val sigs = base.select($"doc_id",
       functions.VecMath.minhashCol($"sid", K).as("m"))
     val bandCols = (0 until K / 2).map(b =>
       struct(lit(b).as("band_idx"),
         ((element_at($"m", 2 * b + 1) * 131L +
           element_at($"m", 2 * b + 2)) % P).as("band_hash")))
+    sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
+      .select($"doc_id", $"band.band_idx", $"band.band_hash")
+  }
+
+  /** LSH band join + exact-Jaccard verification over a pre-built
+    * (persisted, size>0-filtered) shingle table. */
+  private[graft] def minhashVerified(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     // the LSH band index is materialized once (at 100 TB this is the
     // on-disk index-build stage) — three joins below read it
-    val bandRows = sigs
-      .select($"doc_id", explode(array(bandCols: _*)).as("band"))
-      .select($"doc_id", $"band.band_idx", $"band.band_hash")
-      .persist()
+    val bandRows = bandIndex(base).persist()
     // the three-regime guarded band join (guardedBandPairs): cap, salt,
     // plain — shared with d3
     val cand = guardedBandPairs(bandRows, Seq("band_idx", "band_hash"), "doc_id")
@@ -593,6 +600,59 @@ object DedupQueries extends QueryGroup {
        |  (COALESCE(h.n_hits, 0) > 0) AS contaminated
        |FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id""".stripMargin
 
+  /** Incremental dedup ingest: a NEW shard arrives (docs with
+    * doc_id % 10 = 9 stand in for the day's batch) and must be deduped
+    * against the existing corpus WITHOUT re-running the full self-join —
+    * only the new docs' band rows probe the persisted LSH index
+    * (new × all asymmetric join; pairs normalized and verified with
+    * exact Jaccard as in d2). At 100 TB this is the maintenance shape:
+    * the index is on disk, the daily shuffle volume is proportional to
+    * the SHARD, not the corpus. The hot-bucket cap applies to the index
+    * exactly as in the batch path. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sid = shingleTable(spark, dir).persist()
+    val base = sid.filter(size($"sid") > 0)
+    val bands = bandIndex(base).persist()
+    val hot = bands.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n")).filter($"n" > BandCap)
+      .select($"band_idx", $"band_hash")
+    val capped = bands.join(broadcast(hot),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val newRows = capped.filter($"doc_id" % 10 === 9)
+    val cand = newRows.as("n").join(capped.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      .distinct()
+      .localCheckpoint() // same barrier rationale as d2
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"sid".as("sid_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"sid".as("sid_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        intDiv(size(array_intersect($"sid_a", $"sid_b")).cast("long") * 1000L,
+          size(array_union($"sid_a", $"sid_b")).cast("long")).as("jacc_milli"))
+      .filter($"jacc_milli" >= 800L)
+  }
+  private val incrementalDedupOracle: String = {
+    val jacc = """CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
+      |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT)""".stripMargin
+    s"""WITH $minhashPairsCtes,
+       |ncand AS (
+       |  SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS doc_a,
+       |    GREATEST(n.doc_id, o.doc_id) AS doc_b
+       |  FROM bandrows n JOIN bandrows o
+       |    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+       |   AND n.doc_id % 10 = 9 AND n.doc_id <> o.doc_id)
+       |SELECT doc_a, doc_b, $jacc AS jacc_milli
+       |FROM ncand
+       |JOIN base sa ON sa.doc_id = doc_a
+       |JOIN base sb ON sb.doc_id = doc_b
+       |WHERE $jacc >= 800""".stripMargin
+  }
+
   /** The CAPSTONE: the whole training-data preparation chain as one
     * pipeline, in the order a production corpus build runs it —
     *   1. quality gate (t_quality_score thresholds),
@@ -745,5 +805,6 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d5_embedding_neardup", embeddingNearDup, Some(embeddingNearDupOracle), bench = true))
     Queries.register(QueryDef("d6_dedup_clusters", dedupClusters, Some(dedupClustersOracle)))
     Queries.register(QueryDef("d7_decontaminate", decontaminate, Some(decontaminateOracle)))
+    Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
   }
 }

@@ -129,7 +129,7 @@ object MapperQueries extends QueryGroup {
       .orderBy($"score_milli".desc, $"doc_id")
       .limit(100)
   }
-  private val bm25Oracle: String = {
+  private[graft] val bm25Oracle: String = {
     val terms = Seq("merge", "scan", "fast")
     val k1 = 1200L
     val b = 750L

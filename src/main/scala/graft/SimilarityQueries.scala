@@ -25,14 +25,14 @@ object SimilarityQueries extends QueryGroup {
   private val LshBits = 8
 
   /** Milli-quantized integer vector + its squared norm. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
       .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
   }
-  private val quantizedSql: String =
+  private[graft] val quantizedSql: String =
     s"""SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -40,11 +40,11 @@ object SimilarityQueries extends QueryGroup {
        |      (a,b)->a+b) AS n2
        |  FROM embeddings""".stripMargin
 
-  private def cosMilli(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+  private[graft] def cosMilli(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
     floor(lit(1000d) *
       functions.VecMath.dotCol(qa, qb).cast("double") /
       sqrt(n2a.cast("double") * n2b.cast("double"))).cast("long")
-  private def cosMilliSql(qa: String, qb: String, n2a: String, n2b: String): String =
+  private[graft] def cosMilliSql(qa: String, qb: String, n2a: String, n2b: String): String =
     s"""CAST(floor(1000.0 *
        |      list_reduce(list_prepend(CAST(0 AS BIGINT), [$qa[i]*$qb[i] for i in range(1, len($qa)+1)]), (x,y)->x+y)
        |      / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE))) AS BIGINT)""".stripMargin
@@ -330,11 +330,48 @@ object SimilarityQueries extends QueryGroup {
        |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** Hybrid retrieval: lexical BM25 candidates re-ranked by vector
+    * similarity against a probe embedding (vec_id 0) — the two-stage
+    * retrieve-then-rerank shape of a RAG stack. The combined score is
+    * integer (bm25_milli + 3 × cos_milli), so the composed oracle —
+    * the full q10 CTE feeding the cosine replay — matches exactly.
+    *
+    * Scale shape: stage 1 is q10's scan+map+top-k (100 candidate ids),
+    * stage 2 joins just those ids to their embeddings and scores
+    * against ONE broadcast probe — rerank cost is O(candidates),
+    * independent of corpus size. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bm = MapperQueries.bm25Rank(spark, dir)
+    val emb = quantized(spark, dir)
+    val probe = emb.filter($"vec_id" === 0)
+      .select($"q".as("pq"), $"n2".as("pn2"))
+    bm.join(emb.select($"vec_id".as("doc_id"), $"q", $"n2"), "doc_id")
+      .crossJoin(broadcast(probe))
+      .select($"doc_id", $"score_milli",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+      .withColumn("hybrid_milli", $"score_milli" + $"cos_milli" * 3L)
+      .orderBy($"hybrid_milli".desc, $"doc_id")
+      .limit(20)
+  }
+  private val hybridOracle: String =
+    s"""WITH bm AS (${MapperQueries.bm25Oracle}),
+       |base AS ($quantizedSql),
+       |probe AS (SELECT q AS pq, n2 AS pn2 FROM base WHERE vec_id = 0),
+       |j AS (
+       |  SELECT bm.doc_id, bm.score_milli,
+       |    ${cosMilliSql("pq", "q", "pn2", "n2")} AS cos_milli
+       |  FROM bm JOIN base ON base.vec_id = bm.doc_id, probe)
+       |SELECT doc_id, score_milli, cos_milli,
+       |  score_milli + cos_milli * 3 AS hybrid_milli
+       |FROM j ORDER BY hybrid_milli DESC, doc_id LIMIT 20""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
     Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))
     Queries.register(QueryDef("v4_ann_ivf", annIvf, Some(annIvfOracle)))
     Queries.register(QueryDef("v5_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)))
+    Queries.register(QueryDef("q11_hybrid", hybridSearch, Some(hybridOracle)))
   }
 }
