@@ -89,6 +89,41 @@ object MapperQueries extends QueryGroup {
       |INTERSECT
       |SELECT doc_id FROM inverted WHERE term = 'merge'""".stripMargin
 
+  /** True positional NEAR — beyond the reference, whose cts compile
+    * raises NotImplementedError for NEAR (`ml_lexer.py:214`; the id-set
+    * NEAR=AND approximation stays in lux_q4): docs where 'merge' and
+    * 'scan' occur within 3 tokens of each other, with the minimum
+    * token distance. Map-only columnar: per-doc position arrays are
+    * HOF filters over the token index, the pairwise-distance minimum a
+    * nested transform — no explode, no positional-index shuffle; at
+    * 100 TB this is a linear scan exactly like the other text ops. */
+  def nearPos(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posOf = (t: org.apache.spark.sql.Column, w: String) =>
+      filter(sequence(lit(1), size(t)), i => element_at(t, i) === lit(w))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
+      .select($"doc_id", posOf($"t", "merge").as("pa"), posOf($"t", "scan").as("pb"))
+      .filter(size($"pa") > 0 && size($"pb") > 0)
+      .select($"doc_id",
+        array_min(flatten(transform($"pa", i =>
+          transform($"pb", j => abs(i - j))))).cast("long").as("min_dist"))
+      .filter($"min_dist" <= 3L)
+  }
+  private val nearPosOracle: String = {
+    val t = TextQueries.tokensSql("lower(text)")
+    val md = "list_min(flatten([[abs(i-j) for j in pb] for i in pa]))"
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |pos AS (
+       |  SELECT doc_id,
+       |    [i for i in range(1, len(t)+1) if t[i] = 'merge'] AS pa,
+       |    [i for i in range(1, len(t)+1) if t[i] = 'scan'] AS pb
+       |  FROM toks)
+       |SELECT doc_id, CAST($md AS BIGINT) AS min_dist
+       |FROM pos
+       |WHERE len(pa) > 0 AND len(pb) > 0 AND $md <= 3""".stripMargin
+  }
+
   /** Q5+: BM25-shaped relevance ranking over the same inverted-index
     * substrate as q5 — integer-quantized BM25 (k1=1.2, b=0.75 in milli
     * units; rational idf (N-df+1)/(df+1) instead of the log so both
@@ -379,6 +414,7 @@ object MapperQueries extends QueryGroup {
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("q10_bm25", bm25Rank, Some(bm25Oracle)))
+    Queries.register(QueryDef("q12_near_pos", nearPos, Some(nearPosOracle)))
     Queries.register(QueryDef("f10_geometry_merge", geometryMerge, Some(geometryMergeOracle)))
     Queries.register(QueryDef("f11_html_strip", htmlStrip, Some(htmlStripOracle)))
     Queries.register(QueryDef("f8_uri_canonicalize", uriCanonicalize, Some(uriCanonicalizeOracle)))
