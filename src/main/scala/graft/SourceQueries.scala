@@ -235,6 +235,41 @@ object SourceQueries extends QueryGroup {
       |  CASE WHEN n % 7 = 0 THEN NULL ELSE CAST(n AS BIGINT) END AS v
       |FROM b""".stripMargin
 
+  /** M1 audio/video: the A/V sibling of m1_binary_meta — per customer
+    * key a synthetic-but-valid WAV/MP4-ftyp/OGG container header (fields
+    * derived from the key) travels as binary through the typed map
+    * stage; AvCodec parses the actual bytes back. The oracle replays
+    * the field formulas. Same 100 TB shape as m1: map-only, binary
+    * column + typed metadata, partition-parallel. */
+  def avMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long")).as[Long].map { ck =>
+        val bytes = (ck % 3) match {
+          case 0 => sources.AvCodec.synthWav(
+            8000 * (1 + (ck % 5)).toInt, (ck % 2 + 1).toInt, 16)
+          case 1 => sources.AvCodec.synthMp4(
+            Seq("isom", "mp42", "avc1")((ck % 9 / 3).toInt))
+          case _ => sources.AvCodec.synthOgg((ck % 100000).toInt)
+        }
+        val info = sources.AvCodec.parse(bytes).get
+        (ck, info.container, info.sampleRate.toLong, info.channels.toLong,
+          info.brand)
+      }.toDF("media_id", "container", "sample_rate", "channels", "brand")
+  }
+  private val avMetaOracle: String =
+    """SELECT c_custkey AS media_id,
+      |  CASE c_custkey % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' ELSE 'ogg' END AS container,
+      |  CAST(CASE WHEN c_custkey % 3 = 0
+      |    THEN 8000 * (1 + c_custkey % 5) ELSE 0 END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN c_custkey % 3 = 0
+      |    THEN c_custkey % 2 + 1 ELSE 0 END AS BIGINT) AS channels,
+      |  CASE WHEN c_custkey % 3 = 1 THEN
+      |    CASE c_custkey % 9 // 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END
+      |  WHEN c_custkey % 3 = 2 THEN CAST(c_custkey % 100000 AS VARCHAR)
+      |  END AS brand
+      |FROM customer""".stripMargin
+
   /** S5: the DNB dump loader quirks (`sources/libraries/dnb/loader.py`):
     * the dump is ONE JSON array pretty-printed one record per line, so
     * each line is stripped of its leading `[`/`,` (and the closing `]`
@@ -318,6 +353,7 @@ object SourceQueries extends QueryGroup {
 
   override def register(): Unit = {
     Queries.register(QueryDef("s5_dnb", dnbLoad, Some(dnbLoadOracle)))
+    Queries.register(QueryDef("m1d_av_meta", avMeta, Some(avMetaOracle)))
     Queries.register(QueryDef("s3_json_extract", jsonExtract, Some(jsonExtractOracle)))
     Queries.register(QueryDef("m1_binary_meta", binaryMeta, Some(binaryMetaOracle)))
     Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))

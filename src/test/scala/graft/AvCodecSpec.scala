@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.AvCodec
+import graft.sources.AvCodec.AvInfo
+
+/** A/V container-header codec: synth → parse roundtrips plus the
+  * reject paths (the same fixture discipline as ImageCodecSpec). */
+class AvCodecSpec extends AnyFunSuite {
+
+  test("wav roundtrip: rate/channels recovered from the fmt chunk") {
+    for ((r, c, b) <- Seq((8000, 1, 16), (44100, 2, 16), (48000, 2, 24)))
+      assert(AvCodec.parse(AvCodec.synthWav(r, c, b))
+        === Some(AvInfo("wav", r, c, null)))
+  }
+
+  test("wav chunk scan skips a leading non-fmt chunk") {
+    val base = AvCodec.synthWav(22050, 1, 16)
+    // splice a 6-byte JUNK chunk (odd size exercises word alignment)
+    val junk = "JUNK".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    assert(AvCodec.parse(spliced) === Some(AvInfo("wav", 22050, 1, null)))
+  }
+
+  test("mp4 ftyp major brand") {
+    for (brand <- Seq("isom", "mp42", "avc1"))
+      assert(AvCodec.parse(AvCodec.synthMp4(brand))
+        === Some(AvInfo("mp4", 0, 0, brand)))
+  }
+
+  test("ogg bitstream serial") {
+    assert(AvCodec.parse(AvCodec.synthOgg(31337))
+      === Some(AvInfo("ogg", 0, 0, "31337")))
+  }
+
+  test("garbage and truncated inputs are rejected, not mis-parsed") {
+    assert(AvCodec.parse("not a container at all".getBytes) === None)
+    assert(AvCodec.parse(AvCodec.synthWav(8000, 1, 16).take(20)) === None)
+    assert(AvCodec.parse(Array.empty[Byte]) === None)
+    // an OGG page with a nonzero version byte is a future format: reject
+    val v1 = AvCodec.synthOgg(1); v1(4) = 9
+    assert(AvCodec.parse(v1) === None)
+  }
+}
