@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.functions.VecMath
+import graft.functions.DateLib
+import graft.sources.Sqlite
+
+/** Seeded randomized property checks for the pure kernels — the
+  * invariants the fixture-based specs spot-check, swept over a few
+  * hundred random inputs each (fixed seed: failures reproduce). */
+class KernelPropertySpec extends AnyFunSuite {
+  private def rnd = new scala.util.Random(0xC0FFEE)
+
+  test("sqlite varint roundtrips across the supported range") {
+    val r = rnd
+    val edges = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, (1L << 56) - 1)
+    val vals = edges ++ Seq.fill(500)(math.abs(r.nextLong()) % (1L << 56))
+    for (v <- vals) {
+      val b = Sqlite.varintBytes(v)
+      assert(Sqlite.varint(b, 0) === ((v, b.length)), s"v=$v")
+    }
+  }
+
+  test("sqlite write/scan roundtrips random string/long/null rows") {
+    val r = rnd
+    for (trial <- 0 until 10) {
+      val rows = Seq.fill(r.nextInt(40) + 1)(Seq[Any](
+        r.nextInt(3) match {
+          case 0 => r.alphanumeric.take(r.nextInt(50)).mkString
+          case 1 => r.nextLong()
+          case _ => null
+        },
+        r.alphanumeric.take(r.nextInt(30)).mkString))
+      val f = java.io.File.createTempFile(s"graft_prop$trial", ".db")
+      f.deleteOnExit()
+      Sqlite.writeDb(f, "t", "CREATE TABLE t (a, b)", rows)
+      val got = Sqlite.scanTable(java.nio.file.Files.readAllBytes(f.toPath), "t")
+      assert(got === rows, s"trial=$trial")
+    }
+  }
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+
+  test("dotLong matches the zip fold; mismatch and null slots give null") {
+    val r = rnd
+    for (_ <- 0 until 200) {
+      val n = r.nextInt(20) + 1
+      val a = Seq.fill(n)(r.nextLong() % 1000000)
+      val b = Seq.fill(n)(r.nextLong() % 1000000)
+      assert(VecMath.dotLong(arr(a), arr(b))
+        === a.zip(b).map { case (x, y) => x * y }.sum)
+      assert(VecMath.dotLong(arr(a :+ 1L), arr(b)) === null)
+    }
+    val withNull = new GenericArrayData(Array[Any](1L, null, 3L))
+    assert(VecMath.dotLong(withNull, arr(Seq(1L, 2L, 3L))) === null)
+  }
+
+  test("minhashSig matches the per-permutation minima") {
+    val r = rnd
+    for (_ <- 0 until 100) {
+      val ids = Seq.fill(r.nextInt(30) + 1)(math.abs(r.nextLong()) % VecMath.P)
+      val got = VecMath.minhashSig(arr(ids), 16).toLongArray.toSeq
+      val want = (0 until 16).map(j =>
+        ids.map(s => (VecMath.aj(j) * s + VecMath.bj(j)) % VecMath.P).min)
+      assert(got === want)
+    }
+  }
+
+  test("simhashFp matches the per-bit vote fold") {
+    val r = rnd
+    for (_ <- 0 until 100) {
+      val ids = Seq.fill(r.nextInt(30) + 1)(math.abs(r.nextLong()) % VecMath.P)
+      val got = VecMath.simhashFp(arr(ids), 64)
+      val want = (0 until 64).map { j =>
+        val s = ids.map(x =>
+          (VecMath.aj(j) * x + VecMath.bj(j)) % VecMath.P % 2L * 2L - 1L).sum
+        if (s > 0) 1L << j else 0L
+      }.sum
+      assert(got === want)
+    }
+  }
+
+  test("hyperplaneSig matches the per-plane sign fold") {
+    val r = rnd
+    for (_ <- 0 until 100) {
+      val q = Seq.fill(r.nextInt(20) + 1)(r.nextLong() % 2000)
+      for ((planes, offset) <- Seq((8, 16), (16, 32))) {
+        val got = VecMath.hyperplaneSig(arr(q), planes, offset)
+        val want = (0 until planes).map { k =>
+          val s = q.zipWithIndex.map { case (v, i) =>
+            v * ((VecMath.aj(k + offset) * (i + 1) + VecMath.bj(k + offset))
+              % VecMath.P % 2L * 2L - 1L)
+          }.sum
+          if (s > 0) 1L << k else 0L
+        }.sum
+        assert(got === want)
+      }
+    }
+  }
+
+  test("hebrew year length equals the sum of its month lengths") {
+    val r = rnd
+    for (_ <- 0 until 100) {
+      val y = r.nextInt(6000) + 1
+      val months = 7 to (if (DateLib.Hebrew.isLeap(y)) 13 else 12)
+      val civil = months ++ (1 to 6)
+      assert(civil.map(DateLib.Hebrew.monthLength(y, _)).sum
+        === DateLib.Hebrew.yearLength(y), s"year=$y")
+    }
+  }
+
+  test("consecutive hebrew new years are a year length apart and valid") {
+    val r = rnd
+    for (_ <- 0 until 50) {
+      val y = r.nextInt(6000) + 1
+      val rd1 = DateLib.Hebrew.toRataDie(y, 7, 1)
+      val rd2 = DateLib.Hebrew.toRataDie(y + 1, 7, 1)
+      assert(rd1.isDefined && rd2.isDefined)
+      assert(rd2.get - rd1.get === DateLib.Hebrew.yearLength(y))
+      // a year is 353..385 days in the fixed calendar
+      assert(DateLib.Hebrew.yearLength(y) >= 353 && DateLib.Hebrew.yearLength(y) <= 385)
+    }
+  }
+
+  test("yearOf inverts ISO year formatting incl. BCE") {
+    val r = rnd
+    for (_ <- 0 until 200) {
+      val y = r.nextInt(9999) + 1
+      assert(DateLib.yearOf(f"$y%04d-06-15") === Some(y))
+      assert(DateLib.yearOf(f"-$y%04d-06-15") === Some(-y))
+    }
+  }
+}
