@@ -61,6 +61,38 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-03-01 10:02:00", 2L, "click")))
   }
 
+  test("idempotent batch writer: replaying a batch does not duplicate rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    val w = StreamingOps.idempotentBatchWriter(dir.getAbsolutePath)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    w(b0, 0L)
+    w(b0, 0L) // crash-replay of the same batch id: marker short-circuits
+    w(Seq((3L, "c")).toDF("k", "v"), 1L)
+    val got = spark.read.parquet(dir.getAbsolutePath)
+    assert(got.count() === 3)
+    assert(got.select("batch_id").distinct().as[Int].collect().toSet === Set(0, 1))
+  }
+
+  test("exactly-once sink end-to-end over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toFile
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.exactlyOnceSink(
+      input.toDF().toDF("k", "v"), dir.getAbsolutePath).start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(dir.getAbsolutePath).count() === 3)
+    // every written batch directory carries its commit marker
+    val markers = dir.listFiles().filter(_.getName.endsWith("_COMMITTED")).length
+    val dirs = dir.listFiles().filter(_.getName.startsWith("batch_id=")).length
+    assert(markers === dirs && dirs >= 1)
+  }
+
   test("keyed-state sessionization emits gap-closed sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
