@@ -795,6 +795,41 @@ object DedupQueries extends QueryGroup {
        |FROM packed""".stripMargin
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus
+    * embeddings with k-means (one distributed Lloyd's round,
+    * `SimilarityQueries.kmeansState`), then inside each cluster drop
+    * every vector that has a LOWER-id neighbor with cosine ≥ 0.300 —
+    * one representative per near-dup group survives. Emits the kept
+    * set (vec_id, cid).
+    *
+    * Scale shape: the pairwise pass is a self-join WITHIN a cell, so
+    * its cost is Σ m_c² with m_c ≈ corpus/K — K grows with the corpus
+    * (√N keeps cells constant-sized), which is exactly the SemDeDup
+    * deployment shape; the hot-cell cap/salting precedent from d5
+    * applies unchanged if a cell skews. */
+  def semanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, a2) = SimilarityQueries.kmeansState(spark, dir)
+    val assigned = a2.select($"vec_id", $"cid", $"q", $"n2")
+      .localCheckpoint() // both sides of the self-join + the anti-join read this
+    val dropped = assigned.select($"cid", $"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("n2a"))
+      .join(assigned.select($"cid", $"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("n2b")), "cid")
+      .filter($"vec_a" < $"vec_b")
+      .filter(SimilarityQueries.cosMilli($"qa", $"qb", $"n2a", $"n2b") >= 300L)
+      .select($"vec_b").distinct()
+    assigned.join(dropped, assigned("vec_id") === dropped("vec_b"), "left_anti")
+      .select($"vec_id", $"cid")
+  }
+  private val semanticPruneOracle: String =
+    s"""WITH ${SimilarityQueries.kmeansCtes},
+       |pairs AS (
+       |  SELECT b.vec_id AS vec_b
+       |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${SimilarityQueries.cosMilliSql("a.q", "b.q", "a.n2", "b.n2")} >= 300),
+       |dropped AS (SELECT DISTINCT vec_b FROM pairs)
+       |SELECT vec_id, cid FROM a2
+       |WHERE vec_id NOT IN (SELECT vec_b FROM dropped)""".stripMargin
+
   override def register(): Unit = {
     // not bench-flagged: the 11-query bench set is held stable across
     // rounds for comparability; the pipeline's end-to-end time at sf0.1
@@ -809,5 +844,6 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d6_dedup_clusters", dedupClusters, Some(dedupClustersOracle)))
     Queries.register(QueryDef("d7_decontaminate", decontaminate, Some(decontaminateOracle)))
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
+    Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
   }
 }

@@ -330,6 +330,110 @@ object SimilarityQueries extends QueryGroup {
        |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  private val KmK = 16 // codebook size (shared with IVF's list count)
+
+  /** One Lloyd's round over the milli-quantized corpus: seed centroids
+    * (every (n/K)-th vector, as IVF), assign → integer-mean update →
+    * re-assign. Returns (cents1, a2): the trained centroids
+    * `(cid, cv, cn2)` and the final assignment
+    * `(vec_id, q, n2, cid, d2)`. All arithmetic is integer except the
+    * d2 comparison (exact: n2 - 2 q·c + cn2); the centroid mean uses
+    * truncating `div`, matching DuckDB `//` on signed sums.
+    *
+    * Scale shape: each round is (a) one broadcast of the K-row
+    * codebook collapsed to a single array row — assignment is a
+    * map-side argmin fold, no shuffle; (b) one posexplode +
+    * partial-aggregated groupBy((cid,pos)) sum — the shuffle carries
+    * only K×dim×partitions pre-combined rows, independent of corpus
+    * size. That is the canonical distributed Lloyd's step; more
+    * rounds repeat (a)+(b). */
+  private[graft] def kmeansState(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val base = quantized(spark, dir).persist()
+    val step = base.count() / KmK
+    def collapse(cents: DataFrame): DataFrame =
+      cents.agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    def assign(centsRow: DataFrame): DataFrame =
+      base.crossJoin(broadcast(centsRow))
+        .withColumn("best", element_at(array_sort(transform($"cents", c =>
+          struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
+            + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))), 1))
+        .select($"vec_id", $"q", $"n2",
+          $"best".getField("cid").as("cid"), $"best".getField("d2").as("d2"))
+    val cents0 = base
+      .filter($"vec_id" % step === 0 && $"vec_id" < step * KmK)
+      .select(TextQueries.intDiv($"vec_id", lit(step)).as("cid"),
+        $"q".as("cv"), $"n2".as("cn2"))
+    val a1 = assign(collapse(cents0))
+    val cents1 = a1.select($"cid", posexplode($"q").as(Seq("pos", "x")))
+      .groupBy($"cid", $"pos").agg(sum($"x").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("s div n"))
+      .groupBy($"cid")
+      .agg(sort_array(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cid", transform($"pm", _.getField("m")).as("cv"))
+      .withColumn("cn2", functions.VecMath.dotCol($"cv", $"cv"))
+    (cents1, assign(collapse(cents1)))
+  }
+
+  /** Shared oracle CTE chain replaying kmeansState; ends in `cents1b`
+    * (cid, cv, cn2) and `a2` (vec_id, q, n2, cid, d2). */
+  private[graft] val kmeansCtes: String = {
+    val dot0 = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [v.q[i]*c.cv[i] for i in range(1, len(v.q)+1)]), (x,y)->x+y)"
+    s"""base AS ($quantizedSql),
+       |s AS (SELECT COUNT(*) // $KmK AS step FROM base),
+       |cents0 AS (
+       |  SELECT vec_id // step AS cid, q AS cv, n2 AS cn2
+       |  FROM base, s WHERE vec_id % step = 0 AND vec_id < step * $KmK),
+       |d1 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 - 2 * $dot0 + c.cn2, c.cid) AS rn
+       |  FROM base v, cents0 c),
+       |a1 AS (SELECT vec_id, cid FROM d1 WHERE rn = 1),
+       |sums1 AS (
+       |  SELECT a.cid, t.pos, CAST(SUM(b.q[t.pos]) AS BIGINT) AS sm, COUNT(*) AS n
+       |  FROM a1 a JOIN base b USING (vec_id),
+       |    UNNEST(range(1, len(b.q) + 1)) AS t(pos)
+       |  GROUP BY a.cid, t.pos),
+       |cents1 AS (SELECT cid, list(sm // n ORDER BY pos) AS cv FROM sums1 GROUP BY cid),
+       |cents1b AS (
+       |  SELECT cid, cv,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [cv[i]*cv[i] for i in range(1, len(cv)+1)]), (x,y)->x+y) AS cn2
+       |  FROM cents1),
+       |d2s AS (
+       |  SELECT v.vec_id, v.q, v.n2, c.cid,
+       |    v.n2 - 2 * $dot0 + c.cn2 AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 - 2 * $dot0 + c.cn2, c.cid) AS rn
+       |  FROM base v, cents1b c),
+       |a2 AS (SELECT vec_id, q, n2, cid, d2 FROM d2s WHERE rn = 1)""".stripMargin
+  }
+
+  /** K-means codebook training (distributed Lloyd's): per-cell size,
+    * centroid-component checksum, and within-cell inertia after one
+    * full update round — the trainer behind the IVF codebook (v4 uses
+    * the seeded stand-in; this is the k-means that replaces it). */
+  def kmeansCodebook(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cents1, a2) = kmeansState(spark, dir)
+    val stats = a2.groupBy($"cid")
+      .agg(count(lit(1)).as("n"), sum($"d2").as("inertia"))
+    val sums = cents1.select($"cid",
+      aggregate($"cv", lit(0L), _ + _).as("c_sum"))
+    stats.join(sums, "cid").select($"cid", $"n", $"c_sum", $"inertia")
+  }
+  private val kmeansOracle: String =
+    s"""WITH $kmeansCtes,
+       |stats AS (
+       |  SELECT cid, COUNT(*) AS n, CAST(SUM(d2) AS BIGINT) AS inertia
+       |  FROM a2 GROUP BY cid),
+       |sums AS (
+       |  SELECT cid,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), cv), (x,y)->x+y) AS c_sum
+       |  FROM cents1b)
+       |SELECT cid, n, c_sum, inertia FROM stats JOIN sums USING (cid)""".stripMargin
+
   /** Hybrid retrieval: lexical BM25 candidates re-ranked by vector
     * similarity against a probe embedding (vec_id 0) — the two-stage
     * retrieve-then-rerank shape of a RAG stack. The combined score is
@@ -372,6 +476,7 @@ object SimilarityQueries extends QueryGroup {
     Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))
     Queries.register(QueryDef("v4_ann_ivf", annIvf, Some(annIvfOracle)))
     Queries.register(QueryDef("v5_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)))
+    Queries.register(QueryDef("v6_kmeans", kmeansCodebook, Some(kmeansOracle)))
     Queries.register(QueryDef("q11_hybrid", hybridSearch, Some(hybridOracle)))
   }
 }

@@ -456,8 +456,51 @@ object TextQueries extends QueryGroup {
        |FROM bgs LEFT JOIN per ON per.doc_id = bgs.doc_id""".stripMargin
   }
 
+  private val FeatDim = 4096L   // hashed feature space (feature hashing, Weinberger et al. 2009)
+  private val Wa = 1103515245L  // deterministic stand-in weight generator (LCG constants);
+  private val Wb = 12345L       // a trained fasttext-style model would ship real weights here
+
+  /** Quality-classifier scoring: a linear model over hashed token
+    * features — the fasttext-style filter shape (CCNet/DCLM): each
+    * token hashes into a `FeatDim`-bucket feature space, each bucket
+    * carries a weight, and the doc score is the mean token weight
+    * (milli-quantized, truncating div to match DuckDB `//` on
+    * negative sums). Weights are a deterministic LCG of the bucket id
+    * — swapping in trained weights is a broadcast-array lookup with
+    * the identical plan shape.
+    *
+    * Scale: map-only fold over the token array inside whole-stage
+    * codegen (poly_hash is the native expression) — no shuffle, no
+    * model state on executors beyond the weight closure. */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokensCol($"text")
+    val weight = (t: Column) =>
+      (lit(Wa) * (wordHash(t) % FeatDim) + lit(Wb)) % HashP % 2001L - 1000L
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, weight), lit(0L), _ + _).as("w_sum"))
+      .withColumn("score_milli", expr("(w_sum * 1000) div greatest(n_tokens, 1)"))
+      .withColumn("accept", ($"score_milli" >= 0L).cast("long"))
+  }
+  private val classifierOracle: String = {
+    val t = tokensSql("text")
+    val w = s"(($Wa * (${wordHashSql("w")} % $FeatDim) + $Wb) % $HashP) % 2001 - 1000"
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(len($t) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($t, w -> $w)), (a,b) -> a+b) AS w_sum
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, w_sum,
+       |  (w_sum * 1000) // GREATEST(n_tokens, 1) AS score_milli,
+       |  CAST(((w_sum * 1000) // GREATEST(n_tokens, 1)) >= 0 AS BIGINT) AS accept
+       |FROM m""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("t_profile", profile, None))
+    Queries.register(QueryDef("t_classifier_score", classifierScore, Some(classifierOracle)))
     Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
     Queries.register(QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)))
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))

@@ -59,6 +59,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"scrub should stay columnar:\n$p")
   }
 
+  test("classifier scoring plan is map-only (no exchange, no UDF)") {
+    val p = planOf("t_classifier_score")
+    assert(!p.contains("Exchange"), s"scoring should not shuffle:\n$p")
+    assert(!p.contains("UDF"), s"scoring should stay columnar:\n$p")
+  }
+
   test("stratified sample plan is map-only (no exchange)") {
     val p = planOf("t_stratified_sample")
     assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")

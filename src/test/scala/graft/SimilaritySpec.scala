@@ -22,4 +22,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(multi.size >= single.size) // and possibly more queries answered
   }
+
+  test("k-means update round does not increase total inertia") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // inertia vs the UPDATED centroids (v6 output) must be <= inertia vs
+    // the seed centroids (the v4 IVF assignment replayed on d2) — the
+    // Lloyd's monotonicity invariant, here on integer-mean centroids.
+    val (_, a2) = SimilarityQueries.kmeansState(spark, TestSpark.sf)
+    val after = a2.agg(sum($"d2")).as[Long].head()
+    val quant = SimilarityQueries.quantized(spark, TestSpark.sf).persist()
+    val step = quant.count() / 16
+    val seedRow = quant
+      .filter($"vec_id" % step === 0 && $"vec_id" < step * 16)
+      .select(TextQueries.intDiv($"vec_id", lit(step)).as("cid"),
+        $"q".as("cv"), $"n2".as("cn2"))
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    val before = quant.crossJoin(broadcast(seedRow))
+      .select(element_at(array_sort(transform($"cents", c =>
+        struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
+          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))), 1)
+        .getField("d2").as("d2"))
+      .agg(sum($"d2")).as[Long].head()
+    assert(after <= before, s"inertia rose: $before -> $after")
+    assert(after > 0L)
+  }
+
+  test("semantic prune keeps one representative per near-dup pair") {
+    import spark.implicits._
+    val kept = Queries.queries("d9_semantic_prune")(spark, TestSpark.sf)
+      .select($"vec_id".cast("long")).as[Long].collect().toSet
+    val (_, a2) = SimilarityQueries.kmeansState(spark, TestSpark.sf)
+    val total = a2.count()
+    assert(kept.nonEmpty && kept.size < total, // something pruned, not everything
+      s"kept ${kept.size} of $total")
+    // no kept pair within a cell is still cosine-near: recompute pairs over
+    // the kept set only and assert none reaches the 300-milli threshold
+    // among pairs where the LOWER id is kept (the drop rule's witnesses).
+    val keptDf = a2.filter($"vec_id".isin(kept.toSeq: _*))
+    val l = keptDf.select($"cid", $"vec_id".as("va"), $"q".as("qa"), $"n2".as("n2a"))
+    val r = keptDf.select($"cid", $"vec_id".as("vb"), $"q".as("qb"), $"n2".as("n2b"))
+    val survivors = l.join(r, "cid").filter($"va" < $"vb")
+      .filter(SimilarityQueries.cosMilli($"qa", $"qb", $"n2a", $"n2b") >= 300L)
+      .count()
+    assert(survivors === 0L, s"$survivors near-dup pairs survived pruning")
+  }
 }
