@@ -434,6 +434,50 @@ object SimilarityQueries extends QueryGroup {
        |  FROM cents1b)
        |SELECT cid, n, c_sum, inertia FROM stats JOIN sums USING (cid)""".stripMargin
 
+  /** IVF search over the TRAINED codebook — v4's index/search machinery
+    * composed with v6's k-means trainer (the production pairing: train
+    * the codebook, build the inverted file from the final assignment,
+    * probe the 2 nearest trained cells per query). Same scale shape as
+    * v4; only the centroid quality changes. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (cents1, a2) = kmeansState(spark, dir)
+    val centsRow = cents1
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    val probes = a2.filter($"vec_id" < NQueries)
+      .select($"vec_id", $"q", $"n2").crossJoin(broadcast(centsRow))
+      .withColumn("dists", array_sort(transform($"cents", c =>
+        struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
+          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))))
+      .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"),
+        explode(slice($"dists", 1, IvfProbe)).as("probe"))
+      .select($"query_id", $"pq", $"pn2", $"probe.cid".as("probe_list"))
+    val scored = a2.join(broadcast(probes),
+        $"cid" === $"probe_list" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+  }
+  private val annIvfTrainedOracle: String =
+    s"""WITH $kmeansCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, q AS pq, n2 AS pn2, cid AS probe_list
+       |  FROM d2s WHERE vec_id < $NQueries AND rn <= $IvfProbe),
+       |scored AS (
+       |  SELECT query_id, a.vec_id,
+       |    ${cosMilliSql("pq", "a.q", "pn2", "a.n2")} AS cos_milli
+       |  FROM a2 a JOIN probes p
+       |    ON a.cid = p.probe_list AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_milli DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5""".stripMargin
+
   /** Hybrid retrieval: lexical BM25 candidates re-ranked by vector
     * similarity against a probe embedding (vec_id 0) — the two-stage
     * retrieve-then-rerank shape of a RAG stack. The combined score is
@@ -477,6 +521,7 @@ object SimilarityQueries extends QueryGroup {
     Queries.register(QueryDef("v4_ann_ivf", annIvf, Some(annIvfOracle)))
     Queries.register(QueryDef("v5_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)))
     Queries.register(QueryDef("v6_kmeans", kmeansCodebook, Some(kmeansOracle)))
+    Queries.register(QueryDef("v7_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedOracle)))
     Queries.register(QueryDef("q11_hybrid", hybridSearch, Some(hybridOracle)))
   }
 }

@@ -456,6 +456,39 @@ object TextQueries extends QueryGroup {
        |FROM bgs LEFT JOIN per ON per.doc_id = bgs.doc_id""".stripMargin
   }
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the Java∩RE2
+    * portable subset (explicit ASCII classes, no \p{} or lookahead):
+    * contractions, space-prefixed letter runs, digit runs, punct runs.
+    * Whitespace-only tokens are not counted. */
+  val BpePattern = "'ll|'re|'ve|'[sdmt]| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish tokenization: the regex pre-tokenizer pass every BPE
+    * tokenizer runs before merges — token counts here are the training
+    * cost estimator (fertility = regex tokens per whitespace word).
+    * Map-only codegen regexp fold, no shuffle. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = regexp_extract_all($"text", lit(BpePattern), lit(0))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(toks).cast("long").as("n_bpe"),
+        size(array_distinct(toks)).cast("long").as("n_bpe_distinct"),
+        size(tokensCol($"text")).cast("long").as("n_ws"))
+      .withColumn("fertility_milli",
+        intDiv($"n_bpe" * 1000L, greatest($"n_ws", lit(1L))))
+  }
+  private val bpeOracle: String = {
+    val pat = BpePattern.replace("\\s", "\\s").replace("'", "''")
+    val t = s"regexp_extract_all(text, '$pat')"
+    s"""SELECT doc_id,
+       |  CAST(len($t) AS BIGINT) AS n_bpe,
+       |  CAST(len(list_distinct($t)) AS BIGINT) AS n_bpe_distinct,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_ws,
+       |  CAST(len($t) AS BIGINT) * 1000
+       |    // GREATEST(CAST(len(${tokensSql("text")}) AS BIGINT), 1) AS fertility_milli
+       |FROM documents""".stripMargin
+  }
+
   private val FeatDim = 4096L   // hashed feature space (feature hashing, Weinberger et al. 2009)
   private val Wa = 1103515245L  // deterministic stand-in weight generator (LCG constants);
   private val Wb = 12345L       // a trained fasttext-style model would ship real weights here
@@ -501,6 +534,7 @@ object TextQueries extends QueryGroup {
   override def register(): Unit = {
     Queries.register(QueryDef("t_profile", profile, None))
     Queries.register(QueryDef("t_classifier_score", classifierScore, Some(classifierOracle)))
+    Queries.register(QueryDef("t_bpe_tokens", bpeTokens, Some(bpeOracle)))
     Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
     Queries.register(QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)))
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))

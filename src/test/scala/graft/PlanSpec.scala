@@ -65,6 +65,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"scoring should stay columnar:\n$p")
   }
 
+  test("bpe pre-tokenizer covers every whitespace word (fertility >= 1000)") {
+    import spark.implicits._
+    val p = planOf("t_bpe_tokens")
+    assert(!p.contains("Exchange"), s"tokenizing should not shuffle:\n$p")
+    val rows = Queries.queries("t_bpe_tokens")(spark, TestSpark.sf)
+      .select($"n_bpe", $"n_ws", $"fertility_milli")
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (bpe, ws, fert) =>
+      // every non-space char is matched by some alternative, so a
+      // whitespace word yields at least one regex token
+      assert(bpe >= ws, s"bpe=$bpe < ws=$ws")
+      assert(ws == 0 || fert >= 1000L)
+    }
+  }
+
+  test("trained-IVF answers every probe with a full contiguous top-5") {
+    import spark.implicits._
+    val rows = Queries.queries("v7_ann_ivf_trained")(spark, TestSpark.sf)
+      .select($"query_id", $"rank").as[(Long, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10, s"expected 10 probe queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to 5L), s"query $q ranks not 1..5")
+    }
+  }
+
   test("stratified sample plan is map-only (no exchange)") {
     val p = planOf("t_stratified_sample")
     assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
