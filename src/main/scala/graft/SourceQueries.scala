@@ -31,9 +31,11 @@ object SourceQueries extends QueryGroup {
     * mapPartitions pipeline; ImageCodec parses the actual bytes back to
     * (format, width, height). The oracle replays the dimension formulas
     * and the per-format header sizes. */
-  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** Synthetic image payloads keyed by customer: dims and format are
+    * arithmetic in the key, so oracles replay them without bytes. */
+  private def synthMedia(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val media = Tables.load(spark, dir, "customer")
+    Tables.load(spark, dir, "customer")
       .select($"c_custkey".cast("long")).as[Long].map { ck =>
         val w = (ck % 640 + 1).toInt
         val h = (ck % 480 + 1).toInt
@@ -45,7 +47,11 @@ object SourceQueries extends QueryGroup {
         }
         (ck, bytes)
       }
-    sources.Multimodal.decodeAll(media)
+  }
+
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sources.Multimodal.decodeAll(synthMedia(spark, dir))
       .select($"mediaId".as("media_id"), $"format",
         $"width".cast("long").as("width"), $"height".cast("long").as("height"),
         $"nBytes".as("n_bytes"))
@@ -72,23 +78,88 @@ object SourceQueries extends QueryGroup {
   // the checksum folds UTF-8 BYTES (what the Spark side hashes), so each
   // code point is expanded to its UTF-8 byte sequence arithmetically —
   // engine-identical even for non-ASCII text
+  /** Shared oracle CTE body: documents' UTF-8 byte checksum replayed
+    * arithmetically (media_id, n_bytes, checksum). */
+  private val mediaChecksumCte: String =
+    """SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      flatten([
+      |        CASE WHEN u < 128 THEN [u]
+      |          WHEN u < 2048 THEN [192 + u//64, 128 + u%64]
+      |          WHEN u < 65536 THEN [224 + u//4096, 128 + (u//64)%64, 128 + u%64]
+      |          ELSE [240 + u//262144, 128 + (u//4096)%64, 128 + (u//64)%64, 128 + u%64]
+      |        END
+      |        for u in [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text)+1)]])),
+      |      (a,b) -> (a*31+b) % 2147483647) AS checksum
+      |  FROM documents""".stripMargin
   private val mediaFallbackOracle: String =
     s"""WITH m AS (
-       |  SELECT doc_id AS media_id,
-       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      flatten([
-       |        CASE WHEN u < 128 THEN [u]
-       |          WHEN u < 2048 THEN [192 + u//64, 128 + u%64]
-       |          WHEN u < 65536 THEN [224 + u//4096, 128 + (u//64)%64, 128 + u%64]
-       |          ELSE [240 + u//262144, 128 + (u//4096)%64, 128 + (u//64)%64, 128 + u%64]
-       |        END
-       |        for u in [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text)+1)]])),
-       |      (a,b) -> (a*31+b) % 2147483647) AS checksum
-       |  FROM documents)
+       |  $mediaChecksumCte)
        |SELECT media_id, n_bytes, checksum, 'unknown' AS format,
        |  CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height
        |FROM m""".stripMargin
+
+  /** M1 resize stage over the synthetic images: aspect-preserving fit
+    * into 256×256 — output geometry is oracle-replayed from the key
+    * arithmetic; the stubbed resample checksum stays out of the
+    * contract (spec-tested instead). */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sources.Multimodal.decodeAll(synthMedia(spark, dir))
+      .map(sources.Multimodal.resizePlan(256))
+      .select($"mediaId".as("media_id"), $"format",
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+        $"targetW".cast("long").as("tw"), $"targetH".cast("long").as("th"))
+  }
+  private val mediaResizeOracle: String =
+    """WITH m AS (
+      |  SELECT c_custkey AS media_id,
+      |    CASE c_custkey % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |      WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+      |    CAST(c_custkey % 640 + 1 AS BIGINT) AS width,
+      |    CAST(c_custkey % 480 + 1 AS BIGINT) AS height
+      |  FROM customer)
+      |SELECT media_id, format, width, height,
+      |  CASE WHEN width >= height THEN 256
+      |    ELSE GREATEST(1, width * 256 // height) END AS tw,
+      |  CASE WHEN width >= height THEN GREATEST(1, height * 256 // width)
+      |    ELSE 256 END AS th
+      |FROM m""".stripMargin
+
+  /** M1 feature-extract stage over the text-as-payload path: the fake
+    * encoder's milli features are an LCG of the byte checksum, which
+    * the oracle replays from the UTF-8 expansion. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sources.Multimodal.documentsAsMedia(Tables.load(spark, dir, "documents"))
+      .map(sources.Multimodal.featureExtract)
+      .select($"mediaId".as("media_id"), $"f0", $"f1", $"f2", $"f3")
+  }
+  private val mediaFeaturesOracle: String =
+    s"""WITH m AS ($mediaChecksumCte)
+       |SELECT media_id,
+       |  ((checksum + 0 * 2654435761) % 2147483647) % 2001 - 1000 AS f0,
+       |  ((checksum + 1 * 2654435761) % 2147483647) % 2001 - 1000 AS f1,
+       |  ((checksum + 2 * 2654435761) % 2147483647) % 2001 - 1000 AS f2,
+       |  ((checksum + 3 * 2654435761) % 2147483647) % 2001 - 1000 AS f3
+       |FROM m""".stripMargin
+
+  /** M1 frame-sample stage: every 4th nominal frame (1 per 64 payload
+    * bytes) — the one-to-many video sampling shape, per-frame hash
+    * replayed from the checksum. */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sources.Multimodal.documentsAsMedia(Tables.load(spark, dir, "documents"))
+      .flatMap(sources.Multimodal.frameSample(4))
+      .select($"mediaId".as("media_id"), $"frameIdx".as("frame_idx"),
+        $"frameHash".as("frame_hash"))
+  }
+  private val mediaFramesOracle: String =
+    s"""WITH m AS ($mediaChecksumCte)
+       |SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
+       |  (checksum * 31 + t.i) % 2147483647 AS frame_hash
+       |FROM m, UNNEST(range(0, n_bytes // 64 + 1, 4)) AS t(i)""".stripMargin
 
   /** S7: the PMH paged harvest over a deterministic fake feed (pages of
     * 100, newest-first datestamps derived from the customer keys),
@@ -356,6 +427,9 @@ object SourceQueries extends QueryGroup {
     Queries.register(QueryDef("m1d_av_meta", avMeta, Some(avMetaOracle)))
     Queries.register(QueryDef("s3_json_extract", jsonExtract, Some(jsonExtractOracle)))
     Queries.register(QueryDef("m1_binary_meta", binaryMeta, Some(binaryMetaOracle)))
+    Queries.register(QueryDef("m1e_resize", mediaResize, Some(mediaResizeOracle)))
+    Queries.register(QueryDef("m1f_features", mediaFeatures, Some(mediaFeaturesOracle)))
+    Queries.register(QueryDef("m1g_frame_sample", mediaFrames, Some(mediaFramesOracle)))
     Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))
     Queries.register(QueryDef("s7_pmh_walk", pmhWalk, Some(pmhWalkOracle)))
     Queries.register(QueryDef("s4_archive_load", archiveLoad, Some(archiveLoadOracle)))

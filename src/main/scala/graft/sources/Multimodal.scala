@@ -49,4 +49,48 @@ object Multimodal {
     decodeAll(docs.select(col("doc_id"), encode(col("text"), "UTF-8"))
       .as[(Long, Array[Byte])])
   }
+
+  final case class ResizedMeta(mediaId: Long, format: String,
+      width: Int, height: Int, targetW: Int, targetH: Int,
+      resampleChecksum: Long)
+
+  /** Resize stage: aspect-preserving fit into a target×target box —
+    * the geometry is real integer math; the pixel resample itself is
+    * the stubbed step, stood in by a deterministic checksum mix so the
+    * stage stays total and testable. Non-decodable payloads (0×0)
+    * pass through untouched. */
+  def resizePlan(target: Int)(m: MediaMeta): ResizedMeta = {
+    val (tw, th) =
+      if (m.width <= 0 || m.height <= 0) (0, 0)
+      else if (m.width >= m.height)
+        (target, math.max(1, m.height * target / m.width))
+      else (math.max(1, m.width * target / m.height), target)
+    ResizedMeta(m.mediaId, m.format, m.width, m.height, tw, th,
+      (m.checksum * 131 + tw.toLong * 31 + th) % 2147483647L)
+  }
+
+  final case class MediaFeatures(mediaId: Long,
+      f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** Feature-extract stage (model stub): k-th milli-quantized feature
+    * is a deterministic LCG of the payload checksum. A real encoder
+    * slots into the same mapPartitions stage with this exact schema
+    * (fixed-width numeric features per media id). */
+  def featureExtract(m: MediaMeta): MediaFeatures = {
+    def f(k: Int): Long =
+      ((m.checksum + k.toLong * 2654435761L) % 2147483647L) % 2001L - 1000L
+    MediaFeatures(m.mediaId, f(0), f(1), f(2), f(3))
+  }
+
+  final case class Frame(mediaId: Long, frameIdx: Long, frameHash: Long)
+
+  /** Frame-sample stage: every `every`-th of the payload's nominal
+    * frames (one per 64 bytes — a real demuxer replaces the count);
+    * the one-to-many flatMap shape of video sampling, with a
+    * deterministic per-frame hash standing in for the decoded frame. */
+  def frameSample(every: Int)(m: MediaMeta): Iterator[Frame] = {
+    val nFrames = m.nBytes / 64 + 1
+    (0L until nFrames by every.toLong).iterator
+      .map(i => Frame(m.mediaId, i, (m.checksum * 31 + i) % 2147483647L))
+  }
 }

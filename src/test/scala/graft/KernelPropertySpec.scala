@@ -123,6 +123,60 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("resizePlan fits the box, preserves orientation, never upsizes past target") {
+    import graft.sources.Multimodal
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val m = Multimodal.MediaMeta(1L, 10L, math.abs(r.nextLong()) % 2147483647L,
+        "png", r.nextInt(4000) + 1, r.nextInt(4000) + 1)
+      val t = r.nextInt(500) + 1
+      val z = Multimodal.resizePlan(t)(m)
+      assert(z.targetW <= t && z.targetH <= t)
+      assert(z.targetW >= 1 && z.targetH >= 1)
+      assert(math.max(z.targetW, z.targetH) === t) // long edge hits the box
+      assert((m.width >= m.height) === (z.targetW >= z.targetH) ||
+        z.targetW == z.targetH)
+      assert(z.resampleChecksum >= 0L && z.resampleChecksum < 2147483647L)
+    }
+    // non-decodable payloads pass through as 0x0
+    val bad = Multimodal.resizePlan(256)(
+      Multimodal.MediaMeta(2L, 5L, 7L, "unknown", 0, 0))
+    assert(bad.targetW === 0 && bad.targetH === 0)
+  }
+
+  test("frameSample covers frame 0, steps evenly, and bounds by payload size") {
+    import graft.sources.Multimodal
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val nBytes = math.abs(r.nextLong()) % 100000
+      val every = r.nextInt(10) + 1
+      val m = Multimodal.MediaMeta(3L, nBytes, 99L, "mp4", 0, 0)
+      val frames = Multimodal.frameSample(every)(m).toVector
+      val nFrames = nBytes / 64 + 1
+      assert(frames.head.frameIdx === 0L)
+      assert(frames.size === (nFrames + every - 1) / every)
+      frames.sliding(2).foreach {
+        case Vector(a, b) => assert(b.frameIdx - a.frameIdx === every.toLong)
+        case _ =>
+      }
+      assert(frames.last.frameIdx < nFrames)
+    }
+  }
+
+  test("featureExtract is deterministic with milli features in [-1000, 1000]") {
+    import graft.sources.Multimodal
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val m = Multimodal.MediaMeta(4L, 10L, math.abs(r.nextLong()) % 2147483647L,
+        "png", 1, 1)
+      val f1 = Multimodal.featureExtract(m)
+      val f2 = Multimodal.featureExtract(m)
+      assert(f1 === f2)
+      Seq(f1.f0, f1.f1, f1.f2, f1.f3).foreach(x =>
+        assert(x >= -1000L && x <= 1000L, s"feature $x out of range"))
+    }
+  }
+
   test("yearOf inverts ISO year formatting incl. BCE") {
     val r = rnd
     for (_ <- 0 until 200) {
