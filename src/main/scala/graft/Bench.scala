@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   * timed TWICE and the minimum reported — the best observation is the
   * standard contention-robust estimator for a shared machine (a single
   * noisy-neighbor spike would otherwise poison the round's numbers).
+  * If the two passes disagree by more than 1.5x the machine was
+  * contended for at least one of them, so a third tie-break pass runs
+  * and the minimum of the three is reported.
   * Failures are loud: a failing query is reported as "err" with the
   * exception recorded, the headline total becomes -1, and the process
   * exits nonzero — a broken query can never read as a speedup. */
@@ -40,7 +43,11 @@ object Bench {
     val results: Seq[(String, Either[String, Double])] =
       Queries.benchNames.map { name =>
         name -> (timeOnce(name), timeOnce(name)) match {
-          case (n, (Right(a), Right(b))) => n -> Right(math.min(a, b))
+          case (n, (Right(a), Right(b))) =>
+            val lo = math.min(a, b)
+            if (math.max(a, b) > lo * 1.5)
+              n -> timeOnce(name).map(c => math.min(lo, c))
+            else n -> Right(lo)
           case (n, (e @ Left(_), _)) => n -> e
           case (n, (_, e)) => n -> e
         }
