@@ -409,8 +409,145 @@ object MapperQueries extends QueryGroup {
       |  ], x -> x IS NOT NULL), ';') AS eqs
       |FROM counted""".stripMargin
 
+  final case class GettyOut(id: Long, guessed_type: String,
+      name_class: String, name_lang: String, ts_begin: String,
+      ts_end: String, part_of: String, broader_csv: String, ulan_csv: String)
+
+  /** M1h: the Getty vocabulary mapper exemplar (`getty/mapper.py`,
+    * AAT+ULAN+TGN) — guess_type's id-set/rdf-type/parent/label-suffix
+    * election, the name-classification last-match-wins rules with the
+    * drop-on-unmapped-language gate, fix_getty_timestamp's fixups
+    * (24:00:00, end-slot 23:59:59, the 1200-01-01 placeholder and
+    * post-2025 drops), TGN's nation-classified part_of preference and
+    * ULAN's nested meta-classification flags. The oracle replays every
+    * branch arm by arm. */
+  def gettyVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.GettyMap
+    val aat = "http://vocab.getty.edu/aat/"
+    val term = "http://vocab.getty.edu/term/"
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        // guess_type: one fixture per branch arm
+        val g = ck % 8
+        val (types, isList, pob, label) = g match {
+          case 3 => (Seq("Type", if (ck % 2 == 0) "Language" else "Material"),
+            true, Nil, "x")
+          case 4 => (Seq("Type"), false, Seq(s"${aat}999", s"${aat}300411913"), "x")
+          case 5 => (Seq("Type"), false, Seq(s"${aat}300411993"), "x")
+          case 6 => (Seq("Type"), false, Nil, (ck % 4) match {
+            case 0 => "saami (language)"
+            case 1 => "bole (material)"
+            case 2 => "sol (unit of money)"
+            case _ => "carving (process)"
+          })
+          case 7 => (Seq(if (ck % 2 == 0) "Activity" else "Facet"), false, Nil, "x")
+          case _ => (Seq("Type"), false, Nil, "x")
+        }
+        val gt = GettyMap.aatGuessType("X", types, isList, pob, label,
+          langIds = if (g == 0) Set("X") else Set.empty,
+          materialIds = if (g == 1) Set("X") else Set.empty,
+          unitIds = if (g == 2) Set("X") else Set.empty)
+        // name classification + language gate
+        val cls = (ck % 6) match {
+          case 0 => Seq(s"${term}type/Descriptor")
+          case 1 => Seq(s"${term}POS/Noun", s"${aat}300404670")
+          case 2 => Seq(s"${term}type/AlternateDescriptor")
+          case 3 => Seq(s"${aat}300404650")
+          case 4 => Seq(s"${term}type/UsedForTerm") // kept: faithful bug port
+          case _ => Seq(s"${term}type/Descriptor", "http://vocab.getty.edu/historic/historic")
+        }
+        val lang = (ck % 5) match {
+          case 0 => Some("en")
+          case 1 => Some("eng")
+          case 2 => Some("xx") // unmapped: whole name dropped
+          case 3 => None
+          case _ => Some("fre")
+        }
+        val nm = GettyMap.name(s"nm${ck % 40}", cls, lang)
+        // timestamps: the same raw value through both four-point slots
+        val raw = (ck % 7) match {
+          case 0 => "1999"
+          case 1 => "2001-05-03T24:00:00"
+          case 2 => "2001-05-03T00:00:00"
+          case 3 => "1200-01-01T00:00:00"
+          case 4 => "2030-01-01T00:00:00"
+          case 5 => "-0100-01-01T00:00:00"
+          case _ => "9999" // unparseable: dropped
+        }
+        // TGN broader preference
+        val nation = Seq("http://vocab.getty.edu/aat/300449152")
+        val brdrs = (ck % 4) match {
+          case 0 => Seq((s"p${ck}a", "L", nation), (s"p${ck}b", "L", Nil))
+          case 1 => Seq((s"p${ck}a", "L", Nil), (s"p${ck}b", "L", nation))
+          case 2 => Seq((s"p${ck}a", "L", Nil), (s"p${ck}b", "L", Nil))
+          case _ => Nil
+        }
+        val (partOf, broaders) = GettyMap.tgnBroader(brdrs)
+        // ULAN meta-classification
+        val (cxid, metas) = (ck % 5) match {
+          case 0 => (s"${aat}300379012", Nil) // ignore value
+          case 1 => (s"${aat}300386154", Nil) // accept value
+          case 2 => (s"${aat}1", Seq(s"${aat}300263369", s"${aat}300379842"))
+          case 3 => (s"${aat}2", Seq(s"${aat}junk", s"${aat}300055147", s"${aat}300263369"))
+          case _ => (s"${aat}3", Seq(s"${aat}300263369", s"${aat}300435108"))
+        }
+        val ulan = GettyMap.ulanClassifications(cxid, metas)
+        GettyOut(ck, gt,
+          nm.map(_.cls).orNull, nm.flatMap(_.lang).orNull,
+          GettyMap.fixTimestamp(raw, endPos = false),
+          GettyMap.fixTimestamp(raw, endPos = true),
+          partOf.map(_._1).orNull,
+          broaders.map(_._1).mkString(";"),
+          ulan.mkString(";"))
+      }.toDF()
+  }
+
+  private val gettyVocabOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 8
+      |    WHEN 0 THEN 'Language' WHEN 1 THEN 'Material'
+      |    WHEN 2 THEN 'MeasurementUnit'
+      |    WHEN 3 THEN CASE WHEN ck % 2 = 0 THEN 'Language' ELSE 'Material' END
+      |    WHEN 4 THEN 'Language' WHEN 5 THEN 'Currency'
+      |    WHEN 6 THEN CASE ck % 4 WHEN 0 THEN 'Language' WHEN 1 THEN 'Material'
+      |      WHEN 2 THEN 'Currency' ELSE 'Type' END
+      |    ELSE CASE WHEN ck % 2 = 0 THEN 'Activity' ELSE 'Type' END
+      |  END AS guessed_type,
+      |  CASE WHEN ck % 5 = 2 THEN NULL ELSE
+      |    CASE ck % 6
+      |      WHEN 0 THEN 'Primary' WHEN 1 THEN 'Primary'
+      |      WHEN 2 THEN 'Alternate' WHEN 3 THEN 'Name'
+      |      WHEN 4 THEN 'Name' ELSE 'Alternate' END
+      |  END AS name_class,
+      |  CASE ck % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'en'
+      |    WHEN 4 THEN 'fr' ELSE NULL END AS name_lang,
+      |  CASE ck % 7
+      |    WHEN 0 THEN '1999-01-01T00:00:00'
+      |    WHEN 1 THEN '2001-05-03T23:59:59'
+      |    WHEN 2 THEN '2001-05-03T00:00:00'
+      |    WHEN 5 THEN '-0100-01-01T00:00:00'
+      |    ELSE '' END AS ts_begin,
+      |  CASE ck % 7
+      |    WHEN 0 THEN '1999-12-31T23:59:59'
+      |    WHEN 1 THEN '2001-05-03T23:59:59'
+      |    WHEN 2 THEN '2001-05-03T23:59:59'
+      |    WHEN 5 THEN '-0100-01-01T23:59:59'
+      |    ELSE '' END AS ts_end,
+      |  CASE ck % 4 WHEN 0 THEN 'p' || ck || 'a'
+      |    WHEN 1 THEN 'p' || ck || 'b' ELSE NULL END AS part_of,
+      |  CASE ck % 4 WHEN 2 THEN 'p' || ck || 'a;p' || ck || 'b'
+      |    ELSE '' END AS broader_csv,
+      |  CASE ck % 5 WHEN 0 THEN '' WHEN 1 THEN 'Type'
+      |    WHEN 2 THEN 'Occupation;Nationality' WHEN 3 THEN 'Gender'
+      |    ELSE 'Occupation;Occupation' END AS ulan_csv
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
+    Queries.register(QueryDef("m1h_getty_vocab", gettyVocab, Some(gettyVocabOracle)))
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("q10_bm25", bm25Rank, Some(bm25Oracle)))
