@@ -830,6 +830,88 @@ object DedupQueries extends QueryGroup {
        |SELECT vec_id, cid FROM a2
        |WHERE vec_id NOT IN (SELECT vec_b FROM dropped)""".stripMargin
 
+  /** D10: corpus-wide exact SPAN dedup — the line/paragraph-level
+    * exact-substring pass of production corpus pipelines (C4 dedupes
+    * three-sentence spans, RefinedWeb/Dolma exact lines): every
+    * 8-token span is hashed across the WHOLE corpus and only its
+    * first occurrence (smallest (doc_id, pos)) survives; documents
+    * are reassembled from surviving spans plus the sub-span tail.
+    * Complements d1 (whole-document) and d2 (near-duplicate): this
+    * removes boilerplate REGIONS from otherwise unique documents.
+    *
+    * Scale shape: span table = tokens/8 narrow rows; one groupBy(span)
+    * with map-side partial MIN absorbing hot spans (a license header
+    * occurring 10^8 times combines per map task before the shuffle —
+    * the same skew argument as a7's refCtr), one join back on span,
+    * one per-doc reassembly groupBy. No window over span partitions
+    * precisely because hot spans would straggle a reducer. The okey
+    * encoding assumes pos < 10^6 (documents under 8M tokens). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8
+    val base = Tables.load(spark, dir, "documents")
+      .select($"doc_id".cast("long").as("doc_id"),
+        tokensCol(lower($"text")).as("t"))
+      .select($"doc_id", $"t", (size($"t") / S).cast("int").as("nc"))
+      .persist() // read twice: span explode + final reassembly join
+    val chunks = base.filter($"nc" > 0)
+      .select($"doc_id", explode(transform(sequence(lit(0), $"nc" - 1),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", slice($"t", i * S + 1, lit(S))).as("span")))).as("c"))
+      .select($"doc_id", $"c.pos".as("pos"), $"c.span".as("span"),
+        ($"doc_id" * 1000000L + $"c.pos").as("okey"))
+    val firsts = chunks.groupBy($"span").agg(min($"okey").as("first_okey"))
+    val kept = chunks.join(firsts, Seq("span"))
+      .filter($"okey" === $"first_okey")
+    val perDoc = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct($"pos", $"span"))),
+        s => s.getField("span"))).as("kept_spans"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"nc".cast("long").as("n_spans"),
+        ($"nc" - coalesce($"n_kept", lit(0L))).cast("long").as("n_dropped"),
+        (coalesce($"n_kept", lit(0L)) * S + (size($"t") - $"nc" * S))
+          .cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", filter(array(
+          coalesce($"kept_spans", lit("")),
+          concat_ws(" ", slice($"t", $"nc" * S + 1, size($"t") - $"nc" * S)))
+          , x => x =!= ""))).as("kept_md5"))
+  }
+  private val spanDedupOracle: String = {
+    val t = tokensSql("lower(text)")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |base AS (SELECT doc_id, t, CAST(len(t) // 8 AS BIGINT) AS nc FROM toks),
+       |raw AS (
+       |  SELECT doc_id, unnest([{'pos': i,
+       |      'span': array_to_string(t[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')}
+       |    for i in range(0, CAST(nc AS INT))]) AS u
+       |  FROM base),
+       |chunks AS (
+       |  SELECT doc_id, struct_extract(u, 'pos') AS pos,
+       |    struct_extract(u, 'span') AS span,
+       |    doc_id*1000000 + struct_extract(u, 'pos') AS okey
+       |  FROM raw),
+       |firsts AS (SELECT span, MIN(okey) AS fk FROM chunks GROUP BY 1),
+       |kept AS (
+       |  SELECT c.* FROM chunks c
+       |  JOIN firsts f ON c.span = f.span AND c.okey = f.fk),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(span, ' ' ORDER BY pos) AS kept_spans
+       |  FROM kept GROUP BY 1)
+       |SELECT b.doc_id,
+       |  nc AS n_spans,
+       |  nc - COALESCE(n_kept, 0) AS n_dropped,
+       |  COALESCE(n_kept, 0)*8 + (len(t) - nc*8) AS kept_tokens,
+  |  md5(COALESCE(array_to_string(list_filter([
+       |    COALESCE(kept_spans, ''),
+       |    COALESCE(array_to_string(t[CAST(nc*8+1 AS INT):len(t)], ' '), '')
+       |  ], x -> x <> ''), ' '), '')) AS kept_md5
+       |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id""".stripMargin
+  }
+
   override def register(): Unit = {
     // not bench-flagged: the 11-query bench set is held stable across
     // rounds for comparability; the pipeline's end-to-end time at sf0.1
@@ -845,5 +927,6 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d7_decontaminate", decontaminate, Some(decontaminateOracle)))
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
+    Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
   }
 }

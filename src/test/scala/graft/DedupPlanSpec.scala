@@ -97,4 +97,25 @@ class DedupPlanSpec extends AnyFunSuite {
     val capped = rows.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
     assert(capped.count() == 0L)
   }
+
+  test("d10 span dedup: kept spans = distinct spans; min agg is partial") {
+    import spark.implicits._
+    val out = DedupQueries.spanDedup(spark, TestSpark.sf)
+    // exactly one occurrence of each distinct 8-token span survives
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), (size($"t") / 8).cast("int") - 1),
+        i => concat_ws(" ", slice($"t", i * 8 + 1, lit(8))))).as("span"))
+    val distinctSpans = docs.select($"span").distinct().count()
+    val keptTotal = out.agg(sum($"n_spans" - $"n_dropped")).head().getLong(0)
+    assert(keptTotal == distinctSpans,
+      s"kept $keptTotal != distinct $distinctSpans")
+    // the corpus-wide first-occurrence MIN must combine map-side (hot-span
+    // skew defense: no window over span partitions)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial_finalmerge") ||
+      "HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("Window"), "span dedup must not use a window")
+  }
 }
