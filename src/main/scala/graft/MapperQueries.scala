@@ -545,9 +545,99 @@ object MapperQueries extends QueryGroup {
       |    ELSE 'Occupation;Occupation' END AS ulan_csv
       |FROM b""".stripMargin
 
+  final case class FastOut(id: Long, guessed: String, fast_uri: String,
+      eqs_csv: String, lon_arcsec: java.lang.Long, lat_arcsec: java.lang.Long,
+      names_csv: String, ts_csv: String)
+
+  /** M1i: the OCLC FAST authority mapper exemplar (`fast/mapper.py`) —
+    * MARC-tag type election in map order, fast-id URI minting,
+    * equivalence routing (wikipedia→QID, DLC→LCSH, OCoLC→fast), DMS
+    * coordinate parsing in exact arc-seconds, primary/alternate name
+    * assembly and four-point timespans. Every branch arm replayed by
+    * the oracle. */
+  def fastAuth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.FastMap
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val tags: Set[String] = (ck % 6) match {
+          case 0 => Set("100")
+          case 1 => Set("148", "100") // map order: Period wins
+          case 2 => Set("151")
+          case 3 => Set("110")
+          case 4 => Set("147")
+          case _ => Set("999")
+        }
+        val guessed = FastMap.guessType(tags).getOrElse("none")
+        val fastUri = FastMap.fastIdToUri(f"(OCoLC)fst${ck % 9000}%08d")
+        val eqs = FastMap.equivalents(Seq(
+          s"https://en.wikipedia.org/wiki/Page$ck",
+          s"(DLC) sh ${ck % 100}",
+          f"(OCoLC)fst${ck % 9000}%08d",
+          s"https://plain.org/p$ck",
+          s"https://plain.org/p$ck"), // dup: dropped
+          _ => if (ck % 3 == 0) Some(s"Q${ck % 70}") else None)
+        val sec = ck % 60
+        val dms = (ck % 5) match {
+          case 0 => s"52°22ʹ${sec}ʺN 004°38ʹ13ʺE"
+          case 1 => s"x;52°22ʹ${sec}ʺS 004°38ʹ13ʺW"
+          case 2 => "52°22'" + sec + "\"N 004°38'13\"E"
+          case 3 => "52°22ʹ51N 004°38ʹ13E" // seconds mark optional
+          case _ => "notacoord"
+        }
+        val pt = FastMap.dmsToArcsec(dms)
+        val names = FastMap.assignNames(Seq("", s"n${ck % 20}", "alt"),
+          hasPrimary = ck % 2 == 1)
+        val ts = (ck % 4) match {
+          case 0 => FastMap.buildTimespan(Some("1990"), Some("2000"))
+          case 1 => FastMap.buildTimespan(Some("1990"), None)
+          case 2 => FastMap.buildTimespan(None, Some("9999")) // unparseable
+          case _ => FastMap.buildTimespan(None, None)
+        }
+        FastOut(ck, guessed, fastUri, eqs.mkString(";"),
+          pt.map(p => java.lang.Long.valueOf(p._1)).orNull,
+          pt.map(p => java.lang.Long.valueOf(p._2)).orNull,
+          names.map(n => s"${n._1}|${n._2}").mkString(";"),
+          ts.map(t => s"${t._1}|${t._2}|${t._3}|${t._4}").orNull)
+      }.toDF()
+  }
+
+  private val fastAuthOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 6 WHEN 0 THEN 'Person' WHEN 1 THEN 'Period'
+      |    WHEN 2 THEN 'Place' WHEN 3 THEN 'Group' WHEN 4 THEN 'Activity'
+      |    ELSE 'none' END AS guessed,
+      |  'http://id.worldcat.org/fast/' ||
+      |    ltrim(lpad(CAST(ck % 9000 AS VARCHAR), 8, '0'), '0') AS fast_uri,
+      |  array_to_string(list_filter([
+      |    CASE WHEN ck % 3 = 0
+      |      THEN 'http://www.wikidata.org/entity/Q' || (ck % 70) END,
+      |    'http://id.loc.gov/authorities/subjects/sh' || (ck % 100),
+      |    'http://id.worldcat.org/fast/' ||
+      |      ltrim(lpad(CAST(ck % 9000 AS VARCHAR), 8, '0'), '0'),
+      |    'https://plain.org/p' || ck
+      |  ], x -> x IS NOT NULL), ';') AS eqs_csv,
+      |  CAST(CASE ck % 5 WHEN 0 THEN 16693 WHEN 1 THEN -16693
+      |    WHEN 2 THEN 16693 WHEN 3 THEN 16693 ELSE NULL END AS BIGINT) AS lon_arcsec,
+      |  CAST(CASE ck % 5 WHEN 0 THEN 188520 + ck % 60
+      |    WHEN 1 THEN -(188520 + ck % 60)
+      |    WHEN 2 THEN 188520 + ck % 60
+      |    WHEN 3 THEN 188571 ELSE NULL END AS BIGINT) AS lat_arcsec,
+      |  'n' || (ck % 20) ||
+      |    CASE WHEN ck % 2 = 1 THEN '|Alternate' ELSE '|Primary' END ||
+      |    ';alt|Alternate' AS names_csv,
+      |  CASE ck % 4
+      |    WHEN 0 THEN '1990-01-01T00:00:00|1990-12-31T23:59:59|2000-01-01T00:00:00|2000-12-31T23:59:59'
+      |    WHEN 1 THEN '1990-01-01T00:00:00|1990-12-31T23:59:59||'
+      |    ELSE NULL END AS ts_csv
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
     Queries.register(QueryDef("m1h_getty_vocab", gettyVocab, Some(gettyVocabOracle)))
+    Queries.register(QueryDef("m1i_fast_auth", fastAuth, Some(fastAuthOracle)))
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("q10_bm25", bm25Rank, Some(bm25Oracle)))
