@@ -531,7 +531,58 @@ object TextQueries extends QueryGroup {
        |FROM m""".stripMargin
   }
 
+  /** Domain-level reputation filter — the URL/domain stage of corpus
+    * pipelines (RefinedWeb filters whole domains; Dolma aggregates
+    * doc-level signals per site before dropping it): per-source mean
+    * lexical-diversity and exact-duplicate fraction decide the fate of
+    * EVERY document from that source.
+    *
+    * Scale shape: doc-level signals are map-only; the per-domain
+    * rollup groups by `source` (domain cardinality ≪ corpus — partial
+    * aggregation collapses each map task to one row per domain); the
+    * verdict table is tiny and BROADCAST back onto the corpus, so no
+    * wide join touches full documents. */
+  def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokensCol($"text")
+    val n = size(toks).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val m = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        intDiv(nDist * 1000L, greatest(n, lit(1L))).as("q_milli"),
+        docFingerprint(toks).as("fp"))
+    val domains = m.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      intDiv(sum($"q_milli"), count(lit(1))).as("mean_q_milli"),
+      ((count(lit(1)) - countDistinct($"fp")) * 1000L).as("dup_x1000"))
+      .select($"source", $"n_docs", $"mean_q_milli",
+        intDiv($"dup_x1000", $"n_docs").as("dup_milli"))
+      .withColumn("domain_keep",
+        $"mean_q_milli" >= 200L && $"dup_milli" <= 300L)
+    m.join(broadcast(domains), Seq("source"))
+      .select($"doc_id", $"source", $"mean_q_milli", $"dup_milli",
+        $"domain_keep")
+  }
+  private val domainFilterOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_distinct($t)) AS BIGINT) * 1000
+       |      // GREATEST(CAST(len($t) AS BIGINT), 1) AS q_milli,
+       |    ${docFingerprintSql(tokensSql("text"))} AS fp
+       |  FROM documents),
+       |d AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    SUM(q_milli) // COUNT(*) AS mean_q_milli,
+       |    (COUNT(*) - COUNT(DISTINCT fp)) * 1000 // COUNT(*) AS dup_milli
+       |  FROM m GROUP BY 1)
+       |SELECT doc_id, m.source, mean_q_milli, dup_milli,
+       |  (mean_q_milli >= 200 AND dup_milli <= 300) AS domain_keep
+       |FROM m JOIN d ON m.source = d.source""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_domain_filter", domainFilter, Some(domainFilterOracle)))
     Queries.register(QueryDef("t_profile", profile, None))
     Queries.register(QueryDef("t_classifier_score", classifierScore, Some(classifierOracle)))
     Queries.register(QueryDef("t_bpe_tokens", bpeTokens, Some(bpeOracle)))
