@@ -581,7 +581,82 @@ object TextQueries extends QueryGroup {
        |FROM m JOIN d ON m.source = d.source""".stripMargin
   }
 
+  /** Distributed BPE tokenizer-merge TRAINING (Sennrich et al. 2016) —
+    * learn the top-R merge rules from corpus word counts. The classic
+    * distributed trainer shape: the corpus collapses ONCE to a
+    * (word, count) vocab table (corpus-scale shuffle, then never
+    * again); each round counts weighted adjacent symbol pairs over the
+    * vocab (narrow rows, map-side partial sums), elects the best pair
+    * (ONE scalar row to the driver, like g1's convergence aggregate),
+    * and applies the merge map-only. Round cost is vocab-bound, not
+    * corpus-bound — exactly why production BPE trainers scale.
+    *
+    * Symbol sequences ride in a wrapped string (`|k||e||y|`): applying
+    * a merge is a literal string replace, whose greedy leftmost-
+    * non-overlapping semantics IS BPE's merge rule and is identical in
+    * Java and DuckDB (verified: `|a||a||a||a|` → `|aa||aa|`), so the
+    * oracle replays training exactly, round by round. Ties elect the
+    * lexicographically smallest pair. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val R = 5
+    var words = Tables.load(spark, dir, "documents")
+      .select(explode(tokensCol(lower($"text"))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace($"w", "(.)", "|$1|").as("s"), $"cnt")
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to R) {
+      val syms = split(btrim($"s", lit("|")), "\\|\\|")
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(0), size(syms) - 2), i =>
+          concat(lit("|"), element_at(syms, i + 1), lit("||"),
+            element_at(syms, i + 2), lit("|"))))
+        .otherwise(array().cast("array<string>"))
+      val best = words.select($"cnt", explode(pairs).as("p"))
+        .groupBy($"p").agg(sum($"cnt").as("support"))
+        .orderBy($"support".desc, $"p".asc).limit(1).head()
+      val (bp, sup) = (best.getString(0), best.getLong(1))
+      merges += ((r, bp, sup))
+      val next = words
+        .select(replace($"s", lit(bp), lit(bp.replace("||", ""))).as("s"), $"cnt")
+        .persist()
+      next.count() // materialize before dropping the parent
+      words.unpersist()
+      words = next
+    }
+    words.unpersist()
+    merges.toSeq.toDF("round", "pair", "support")
+      .select($"round".cast("long").as("round"), $"pair", $"support")
+  }
+  private val bpeTrainOracle: String = {
+    val t = tokensSql("lower(text)")
+    val rounds = (1 to 5).map { r =>
+      s"""p$r AS (
+         |  SELECT u AS p, SUM(cnt) AS support FROM (
+         |    SELECT cnt, unnest(['|'||syms[i]||'||'||syms[i+1]||'|'
+         |        for i in range(1, len(syms))]) AS u
+         |    FROM (SELECT string_split(trim(s, '|'), '||') AS syms, cnt
+         |          FROM w${r - 1}))
+         |  GROUP BY 1),
+         |b$r AS (SELECT p, support FROM p$r ORDER BY support DESC, p ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(s, (SELECT p FROM b$r),
+         |    replace((SELECT p FROM b$r), '||', '')) AS s, cnt FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to 5).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, p AS pair, support FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, cnt FROM (
+       |    SELECT w, COUNT(*) AS cnt FROM (
+       |      SELECT unnest($t) AS w FROM documents) GROUP BY 1)),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)))
     Queries.register(QueryDef("t_domain_filter", domainFilter, Some(domainFilterOracle)))
     Queries.register(QueryDef("t_profile", profile, None))
     Queries.register(QueryDef("t_classifier_score", classifierScore, Some(classifierOracle)))
