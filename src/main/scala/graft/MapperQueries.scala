@@ -634,10 +634,116 @@ object MapperQueries extends QueryGroup {
       |    ELSE NULL END AS ts_csv
       |FROM b""".stripMargin
 
+  final case class ArticOut(id: Long, cls: String, uri: String,
+      ts_csv: String, cat_csv: String, artists_csv: String)
+
+  /** M1j: the Art Institute of Chicago museum mapper exemplar
+    * (`museums/artic/mapper.py`) — api_model type routing, per-class
+    * URI minting, the handle_timespan fallback matrix (life events
+    * collapse to (bb, ee); productions build the full four-point with
+    * `d1 - d2` display synthesis), category-term routing where a
+    * concordance miss demotes the property, and dict-zip artist
+    * assembly (first position, last title). The begins-unparseable
+    * timespan arms are spec-covered (`ArticMapSpec`); the oracle
+    * replays the parseable matrix arm by arm. */
+  def articMuseum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.ArticMap
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val (apiModel, isArtist) = (ck % 5) match {
+          case 0 => ("artworks", false)
+          case 1 => ("exhibitions", true)
+          case 2 => ("agents", true)
+          case 3 => ("agents", false)
+          case _ => ("junk", true)
+        }
+        val cls = ArticMap.guessType(apiModel, isArtist)
+        val uri = ArticMap.mintUri(cls, ck)
+        val date1 = (ck % 3) match {
+          case 0 => "1880"
+          case 1 => "1880-05-02T00:00:00"
+          case _ => "1880-05-02"
+        }
+        val date3 = if (ck % 4 == 0) Some("circa 1880") else None
+        val ts =
+          if (ck % 2 == 0) ArticMap.timespan(date1, None, date3, life = true)
+          else {
+            val date2 = (ck % 5) match {
+              case 0 | 1 | 2 => Some("1890")
+              case 3 => Some("9999") // unparseable end
+              case _ => None
+            }
+            ArticMap.timespan(date1, date2, date3, life = false)
+          }
+        val cat = (ck % 4) match {
+          case 0 => "technique"
+          case 1 => "material"
+          case 2 => "style"
+          case _ => "subject"
+        }
+        val aat = if ((ck / 4) % 2 == 0) Some((300000 + ck % 100).toString) else None
+        val (prop, ident, lbl) = ArticMap.categoryRoute(cat, aat, s"t${ck % 30}")
+        val (ids, titles) =
+          if (ck % 4 == 0) (Seq(ck % 7, ck % 7 + 1, ck % 7), Seq("a", "b", "c"))
+          else (Seq(ck % 7, ck % 7 + 1), Seq("a", "b"))
+        val arts = ArticMap.artists(ids, titles)
+        ArticOut(ck, cls, uri,
+          s"${ts.bb}|${ts.eb}|${ts.be}|${ts.ee}|${ts.display}",
+          s"$prop|$ident|$lbl",
+          arts.map(a => s"${a._1}|${a._2}").mkString(";"))
+      }.toDF()
+  }
+
+  private val articMuseumOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer),
+      |parts AS (
+      |  SELECT ck,
+      |    CASE ck % 5 WHEN 0 THEN 'HumanMadeObject' WHEN 1 THEN 'Activity'
+      |      WHEN 2 THEN 'Person' ELSE 'Group' END AS cls,
+      |    CASE ck % 3 WHEN 0 THEN '1880' ELSE '1880-05-02' END AS d1t,
+      |    CASE ck % 3 WHEN 0 THEN '1880-01-01T00:00:00'
+      |      ELSE '1880-05-02T00:00:00' END AS bbp,
+      |    CASE ck % 3 WHEN 0 THEN '1880-12-31T23:59:59'
+      |      ELSE '1880-05-02T23:59:59' END AS bep
+      |  FROM b)
+      |SELECT ck AS id, cls,
+      |  CASE cls WHEN 'HumanMadeObject'
+      |      THEN 'https://api.artic.edu/api/v1/artworks/' || ck
+      |    WHEN 'Activity' THEN 'https://api.artic.edu/api/v1/exhibitions/' || ck
+      |    ELSE 'https://api.artic.edu/api/v1/agents/' || ck END AS uri,
+      |  CASE WHEN ck % 2 = 0 THEN
+      |    bbp || '|||' || bep || '|' ||
+      |      CASE WHEN ck % 4 = 0 THEN 'circa 1880' ELSE d1t END
+      |  WHEN ck % 5 < 3 THEN
+      |    bbp || '|' || bep || '|1890-01-01T00:00:00|1890-12-31T23:59:59|' ||
+      |      CASE WHEN ck % 4 = 0 THEN 'circa 1880'
+      |        ELSE d1t || ' - 1890' END
+      |  ELSE
+      |    bbp || '|||' || bep || '|' ||
+      |      CASE WHEN ck % 4 = 0 THEN 'circa 1880' ELSE d1t END
+      |  END AS ts_csv,
+      |  CASE ck % 4
+      |    WHEN 0 THEN 'production.technique'
+      |    WHEN 1 THEN CASE WHEN (ck // 4) % 2 = 0 THEN 'made_of'
+      |      ELSE 'referred_to_by.MaterialStatement' END
+      |    WHEN 2 THEN CASE WHEN (ck // 4) % 2 = 0 THEN 'shows.classified_as.Style'
+      |      ELSE 'shows.classified_as.Type' END
+      |    ELSE 'shows.represents' END || '|' ||
+      |  CASE WHEN (ck // 4) % 2 = 0
+      |    THEN 'https://vocab.getty.edu/aat/' || (300000 + ck % 100)
+      |    ELSE '' END || '|t' || (ck % 30) AS cat_csv,
+      |  CASE WHEN ck % 4 = 0
+      |    THEN (ck % 7) || '|c;' || (ck % 7 + 1) || '|b'
+      |    ELSE (ck % 7) || '|a;' || (ck % 7 + 1) || '|b' END AS artists_csv
+      |FROM parts""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
     Queries.register(QueryDef("m1h_getty_vocab", gettyVocab, Some(gettyVocabOracle)))
     Queries.register(QueryDef("m1i_fast_auth", fastAuth, Some(fastAuthOracle)))
+    Queries.register(QueryDef("m1j_artic", articMuseum, Some(articMuseumOracle)))
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("q10_bm25", bm25Rank, Some(bm25Oracle)))
