@@ -739,11 +739,71 @@ object MapperQueries extends QueryGroup {
       |    ELSE (ck % 7) || '|a;' || (ck % 7 + 1) || '|b' END AS artists_csv
       |FROM parts""".stripMargin
 
+  final case class YulOut(id: Long, parent: String, part_of_uri: String,
+      cx_out: String, sort_out: String)
+
+  /** M1k: the Yale Library (YUL) mapper exemplar
+    * (`yale/library/mapper.py`) — parenthetical place-parent
+    * resolution against the known-places table (colon-qualified,
+    * comma-right-preference and ` and `-joined forms), the MarcGT→AAT
+    * classification swaps and the sort-title id swap. */
+  def yulPlaces(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.YulMap
+    val known = Set("France", "England", "Germany", "Sweden")
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val name = (ck % 8) match {
+          case 0 => s"Abbey${ck % 10} (Paris, France)"
+          case 1 => s"P${ck % 10} (Norfolk, England : Parish)"
+          case 2 => s"K${ck % 10} (Sweden : Kommun)"
+          case 3 => s"X${ck % 10} (Bavaria and Germany)"
+          case 4 => s"Y${ck % 10} (Nowhere, Unknownland)"
+          case 5 => s"Z${ck % 10} Paris"
+          case 6 => s"W${ck % 10} (France)"
+          case _ => s"V${ck % 10} (Paris : France)"
+        }
+        val parent = YulMap.parensParent(name, known)
+        val cx = (ck % 3) match {
+          case 0 => "http://id.loc.gov/vocabulary/marcgt/rea"
+          case 1 => "http://id.loc.gov/vocabulary/marcgt/pic"
+          case _ => s"http://other.example/t${ck % 9}"
+        }
+        val sortId = if (ck % 2 == 0) "https://vocab.getty.edu/aat/300451544"
+          else s"http://vocab.getty.edu/aat/${ck % 1000}"
+        YulOut(ck, parent.orNull,
+          parent.map("place:" + _).orNull,
+          YulMap.marcgtSwap(cx), YulMap.sortTitleSwap(sortId))
+      }.toDF()
+  }
+
+  private val yulPlacesOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer),
+      |p AS (
+      |  SELECT ck,
+      |    CASE ck % 8
+      |      WHEN 0 THEN 'France' WHEN 1 THEN 'England' WHEN 2 THEN 'Sweden'
+      |      WHEN 3 THEN 'Germany' WHEN 6 THEN 'France' WHEN 7 THEN 'France'
+      |      ELSE NULL END AS parent
+      |  FROM b)
+      |SELECT ck AS id, parent,
+      |  CASE WHEN parent IS NULL THEN NULL ELSE 'place:' || parent END
+      |    AS part_of_uri,
+      |  CASE ck % 3
+      |    WHEN 0 THEN 'http://vocab.getty.edu/aat/300265419'
+      |    WHEN 1 THEN 'http://vocab.getty.edu/aat/300264388'
+      |    ELSE 'http://other.example/t' || (ck % 9) END AS cx_out,
+      |  CASE WHEN ck % 2 = 0 THEN 'http://vocab.getty.edu/aat/300456575'
+      |    ELSE 'http://vocab.getty.edu/aat/' || (ck % 1000) END AS sort_out
+      |FROM p""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
     Queries.register(QueryDef("m1h_getty_vocab", gettyVocab, Some(gettyVocabOracle)))
     Queries.register(QueryDef("m1i_fast_auth", fastAuth, Some(fastAuthOracle)))
     Queries.register(QueryDef("m1j_artic", articMuseum, Some(articMuseumOracle)))
+    Queries.register(QueryDef("m1k_yul_places", yulPlaces, Some(yulPlacesOracle)))
     Queries.register(QueryDef("m6_record_pipeline", recordPipeline, Some(recordPipelineOracle)))
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("q10_bm25", bm25Rank, Some(bm25Oracle)))
