@@ -798,7 +798,73 @@ object MapperQueries extends QueryGroup {
       |    ELSE 'http://vocab.getty.edu/aat/' || (ck % 1000) END AS sort_out
       |FROM p""".stripMargin
 
+  final case class BnfOut(id: Long, tree: String, broader_csv: String,
+      eqs_csv: String, pref: String, alts_csv: String)
+
+  /** M1l: the BnF mapper exemplar (`libraries/bnf/mapper.py`) — the
+    * consume-once @graph reconstitution (diamond refs inline once,
+    * second reference stays bare; dangling refs stay bare), skos
+    * label language gating, the broader→domaine fallback and the
+    * exact+close equivalent dedupe. Cyclic graphs are spec-covered
+    * (`BnfMapSpec`); the oracle replays the acyclic arms. */
+  def bnfGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.BnfMap
+    import graft.pipeline.BnfMap.{BnfNode, Ref, Scalar}
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val x = (ck % 50).toString
+        val nodes = (ck % 3) match {
+          case 0 => Seq( // diamond: second ref to c stays bare
+            BnfNode("r", Seq("a" -> Ref("c"), "b" -> Ref("c"))),
+            BnfNode("c", Seq("x" -> Scalar(x))))
+          case 1 => Seq( // chain inlines transitively
+            BnfNode("r", Seq("a" -> Ref("c"))),
+            BnfNode("c", Seq("x" -> Ref("d"))),
+            BnfNode("d", Seq("y" -> Scalar(x))))
+          case _ => Seq( // dangling ref stays bare
+            BnfNode("r", Seq("a" -> Ref("z"))))
+        }
+        val tree = BnfMap.reconstitute("r", nodes).get
+        val broader = BnfMap.broaderOrDomaine(
+          if (ck % 2 == 0) Seq(s"b${ck % 9}") else Nil,
+          Seq(s"d${ck % 9}"))
+        val eqs = BnfMap.equivalents(
+          Seq(s"x${ck % 5}", s"x${ck % 5}", "y"),
+          Seq("y", s"z${ck % 7}"))
+        val pref = BnfMap.label(s"nm${ck % 40}", (ck % 4) match {
+          case 0 => Some("fr")
+          case 1 => Some("xx") // unmapped: label kept, language dropped
+          case 2 => None
+          case _ => Some("en")
+        })
+        val alts = Seq(
+          BnfMap.label(s"alt${ck % 30}", None),
+          BnfMap.label("alt2", Some("de")))
+        BnfOut(ck, tree, broader.mkString(";"), eqs.mkString(";"),
+          s"${pref.content}|${pref.lang.getOrElse("")}",
+          alts.map(a => s"${a.content}|${a.lang.getOrElse("")}").mkString(";"))
+      }.toDF()
+  }
+
+  private val bnfGraphOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 3
+      |    WHEN 0 THEN 'r{a=c{x=' || (ck % 50) || '},b=@c}'
+      |    WHEN 1 THEN 'r{a=c{x=d{y=' || (ck % 50) || '}}}'
+      |    ELSE 'r{a=@z}' END AS tree,
+      |  CASE WHEN ck % 2 = 0 THEN 'b' || (ck % 9)
+      |    ELSE 'd' || (ck % 9) END AS broader_csv,
+      |  'x' || (ck % 5) || ';y;z' || (ck % 7) AS eqs_csv,
+      |  'nm' || (ck % 40) || '|' ||
+      |    CASE ck % 4 WHEN 0 THEN 'fr' WHEN 3 THEN 'en' ELSE '' END AS pref,
+      |  'alt' || (ck % 30) || '|;alt2|de' AS alts_csv
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1l_bnf", bnfGraph, Some(bnfGraphOracle)))
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
     Queries.register(QueryDef("m1h_getty_vocab", gettyVocab, Some(gettyVocabOracle)))
     Queries.register(QueryDef("m1i_fast_auth", fastAuth, Some(fastAuthOracle)))
