@@ -514,7 +514,144 @@ object SimilarityQueries extends QueryGroup {
        |  score_milli + cos_milli * 3 AS hybrid_milli
        |FROM j ORDER BY hybrid_milli DESC, doc_id LIMIT 20""".stripMargin
 
+  private val PqM = 4  // subspaces
+  private val PqD = 16 // dims per subspace (4 x 16 = the 64-dim space)
+
+  /** V8: product quantization (Jégou et al.) — the memory side of
+    * IVF-PQ, THE production ANN representation at 10^9+ vectors: each
+    * vector compresses to PqM sub-codes (here 4 codes over 16-entry
+    * sub-codebooks = 4 bytes/vector vs 256 for the raw floats), and a
+    * query scans codes with an asymmetric-distance LUT — approx_d2 =
+    * Σ_m lut[m][code_m], NO vector arithmetic per corpus row.
+    *
+    * Training reuses v6's distributed Lloyd shape per subspace (seeded
+    * centroids, one integer-mean update round); codes and LUTs are
+    * flat-indexed through a global (m, cid) rank so empty cells cannot
+    * misalign the positional lookup. Scale shape: codes build is the
+    * v6 round per subspace (vocab-bound shuffles of narrow rows); the
+    * scan is codes × broadcast per-query LUT rows — map-only + top-k,
+    * the ADC scan exactly as deployed. Integer arithmetic throughout;
+    * the oracle replays training, coding and the LUT scan. */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = quantized(spark, dir).persist()
+    val step = base.count() / KmK
+    val subs = base.select($"vec_id",
+        explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+          struct(m.cast("int").as("m"),
+            slice($"q", m * PqD + 1, lit(PqD)).as("qm")))).as("s"))
+      .select($"vec_id", $"s.m".as("m"), $"s.qm".as("qm"))
+      .withColumn("qn2", functions.VecMath.dotCol($"qm", $"qm"))
+      .persist()
+    def collapse(c: DataFrame): DataFrame = c.groupBy($"m")
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    def assign(centsByM: DataFrame): DataFrame =
+      subs.join(broadcast(centsByM), "m")
+        .withColumn("best", element_at(array_sort(transform($"cents", c =>
+          struct(($"qn2" - lit(2L) * functions.VecMath.dotCol($"qm", c.getField("cv"))
+            + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))), 1))
+        .select($"vec_id", $"m", $"qm", $"qn2", $"best".getField("cid").as("cid"))
+    val cents0 = subs.filter($"vec_id" % step === 0 && $"vec_id" < step * KmK)
+      .select($"m", TextQueries.intDiv($"vec_id", lit(step)).as("cid"),
+        $"qm".as("cv"))
+      .withColumn("cn2", functions.VecMath.dotCol($"cv", $"cv"))
+    val a1 = assign(collapse(cents0))
+    val cents1 = a1.select($"m", $"cid", posexplode($"qm").as(Seq("pos", "x")))
+      .groupBy($"m", $"cid", $"pos")
+      .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+      .withColumn("mm", expr("s div n"))
+      .groupBy($"m", $"cid")
+      .agg(sort_array(collect_list(struct($"pos", $"mm"))).as("pm"))
+      .select($"m", $"cid", transform($"pm", _.getField("mm")).as("cv"))
+      .withColumn("cn2", functions.VecMath.dotCol($"cv", $"cv"))
+    val a2 = assign(collapse(cents1))
+    // global flat rank over (m, cid): codes and LUT share one index
+    // space, immune to empty cells (tiny dim table, ≤ PqM*KmK rows)
+    val centIdx = cents1.select($"m", $"cid")
+      .withColumn("idx", row_number().over(
+        Window.orderBy($"m", $"cid")))
+    val codes = a2.join(broadcast(centIdx), Seq("m", "cid"))
+      .groupBy($"vec_id")
+      .agg(sort_array(collect_list(struct($"m", $"idx"))).as("cs"))
+      .select($"vec_id", transform($"cs", _.getField("idx")).as("codes"))
+    val lut = a2.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"m", $"qm", $"qn2")
+      .join(broadcast(cents1), Seq("m"))
+      .select($"query_id", $"m", $"cid",
+        ($"qn2" - lit(2L) * functions.VecMath.dotCol($"qm", $"cv") + $"cn2")
+          .as("pd2"))
+      .join(broadcast(centIdx), Seq("m", "cid"))
+      .groupBy($"query_id")
+      .agg(sort_array(collect_list(struct($"idx", $"pd2"))).as("l"))
+      .select($"query_id", transform($"l", _.getField("pd2")).as("lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        aggregate($"codes", lit(0L),
+          (acc, ix) => acc + element_at($"lut", ix.cast("int"))).as("approx_d2"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"approx_d2".asc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+        $"approx_d2")
+  }
+  private val pqSearchOracle: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [$a[i]*$b[i] for i in range(1, $PqD+1)]), (x,y)->x+y)"
+    s"""WITH base AS ($quantizedSql),
+       |s AS (SELECT COUNT(*) // $KmK AS step FROM base),
+       |subs AS (
+       |  SELECT vec_id, CAST(t.m AS INT) AS m,
+       |    q[CAST(t.m*$PqD+1 AS INT):CAST(t.m*$PqD+$PqD AS INT)] AS qm
+       |  FROM base, range(0, $PqM) AS t(m)),
+       |subs2 AS (
+       |  SELECT vec_id, m, qm, ${dot("qm", "qm")} AS qn2 FROM subs),
+       |cents0 AS (
+       |  SELECT m, vec_id // step AS cid, qm AS cv, qn2 AS cn2
+       |  FROM subs2, s WHERE vec_id % step = 0 AND vec_id < step * $KmK),
+       |d1 AS (
+       |  SELECT v.vec_id, v.m, v.qm, v.qn2, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+       |      ORDER BY v.qn2 - 2 * ${dot("v.qm", "c.cv")} + c.cn2, c.cid) AS rn
+       |  FROM subs2 v JOIN cents0 c ON v.m = c.m),
+       |a1 AS (SELECT vec_id, m, qm, cid FROM d1 WHERE rn = 1),
+       |sums AS (
+       |  SELECT m, cid, t.pos, CAST(SUM(qm[CAST(t.pos AS INT)]) AS BIGINT) AS sm,
+       |    COUNT(*) AS n
+       |  FROM a1, range(1, $PqD + 1) AS t(pos)
+       |  GROUP BY m, cid, t.pos),
+       |cents1 AS (SELECT m, cid, list(sm // n ORDER BY pos) AS cv FROM sums
+       |  GROUP BY m, cid),
+       |cents1b AS (
+       |  SELECT m, cid, cv, ${dot("cv", "cv")} AS cn2 FROM cents1),
+       |d2 AS (
+       |  SELECT v.vec_id, v.m, v.qm, v.qn2, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+       |      ORDER BY v.qn2 - 2 * ${dot("v.qm", "c.cv")} + c.cn2, c.cid) AS rn
+       |  FROM subs2 v JOIN cents1b c ON v.m = c.m),
+       |codes AS (SELECT vec_id, m, cid FROM d2 WHERE rn = 1),
+       |lut AS (
+       |  SELECT p.vec_id AS query_id, p.m, c.cid,
+       |    p.qn2 - 2 * ${dot("p.qm", "c.cv")} + c.cn2 AS pd2
+       |  FROM subs2 p JOIN cents1b c ON p.m = c.m
+       |  WHERE p.vec_id < $NQueries),
+       |scored AS (
+       |  SELECT l.query_id, k.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS approx_d2
+       |  FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, approx_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, approx_d2
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
     Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))
