@@ -137,7 +137,40 @@ object StreamQueries extends QueryGroup {
       |  n - 1 AS n_dupes
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** Per-window heavy hitters: the top-3 event types of every 1-day
+    * window by count (ties: type asc) — the streaming top-k shape
+    * (trending items per window). Batch form = window rank over the
+    * tumbling aggregate; the streaming form ranks each watermark-
+    * finalized window in foreachBatch (spec:`StreamingSpec`). Scale:
+    * rank partitions carry at most |event_type| rows per window —
+    * the aggregate, not the events, is what shuffles twice. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val agg = Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"w.start".as("window_start"), $"event_type", $"n_events")
+    val w = Window.partitionBy($"window_start")
+      .orderBy($"n_events".desc, $"event_type".asc)
+    agg.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"window_start", $"rank".cast("long").as("rank"),
+        $"event_type", $"n_events")
+  }
+  private val streamTopkOracle: String =
+    """WITH agg AS (
+      |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+      |    ORDER BY n_events DESC, event_type ASC) AS rank
+      |  FROM agg)
+      |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n_events
+      |FROM r WHERE rank <= 3""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("st7_stream_topk", streamTopk, Some(streamTopkOracle)))
     Queries.register(QueryDef("st1_tumbling_window", tumbling, Some(tumblingOracle), bench = true))
     Queries.register(QueryDef("st2_sliding_window", sliding, Some(slidingOracle)))
     Queries.register(QueryDef("st3_sessionize", sessionize, Some(sessionizeOracle)))

@@ -28,6 +28,21 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Per-window top-k over a finalized window aggregate — the rank
+    * step of the streaming heavy-hitters pipeline (StreamQueries
+    * .streamTopk). Runs inside foreachBatch on the append-mode output
+    * of `tumblingCounts`, where every arriving row belongs to a
+    * watermark-finalized window, so ranking each batch is exact. */
+  def topkPerWindow(finalized: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    finalized.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("window_start"), col("rank").cast("long").as("rank"),
+        col("event_type"), col("n_events"))
+  }
+
   /** Streaming dedup: drop repeats of a dedup key inside the watermark
     * horizon — the streaming form of StreamQueries.streamDedup (first
     * event per key wins within a microbatch; across batches the state

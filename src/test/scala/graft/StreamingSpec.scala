@@ -35,6 +35,41 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-03-01 00:00:00", "b", 1L, 300L)))
   }
 
+  test("streaming top-k ranks watermark-finalized windows in foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, Long)]
+    val q = StreamingOps.tumblingCounts(df, watermark = "0 seconds")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= StreamingOps.topkPerWindow(batch, 2)
+            .select($"window_start".cast("string"), $"rank", $"event_type",
+              $"n_events")
+            .as[(String, Long, String, Long)].collect()
+        }
+        ()
+      }.start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-03-01 10:00:00"), "a", 1.0),
+      (t("2024-03-01 11:00:00"), "a", 1.0),
+      (t("2024-03-01 12:00:00"), "b", 1.0),
+      (t("2024-03-01 13:00:00"), "b", 1.0),
+      (t("2024-03-01 14:00:00"), "b", 1.0),
+      (t("2024-03-01 15:00:00"), "c", 1.0))
+    q.processAllAvailable()
+    input.addData((t("2024-03-03 00:00:01"), "z", 1.0)) // finalize day 1
+    q.processAllAvailable()
+    q.stop()
+    val got = sink.synchronized(sink.toSet)
+    assert(got === Set(
+      ("2024-03-01 00:00:00", 1L, "b", 3L),
+      ("2024-03-01 00:00:00", 2L, "a", 2L))) // c ranked 3rd: cut by k=2
+  }
+
   test("streaming dedup keeps the first event per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
