@@ -655,7 +655,95 @@ object TextQueries extends QueryGroup {
        |$sel""".stripMargin
   }
 
+  /** The full Gopher-style quality rule battery (Rae et al. 2021,
+    * table A1) as one map-only pass — each rule a named boolean plus
+    * the conjunction, so downstream filters can audit WHICH rule
+    * killed a document (the production requirement; a bare keep bit
+    * hides the distribution shift each rule causes):
+    *   - doc length in [8, 50000] tokens;
+    *   - mean word length in [2, 12] chars (integer milli);
+    *   - symbol-to-word ratio ≤ 0.1 (# and … stand in for the symbol
+    *     class);
+    *   - ≥70% of words contain an alphabetic char;
+    *   - ≥2 stopword hits;
+    *   - ≤30% of lines bullet-started / ≤20% ellipsis-ended (our
+    *     corpus is single-line, so the line rules evaluate over the
+    *     one line — the plumbing is what transfers).
+    * All thresholds integer-milli so both engines agree exactly. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokensCol($"text")
+    val n = size(toks).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val nSym = size(filter(toks, t =>
+      t.startsWith("#") || t.endsWith("..."))).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    val meanLenMilli = intDiv(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 1000L,
+      greatest(n, lit(1L)))
+    val bulletMilli = when(trim($"text").startsWith("- ") ||
+      trim($"text").startsWith("* "), 1000L).otherwise(0L)
+    val ellipsisMilli = when(trim($"text").endsWith("..."), 1000L).otherwise(0L)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", n.as("n_tokens"),
+        meanLenMilli.as("mean_len_milli"),
+        intDiv(nSym * 1000L, greatest(n, lit(1L))).as("sym_milli"),
+        intDiv(nAlpha * 1000L, greatest(n, lit(1L))).as("alpha_milli"),
+        nStop.as("n_stop"),
+        bulletMilli.as("bullet_milli"), ellipsisMilli.as("ellipsis_milli"))
+      .withColumn("r_len", $"n_tokens" >= 8L && $"n_tokens" <= 50000L)
+      .withColumn("r_word_len",
+        $"mean_len_milli" >= 2000L && $"mean_len_milli" <= 12000L)
+      .withColumn("r_sym", $"sym_milli" <= 100L)
+      .withColumn("r_alpha", $"alpha_milli" >= 700L)
+      .withColumn("r_stop", $"n_stop" >= 2L)
+      .withColumn("r_lines",
+        $"bullet_milli" <= 300L && $"ellipsis_milli" <= 200L)
+      .withColumn("keep", $"r_len" && $"r_word_len" && $"r_sym" &&
+        $"r_alpha" && $"r_stop" && $"r_lines")
+  }
+  private val gopherOracle: String = {
+    val t = tokensSql("text")
+    val stop = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    CAST(len($t) AS BIGINT) AS n,
+       |    CAST(len(list_filter($t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS na,
+       |    CAST(len(list_filter($t, x ->
+       |      starts_with(x, '#') OR x LIKE '%...')) AS BIGINT) AS nsym,
+       |    CAST(len(list_filter($t, x -> list_contains($stop, x))) AS BIGINT) AS nstop,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($t, x -> CAST(length(x) AS BIGINT))), (a,b)->a+b)
+       |      AS BIGINT) AS chars
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, n AS n_tokens,
+       |    chars * 1000 // GREATEST(n, 1) AS mean_len_milli,
+       |    nsym * 1000 // GREATEST(n, 1) AS sym_milli,
+       |    na * 1000 // GREATEST(n, 1) AS alpha_milli,
+       |    nstop AS n_stop,
+       |    CASE WHEN starts_with(trim(text), '- ')
+       |      OR starts_with(trim(text), '* ') THEN 1000 ELSE 0 END AS bullet_milli,
+       |    CASE WHEN trim(text) LIKE '%...' THEN 1000 ELSE 0 END AS ellipsis_milli
+       |  FROM m)
+       |SELECT doc_id, n_tokens, mean_len_milli, sym_milli, alpha_milli, n_stop,
+       |  CAST(bullet_milli AS BIGINT) AS bullet_milli,
+       |  CAST(ellipsis_milli AS BIGINT) AS ellipsis_milli,
+       |  (n_tokens >= 8 AND n_tokens <= 50000) AS r_len,
+       |  (mean_len_milli >= 2000 AND mean_len_milli <= 12000) AS r_word_len,
+       |  (sym_milli <= 100) AS r_sym,
+       |  (alpha_milli >= 700) AS r_alpha,
+       |  (n_stop >= 2) AS r_stop,
+       |  (bullet_milli <= 300 AND ellipsis_milli <= 200) AS r_lines,
+       |  ((n_tokens >= 8 AND n_tokens <= 50000)
+       |    AND (mean_len_milli >= 2000 AND mean_len_milli <= 12000)
+       |    AND (sym_milli <= 100) AND (alpha_milli >= 700) AND (n_stop >= 2)
+       |    AND (bullet_milli <= 300 AND ellipsis_milli <= 200)) AS keep
+       |FROM d""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
     Queries.register(QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)))
     Queries.register(QueryDef("t_domain_filter", domainFilter, Some(domainFilterOracle)))
     Queries.register(QueryDef("t_profile", profile, None))
