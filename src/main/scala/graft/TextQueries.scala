@@ -742,7 +742,52 @@ object TextQueries extends QueryGroup {
        |FROM d""".stripMargin
   }
 
+  /** Temperature-based domain mixing (the α-sampling of multilingual/
+    * multi-domain training, α = 0.5): a domain's sampling weight is
+    * proportional to its token count RAISED TO α, flattening the
+    * natural distribution so small domains are up-sampled. Integer
+    * path: isqrt via floor(sqrt) (exact for counts ≪ 2^52, the same
+    * device cosMilli uses), then milli weights against the isqrt sum
+    * and the boost factor vs natural frequency. Scale: one tiny
+    * per-domain aggregate, totals broadcast back — nothing corpus-
+    * sized shuffles twice. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDomain = Tables.load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokensCol($"text"))).cast("long").as("n_tokens"))
+      .withColumn("isq",
+        floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+    val totals = perDomain.agg(
+      sum($"n_tokens").as("tot_tokens"), sum($"isq").as("tot_isq"))
+    perDomain.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_tokens",
+        intDiv($"isq" * 1000L, $"tot_isq").as("w_milli"),
+        intDiv($"n_tokens" * 1000L, $"tot_tokens").as("natural_milli"))
+      .withColumn("boost_milli",
+        intDiv($"w_milli" * 1000L, greatest($"natural_milli", lit(1L))))
+  }
+  private val mixTemperatureOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH d AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len($t)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |d2 AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+       |  FROM d),
+       |tot AS (SELECT SUM(n_tokens) AS tt, SUM(isq) AS ti FROM d2)
+       |SELECT source, n_docs, n_tokens,
+       |  isq * 1000 // ti AS w_milli,
+       |  n_tokens * 1000 // tt AS natural_milli,
+       |  (isq * 1000 // ti) * 1000
+       |    // GREATEST(n_tokens * 1000 // tt, 1) AS boost_milli
+       |FROM d2, tot""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
     Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
     Queries.register(QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)))
     Queries.register(QueryDef("t_domain_filter", domainFilter, Some(domainFilterOracle)))
