@@ -863,7 +863,116 @@ object MapperQueries extends QueryGroup {
       |  'alt' || (ck % 30) || '|;alt2|de' AS alts_csv
       |FROM b""".stripMargin
 
+  final case class LongTailOut(id: Long, wkt: String, bbox: String,
+      ndl_cls: String, viaf_cls: String, viaf_id: String,
+      orcid_date: String, snac_prop: String)
+
+  /** M1m: the long-tail per-source quirks in one pass — pleiades
+    * GeoJSON→WKT (exterior rings only) and bbox rings, NDL topic/
+    * inScheme routing, VIAF nameType map + sourceID refusal, ORCID
+    * date assembly, SNAC event property naming. With this, every
+    * per-source mapper in the reference has exemplar coverage. */
+  def longTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.LongTail
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val x = (ck % 180).toString
+        val y = (ck % 90).toString
+        val ext = Seq(("0", "0"), (x, "0"), (x, y), ("0", "0"))
+        val hole = Seq(("9", "9"), ("8", "8"), ("9", "9"))
+        val wkt = (ck % 4) match {
+          case 0 => LongTail.geojsonToWkt("Point",
+            Seq(Seq(Seq((s"$x.5", s"$y.25")))))
+          case 1 => LongTail.geojsonToWkt("Polygon", Seq(Seq(ext, hole)))
+          case 2 => LongTail.geojsonToWkt("MultiPolygon", Seq(
+            Seq(Seq(("0", "0"), (x, "1")), hole),
+            Seq(Seq(("1", "1"), ("2", y)))))
+          case _ => LongTail.geojsonToWkt("Weird", Nil)
+        }
+        val bbox = LongTail.bboxWkt((ck % 10).toString, (ck % 5).toString,
+          (ck % 10 + 1).toString, (ck % 5 + 1).toString)
+        val ndl = (ck % 6) match {
+          case 0 => LongTail.ndlClass("http://xmlns.com/foaf/0.1/Person", "")
+          case 1 => LongTail.ndlClass("http://xmlns.com/foaf/0.1/Organization", "")
+          case 2 => LongTail.ndlClass(
+            "http://RDVocab.info/uri/schema/FRBRentitiesRDA/Family", "")
+          case 3 => LongTail.ndlClass("", "http://id.ndl.go.jp/auth#uniformTitles")
+          case 4 => LongTail.ndlClass("", "http://id.ndl.go.jp/auth#geographicNames")
+          case _ => LongTail.ndlClass("", "http://id.ndl.go.jp/auth#topicalTerms")
+        }
+        val vCls = (ck % 4) match {
+          case 0 => LongTail.viafClass("Personal")
+          case 1 => LongTail.viafClass("Corporate")
+          case 2 => LongTail.viafClass("Geographic")
+          case _ => LongTail.viafClass("Junk")
+        }
+        val vId = LongTail.viafIdentifier(
+          if (ck % 3 == 0) s"sourceID/x$ck" else s"v$ck")
+        val yy = (1900 + ck % 100).toString
+        val mm = (1 + ck % 12).toString
+        val dd = (1 + ck % 28).toString
+        val od = (ck % 5) match {
+          case 0 => LongTail.orcidDate(Some(yy), Some(mm), Some(dd))
+          case 1 => LongTail.orcidDate(Some(yy), Some(mm), None)
+          case 2 => LongTail.orcidDate(Some(yy), None, None)
+          case 3 => LongTail.orcidDate(None, Some(mm), Some(dd))
+          case _ => LongTail.orcidDate(Some(yy), None, Some(dd))
+        }
+        val snac = (ck % 6) match {
+          case 0 => LongTail.snacProperty("Birth")
+          case 1 => LongTail.snacProperty("Death")
+          case 2 => LongTail.snacProperty("Formation")
+          case 3 => LongTail.snacProperty("Dissolution")
+          case 4 => LongTail.snacProperty("Activity")
+          case _ => LongTail.snacProperty("Party")
+        }
+        LongTailOut(ck, wkt.orNull, bbox, ndl.orNull, vCls.orNull,
+          vId.orNull, od.orNull, snac.orNull)
+      }.toDF()
+  }
+
+  private val longTailOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer),
+      |p AS (SELECT ck,
+      |  CAST(ck % 180 AS VARCHAR) AS x, CAST(ck % 90 AS VARCHAR) AS y
+      |  FROM b)
+      |SELECT ck AS id,
+      |  CASE ck % 4
+      |    WHEN 0 THEN 'POINT (' || x || '.5 ' || y || '.25)'
+      |    WHEN 1 THEN 'POLYGON ((0 0, ' || x || ' 0, ' || x || ' ' || y
+      |      || ', 0 0))'
+      |    WHEN 2 THEN 'MULTIPOLYGON (((0 0, ' || x || ' 1)), ((1 1, 2 '
+      |      || y || ')))'
+      |    ELSE NULL END AS wkt,
+      |  'POLYGON ((' || (ck % 10) || ' ' || (ck % 5) || ', '
+      |    || (ck % 10 + 1) || ' ' || (ck % 5) || ', '
+      |    || (ck % 10 + 1) || ' ' || (ck % 5 + 1) || ', '
+      |    || (ck % 10) || ' ' || (ck % 5 + 1) || ', '
+      |    || (ck % 10) || ' ' || (ck % 5) || '))' AS bbox,
+      |  CASE ck % 6 WHEN 0 THEN 'Person' WHEN 1 THEN 'Group'
+      |    WHEN 2 THEN 'Family' WHEN 3 THEN NULL
+      |    WHEN 4 THEN 'Place' ELSE 'Type' END AS ndl_cls,
+      |  CASE ck % 4 WHEN 0 THEN 'Person' WHEN 1 THEN 'Group'
+      |    WHEN 2 THEN 'Place' ELSE NULL END AS viaf_cls,
+      |  CASE WHEN ck % 3 = 0 THEN NULL ELSE 'v' || ck END AS viaf_id,
+      |  CASE ck % 5
+      |    WHEN 0 THEN (1900 + ck % 100) || '-'
+      |      || lpad(CAST(1 + ck % 12 AS VARCHAR), 2, '0') || '-'
+      |      || lpad(CAST(1 + ck % 28 AS VARCHAR), 2, '0')
+      |    WHEN 1 THEN (1900 + ck % 100) || '-'
+      |      || lpad(CAST(1 + ck % 12 AS VARCHAR), 2, '0') || '-01'
+      |    WHEN 2 THEN CAST(1900 + ck % 100 AS VARCHAR)
+      |    WHEN 3 THEN NULL
+      |    ELSE CAST(1900 + ck % 100 AS VARCHAR) END AS orcid_date,
+      |  CASE ck % 6 WHEN 0 THEN 'birth' WHEN 1 THEN 'death'
+      |    WHEN 2 THEN 'formation' WHEN 3 THEN 'dissolution'
+      |    WHEN 4 THEN 'activity' ELSE NULL END AS snac_prop
+      |FROM p""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1m_longtail", longTail, Some(longTailOracle)))
     Queries.register(QueryDef("m1l_bnf", bnfGraph, Some(bnfGraphOracle)))
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
     Queries.register(QueryDef("m1h_getty_vocab", gettyVocab, Some(gettyVocabOracle)))
