@@ -650,7 +650,180 @@ object SimilarityQueries extends QueryGroup {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** V9: IVF-PQ with RESIDUAL encoding — the full FAISS IVFPQ: vectors
+    * assign to a trained coarse cell (v6's Lloyd), the residual
+    * (vector − cell centroid, exact integer) is product-quantized with
+    * v8's sub-codebook machinery, and a query probes its 2 nearest
+    * coarse cells, building a PER-CELL ADC LUT from its residual
+    * against that cell before scanning only those cells' codes.
+    * Residual encoding is why IVFPQ beats flat PQ: residuals are
+    * smaller and re-centered, so the same 4 codes carry more signal.
+    *
+    * Scale shape: coarse train = v6 (corpus-independent rounds after
+    * the vocab collapse); PQ train = v8 per subspace; the scan reads
+    * only probed cells (corpus/K per probe) map-only against a
+    * broadcast (query, cell) LUT table. Integer-exact throughout;
+    * the oracle replays coarse train → residuals → PQ train → coding
+    * → per-cell LUT → scan. */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (cents1, a2raw) = kmeansState(spark, dir)
+    val a2 = a2raw.persist()
+    val coarse = cents1.persist()
+    val step = a2.count() / KmK
+    val resid = a2.join(coarse.select($"cid", $"cv"), "cid")
+      .select($"vec_id", $"cid",
+        zip_with($"q", $"cv", (a, b) => a - b).as("r"))
+    val subs = resid.select($"vec_id", $"cid",
+        explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+          struct(m.cast("int").as("m"),
+            slice($"r", m * PqD + 1, lit(PqD)).as("qm")))).as("s"))
+      .select($"vec_id", $"cid", $"s.m".as("m"), $"s.qm".as("qm"))
+      .withColumn("qn2", functions.VecMath.dotCol($"qm", $"qm"))
+      .persist()
+    def collapse(c: DataFrame): DataFrame = c.groupBy($"m")
+      .agg(sort_array(collect_list(struct($"pcid", $"cv", $"cn2"))).as("cents"))
+    def assign(centsByM: DataFrame): DataFrame =
+      subs.join(broadcast(centsByM), "m")
+        .withColumn("best", element_at(array_sort(transform($"cents", c =>
+          struct(($"qn2" - lit(2L) * functions.VecMath.dotCol($"qm", c.getField("cv"))
+            + c.getField("cn2")).as("d2"), c.getField("pcid").as("pcid")))), 1))
+        .select($"vec_id", $"cid", $"m", $"qm", $"qn2",
+          $"best".getField("pcid").as("pcid"))
+    val pc0 = subs.filter($"vec_id" % step === 0 && $"vec_id" < step * KmK)
+      .select($"m", TextQueries.intDiv($"vec_id", lit(step)).as("pcid"),
+        $"qm".as("cv"))
+      .withColumn("cn2", functions.VecMath.dotCol($"cv", $"cv"))
+    val pa1 = assign(collapse(pc0))
+    val pc1 = pa1.select($"m", $"pcid", posexplode($"qm").as(Seq("pos", "x")))
+      .groupBy($"m", $"pcid", $"pos")
+      .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+      .withColumn("mm", expr("s div n"))
+      .groupBy($"m", $"pcid")
+      .agg(sort_array(collect_list(struct($"pos", $"mm"))).as("pm"))
+      .select($"m", $"pcid", transform($"pm", _.getField("mm")).as("cv"))
+      .withColumn("cn2", functions.VecMath.dotCol($"cv", $"cv"))
+      .persist()
+    val pa2 = assign(collapse(pc1))
+    val pIdx = pc1.select($"m", $"pcid")
+      .withColumn("idx", row_number().over(Window.orderBy($"m", $"pcid")))
+    val codes = pa2.join(broadcast(pIdx), Seq("m", "pcid"))
+      .groupBy($"vec_id", $"cid")
+      .agg(sort_array(collect_list(struct($"m", $"idx"))).as("cs"))
+      .select($"vec_id", $"cid", transform($"cs", _.getField("idx")).as("codes"))
+    // probes: 2 nearest coarse cells by exact d2, then per-cell residual LUTs
+    val centsRow = coarse
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    val probes = a2.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"q", $"n2")
+      .crossJoin(broadcast(centsRow))
+      .withColumn("dists", array_sort(transform($"cents", c =>
+        struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
+          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))))
+      .select($"query_id", $"q", explode(slice($"dists", 1, IvfProbe)).as("pr"))
+      .select($"query_id", $"q", $"pr.cid".as("probe_cid"))
+    val probeResid = probes.join(coarse.select($"cid".as("probe_cid"), $"cv"),
+        "probe_cid")
+      .select($"query_id", $"probe_cid",
+        zip_with($"q", $"cv", (a, b) => a - b).as("rq"))
+    val prSubs = probeResid.select($"query_id", $"probe_cid",
+        explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+          struct(m.cast("int").as("m"),
+            slice($"rq", m * PqD + 1, lit(PqD)).as("rqm")))).as("s"))
+      .select($"query_id", $"probe_cid", $"s.m".as("m"), $"s.rqm".as("rqm"))
+      .withColumn("rqn2", functions.VecMath.dotCol($"rqm", $"rqm"))
+    val lut = prSubs.join(broadcast(pc1), Seq("m"))
+      .select($"query_id", $"probe_cid", $"m", $"pcid",
+        ($"rqn2" - lit(2L) * functions.VecMath.dotCol($"rqm", $"cv") + $"cn2")
+          .as("pd2"))
+      .join(broadcast(pIdx), Seq("m", "pcid"))
+      .groupBy($"query_id", $"probe_cid")
+      .agg(sort_array(collect_list(struct($"idx", $"pd2"))).as("l"))
+      .select($"query_id", $"probe_cid", transform($"l", _.getField("pd2")).as("lut"))
+    val scored = codes.join(broadcast(lut), $"cid" === $"probe_cid"
+        && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        aggregate($"codes", lit(0L),
+          (acc, ix) => acc + element_at($"lut", ix.cast("int"))).as("approx_d2"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"approx_d2".asc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+        $"approx_d2")
+  }
+  private val ivfPqOracle: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [$a[i]*$b[i] for i in range(1, $PqD+1)]), (x,y)->x+y)"
+    s"""WITH $kmeansCtes,
+       |resid AS (
+       |  SELECT a.vec_id, a.cid,
+       |    [a.q[i] - c.cv[i] for i in range(1, len(a.q)+1)] AS r
+       |  FROM a2 a JOIN cents1b c USING (cid)),
+       |psubs AS (
+       |  SELECT vec_id, cid, CAST(t.m AS INT) AS m,
+       |    r[CAST(t.m*$PqD+1 AS INT):CAST(t.m*$PqD+$PqD AS INT)] AS qm
+       |  FROM resid, range(0, $PqM) AS t(m)),
+       |psubs2 AS (SELECT vec_id, cid, m, qm, ${dot("qm", "qm")} AS qn2 FROM psubs),
+       |pc0 AS (
+       |  SELECT m, vec_id // step AS pcid, qm AS cv, qn2 AS cn2
+       |  FROM psubs2, s WHERE vec_id % step = 0 AND vec_id < step * $KmK),
+       |pd1 AS (
+       |  SELECT v.vec_id, v.cid, v.m, v.qm, v.qn2, c.pcid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+       |      ORDER BY v.qn2 - 2 * ${dot("v.qm", "c.cv")} + c.cn2, c.pcid) AS rn
+       |  FROM psubs2 v JOIN pc0 c ON v.m = c.m),
+       |pa1 AS (SELECT vec_id, m, qm, pcid FROM pd1 WHERE rn = 1),
+       |psums AS (
+       |  SELECT m, pcid, t.pos, CAST(SUM(qm[CAST(t.pos AS INT)]) AS BIGINT) AS sm,
+       |    COUNT(*) AS n
+       |  FROM pa1, range(1, $PqD + 1) AS t(pos)
+       |  GROUP BY m, pcid, t.pos),
+       |pc1 AS (SELECT m, pcid, list(sm // n ORDER BY pos) AS cv FROM psums
+       |  GROUP BY m, pcid),
+       |pc1b AS (SELECT m, pcid, cv, ${dot("cv", "cv")} AS cn2 FROM pc1),
+       |pd2 AS (
+       |  SELECT v.vec_id, v.cid, v.m, c.pcid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+       |      ORDER BY v.qn2 - 2 * ${dot("v.qm", "c.cv")} + c.cn2, c.pcid) AS rn
+       |  FROM psubs2 v JOIN pc1b c ON v.m = c.m),
+       |pcodes AS (SELECT vec_id, cid, m, pcid FROM pd2 WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS probe_cid
+       |  FROM d2s WHERE vec_id < $NQueries AND rn <= $IvfProbe),
+       |probe_resid AS (
+       |  SELECT p.query_id, p.probe_cid,
+       |    [b.q[i] - c.cv[i] for i in range(1, len(b.q)+1)] AS rq
+       |  FROM probes p JOIN base b ON b.vec_id = p.query_id
+       |  JOIN cents1b c ON c.cid = p.probe_cid),
+       |prsubs AS (
+       |  SELECT query_id, probe_cid, CAST(t.m AS INT) AS m,
+       |    rq[CAST(t.m*$PqD+1 AS INT):CAST(t.m*$PqD+$PqD AS INT)] AS rqm
+       |  FROM probe_resid, range(0, $PqM) AS t(m)),
+       |prsubs2 AS (
+       |  SELECT query_id, probe_cid, m, rqm, ${dot("rqm", "rqm")} AS rqn2
+       |  FROM prsubs),
+       |lut AS (
+       |  SELECT p.query_id, p.probe_cid, p.m, c.pcid,
+       |    p.rqn2 - 2 * ${dot("p.rqm", "c.cv")} + c.cn2 AS pd2
+       |  FROM prsubs2 p JOIN pc1b c ON p.m = c.m),
+       |scored AS (
+       |  SELECT l.query_id, k.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS approx_d2
+       |  FROM pcodes k
+       |  JOIN lut l ON l.probe_cid = k.cid AND l.m = k.m AND l.pcid = k.pcid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, approx_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, approx_d2
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle)))
     Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))

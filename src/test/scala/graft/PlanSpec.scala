@@ -107,6 +107,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: contiguous top-5 per probe, ADC distances monotone") {
+    import spark.implicits._
+    val rows = Queries.queries("v9_ivf_pq")(spark, TestSpark.sf)
+      .select($"query_id", $"rank", $"vec_id", $"approx_d2")
+      .as[(Long, Long, Long, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10, s"expected 10 probe queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to 5L), s"query $q ranks not 1..5")
+      assert(sorted.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+    }
+  }
+
   test("stratified sample plan is map-only (no exchange)") {
     val p = planOf("t_stratified_sample")
     assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
