@@ -215,7 +215,91 @@ object RelationalQueries extends QueryGroup {
         count(lit(1)).as("n_items"))
   }
 
+  /** J14: AS-OF join — each click matched to the SAME user's most
+    * recent view at-or-before it (the temporal-enrichment join Spark
+    * has no native operator for). Implemented as the merge-asof
+    * pattern: both sides union into one stream, ONE shuffle by user,
+    * and a running `last(ignoreNulls)` over (ts, side) carries the
+    * latest view forward — views sort before clicks at equal ts, so
+    * the match is at-or-before inclusive. No join product is ever
+    * materialized: cost is sort + linear scan per user, the plan
+    * you'd want at 100 TB (cf. pandas merge_asof / Flink temporal
+    * join). The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the
+    * semantics are checked against the standard operator itself, not
+    * a re-implementation. Views are deduped to one per (user, ts)
+    * first — both engines then have a unique deterministic match. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(1).as("side"), $"event_id",
+        lit(null).cast("long").as("view_event_id"))
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("view_event_id"))
+      .select($"user_id", $"ts", lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), $"view_event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"side".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(views)
+      .withColumn("v_id", last($"view_event_id", ignoreNulls = true).over(w))
+      .withColumn("v_ts",
+        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id", $"v_id".as("view_event_id"),
+        // per-side floor to whole seconds: micros-exact cross-engine
+        (expr("unix_micros(ts) div 1000000") -
+          expr("unix_micros(v_ts) div 1000000")).as("lag_seconds"))
+  }
+  private val asofJoinOracle: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, v.view_event_id,
+      |  epoch_us(c.ts) // 1000000 - epoch_us(v.ts) // 1000000 AS lag_seconds
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
+
+  /** J15: interval (range) join — every error within 30 minutes AFTER
+    * a click by the same user. The naive form is an inequality join
+    * (quadratic per user); the scale form buckets both sides into
+    * 30-minute epochs and joins each click to its own and the next
+    * bucket — every qualifying pair lands in exactly one of the two,
+    * so the exact range predicate then filters a candidate set
+    * bounded by per-bucket density, never |clicks|x|errors|. The
+    * oracle runs the unbucketed inequality join: a hash match proves
+    * the bucketing loses nothing. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val W = 1800L * 1000000L // 30 minutes in microseconds (exact)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"),
+        expr("unix_micros(ts)").as("cts"))
+      .withColumn("cb", TextQueries.intDiv($"cts", lit(W)))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"event_id".as("error_id"),
+        expr("unix_micros(ts)").as("ets"))
+      .withColumn("b", TextQueries.intDiv($"ets", lit(W)))
+    clicks.withColumn("b", explode(array($"cb", $"cb" + 1L)))
+      .join(errors, Seq("user_id", "b"))
+      .filter($"ets" >= $"cts" && $"ets" <= $"cts" + W)
+      .select($"user_id", $"click_id", $"error_id",
+        expr("(ets - cts) div 1000000").as("gap_seconds"))
+  }
+  private val rangeJoinOracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |  (epoch_us(e.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      |  AND c.event_type = 'click' AND e.event_type = 'error'
+      |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("j14_asof_join", asofJoin, Some(asofJoinOracle)))
+    Queries.register(QueryDef("j15_range_join", rangeJoin, Some(rangeJoinOracle)))
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))
     Queries.register(QueryDef("s1_scan_pushdown", scanPushdown, Some(
       """SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents

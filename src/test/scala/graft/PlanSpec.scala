@@ -122,6 +122,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join compiles to a window scan, not a join product") {
+    val p = planOf("j14_asof_join")
+    assert(!p.contains("Join"), s"as-of must not materialize a join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("range join buckets into an equi-join (no nested-loop product)") {
+    val p = planOf("j15_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"range join degenerated to a product:\n$p")
+  }
+
   test("stratified sample plan is map-only (no exchange)") {
     val p = planOf("t_stratified_sample")
     assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
