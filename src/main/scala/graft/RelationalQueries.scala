@@ -297,9 +297,78 @@ object RelationalQueries extends QueryGroup {
       |  AND c.event_type = 'click' AND e.event_type = 'error'
       |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
 
+  /** W8: time-RANGE rolling window — each event's trailing 1-hour sum
+    * and count of same-user event values (rangeBetween over epoch
+    * seconds, not rowsBetween — the semantics change when events
+    * cluster). One shuffle by user; integer cents. */
+  def rollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        expr("unix_micros(ts) div 1000000").as("es"),
+        cents($"value").as("v_cents"))
+    val w = Window.partitionBy($"user_id").orderBy($"es")
+      .rangeBetween(-3600L, 0L)
+    ev.select($"event_id", $"user_id",
+      sum($"v_cents").over(w).cast("long").as("roll_cents"),
+      count(lit(1)).over(w).as("roll_n"))
+  }
+  private val rollingWindowOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+      |    CAST(ROUND(value*100) AS BIGINT) AS v_cents
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(SUM(v_cents) OVER w AS BIGINT) AS roll_cents,
+      |  COUNT(*) OVER w AS roll_n
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** A9: exact discrete quantiles (p50/p90/p99) of event values per
+    * type — profiling without sketches: the rank-arithmetic form
+    * (k = ceil(p·n), k-th smallest by (value, event_id)) is exact and
+    * engine-independent where approximate percentile sketches are
+    * not. One shuffle to rank, one tiny aggregate. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", cents($"value").as("v_cents"), $"event_id")
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"v_cents".asc, $"event_id".asc)
+    val ranked = ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val pick = (p: Double, nm: String) =>
+      max(when($"rn" === ceil(lit(p) * $"n").cast("long"), $"v_cents"))
+        .as(nm)
+    ranked.groupBy($"event_type")
+      .agg(max($"n").as("n"), pick(0.5, "p50_cents"),
+        pick(0.9, "p90_cents"), pick(0.99, "p99_cents"))
+  }
+  private val exactQuantilesOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v_cents,
+      |    event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, v_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY v_cents, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev)
+      |SELECT event_type, MAX(n) AS n,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v_cents END) AS p50_cents,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v_cents END) AS p90_cents,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v_cents END) AS p99_cents
+      |FROM r GROUP BY 1""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("j14_asof_join", asofJoin, Some(asofJoinOracle)))
     Queries.register(QueryDef("j15_range_join", rangeJoin, Some(rangeJoinOracle)))
+    Queries.register(QueryDef("w8_rolling_window", rollingWindow, Some(rollingWindowOracle)))
+    Queries.register(QueryDef("a9_exact_quantiles", exactQuantiles, Some(exactQuantilesOracle)))
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))
     Queries.register(QueryDef("s1_scan_pushdown", scanPushdown, Some(
       """SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents
