@@ -43,6 +43,25 @@ object StreamingOps {
         col("event_type"), col("n_events"))
   }
 
+  /** Stream-stream INTERVAL join — the streaming form of
+    * j15_range_join: each error joins clicks of the same user from
+    * the previous 30 minutes. Both sides watermarked so Spark can
+    * expire join state (a click older than watermark + 30 min can
+    * never match again and is evicted — bounded state, the whole
+    * point of the time-bound condition at scale). Inner join in
+    * append mode; event-time columns must be distinct across sides. */
+  def intervalJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("cts", "1 hour")
+    val e = errors.withWatermark("ets", "1 hour")
+    c.join(e,
+      col("c_user") === col("e_user") &&
+        col("ets") >= col("cts") &&
+        col("ets") <= col("cts") + expr("interval 30 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"),
+        (expr("unix_micros(ets)") - expr("unix_micros(cts)"))
+          .as("gap_micros"))
+  }
+
   /** Streaming dedup: drop repeats of a dedup key inside the watermark
     * horizon — the streaming form of StreamQueries.streamDedup (first
     * event per key wins within a microbatch; across batches the state

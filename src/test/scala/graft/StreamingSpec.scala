@@ -70,6 +70,32 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-03-01 00:00:00", 2L, "a", 2L))) // c ranked 3rd: cut by k=2
   }
 
+  test("stream-stream interval join matches errors to prior clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val errors = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = StreamingOps.intervalJoin(
+        clicks.toDF().toDF("cts", "c_user", "click_id"),
+        errors.toDF().toDF("ets", "e_user", "error_id"))
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData(
+      (t("2024-03-01 10:00:00"), 1L, 100L),
+      (t("2024-03-01 10:00:00"), 2L, 101L))
+    errors.addData(
+      (t("2024-03-01 10:10:00"), 1L, 200L), // within 30 min: joins
+      (t("2024-03-01 10:45:00"), 1L, 201L), // beyond 30 min: no match
+      (t("2024-03-01 10:05:00"), 3L, 202L)) // other user: no match
+    q.processAllAvailable()
+    val got = spark.table("ij_out")
+      .select($"user_id", $"click_id", $"error_id", $"gap_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(got === Set((1L, 100L, 200L, 600000000L)))
+  }
+
   test("streaming dedup keeps the first event per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
