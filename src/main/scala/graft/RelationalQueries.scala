@@ -242,9 +242,9 @@ object RelationalQueries extends QueryGroup {
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"side".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(views)
-      .withColumn("v_id", last($"view_event_id", ignoreNulls = true).over(w))
-      .withColumn("v_ts",
-        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .select($"event_id", $"user_id", $"ts", $"side",
+        last($"view_event_id", ignoreNulls = true).over(w).as("v_id"),
+        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w).as("v_ts"))
       .filter($"side" === 1)
       .select($"event_id", $"user_id", $"v_id".as("view_event_id"),
         // per-side floor to whole seconds: micros-exact cross-engine
