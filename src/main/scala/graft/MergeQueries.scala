@@ -289,7 +289,95 @@ object MergeQueries extends QueryGroup {
       |    ELSE '1950-12-31T23:59:59' END AS ts_end
       |FROM customer""".stripMargin
 
+  final case class ClassMergeOut(id: Long, inf_csv: String, union_csv: String,
+      contacts_csv: String, place: String)
+
+  /** A10: the per-class merge handlers (`merger.py:107-330`) layered
+    * over merge_common — influenced_by pairwise arbitration (uppercase
+    * label election, specific-over-Type, silent drops, count-mismatch
+    * keep-base), union-by-id with the self-id guard, contact_point
+    * union by trimmed content, and merge_place's defined_by election
+    * (parseable > unparseable, polygon > point, coords then textual
+    * precision; both-unparseable DELETES). Every arm replayed. */
+  def classMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.ClassMerge
+    import graft.pipeline.ClassMerge.Concept
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val l = s"L${ck % 9}"
+        val (rc, mc) = (ck % 6) match {
+          case 0 => (Seq(Concept(Some("c1"), l, "Type")),
+            Seq(Concept(Some("c1"), l, "Type")))
+          case 1 => (Seq(Concept(Some("c1"), "lower", "Type")),
+            Seq(Concept(Some("c1"), s"Up$l ", "Type"))) // mc uppercase wins
+          case 2 => (Seq(Concept(Some("c1"), s" b$l ", "Type")),
+            Seq(Concept(Some("c1"), "upper", "Type"))) // base wins, trimmed
+          case 3 => (Seq(Concept(Some("c2"), l, "Language")),
+            Seq(Concept(Some("c1"), l, "Type"))) // specific over Type
+          case 4 => (Seq(Concept(Some("c2"), l, "Type")),
+            Seq(Concept(None, l, "Type"))) // missing id: dropped
+          case _ => (Seq(Concept(Some("c1"), l, "Type")),
+            Seq(Concept(Some("c1"), l, "Type"),
+              Concept(Some("c2"), l, "Type"))) // count mismatch: keep base
+        }
+        val inf = ClassMerge.influencedBy(rc, mc)
+        val union = ClassMerge.unionById(
+          Seq(s"r${ck % 5}"),
+          Seq(s"r${ck % 5}", s"self$ck", s"n${ck % 7}"),
+          s"self$ck")
+        val contacts = ClassMerge.unionByContent(
+          Seq(" a@x "), Seq("a@x", s"b$ck@x"))
+        val place = (ck % 7) match {
+          case 0 => ClassMerge.placeDefinedBy("JUNK", "POINT (1.5 2.5)")
+          case 1 => ClassMerge.placeDefinedBy("POINT (1.5 2.5)", "JUNK")
+          case 2 => ClassMerge.placeDefinedBy("JUNK", "ALSOJUNK")
+          case 3 => ClassMerge.placeDefinedBy("POINT (1.5 2.5)",
+            s"POLYGON ((0.5 0.5, 1.5 0.5, 1.5 ${ck % 9}.5, 0.5 0.5))")
+          case 4 => ClassMerge.placeDefinedBy(
+            s"POLYGON ((0.5 0.5, 1.5 0.5, 1.5 ${ck % 9}.5, 0.5 0.5))",
+            "POINT (9.5 9.5)")
+          case 5 => ClassMerge.placeDefinedBy(
+            "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 0.5))",
+            s"POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 ${ck % 9}.5, 0.5 0.5))")
+          case _ => ClassMerge.placeDefinedBy("POINT (1.5 2.5)",
+            "POINT (1.25 2.5)") // longer first-coord text: more precise
+        }
+        ClassMergeOut(ck,
+          inf.map(c => s"${c.id.getOrElse("")}|${c.label}|${c.typ}")
+            .mkString(";"),
+          union.mkString(";"), contacts.mkString(";"), place.orNull)
+      }.toDF()
+  }
+
+  private val classMergeOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 6
+      |    WHEN 0 THEN 'c1|L' || (ck % 9) || '|Type'
+      |    WHEN 1 THEN 'c1|UpL' || (ck % 9) || '|Type'
+      |    WHEN 2 THEN 'c1|bL' || (ck % 9) || '|Type'
+      |    WHEN 3 THEN 'c2|L' || (ck % 9) || '|Language'
+      |    WHEN 4 THEN ''
+      |    ELSE 'c1|L' || (ck % 9) || '|Type' END AS inf_csv,
+      |  'r' || (ck % 5) || ';n' || (ck % 7) AS union_csv,
+      |  'a@x;b' || ck || '@x' AS contacts_csv,
+      |  CASE ck % 7
+      |    WHEN 0 THEN 'POINT (1.5 2.5)'
+      |    WHEN 1 THEN 'POINT (1.5 2.5)'
+      |    WHEN 2 THEN NULL
+      |    WHEN 3 THEN 'POLYGON ((0.5 0.5, 1.5 0.5, 1.5 ' || (ck % 9)
+      |      || '.5, 0.5 0.5))'
+      |    WHEN 4 THEN 'POLYGON ((0.5 0.5, 1.5 0.5, 1.5 ' || (ck % 9)
+      |      || '.5, 0.5 0.5))'
+      |    WHEN 5 THEN 'POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 '
+      |      || (ck % 9) || '.5, 0.5 0.5))'
+      |    ELSE 'POINT (1.25 2.5)' END AS place
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("a10_class_merge", classMerge, Some(classMergeOracle)))
     Queries.register(QueryDef("a1_merge_fold", mergeFold, Some(mergeFoldOracle), bench = true))
     Queries.register(QueryDef("a2_record_merge", recordMerge, Some(recordMergeOracle)))
     Queries.register(QueryDef("m13_clean_names", cleanNames, Some(cleanNamesOracle)))
