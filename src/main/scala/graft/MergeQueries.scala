@@ -376,7 +376,60 @@ object MergeQueries extends QueryGroup {
       |    ELSE 'POINT (1.25 2.5)' END AS place
       |FROM b""".stripMargin
 
+  final case class ActSpanOut(id: Long, fixed_end: String, winner: String)
+
+  /** A11: merge_activity's timespan handling (`merger.py:542-624`) —
+    * the year-span end fixup and the most-specific-span election
+    * (estimated base yields; unparseable merge keeps base; missing
+    * base bounds default to a huge span). */
+  def activitySpan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.ClassMerge
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val y = 1900 + ck % 90
+        val fixedEnd = (ck % 3) match {
+          case 0 => ClassMerge.fixEndOfEnd( // adjacent years: snaps back
+            s"$y-01-01T00:00:00Z", s"${y + 1}-01-01T00:00:00Z")
+          case 1 => ClassMerge.fixEndOfEnd( // gap of 2: untouched
+            s"$y-01-01T00:00:00Z", s"${y + 2}-01-01T00:00:00Z")
+          case _ => ClassMerge.fixEndOfEnd( // not Jan 1: untouched
+            s"$y-03-01T00:00:00Z", s"${y + 1}-01-01T00:00:00Z")
+        }
+        val yearB = s"$y-01-01T00:00:00"
+        val yearE = s"$y-12-31T23:59:59"
+        val dayB = s"$y-06-01T00:00:00Z"
+        val dayE = s"$y-06-01T23:59:59Z"
+        val take = (ck % 5) match {
+          case 0 => ClassMerge.takeMergeTimespan(recEstimated = true,
+            dayB, dayE, yearB, yearE) // estimated base always yields
+          case 1 => ClassMerge.takeMergeTimespan(recEstimated = false,
+            yearB, yearE, dayB, dayE) // merge more specific: take it
+          case 2 => ClassMerge.takeMergeTimespan(recEstimated = false,
+            dayB, dayE, yearB, yearE) // base more specific: keep
+          case 3 => ClassMerge.takeMergeTimespan(recEstimated = false,
+            yearB, yearE, "garbage", dayE) // merge unparseable: keep
+          case _ => ClassMerge.takeMergeTimespan(recEstimated = false,
+            yearB, "", dayB, dayE) // base missing end: huge, merge wins
+        }
+        ActSpanOut(ck, fixedEnd, if (take) "merge" else "rec")
+      }.toDF()
+  }
+  private val activitySpanOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck, 1900 + c_custkey % 90 AS y
+      |  FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 3
+      |    WHEN 0 THEN y || '-12-31T23:59:59Z'
+      |    WHEN 1 THEN (y + 2) || '-01-01T00:00:00Z'
+      |    ELSE (y + 1) || '-01-01T00:00:00Z' END AS fixed_end,
+      |  CASE ck % 5 WHEN 0 THEN 'merge' WHEN 1 THEN 'merge'
+      |    WHEN 2 THEN 'rec' WHEN 3 THEN 'rec' ELSE 'merge' END AS winner
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("a11_activity_span", activitySpan, Some(activitySpanOracle)))
     Queries.register(QueryDef("a10_class_merge", classMerge, Some(classMergeOracle)))
     Queries.register(QueryDef("a1_merge_fold", mergeFold, Some(mergeFoldOracle), bench = true))
     Queries.register(QueryDef("a2_record_merge", recordMerge, Some(recordMergeOracle)))

@@ -68,6 +68,58 @@ object ClassMerge {
     seen.toSeq
   }
 
+  /** merge_activity's end_of_the_end fixup (`merger.py:558-563`): a
+    * span written as [Y-01-01, (Y+1)-01-01] really means "the year Y",
+    * so the end snaps back to Y-12-31T23:59:59Z. Unparseable years
+    * leave the value alone (the reference's bare try). */
+  def fixEndOfEnd(b: String, e: String): String = {
+    try {
+      if (e.nonEmpty && b.length >= 10 && e.length >= 10 &&
+        b.substring(0, 4).toInt == e.substring(0, 4).toInt - 1 &&
+        e.substring(5, 10) == "01-01" && b.substring(5, 10) == "01-01")
+        s"${e.substring(0, 4).toInt - 1}-12-31T23:59:59Z"
+      else e
+    } catch { case _: NumberFormatException => e }
+  }
+
+  private val spanFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Span length in seconds, with the reference's normalizations:
+    * trailing Z stripped, a leading `-` (BCE) stripped so the
+    * ABSOLUTE year parses (`:586-593` — the rb_bc flag is set and
+    * never read; ported faithfully). None when unparseable. */
+  def spanSeconds(bRaw: String, eRaw: String): Option[Long] = {
+    def clean(s: String) = {
+      val z = if (s.nonEmpty && s.last == 'Z') s.dropRight(1) else s
+      if (z.nonEmpty && z.head == '-') z.tail else z
+    }
+    try {
+      val b = java.time.LocalDateTime.parse(clean(bRaw), spanFmt)
+      val e = java.time.LocalDateTime.parse(clean(eRaw), spanFmt)
+      Some(java.time.Duration.between(b, e).getSeconds)
+    } catch { case _: Exception => None }
+  }
+
+  private val HugeDelta = 100000L * 86400L // timedelta(100000) days
+
+  /** merge_activity's timespan election (`:542-624`): an "estimated"/
+    * "possibly" base yields wholesale; otherwise the most SPECIFIC
+    * (shortest) span wins — an unparseable/missing base defaults to a
+    * huge span (so any parseable merge beats it), an unparseable or
+    * missing merge keeps the base. Returns true when the merge's
+    * timespan should replace the base's. */
+  def takeMergeTimespan(recEstimated: Boolean, rb: String, re: String,
+      mb: String, me: String): Boolean = {
+    if (recEstimated) return true
+    val rdelta =
+      if (rb.nonEmpty && re.nonEmpty) spanSeconds(rb, re).getOrElse(HugeDelta)
+      else HugeDelta
+    val mdelta =
+      if (mb.nonEmpty && me.nonEmpty) spanSeconds(mb, me) else None
+    mdelta.exists(_ < rdelta)
+  }
+
   private def kind(wkt: String): Option[String] =
     if (wkt.startsWith("POINT")) Some("POINT")
     else if (wkt.startsWith("POLYGON")) Some("POLYGON")

@@ -52,6 +52,30 @@ class ClassMergeSpec extends AnyFunSuite {
       === Seq("a@x", "b@x"))
   }
 
+  test("activity timespan: year-span end fixup fires only on [Y,Y+1) Jan-1s") {
+    assert(ClassMerge.fixEndOfEnd("1990-01-01T00:00:00Z",
+      "1991-01-01T00:00:00Z") === "1990-12-31T23:59:59Z")
+    assert(ClassMerge.fixEndOfEnd("1990-01-01T00:00:00Z",
+      "1992-01-01T00:00:00Z") === "1992-01-01T00:00:00Z")
+    assert(ClassMerge.fixEndOfEnd("1990-03-01T00:00:00Z",
+      "1991-01-01T00:00:00Z") === "1991-01-01T00:00:00Z")
+    assert(ClassMerge.fixEndOfEnd("xxxx-01-01T00:00:00Z",
+      "1991-01-01T00:00:00Z") === "1991-01-01T00:00:00Z")
+  }
+
+  test("activity timespan election: most specific wins; BCE sign stripped") {
+    val (yb, ye) = ("1990-01-01T00:00:00", "1990-12-31T23:59:59")
+    val (db, de) = ("1990-06-01T00:00:00Z", "1990-06-01T23:59:59Z")
+    assert(ClassMerge.takeMergeTimespan(recEstimated = true, db, de, yb, ye))
+    assert(ClassMerge.takeMergeTimespan(recEstimated = false, yb, ye, db, de))
+    assert(!ClassMerge.takeMergeTimespan(recEstimated = false, db, de, yb, ye))
+    assert(!ClassMerge.takeMergeTimespan(recEstimated = false, yb, ye, "junk", de))
+    assert(ClassMerge.takeMergeTimespan(recEstimated = false, yb, "", db, de))
+    // the reference strips the BCE '-' and compares ABSOLUTE-year spans
+    assert(ClassMerge.spanSeconds("-1990-06-01T00:00:00",
+      "-1990-06-01T23:59:59") === Some(86399L))
+  }
+
   test("place election: parseability, polygon>point, coords, precision") {
     assert(ClassMerge.placeDefinedBy("junk", "POINT (1 2)")
       === Some("POINT (1 2)"))
