@@ -597,16 +597,17 @@ object TextQueries extends QueryGroup {
     * Java and DuckDB (verified: `|a||a||a||a|` → `|aa||aa|`), so the
     * oracle replays training exactly, round by round. Ties elect the
     * lexicographically smallest pair. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The trainer loop, shared by t_bpe_train and t_bpe_apply. */
+  private[graft] def bpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = 5): Seq[(Int, String, Long)] = {
     import spark.implicits._
-    val R = 5
     var words = Tables.load(spark, dir, "documents")
       .select(explode(tokensCol(lower($"text"))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace($"w", "(.)", "|$1|").as("s"), $"cnt")
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    for (r <- 1 to R) {
+    for (r <- 1 to rounds) {
       val syms = split(btrim($"s", lit("|")), "\\|\\|")
       val pairs = when(size(syms) >= 2,
         transform(sequence(lit(0), size(syms) - 2), i =>
@@ -626,10 +627,24 @@ object TextQueries extends QueryGroup {
       words = next
     }
     words.unpersist()
-    merges.toSeq.toDF("round", "pair", "support")
+    merges.toSeq
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir).toDF("round", "pair", "support")
       .select($"round".cast("long").as("round"), $"pair", $"support")
   }
   private val bpeTrainOracle: String = {
+    val sel = (1 to 5).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, p AS pair, support FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
+       |$sel""".stripMargin
+  }
+
+  /** Shared trainer CTE chain (w0 + 5 rounds ending in b5/w5). */
+  private def bpeTrainCtes: String = {
     val t = tokensSql("lower(text)")
     val rounds = (1 to 5).map { r =>
       s"""p$r AS (
@@ -644,15 +659,62 @@ object TextQueries extends QueryGroup {
          |  SELECT replace(s, (SELECT p FROM b$r),
          |    replace((SELECT p FROM b$r), '||', '')) AS s, cnt FROM w${r - 1})""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to 5).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, p AS pair, support FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, cnt FROM (
        |    SELECT w, COUNT(*) AS cnt FROM (
        |      SELECT unnest($t) AS w FROM documents) GROUP BY 1)),
-       |$rounds
-       |$sel""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** Tokenizer APPLICATION with the trained merges — the other half of
+    * t_bpe_train: every document re-tokenized under the learned
+    * 5-merge vocabulary, yielding true trained-tokenizer counts and
+    * fertility. Map-only over the corpus (merges arrive as literals in
+    * the token lambda; training cost is vocab-bound, see bpeMerges).
+    * The oracle re-trains via the shared CTE chain and applies the
+    * same merges as scalar-subquery replaces, so train AND apply are
+    * both replayed. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir)
+    val symCount = (tok: Column) => {
+      val wrapped = regexp_replace(tok, "(.)", "|$1|")
+      val merged = merges.foldLeft(wrapped) { case (c, (_, bp, _)) =>
+        replace(c, lit(bp), lit(bp.replace("||", "")))
+      }
+      size(split(btrim(merged, lit("|")), "\\|\\|")).cast("long")
+    }
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokensCol(lower($"text")).as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("ws_tokens"),
+        aggregate(transform($"t", symCount), lit(0L), _ + _).as("bpe_tokens"))
+      .withColumn("fertility_milli",
+        intDiv($"bpe_tokens" * 1000L, greatest($"ws_tokens", lit(1L))))
+  }
+  private val bpeApplyOracle: String = {
+    val t = tokensSql("lower(text)")
+    // subqueries are not allowed inside DuckDB lambdas: surface the 5
+    // trained pairs as plain columns via a one-row cross join first
+    val pairCols = (1 to 5).map(r =>
+      s"(SELECT p FROM b$r) AS p$r, (SELECT replace(p, '||', '') FROM b$r) AS q$r")
+      .mkString(",\n    ")
+    val applied = (1 to 5).foldLeft("regexp_replace(x, '(.)', '|\\1|', 'g')") {
+      case (inner, r) => s"replace($inner, p$r, q$r)"
+    }
+    s"""WITH $bpeTrainCtes,
+       |m AS (SELECT
+       |    $pairCols),
+       |toks AS (SELECT doc_id, $t AS t FROM documents),
+       |per AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS ws_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(len(string_split(trim($applied, '|'), '||')) AS BIGINT)
+       |       for x in t]), (a,b)->a+b) AS BIGINT) AS bpe_tokens
+       |  FROM toks, m)
+       |SELECT doc_id, ws_tokens, bpe_tokens,
+       |  bpe_tokens * 1000 // GREATEST(ws_tokens, 1) AS fertility_milli
+       |FROM per""".stripMargin
   }
 
   /** The full Gopher-style quality rule battery (Rae et al. 2021,
@@ -790,6 +852,7 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
     Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
     Queries.register(QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)))
+    Queries.register(QueryDef("t_bpe_apply", bpeApply, Some(bpeApplyOracle)))
     Queries.register(QueryDef("t_domain_filter", domainFilter, Some(domainFilterOracle)))
     Queries.register(QueryDef("t_profile", profile, None))
     Queries.register(QueryDef("t_classifier_score", classifierScore, Some(classifierOracle)))
