@@ -185,4 +185,80 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(DateLib.yearOf(f"-$y%04d-06-15") === Some(-y))
     }
   }
+
+  test("influencedBy output is bounded by and drawn from its inputs") {
+    import graft.pipeline.ClassMerge
+    import graft.pipeline.ClassMerge.Concept
+    val r = rnd
+    def concept(): Concept = Concept(
+      if (r.nextInt(10) == 0) None else Some(s"c${r.nextInt(4)}"),
+      Seq("Label", "label", "L2", "")(r.nextInt(4)),
+      Seq("Type", "Language", "Material")(r.nextInt(3)))
+    for (_ <- 0 until 500) {
+      val n = r.nextInt(4)
+      val rc = Seq.fill(n)(concept())
+      val mc = Seq.fill(if (r.nextInt(5) == 0) n + 1 else n)(concept())
+      val out = ClassMerge.influencedBy(rc, mc)
+      if (mc.length != rc.length) assert(out === rc)
+      else {
+        assert(out.length <= n)
+        // every elected entry is one of the two candidates (maybe trimmed)
+        out.foreach { c =>
+          assert((rc ++ mc).exists(x =>
+            x.id == c.id && x.typ == c.typ && x.label.trim == c.label.trim))
+        }
+        // idempotence: merging a list with itself is identity
+        assert(ClassMerge.influencedBy(rc, rc) === rc)
+      }
+    }
+  }
+
+  test("placeDefinedBy always elects one of its inputs or deletes") {
+    import graft.pipeline.ClassMerge
+    val r = rnd
+    val shapes = Seq("junk", "POINT (1.5 2.5)", "POINT (1.25 2.5)",
+      "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 0.5))",
+      "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.25 0.25, 0.5 0.5))")
+    for (_ <- 0 until 400) {
+      val a = shapes(r.nextInt(shapes.length))
+      val b = shapes(r.nextInt(shapes.length))
+      val out = ClassMerge.placeDefinedBy(a, b)
+      out.foreach(w => assert(w == a.trim || w == b.trim))
+      // equal values short-circuit untouched (merger.py:181's != guard);
+      // DIFFERENT unparseable values delete the property
+      if (a == b) assert(out === Some(a))
+      else if (!a.startsWith("PO") && !b.startsWith("PO")) assert(out.isEmpty)
+      // a polygon on the base side never yields to a point
+      if (a.startsWith("POLYGON") && b.startsWith("POINT"))
+        assert(out === Some(a))
+    }
+  }
+
+  test("dmsToArcsec: direction flip negates, magnitudes bounded") {
+    import graft.pipeline.FastMap
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val (d, m, s) = (r.nextInt(90), r.nextInt(60), r.nextInt(60))
+      val (d2, m2, s2) = (r.nextInt(180), r.nextInt(60), r.nextInt(60))
+      val base = s"$d°${m}ʹ${s}ʺN $d2°${m2}ʹ${s2}ʺE"
+      val flip = s"$d°${m}ʹ${s}ʺS $d2°${m2}ʹ${s2}ʺW"
+      val Some((lon, lat)) = FastMap.dmsToArcsec(base)
+      assert(FastMap.dmsToArcsec(flip) === Some((-lon, -lat)))
+      assert(lat == d * 3600L + m * 60L + s)
+      assert(lon == d2 * 3600L + m2 * 60L + s2)
+    }
+  }
+
+  test("getty fixTimestamp: end slots never keep a midnight time") {
+    import graft.pipeline.GettyMap
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val y = 1201 + r.nextInt(800) // parseable, below the 2025 cutoff
+      val v = f"$y%04d-01-02T00:00:00"
+      val out = GettyMap.fixTimestamp(v, endPos = true)
+      assert(out.isEmpty || !out.contains("00:00:00"), s"$v -> $out")
+      // begin slots pass midnight through untouched
+      assert(GettyMap.fixTimestamp(v, endPos = false) === v)
+    }
+  }
 }
