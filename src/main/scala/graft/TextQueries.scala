@@ -848,7 +848,55 @@ object TextQueries extends QueryGroup {
        |FROM d2, tot""".stripMargin
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): within each
+    * language, documents rank by a quality signal and split into
+    * head/middle/tail TERCILES — the standard pre-training data
+    * stratification (head feeds the model, tail is dropped or
+    * down-weighted). Rank arithmetic: bucket = (rank-1)·3 / n, exact
+    * in both engines. One shuffle by language for the rank; the
+    * signal itself is map-only (lexical diversity standing in for the
+    * LM perplexity, which drops in as any scored column). */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val toks = tokensCol($"text")
+    val n = size(toks).cast("long")
+    val q = intDiv(size(array_distinct(toks)).cast("long") * 1000L,
+      greatest(n, lit(1L)))
+    val m = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", q.as("q_milli"))
+    val w = Window.partitionBy($"lang")
+      .orderBy($"q_milli".desc, $"doc_id".asc) // best first: head = bucket 0
+    m.withColumn("rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .select($"doc_id", $"lang", $"q_milli",
+        intDiv(($"rank" - 1L) * 3L, $"n").as("bucket"))
+      .withColumn("bucket_name",
+        when($"bucket" === 0L, "head").when($"bucket" === 1L, "middle")
+          .otherwise("tail"))
+  }
+  private val ccnetBucketsOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_distinct($t)) AS BIGINT) * 1000
+       |      // GREATEST(CAST(len($t) AS BIGINT), 1) AS q_milli
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, q_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY q_milli DESC, doc_id ASC) AS rank,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM m)
+       |SELECT doc_id, lang, q_milli,
+       |  (rank - 1) * 3 // n AS bucket,
+       |  CASE (rank - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       |    ELSE 'tail' END AS bucket_name
+       |FROM r""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)))
     Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
     Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
     Queries.register(QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)))
