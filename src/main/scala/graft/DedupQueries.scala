@@ -928,5 +928,51 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
+    Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
+  }
+
+  /** D11: ASYMMETRIC containment detection (Broder's containment
+    * |A∩B| / min(|A|,|B|)) — catches a short document quoted inside a
+    * long one, which symmetric Jaccard structurally cannot (the union
+    * dilutes it): the quote/boilerplate-inclusion pass of corpus
+    * pipelines. Same candidate machinery as d2 (shingle table → LSH
+    * band index → three-regime guarded join), different verify; the
+    * `containment_only` bit marks exactly the pairs Jaccard would
+    * have missed. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = shingleTable(spark, dir).filter(size($"sid") > 0).persist()
+    val bandRows = bandIndex(base).persist()
+    val cand = guardedBandPairs(bandRows, Seq("band_idx", "band_hash"), "doc_id")
+      .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"))
+      .localCheckpoint() // same materialization barrier as d2
+    val inter = size(array_intersect($"sid_a", $"sid_b")).cast("long")
+    val small = least(size($"sid_a"), size($"sid_b")).cast("long")
+    val union = size(array_union($"sid_a", $"sid_b")).cast("long")
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"sid".as("sid_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"sid".as("sid_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        intDiv(inter * 1000L, small).as("cont_milli"),
+        intDiv(inter * 1000L, union).as("jacc_milli"))
+      .filter($"cont_milli" >= 500L)
+      .withColumn("containment_only",
+        $"cont_milli" >= 800L && $"jacc_milli" < 800L)
+  }
+  private val containmentOracle: String = {
+    val inter = "CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT)"
+    val small = "LEAST(CAST(len(sa.sid) AS BIGINT), CAST(len(sb.sid) AS BIGINT))"
+    val uni = "CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT)"
+    s"""WITH $minhashPairsCtes,
+       |cont AS (
+       |  SELECT doc_a, doc_b,
+       |    $inter * 1000 // $small AS cont_milli,
+       |    $inter * 1000 // $uni AS jacc_milli
+       |  FROM cand
+       |  JOIN base sa ON sa.doc_id = doc_a
+       |  JOIN base sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, cont_milli, jacc_milli,
+       |  (cont_milli >= 800 AND jacc_milli < 800) AS containment_only
+       |FROM cont WHERE cont_milli >= 500""".stripMargin
   }
 }
