@@ -57,8 +57,11 @@ object ArticMap {
 
   /** handle_timespan. `life` = the event is Birth/Formation/Death/
     * Dissolution. Dates arrive as strings (the reference int-coerces
-    * first). An unparseable side falls out of the four-point exactly
-    * as the reference's truthiness branches do. */
+    * first). In the non-life matrix an unparseable side falls out of
+    * the four-point exactly as the reference's truthiness branches do;
+    * on the life path the reference indexes the parse result
+    * unguarded (`:85-87` would raise) — this port degrades to an
+    * empty timespan instead, keeping the display name. */
   def timespan(date1: String, date2: Option[String],
       date3: Option[String], life: Boolean): Timespan = {
     val d1 = trimT(date1)
