@@ -30,6 +30,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.except(docs).count() === 0)
   }
 
+  test("schema evolution: mergeSchema unifies drifted ingest batches") {
+    import spark.implicits._
+    // batch 1: the original envelope; batch 2 adds a column (the
+    // 100 TB reality — sources drift; readers must not break)
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toFile
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("append").parquet(s"$dir/t")
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(s"$dir/t")
+    val unified = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(unified.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    val rows = unified.select($"id", $"v", $"extra")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(9L))))
+  }
+
   test("multimodal decode is deterministic and partition-invariant") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
