@@ -929,6 +929,118 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
     Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
+    Queries.register(QueryDef("t_incremental_refresh", incrementalRefresh,
+      Some(incrementalRefreshOracle)))
+  }
+
+  /** The INCREMENTAL twin of the t_corpus_pipeline capstone: a daily
+    * shard (doc_id % 10 = 7) runs the full admission chain against the
+    * STANDING corpus — quality gate, benchmark decontamination, exact-
+    * fingerprint anti-join, and the asymmetric LSH probe (shard bands
+    * × corpus bands through the shared hot-cap, d8's shape) — emitting
+    * one audit row per shard document with a bit per stage, so the
+    * refresh is explainable document by document. Daily shuffle volume
+    * is proportional to the SHARD, never the corpus: the corpus
+    * contributes its (persisted) band index, fingerprint set and
+    * benchmark shingles, all index-sized artifacts. */
+  def incrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = TextQueries.stopwords
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokensCol($"text").as("t")).persist()
+    val n = size($"t").cast("long")
+    val nd = size(array_distinct($"t")).cast("long")
+    val ns = size(filter($"t", x => x.isInCollection(stop))).cast("long")
+    val flags = docs.select($"doc_id",
+      (n >= 10L && intDiv(nd * 1000L, n) >= 100L &&
+        intDiv(ns * 1000L, n) <= 500L).as("q_pass"),
+      docFingerprint(array_sort($"t")).as("ck")).persist()
+    val isShard = $"doc_id" % 10 === 7
+    val shard = flags.filter(isShard)
+    val sid = shingleTable(spark, dir).persist()
+    val benchS = sid.filter($"doc_id" % 37 === 0 && $"doc_id" % 10 =!= 7)
+      .select(explode($"sid").as("s")).distinct()
+    val contaminated = sid.filter($"doc_id" % 10 === 7)
+      .select($"doc_id", explode($"sid").as("s"))
+      .join(broadcast(benchS), Seq("s"), "left_semi")
+      .select($"doc_id").distinct().withColumn("c_hit", lit(true))
+    val corpusCk = flags.filter(!isShard).select($"ck").distinct()
+    val exactDup = shard.join(corpusCk, Seq("ck"), "left_semi")
+      .select($"doc_id").withColumn("e_hit", lit(true))
+    val base = sid.filter(size($"sid") > 0)
+    val bands = bandIndex(base).persist()
+    val hot = bands.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("nb")).filter($"nb" > BandCap)
+      .select($"band_idx", $"band_hash")
+    val capped = bands.join(broadcast(hot),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val cand = capped.filter($"doc_id" % 10 === 7).as("n")
+      .join(capped.filter($"doc_id" % 10 =!= 7).as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash"))
+      .select(col("n.doc_id").as("sdoc"), col("o.doc_id").as("cdoc"))
+      .distinct().localCheckpoint() // d2's materialization barrier
+    val nearDup = cand
+      .join(base.select($"doc_id".as("sdoc"), $"sid".as("sid_a")), "sdoc")
+      .join(base.select($"doc_id".as("cdoc"), $"sid".as("sid_b")), "cdoc")
+      .filter(intDiv(
+        size(array_intersect($"sid_a", $"sid_b")).cast("long") * 1000L,
+        size(array_union($"sid_a", $"sid_b")).cast("long")) >= 800L)
+      .select($"sdoc".as("doc_id")).distinct().withColumn("n_hit", lit(true))
+    shard.select($"doc_id", $"q_pass")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select($"doc_id", $"q_pass",
+        coalesce($"c_hit", lit(false)).as("contaminated"),
+        coalesce($"e_hit", lit(false)).as("exact_dup"),
+        coalesce($"n_hit", lit(false)).as("near_dup"))
+      .withColumn("kept", $"q_pass" && !$"contaminated" &&
+        !$"exact_dup" && !$"near_dup")
+  }
+  private val incrementalRefreshOracle: String = {
+    val stop = TextQueries.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val jacc = """CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
+      |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT)""".stripMargin
+    s"""WITH $minhashPairsCtes,
+       |m2 AS (
+       |  SELECT doc_id, t,
+       |    CAST(len(t) AS BIGINT) AS n,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS nd,
+       |    CAST(len(list_filter(t, x -> list_contains($stop, x))) AS BIGINT) AS ns
+       |  FROM toks),
+       |flags AS (
+       |  SELECT doc_id,
+       |    (n >= 10 AND nd * 1000 // n >= 100 AND ns * 1000 // n <= 500) AS q_pass,
+       |    ${docFingerprintSql("list_sort(t)")} AS ck
+       |  FROM m2),
+       |bench2 AS (
+       |  SELECT DISTINCT unnest(sid) AS s FROM shing
+       |  WHERE doc_id % 37 = 0 AND doc_id % 10 <> 7),
+       |cont2 AS (
+       |  SELECT DISTINCT t2.doc_id
+       |  FROM (SELECT doc_id, unnest(sid) AS s FROM shing
+       |        WHERE doc_id % 10 = 7) t2
+       |  WHERE EXISTS (SELECT 1 FROM bench2 b WHERE b.s = t2.s)),
+       |cck AS (SELECT DISTINCT ck FROM flags WHERE doc_id % 10 <> 7),
+       |ncand2 AS (
+       |  SELECT DISTINCT n.doc_id AS sdoc, o.doc_id AS cdoc
+       |  FROM bandrows n JOIN bandrows o
+       |    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+       |   AND n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7),
+       |nd2 AS (
+       |  SELECT DISTINCT sdoc AS doc_id FROM ncand2
+       |  JOIN base sa ON sa.doc_id = sdoc
+       |  JOIN base sb ON sb.doc_id = cdoc
+       |  WHERE $jacc >= 800)
+       |SELECT f.doc_id, f.q_pass,
+       |  f.doc_id IN (SELECT doc_id FROM cont2) AS contaminated,
+       |  f.ck IN (SELECT ck FROM cck) AS exact_dup,
+       |  f.doc_id IN (SELECT doc_id FROM nd2) AS near_dup,
+       |  (f.q_pass AND f.doc_id NOT IN (SELECT doc_id FROM cont2)
+       |    AND f.ck NOT IN (SELECT ck FROM cck)
+       |    AND f.doc_id NOT IN (SELECT doc_id FROM nd2)) AS kept
+       |FROM flags f WHERE f.doc_id % 10 = 7""".stripMargin
   }
 
   /** D11: ASYMMETRIC containment detection (Broder's containment
