@@ -895,7 +895,51 @@ object TextQueries extends QueryGroup {
        |FROM r""".stripMargin
   }
 
+  /** The dataset-card roll-up: the one-row corpus summary every
+    * released dataset ships (docs, tokens, language/source
+    * cardinalities, exact-duplicate rate, mean lexical diversity) —
+    * ONE pass of map-side-combined aggregates; the fingerprint
+    * distinct-count is the only corpus-keyed aggregation and it
+    * shuffles 8-byte keys. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokensCol($"text")
+    val n = size(toks).cast("long")
+    val m = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source", n.as("n"),
+        intDiv(size(array_distinct(toks)).cast("long") * 1000L,
+          greatest(n, lit(1L))).as("q_milli"),
+        docFingerprint(toks).as("fp"))
+    m.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n").cast("long").as("n_tokens"),
+      countDistinct($"lang").as("n_langs"),
+      countDistinct($"source").as("n_sources"),
+      ((count(lit(1)) - countDistinct($"fp")) * 1000L).as("dx"),
+      intDiv(sum($"q_milli"), count(lit(1))).as("mean_q_milli"))
+      .select($"n_docs", $"n_tokens", $"n_langs", $"n_sources",
+        intDiv($"dx", $"n_docs").as("dup_milli"), $"mean_q_milli")
+  }
+  private val datasetCardOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len($t) AS BIGINT) AS n,
+       |    CAST(len(list_distinct($t)) AS BIGINT) * 1000
+       |      // GREATEST(CAST(len($t) AS BIGINT), 1) AS q_milli,
+       |    ${docFingerprintSql(tokensSql("text"))} AS fp
+       |  FROM documents)
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  COUNT(DISTINCT source) AS n_sources,
+       |  (COUNT(*) - COUNT(DISTINCT fp)) * 1000 // COUNT(*) AS dup_milli,
+       |  SUM(q_milli) // COUNT(*) AS mean_q_milli
+       |FROM m""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)))
     Queries.register(QueryDef("t_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)))
     Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
     Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
