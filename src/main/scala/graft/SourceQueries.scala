@@ -422,7 +422,54 @@ object SourceQueries extends QueryGroup {
       |  'd' || (ck % 40) AS name
       |FROM b WHERE NOT (ck % 11 = 0 AND ck % 33 <> 0)""".stripMargin
 
+  final case class LcLinkOut(id: Long, link_ident: String, link_tgt: String,
+      skipped: Boolean, raw_ident: String)
+
+  /** S5 (lc): the LC loader quirks (`lc/loader.py:7-91`) — the
+    * externallinks.nt sideload (Close/Exact predicates only, subject
+    * prefix gate), the raw-line `"@id":` identifier extraction, and
+    * the record skips (`-781` geographic subdivisions,
+    * NamesUndifferentiated members). Finishes the loader family's
+    * named per-source quirks. */
+  def lcLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.LcNames
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val subj = s"<http://id.loc.gov/authorities/names/n${ck % 100}>"
+        val tgt = s"<http://viaf.org/viaf/${ck % 500}>"
+        val line = (ck % 4) match {
+          case 0 => s"$subj <http://www.loc.gov/mads/rdf/v1#hasCloseExternalAuthority> $tgt ."
+          case 1 => s"$subj <http://www.loc.gov/mads/rdf/v1#hasExactExternalAuthority> $tgt ."
+          case 2 => s"$subj <http://www.loc.gov/mads/rdf/v1#hasNarrowerExternalAuthority> $tgt ."
+          case _ => s"<http://other.example/x$ck> <http://www.loc.gov/mads/rdf/v1#hasCloseExternalAuthority> $tgt ."
+        }
+        val link = LcNames.externalLink(line)
+        val ident = if (ck % 5 == 0) s"n$ck-781" else s"n$ck"
+        val colls =
+          if (ck % 7 == 0)
+            Seq("http://id.loc.gov/authorities/names/collection_LCNAF",
+              "http://id.loc.gov/authorities/names/collection_NamesUndifferentiated")
+          else Seq("http://id.loc.gov/authorities/names/collection_LCNAF")
+        val raw = LcNames.rawIdentifier(
+          s"""{"x": 1, "@id": "http://id.loc.gov/authorities/names/n${ck % 100}"}""")
+        LcLinkOut(ck, link.map(_._1).orNull, link.map(_._2).orNull,
+          LcNames.skipRecord(ident, colls), raw.orNull)
+      }.toDF()
+  }
+  private val lcLinksOracle: String =
+    """WITH b AS (SELECT c_custkey AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE WHEN ck % 4 <= 1 THEN 'n' || (ck % 100) ELSE NULL END AS link_ident,
+      |  CASE WHEN ck % 4 <= 1
+      |    THEN 'http://viaf.org/viaf/' || (ck % 500) ELSE NULL END AS link_tgt,
+      |  (ck % 5 = 0 OR ck % 7 = 0) AS skipped,
+      |  'n' || (ck % 100) AS raw_ident
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s5_lc_links", lcLinks, Some(lcLinksOracle)))
     Queries.register(QueryDef("s5_dnb", dnbLoad, Some(dnbLoadOracle)))
     Queries.register(QueryDef("m1d_av_meta", avMeta, Some(avMetaOracle)))
     Queries.register(QueryDef("s3_json_extract", jsonExtract, Some(jsonExtractOracle)))

@@ -70,4 +70,41 @@ object LcNames {
     }
     eqs.distinct.toSeq // the doneids final dedupe (:333-340)
   }
+
+  // ---- LC loader quirks (`lc/loader.py:7-91`) ----
+
+  /** externallinks.nt sideload (`:12-36`): only id.loc.gov/authorities
+    * subjects with Close/ExactExternalAuthority predicates contribute;
+    * the identifier is the subject's last path segment (closing `>`
+    * stripped), the target the object IRI shorn of its brackets. */
+  def externalLink(line: String): Option[(String, String)] =
+    if (line.startsWith("<http://id.loc.gov/authorities/") &&
+      (line.contains("CloseExternalAuthority") ||
+        line.contains("ExactExternalAuthority"))) {
+      val parts = line.dropRight(2).split(" ", 3)
+      if (parts.length < 3) None
+      else {
+        val ident = parts(0).split('/').last.dropRight(1)
+        val tgt = parts(2).trim.drop(1).dropRight(1)
+        Some((ident, tgt))
+      }
+    } else None
+
+  /** get_identifier_raw (`:38-47`): last `"@id":` occurrence, last
+    * path segment, stray `"}` stripped. */
+  def rawIdentifier(l: String): Option[String] = {
+    val pos = l.lastIndexOf("\"@id\":")
+    if (pos < 0) None
+    else l.substring(pos).split('/').lastOption
+      .map(_.replace("\"}", "").trim)
+      .filter(_.nonEmpty)
+  }
+
+  private val undifferentiated =
+    "http://id.loc.gov/authorities/names/collection_NamesUndifferentiated"
+
+  /** post_process_json's record skips (`:66-91`): `-781` geographic
+    * subdivisions and NamesUndifferentiated collection members. */
+  def skipRecord(ident: String, collections: Seq[String]): Boolean =
+    ident.endsWith("-781") || collections.contains(undifferentiated)
 }

@@ -65,4 +65,27 @@ class LcNamesSpec extends AnyFunSuite {
     assert(eqs2 === Seq("https://a.org/1",
       "https://www.wikidata.org/entity/Q42", "https://close.org/tail"))
   }
+
+  test("lc loader: external-links sideload gates on subject and predicate") {
+    assert(LcNames.externalLink(
+      "<http://id.loc.gov/authorities/names/n79021164> <http://www.loc.gov/mads/rdf/v1#hasCloseExternalAuthority> <http://viaf.org/viaf/50566653> .")
+      === Some(("n79021164", "http://viaf.org/viaf/50566653")))
+    assert(LcNames.externalLink(
+      "<http://id.loc.gov/authorities/names/n1> <http://www.loc.gov/mads/rdf/v1#hasNarrowerExternalAuthority> <http://x.org/1> .")
+      === None)
+    assert(LcNames.externalLink(
+      "<http://other.example/n1> <http://www.loc.gov/mads/rdf/v1#hasCloseExternalAuthority> <http://x.org/1> .")
+      === None)
+  }
+
+  test("lc loader: raw @id extraction and the record skips") {
+    assert(LcNames.rawIdentifier("""{"a": 1, "@id": "http://id.loc.gov/authorities/names/n42"}""")
+      === Some("n42"))
+    assert(LcNames.rawIdentifier("no id here") === None)
+    assert(LcNames.skipRecord("n42-781", Nil))
+    assert(LcNames.skipRecord("n42", Seq(
+      "http://id.loc.gov/authorities/names/collection_NamesUndifferentiated")))
+    assert(!LcNames.skipRecord("n42", Seq(
+      "http://id.loc.gov/authorities/names/collection_LCNAF")))
+  }
 }
