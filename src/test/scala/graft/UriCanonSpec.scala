@@ -58,6 +58,37 @@ class UriCanonSpec extends AnyFunSuite {
     assert(c("http://vocab.getty.edu/aat/") == null)
   }
 
+  test("canonicalization is idempotent over the full variant space") {
+    // pipelines canonicalize defensively at several stages; a second
+    // application must be a no-op (canon(canon(x)) == canon(x)) —
+    // pinned over every variant family the fixture corpus exercises
+    val r = new scala.util.Random(0xD1CE)
+    val mk: Int => String = i => {
+      val n = r.nextInt(100000)
+      (i % 12) match {
+        case 0 => s"http://vocab.getty.edu/aat/300$n"
+        case 1 => s"https://vocab.getty.edu/page/aat/300$n"
+        case 2 => s"http://www.wikidata.org/wiki/Q$n"
+        case 3 => s"https://id.loc.gov/authorities/names/n$n/"
+        case 4 => s"http://viaf.org/viaf/$n.html"
+        case 5 => s"https://www.geonames.org/$n\""
+        case 6 => s"http://isni-url.oclc.nl/isni/0000$n"
+        case 7 => s"https://viaf.org/viaf/http://vocab.getty.edu/aat/300$n"
+        case 8 => "https://creativecommons.org/licenses/by/4.0/"
+        case 9 => s"https://random.junk.example/$n"
+        case 10 => s"http://id.loc.gov/authorities/subjects/sh $n"
+        case _ => s"https://d-nb.info/gnd/$n-$n"
+      }
+    }
+    for (i <- 0 until 600) {
+      val x = mk(i)
+      val once = UriCanon.canonicalizeJvm(x)
+      if (once != null)
+        assert(UriCanon.canonicalizeJvm(once) === once,
+          s"not idempotent for $x -> $once")
+    }
+  }
+
   test("codegen path produces the same results as the JVM function") {
     val spark = TestSpark.spark
     import spark.implicits._
