@@ -938,8 +938,36 @@ object TextQueries extends QueryGroup {
        |FROM m""".stripMargin
   }
 
+  /** Document-length histogram in power-of-2 buckets — the length
+    * panel of the dataset card (sequence-length planning, packing
+    * efficiency, truncation loss all read off it). Bucket =
+    * floor(log2(n)) computed as the binary digit count minus one —
+    * integer-exact in both engines (no float log); map-side-combined
+    * groupBy over at most ~40 buckets. */
+  def lengthDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = size(tokensCol($"text")).cast("long")
+    val bucket = when(n > 0L, length(bin(n)).cast("long") - 1L)
+      .otherwise(lit(-1L))
+    Tables.load(spark, dir, "documents")
+      .select(bucket.as("log2_bucket"), n.as("n"))
+      .groupBy($"log2_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").cast("long").as("n_tokens"),
+        min($"n").as("min_len"), max($"n").as("max_len"))
+  }
+  private val lengthDistOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH m AS (SELECT CAST(len($t) AS BIGINT) AS n FROM documents)
+       |SELECT CASE WHEN n > 0 THEN CAST(length(bin(n)) AS BIGINT) - 1
+       |    ELSE -1 END AS log2_bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |  MIN(n) AS min_len, MAX(n) AS max_len
+       |FROM m GROUP BY 1""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)))
+    Queries.register(QueryDef("t_length_dist", lengthDist, Some(lengthDistOracle)))
     Queries.register(QueryDef("t_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)))
     Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
     Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
