@@ -46,7 +46,9 @@ object Bench {
           case (n, (Right(a), Right(b))) =>
             val lo = math.min(a, b)
             if (math.max(a, b) > lo * 1.5)
-              n -> timeOnce(name).map(c => math.min(lo, c))
+              // tie-break pass: a transient failure must not discard the
+              // two good measurements — fall back to their min
+              n -> Right(timeOnce(name).fold(_ => lo, c => math.min(lo, c)))
             else n -> Right(lo)
           case (n, (e @ Left(_), _)) => n -> e
           case (n, (_, e)) => n -> e

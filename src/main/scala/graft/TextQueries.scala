@@ -573,7 +573,7 @@ object TextQueries extends QueryGroup {
        |  FROM documents),
        |d AS (
        |  SELECT source, COUNT(*) AS n_docs,
-       |    SUM(q_milli) // COUNT(*) AS mean_q_milli,
+       |    CAST(SUM(q_milli) AS BIGINT) // COUNT(*) AS mean_q_milli,
        |    (COUNT(*) - COUNT(DISTINCT fp)) * 1000 // COUNT(*) AS dup_milli
        |  FROM m GROUP BY 1)
        |SELECT doc_id, m.source, mean_q_milli, dup_milli,
@@ -648,7 +648,7 @@ object TextQueries extends QueryGroup {
     val t = tokensSql("lower(text)")
     val rounds = (1 to 5).map { r =>
       s"""p$r AS (
-         |  SELECT u AS p, SUM(cnt) AS support FROM (
+         |  SELECT u AS p, CAST(SUM(cnt) AS BIGINT) AS support FROM (
          |    SELECT cnt, unnest(['|'||syms[i]||'||'||syms[i+1]||'|'
          |        for i in range(1, len(syms))]) AS u
          |    FROM (SELECT string_split(trim(s, '|'), '||') AS syms, cnt
@@ -839,7 +839,8 @@ object TextQueries extends QueryGroup {
        |d2 AS (
        |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
        |  FROM d),
-       |tot AS (SELECT SUM(n_tokens) AS tt, SUM(isq) AS ti FROM d2)
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+       |  CAST(SUM(isq) AS BIGINT) AS ti FROM d2)
        |SELECT source, n_docs, n_tokens,
        |  isq * 1000 // ti AS w_milli,
        |  n_tokens * 1000 // tt AS natural_milli,
@@ -934,7 +935,7 @@ object TextQueries extends QueryGroup {
        |  COUNT(DISTINCT lang) AS n_langs,
        |  COUNT(DISTINCT source) AS n_sources,
        |  (COUNT(*) - COUNT(DISTINCT fp)) * 1000 // COUNT(*) AS dup_milli,
-       |  SUM(q_milli) // COUNT(*) AS mean_q_milli
+       |  CAST(SUM(q_milli) AS BIGINT) // COUNT(*) AS mean_q_milli
        |FROM m""".stripMargin
   }
 

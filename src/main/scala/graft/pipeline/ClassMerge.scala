@@ -89,10 +89,13 @@ object ClassMerge {
     * trailing Z stripped, a leading `-` (BCE) stripped so the
     * ABSOLUTE year parses (`:586-593` — the rb_bc flag is set and
     * never read; ported faithfully). None when unparseable. */
-  def spanSeconds(bRaw: String, eRaw: String): Option[Long] = {
+  def spanSeconds(bRaw: String, eRaw: String,
+      stripBce: Boolean = true): Option[Long] = {
     def clean(s: String) = {
       val z = if (s.nonEmpty && s.last == 'Z') s.dropRight(1) else s
-      if (z.nonEmpty && z.head == '-') z.tail else z
+      // merger.py BCE-strips the leading '-' on the RECORD side only
+      // (`:586-593`); the merge side keeps it and fails strptime
+      if (stripBce && z.nonEmpty && z.head == '-') z.tail else z
     }
     try {
       val b = java.time.LocalDateTime.parse(clean(bRaw), spanFmt)
@@ -116,8 +119,11 @@ object ClassMerge {
       if (rb.nonEmpty && re.nonEmpty) spanSeconds(rb, re).getOrElse(HugeDelta)
       else HugeDelta
     val mdelta =
-      if (mb.nonEmpty && me.nonEmpty) spanSeconds(mb, me) else None
-    mdelta.exists(_ < rdelta)
+      if (mb.nonEmpty && me.nonEmpty) spanSeconds(mb, me, stripBce = false)
+      else None
+    // `if mdelta and mdelta < rdelta`: Python's timedelta(0) is falsy,
+    // so a zero-length merge span keeps the base
+    mdelta.exists(d => d != 0L && d < rdelta)
   }
 
   private def kind(wkt: String): Option[String] =

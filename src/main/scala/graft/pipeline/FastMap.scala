@@ -79,8 +79,9 @@ object FastMap {
   /** dms_to_wkt in integer arc-seconds: (lonArcsec, latArcsec).
     * parts[0] is latitude, parts[1] longitude — POINT(lon lat). */
   def dmsToArcsec(dmsRaw: String): Option[(Long, Long)] = {
-    val dms = if (dmsRaw.contains(";"))
-      dmsRaw.substring(dmsRaw.indexOf(';') + 1) else dmsRaw
+    // reference takes split(';')[1]: ONLY the segment between the first
+    // and second semicolon, not everything after the first
+    val dms = if (dmsRaw.contains(";")) dmsRaw.split(";", -1)(1) else dmsRaw
     val parts = dms.trim.split("\\s+")
     if (parts.length != 2) return None
     def one(s: String): Option[Long] =

@@ -74,6 +74,16 @@ class ClassMergeSpec extends AnyFunSuite {
     // the reference strips the BCE '-' and compares ABSOLUTE-year spans
     assert(ClassMerge.spanSeconds("-1990-06-01T00:00:00",
       "-1990-06-01T23:59:59") === Some(86399L))
+    // Python `if mdelta and mdelta < rdelta`: timedelta(0) is falsy, so
+    // a zero-length merge span keeps the base
+    assert(!ClassMerge.takeMergeTimespan(recEstimated = false,
+      yb, ye, db, db))
+    // merger.py BCE-strips the record side only; a BCE merge date fails
+    // strptime → mdelta None → keep base
+    assert(!ClassMerge.takeMergeTimespan(recEstimated = false, yb, ye,
+      "-1990-06-01T00:00:00", "-1990-06-01T23:59:59"))
+    assert(ClassMerge.spanSeconds("-1990-06-01T00:00:00",
+      "-1990-06-01T23:59:59", stripBce = false) === None)
   }
 
   test("place election: parseability, polygon>point, coords, precision") {

@@ -49,6 +49,11 @@ class FastMapSpec extends AnyFunSuite {
     // ';'-prefixed source note keeps only the coordinate part
     assert(FastMap.dmsToArcsec("b. of Amsterdam;52°22ʹ51ʺN 004°38ʹ13ʺE")
       === Some((16693L, 188571L)))
+    // fast/mapper.py uses split(';')[1]: ONLY the segment between the
+    // first and second semicolon
+    assert(FastMap.dmsToArcsec(
+      "b. of Amsterdam;52°22ʹ51ʺN 004°38ʹ13ʺE;later of Leiden")
+      === Some((16693L, 188571L)))
     assert(FastMap.dmsToArcsec("notacoord") === None)
     assert(FastMap.dmsToArcsec("52°22ʹ51ʺN") === None) // one part only
   }
