@@ -167,11 +167,106 @@ object OpsQueries extends QueryGroup {
       |JOIN seed_top USING (word)
       |GROUP BY doc_id HAVING COUNT(*) >= 2""".stripMargin
 
+  /** Q9 (full semantics): SimilarQuery with the COMPLETE reference
+    * rewrite (`ml_lexer.py:43-135`) — classifications OR'd with top-5
+    * description keywords OR'd with member_of sets, AND'd with born and
+    * died era windows (±10 yrs when the year > 1900, ±20 when > 1700,
+    * else ±35). LuxSimilar synthesizes the query STRING exactly as the
+    * reference does; it then rides the ordinary LuxQL parse + compile
+    * path, so more-like-this is a rewrite rule in front of the engine.
+    *
+    * Substrate: documents as agents — lang is the classification
+    * concept, source the member_of set, and a deterministic synthetic
+    * lifespan (born = 1500 + 7·id mod 520) spreads seeds across all
+    * three era tiers; seeds 0/30/60 pin born 1500/1710/1920. The seed
+    * fetch is a single-record point lookup (the reference's
+    * fetch_record) — constant driver traffic, independent of corpus
+    * size; the compiled query itself is all joins over the substrate. */
+  def similarFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.{LuxCompiler, LuxSimilar}
+    val docs = Tables.load(spark, dir, "documents")
+    val bornC = (lit(1500L) + ($"doc_id" * 7L) % 520L).cast("long")
+    val diedC = (bornC + lit(40L) + ($"doc_id" % 25L)).cast("long")
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    val entities = docs.select(
+        concat(lit("d"), $"doc_id").as("id"), lit("document").as("etype"),
+        $"text".as("name"), $"text", bornC.as("bornTime"), diedC.as("diedTime"))
+      .unionByName(docs.select(concat(lit("lang:"), $"lang").as("id"),
+        lit("concept").as("etype"), $"lang".as("name"), nullS.as("text"),
+        nullL.as("bornTime"), nullL.as("diedTime")).distinct())
+      .unionByName(docs.select(concat(lit("src:"), $"source").as("id"),
+        lit("set").as("etype"), $"source".as("name"), nullS.as("text"),
+        nullL.as("bornTime"), nullL.as("diedTime")).distinct())
+    val triples = docs.select(concat(lit("d"), $"doc_id").as("subject"),
+        lit("classification").as("predicate"),
+        concat(lit("lang:"), $"lang").as("object"))
+      .union(docs.select(concat(lit("d"), $"doc_id").as("subject"),
+        lit("memberOf").as("predicate"),
+        concat(lit("src:"), $"source").as("object")))
+    val compiler = new LuxCompiler(entities, triples, LuxSimilar.catalog)
+    Seq(0L, 30L, 60L).map { sid =>
+      val row = docs.filter($"doc_id" === sid)
+        .select($"text", $"lang", $"source").head() // fetch_record analog
+      val b = (1500L + sid * 7L % 520L).toInt
+      val seed = LuxSimilar.Seed(
+        classifications = Seq("lang:" + row.getString(1)),
+        texts = Seq(row.getString(0)),
+        born = Some(b),
+        died = Some(b + 40 + (sid % 25L).toInt),
+        memberOf = Seq("src:" + row.getString(2)))
+      compiler.compile(LuxSimilar.agentQueryString(seed).get)
+        .withColumn("seed_id", lit(sid))
+    }.reduce(_ unionByName _)
+  }
+  private val similarFullOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, lang, source,
+      |    1500 + (doc_id * 7) % 520 AS born,
+      |    1500 + (doc_id * 7) % 520 + 40 + doc_id % 25 AS died
+      |  FROM documents),
+      |seed_info AS (
+      |  SELECT CAST(seed_id AS BIGINT) AS seed_id, text, lang, source,
+      |    born, died,
+      |    CASE WHEN born > 1900 THEN 10 WHEN born > 1700 THEN 20
+      |      ELSE 35 END AS bd,
+      |    CASE WHEN died > 1900 THEN 10 WHEN died > 1700 THEN 20
+      |      ELSE 35 END AS dd
+      |  FROM (SELECT unnest([0,30,60]) AS seed_id) s
+      |  JOIN docs ON doc_id = seed_id),
+      |kw_counts AS (
+      |  SELECT seed_id, word, COUNT(*) AS cnt FROM (
+      |    SELECT seed_id, unnest(list_filter(
+      |      string_split_regex(lower(replace(replace(replace(
+      |        text, '-', ' '), '.', ' '), ',', ' ')), '\s+'),
+      |      w -> len(w) > 3 AND regexp_matches(w, '^[a-z]+$')
+      |        AND w NOT IN ('born','died'))) AS word
+      |    FROM seed_info)
+      |  GROUP BY 1, 2),
+      |kw_top AS (
+      |  SELECT seed_id, word FROM (
+      |    SELECT seed_id, word,
+      |      ROW_NUMBER() OVER (PARTITION BY seed_id
+      |        ORDER BY cnt DESC, word ASC) AS rk,
+      |      COUNT(*) OVER (PARTITION BY seed_id) AS n_words
+      |    FROM kw_counts)
+      |  WHERE rk <= 5 AND n_words > 5)
+      |SELECT 'd' || d.doc_id AS id, s.seed_id
+      |FROM seed_info s JOIN docs d
+      |  ON (d.lang = s.lang OR d.source = s.source
+      |      OR EXISTS (SELECT 1 FROM kw_top k
+      |                 WHERE k.seed_id = s.seed_id
+      |                   AND position(k.word IN lower(d.text)) > 0))
+      | AND d.born > s.born - s.bd AND d.born < s.born + s.bd
+      | AND d.died > s.died - s.dd AND d.died < s.died + s.dd""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("f1_make_datetime", makeDatetime, Some(makeDatetimeOracle)))
     Queries.register(QueryDef("r1_name_reconcile", nameReconcile, Some(nameReconcileOracle)))
     Queries.register(QueryDef("s6_change_classify", changeClassify, Some(changeClassifyOracle)))
     Queries.register(QueryDef("st4_upsert_merge", upsertMerge, Some(upsertMergeOracle)))
     Queries.register(QueryDef("q9_similar_docs", similarDocs, Some(similarDocsOracle)))
+    Queries.register(QueryDef("q9b_similar_full", similarFull, Some(similarFullOracle)))
   }
 }
