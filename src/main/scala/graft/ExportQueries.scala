@@ -207,7 +207,34 @@ object ExportQueries extends QueryGroup {
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** K1: the JSONL export sink proven through the real files — dump the
+    * documents table as sharded JSONL (`export_full_N` analog,
+    * `loader.py:29-86`), then re-ingest through Jsonl.load with
+    * skip-existing semantics (doc_id < 100 "already present", anti-
+    * joined away). The oracle reads the ORIGINAL parquet, so a
+    * hash-match proves the sink wrote every row and every field
+    * faithfully (JSON string escaping and integer width included), not
+    * just that a roundtrip spec passed on a toy frame.
+    *
+    * Scale: save is a straight sharded write; load is line-splittable
+    * JSON; skip-existing ships only the id column into the anti-join. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source", $"text", $"n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft_k1_")
+      .resolve("docs_jsonl").toString
+    sources.Jsonl.save(docs, out, shards = 3)
+    val existing = docs.filter($"doc_id" < 100).select($"doc_id")
+    sources.Jsonl.load(spark, out, "doc_id", Some(existing))
+      .select($"doc_id", $"lang", $"source", $"text", $"n_chars")
+  }
+  private val jsonlRoundtripOracle: String =
+    """SELECT doc_id, lang, source, text, n_chars
+      |FROM documents WHERE doc_id >= 100""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("k1_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle)))
     Queries.register(QueryDef("k2_nt_triples", ntTriples, Some(ntTriplesOracle), bench = true))
     Queries.register(QueryDef("m15_nt_walk", ntWalk, Some(ntWalkOracle)))
     Queries.register(QueryDef("f7_extract_names", extractNames, Some(extractNamesOracle)))

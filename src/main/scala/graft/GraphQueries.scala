@@ -140,11 +140,74 @@ object GraphQueries extends QueryGroup {
       |UNION ALL SELECT seed, node, 1 FROM d1
       |UNION ALL SELECT seed, node, 2 FROM d2""".stripMargin
 
+  /** J6: the reconcile fixpoint end-to-end — Reconcile.fixpoint driven
+    * by two data-backed reconcilers until the equivalence-edge set
+    * stops growing (`reconciler.py:34-125`: the URI/name passes plus
+    * the collector crawl, repeated until `issubset`):
+    *   crawl — every relationship edge whose subject already appears
+    *           in the current edge set (the collector pass);
+    *   name  — for part nodes in the set, an edge to the minimum
+    *           partkey sharing their lowercase name (the name pass).
+    * Seeded with customers 1-5 → their orders, the closure walks
+    * orders → parts → name-twins → suppliers → nations over several
+    * rounds. The oracle replays it as a recursive-CTE reachability:
+    * the final edge set is seed ∪ every graph edge whose source is
+    * forward-reachable from the seed nodes.
+    *
+    * Scale: each round is one distributed semi-join against the
+    * (bucketable) relationship table; per round ONE scalar (the edge
+    * count) reaches the driver — g1's convergence discipline. */
+  def reconcileFixpoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = LuxQueries.triples(spark, dir)
+      .select($"subject".as("src"), $"object".as("dst"))
+    val canon = Tables.load(spark, dir, "part")
+      .select($"p_partkey",
+        min($"p_partkey").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lower($"p_name")))
+          .as("m"))
+      .filter($"p_partkey" =!= $"m")
+      .select(concat(lit("p"), $"p_partkey").as("src"),
+        concat(lit("p"), $"m").as("dst"))
+    def nodes(edges: DataFrame) =
+      edges.select($"src".as("v")).union(edges.select($"dst".as("v"))).distinct()
+    val crawl = (edges: DataFrame) =>
+      rel.join(nodes(edges).withColumnRenamed("v", "src"), "src")
+    val namePass = (edges: DataFrame) =>
+      canon.join(nodes(edges).withColumnRenamed("v", "src"), "src")
+    val seed = Tables.load(spark, dir, "orders").filter($"o_custkey" <= 5)
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("o"), $"o_orderkey").as("dst"))
+    operators.Reconcile.fixpoint(seed, Seq(crawl, namePass))
+  }
+  private val reconcileFixpointOracle: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT 'o' || o_orderkey AS a, 'c' || o_custkey AS b FROM orders
+      |  UNION SELECT 'o' || l_orderkey, 'p' || l_partkey FROM lineitem
+      |  UNION SELECT 'p' || l_partkey, 's' || l_suppkey FROM lineitem
+      |  UNION SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer
+      |  UNION SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+      |  UNION SELECT 'p' || k, 'p' || m FROM (
+      |    SELECT p_partkey AS k,
+      |      MIN(p_partkey) OVER (PARTITION BY lower(p_name)) AS m
+      |    FROM part) WHERE k <> m),
+      |seed AS (
+      |  SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst
+      |  FROM orders WHERE o_custkey <= 5),
+      |nodes(v) AS (
+      |  SELECT src FROM seed UNION SELECT dst FROM seed
+      |  UNION SELECT g.b FROM g, nodes WHERE g.a = nodes.v)
+      |SELECT src, dst FROM seed
+      |UNION
+      |SELECT a, b FROM g WHERE a IN (SELECT v FROM nodes)""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("g1_connected_components", connectedComponents,
       Some(ccOracle), bench = true))
     Queries.register(QueryDef("g2_bfs_walk", bfsWalk, Some(bfsOracle)))
     Queries.register(QueryDef("j5_collect_filtered", collectFiltered,
       Some(collectFilteredOracle)))
+    Queries.register(QueryDef("j6_reconcile_fixpoint", reconcileFixpoint,
+      Some(reconcileFixpointOracle)))
   }
 }
