@@ -971,7 +971,160 @@ object MapperQueries extends QueryGroup {
       |    WHEN 4 THEN 'activity' ELSE NULL END AS snac_prop
       |FROM p""".stripMargin
 
+  final case class NomismaOut(id: Long, cls: String, ref_uri: String,
+      broader_prop: String, point: String, born_span: String,
+      members_csv: String, homepage: String)
+
+  /** M1n: the nomisma mapper exemplar (`authorities/nomisma/mapper.py`,
+    * the largest previously-uncovered per-source mapper) — first-match
+    * @type routing, the nm-split that passes non-nomisma URIs through
+    * whole, Place/Type-only broader routing, the `POINT ( lon lat )`
+    * spacing, gYear-gated events, membership-node indirection and the
+    * first-homepage-only rule. */
+  def nomismaAuth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.NomismaMap
+    val ns = "https://nomisma.example/"
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val types = (ck % 5) match {
+          case 0 => Seq("nmo:Mint")
+          case 1 => Seq("x:unknown", "foaf:Person") // 2nd entry routes
+          case 2 => Seq("nmo:Ethnic", "nmo:Material") // FIRST match wins
+          case 3 => Seq("nmo:TypeSeries")
+          case _ => Seq("x:unknown")
+        }
+        val cls = NomismaMap.route(types).getOrElse("unmapped")
+        val rawRef = if (ck % 2 == 0) s"nm:w${ck % 40}"
+          else s"http://ext.example/e${ck % 40}" // passes through whole
+        val point =
+          if (cls == "Place")
+            NomismaMap.pointWkt((ck % 90).toString, (ck % 180).toString)
+              .getOrElse("")
+          else ""
+        val born = ((ck % 3) match {
+          case 0 => NomismaMap.gYearSpan("xsd:gYear", (1900 + ck % 100).toString)
+          case 1 => NomismaMap.gYearSpan("xsd:date", "1950") // wrong type
+          case _ => NomismaMap.gYearSpan("xsd:gYear", "junk") // unparseable
+        }).map { case (b, e, d) => s"$b|$e|$d" }.getOrElse("")
+        val members = NomismaMap.memberships(ns,
+          hasMembership = Seq(s"mem${ck % 7}", "memX"), // memX unresolvable
+          membershipOrg = Map(s"mem${ck % 7}" -> s"nm:org${ck % 7}"),
+          memberOf = Seq(s"nm:g${ck % 5}"))
+        NomismaOut(ck, cls, NomismaMap.refUri(ns, rawRef),
+          NomismaMap.broaderProp(cls).getOrElse(""), point, born,
+          members.mkString(";"),
+          NomismaMap.homepage(
+            Seq(s"http://h${ck % 3}.example", "http://second.example"))
+            .getOrElse(""))
+      }.toDF()
+  }
+  private val nomismaAuthOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer),
+      |m AS (
+      |  SELECT ck,
+      |    CASE ck % 5 WHEN 0 THEN 'Place' WHEN 1 THEN 'Person'
+      |      WHEN 2 THEN 'Group' WHEN 3 THEN 'Type'
+      |      ELSE 'unmapped' END AS cls
+      |  FROM b)
+      |SELECT ck AS id, cls,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN 'https://nomisma.example/w' || (ck % 40) || '.jsonld'
+      |    ELSE 'https://nomisma.example/http://ext.example/e'
+      |      || (ck % 40) || '.jsonld' END AS ref_uri,
+      |  CASE cls WHEN 'Place' THEN 'part_of' WHEN 'Type' THEN 'broader'
+      |    ELSE '' END AS broader_prop,
+      |  CASE WHEN cls = 'Place'
+      |    THEN 'POINT ( ' || (ck % 180) || ' ' || (ck % 90) || ' )'
+      |    ELSE '' END AS point,
+      |  CASE ck % 3 WHEN 0 THEN
+      |    (1900 + ck % 100) || '-01-01T00:00:00|'
+      |      || (1900 + ck % 100) || '-12-31T23:59:59|' || (1900 + ck % 100)
+      |    ELSE '' END AS born_span,
+      |  'https://nomisma.example/org' || (ck % 7) || '.jsonld;'
+      |    || 'https://nomisma.example/g' || (ck % 5) || '.jsonld' AS members_csv,
+      |  'http://h' || (ck % 3) || '.example' AS homepage
+      |FROM m""".stripMargin
+
+  final case class BneOut(id: Long, cls: String, names_csv: String,
+      sames_csv: String, born: String, died: String, gender: String)
+
+  /** M1o: the BNE mapper exemplar (`libraries/bne/mapper.py`) — the
+    * inScheme-beats-@type routing, the rebuilt-per-prefLabel dupes
+    * guard, the move-to-end equivalent ordering, the two-element
+    * P5010 death fallback with its empty display quirk, the gender
+    * instance map and the test_birth_death lifespan clearing. */
+  def bneAuth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.BneMap
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val cls = ((ck % 5) match {
+          case 0 => BneMap.guessType("http://www.w3.org/2004/02/skos/core#Concept",
+            "https://datos.bne.es/def/geograficos") // scheme wins
+          case 1 => BneMap.guessType("http://www.w3.org/2004/02/skos/core#Concept", "")
+          case 2 => BneMap.guessType("https://datos.bne.es/def/C1005", "")
+          case 3 => BneMap.guessType("https://datos.bne.es/def/C1006", "")
+          case _ => BneMap.guessType("http://x.example/other", "")
+        }).getOrElse("unmapped")
+        val a = s"a${ck % 9}"; val b = s"b${ck % 9}"; val c = s"c${ck % 9}"
+        // guard ends as {b}: alt 'a' re-emits (earlier pref!), 'b' drops
+        val names = BneMap.labels(
+          prefs = Seq((a, "en"), (b, "xx")),
+          alts = Seq((a, None), (b, Some("es")), (c, Some("es")), (c, None)))
+        val sames = BneMap.personSames(
+          p5024 = Seq("u1", s"u${ck % 4}"),
+          sameAs = Seq(s"u${ck % 4}", "u9"),
+          seeAlso = Seq("u1"))
+        val (dob, dod) = (ck % 4) match {
+          case 0 => (Seq("1900"), Some("1980"))
+          case 1 => (Seq("1900", "1950"), None) // death from dob[1]
+          case 2 => (Seq("1800"), Some("1999")) // implausible: cleared
+          case _ => (Seq("junk"), None) // birth kept, bounds empty
+        }
+        val (b0, d0) = BneMap.personDates(dob, dod)
+        val (born, died) = BneMap.checkLifespan(b0, d0)
+        def fmt(e: Option[BneMap.EventSpan]) =
+          e.map(s => s"${s.begin}|${s.end}|${s.display}").getOrElse("")
+        val g = (ck % 4) match {
+          case 0 => BneMap.gender("Masculino")
+          case 1 => BneMap.gender("Femenino")
+          case 2 => BneMap.gender("")
+          case _ => BneMap.gender(s"Otro${ck % 3}")
+        }
+        BneOut(ck, cls,
+          names.map(n => s"${n.content}|${n.lang.getOrElse("")}").mkString(";"),
+          sames.mkString(";"), fmt(born), fmt(died), g.getOrElse(""))
+      }.toDF()
+  }
+  private val bneAuthOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 5 WHEN 0 THEN 'Place' WHEN 1 THEN 'Type'
+      |    WHEN 2 THEN 'Person' WHEN 3 THEN 'Group'
+      |    ELSE 'unmapped' END AS cls,
+      |  'a' || (ck % 9) || '|en;b' || (ck % 9) || '|;a' || (ck % 9)
+      |    || '|;c' || (ck % 9) || '|es' AS names_csv,
+      |  CASE WHEN ck % 4 = 1 THEN 'u9;u1'
+      |    ELSE 'u' || (ck % 4) || ';u9;u1' END AS sames_csv,
+      |  CASE ck % 4
+      |    WHEN 0 THEN '1900-01-01T00:00:00|1900-12-31T23:59:59|1900'
+      |    WHEN 1 THEN '1900-01-01T00:00:00|1900-12-31T23:59:59|[1900, 1950]'
+      |    WHEN 2 THEN ''
+      |    ELSE '||junk' END AS born,
+      |  CASE ck % 4
+      |    WHEN 0 THEN '1980-01-01T00:00:00|1980-12-31T23:59:59|1980'
+      |    WHEN 1 THEN '1950-01-01T00:00:00|1950-12-31T23:59:59|'
+      |    ELSE '' END AS died,
+      |  CASE ck % 4 WHEN 0 THEN 'male' WHEN 1 THEN 'female'
+      |    WHEN 2 THEN '' ELSE 'gender:Otro' || (ck % 3) END AS gender
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1n_nomisma", nomismaAuth, Some(nomismaAuthOracle)))
+    Queries.register(QueryDef("m1o_bne", bneAuth, Some(bneAuthOracle)))
     Queries.register(QueryDef("m1m_longtail", longTail, Some(longTailOracle)))
     Queries.register(QueryDef("m1l_bnf", bnfGraph, Some(bnfGraphOracle)))
     Queries.register(QueryDef("m1c_lc_names", lcNames, Some(lcNamesOracle)))
