@@ -194,7 +194,83 @@ object PatchQueries extends QueryGroup {
       |       ELSE days * 86400 + h * 3600 + mi * 60 + s END AS epoch
       |FROM e6 JOIN g USING (ck)""".stripMargin
 
+  /** F15: the Hebrew-calendar conversion on the query path
+    * (`mapper_utils.py:200-211` via DateLib's >4500 year gate) — molad
+    * elapsed-days, the four postponement rules, deficient/full year
+    * month lengths, civil-order month offsets and the RD→proleptic-
+    * Gregorian conversion, ALL replayed by the oracle as integer
+    * arithmetic (no calendar functions on either side). Years 5650-5849
+    * span leap and non-leap cycles; months Tishrei/Kislev/Nisan hit the
+    * zero-offset, deficient-year and full-civil-walk paths. */
+  def hebrewDates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long")).as[Long].map { ck =>
+        val hy = (5650 + ck % 200).toInt
+        val hm = (ck % 3) match { case 0 => 7; case 1 => 9; case _ => 1 }
+        val hd = (1 + ck % 28).toInt // <= 28: valid in every month
+        val s = f"$hy-$hm%02d-$hd%02d"
+        val r = DateLib.makeDatetime(s).get
+        (ck, s, r.begin, r.end)
+      }.toDF("id", "hdate", "begin", "end")
+  }
+  private val hebrewDatesOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer),
+      |h AS (SELECT ck, 5650 + ck % 200 AS hy,
+      |  CASE ck % 3 WHEN 0 THEN 7 WHEN 1 THEN 9 ELSE 1 END AS hm,
+      |  1 + ck % 28 AS hd FROM b),
+      |y2 AS (SELECT ck, hy, unnest([hy, hy + 1]) AS yy FROM h),
+      |e1 AS (SELECT *, 235*((yy-1)//19) + 12*((yy-1)%19)
+      |  + (7*((yy-1)%19)+1)//19 AS me FROM y2),
+      |e2 AS (SELECT *, 204 + 793*(me % 1080) AS pe FROM e1),
+      |e3 AS (SELECT *, 5 + 12*me + 793*(me//1080) + pe//1080 AS he FROM e2),
+      |e4 AS (SELECT *, 1 + 29*me + he//24 AS day,
+      |  (he % 24)*1080 + pe % 1080 AS parts FROM e3),
+      |e5 AS (SELECT *, day + CASE WHEN parts >= 19440
+      |    OR (day % 7 = 2 AND parts >= 9924 AND NOT ((7*yy+1) % 19 < 7))
+      |    OR (day % 7 = 1 AND parts >= 16789 AND ((7*(yy-1)+1) % 19 < 7))
+      |  THEN 1 ELSE 0 END AS pp FROM e4),
+      |e6 AS (SELECT ck, yy, hy,
+      |  pp + CASE WHEN pp % 7 IN (0, 3, 5) THEN 1 ELSE 0 END AS ed FROM e5),
+      |ee AS (SELECT ck, MAX(CASE WHEN yy = hy THEN ed END) AS ed_y,
+      |  MAX(CASE WHEN yy = hy + 1 THEN ed END) AS ed_y1
+      |  FROM e6 GROUP BY ck),
+      |f AS (SELECT h.ck, hy, hm, hd, ed_y, ed_y1 - ed_y AS ylen,
+      |  ((7*hy+1) % 19 < 7) AS leap FROM h JOIN ee ON h.ck = ee.ck),
+      |g AS (SELECT *, CASE WHEN ylen % 10 = 5 THEN 30 ELSE 29 END AS hesh,
+      |  CASE WHEN ylen % 10 = 3 THEN 29 ELSE 30 END AS kis FROM f),
+      |o AS (SELECT *, CASE hm WHEN 7 THEN 0 WHEN 9 THEN 30 + hesh
+      |  ELSE 30 + hesh + kis + 29 + 30
+      |    + (CASE WHEN leap THEN 30 ELSE 29 END)
+      |    + (CASE WHEN leap THEN 29 ELSE 0 END) END AS off FROM g),
+      |r AS (SELECT ck, hy, hm, hd,
+      |  ed_y - 1373428 + off + (hd - 1) AS rd FROM o),
+      |g2 AS (SELECT *, (rd-1)//146097 AS n400, (rd-1)%146097 AS d1 FROM r),
+      |g3 AS (SELECT *, d1//36524 AS n100, d1%36524 AS d2 FROM g2),
+      |g4 AS (SELECT *, d2//1461 AS n4, d2%1461 AS d3 FROM g3),
+      |g5 AS (SELECT *, d3//365 AS n1 FROM g4),
+      |g6 AS (SELECT *, 400*n400 + 100*n100 + 4*n4 + n1
+      |  + CASE WHEN n100 = 4 OR n1 = 4 THEN 0 ELSE 1 END AS gy FROM g5),
+      |g7 AS (SELECT *,
+      |  rd - (365*(gy-1) + (gy-1)//4 - (gy-1)//100 + (gy-1)//400 + 1) AS doy,
+      |  CASE WHEN (gy % 4 = 0 AND gy % 100 <> 0) OR gy % 400 = 0
+      |    THEN 1 ELSE 0 END AS la FROM g6),
+      |g8 AS (SELECT *, [0, 31, 59+la, 90+la, 120+la, 151+la, 181+la,
+      |  212+la, 243+la, 273+la, 304+la, 334+la] AS bef FROM g7),
+      |g9 AS (SELECT *, len(list_filter(bef, x -> x <= doy)) AS gm FROM g8),
+      |g10 AS (SELECT ck, hy, hm, hd, gy, gm,
+      |  doy - bef[CAST(gm AS INT)] + 1 AS gd FROM g9)
+      |SELECT ck AS id,
+      |  hy || '-' || lpad(CAST(hm AS VARCHAR), 2, '0') || '-'
+      |    || lpad(CAST(hd AS VARCHAR), 2, '0') AS hdate,
+      |  gy || '-' || lpad(CAST(gm AS VARCHAR), 2, '0') || '-'
+      |    || lpad(CAST(gd AS VARCHAR), 2, '0') || 'T00:00:00' AS begin,
+      |  gy || '-' || lpad(CAST(gm AS VARCHAR), 2, '0') || '-'
+      |    || lpad(CAST(gd AS VARCHAR), 2, '0') || 'T23:59:59' AS "end"
+      |FROM g10""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("f15_hebrew_dates", hebrewDates, Some(hebrewDatesOracle)))
     Queries.register(QueryDef("f5f12_bce_epoch", bceEpoch, Some(bceEpochOracle)))
     Queries.register(QueryDef("m9_patch_records", patchRecords, Some(patchRecordsOracle)))
     Queries.register(QueryDef("m10_reclass", reclass, Some(reclassOracle)))
