@@ -1122,7 +1122,136 @@ object MapperQueries extends QueryGroup {
       |    WHEN 2 THEN '' ELSE 'gender:Otro' || (ck % 3) END AS gender
       |FROM b""".stripMargin
 
+  final case class SmallOut(id: Long, ashmol_csv: String, homo_csv: String,
+      gbif_names: String, gbif_lang: String, gbif_rank: String,
+      gbif_altid: String, wm_uri: String, wm_credit: String,
+      ror_names: String, ror_formed: String, ror_eq: String,
+      ror_parents: String)
+
+  /** M1p: the five remaining long-tail mappers in one pass — ashmol's
+    * Collection-Item append, homosaurus' asymmetric exact/close dedupe,
+    * gbif's name fallback chain + 639-2 language routing + alt-id
+    * source gating, wikimedia's license/extension gates and credit-line
+    * assembly, ror's names normalization (absent-key vs empty-list),
+    * role election, unpadded established year, known-type externals and
+    * parent relationships. Closes per-source exemplar coverage. */
+  def smallSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.SmallSources._
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val k3 = ck % 3; val k9 = ck % 9
+        val ashmol = ashmolClasses(
+          if (ck % 2 == 0) "HumanMadeObject" else "Person",
+          Seq(s"c${ck % 4}"))
+        val homo = homosaurusSames(
+          exact = Seq(s"e$k3", s"e$k3"), // duplicate survives
+          close = Seq(s"e$k3", s"x${ck % 5}"))
+        val gnames = (ck % 4) match {
+          case 0 => gbifNames(s"can$k9", s"ver$k9", s"sci$k9", s"rk$k9")
+          case 1 => gbifNames("", s"ver$k9", s"sci$k9", s"rk$k9")
+          case 2 => gbifNames("", "", s"sci$k9", s"rk$k9")
+          case _ => gbifNames("", "", "", s"rk$k9")
+        }
+        val glang = (ck % 5) match {
+          case 0 => gbifLang("eng")
+          case 1 => gbifLang("fre")
+          case 2 => gbifLang("xyz") // unknown 3-letter: None, not itself
+          case 3 => gbifLang("es")
+          case _ => gbifLang("por") // maps to pt, then gated out
+        }
+        val grank = gbifRankTypes.getOrElse(
+          k3 match { case 0 => "genus"; case 1 => "species"; case _ => "variety" },
+          "")
+        val galtid = gbifAltidRoute(
+          if (ck % 2 == 0) "Catalogue of Life Checklist" else s"Src$k3")
+        val wm = (ck % 4) match {
+          case 0 => wmImage("cc0", s"File:Img${ck % 7}.JPG")
+          case 1 => wmImage("bad-lic", "File:A.jpg")
+          case 2 => wmImage("pd", s"File:Doc${ck % 7}.pdf")
+          case _ => wmImage("cc-by-4.0", s"Img${ck % 7}.png")
+        }
+        val credit = wmCredit(
+          wmClean(s"<b>Name ${ck % 5}</b>\nrest"), "T.jpg",
+          artist = if (ck % 2 == 0) s"Art$k3" else "",
+          credit = if (k3 == 0) "Cred" else "",
+          licUrl = if (ck % 2 == 0) "http://lic.example/x" else "",
+          licShort = "CC0", licName = "Public Domain")
+        val rnames = ((ck % 3) match {
+          case 0 => rorNames(Some(s"N${ck % 6}"), None,
+            Seq((s"L${ck % 6}", Some("fr"))))
+          case 1 => rorNames(Some("ignored"), Some(Seq(
+            RorName(s"D${ck % 6}", Seq("ror_display", "label"), Some("xx")),
+            RorName(s"A${ck % 6}", Seq("alias"), None))), Nil)
+          case _ => rorNames(Some("blocked"), Some(Nil),
+            Seq((s"L${ck % 6}", None))) // empty PRESENT list blocks name
+        }).map { case (v, r, l) => s"$v|$r|${l.getOrElse("")}" }
+        val formed = rorEstablished(
+          if (ck % 2 == 0) Some((850 + ck % 1200).toInt) else None)
+          .map { case (b, e, d) => s"$b|$e|$d" }.getOrElse("")
+        val eqs = rorExternal(Seq(
+          ("ISNI", Seq(s"i${ck % 4}")), ("GRID", Seq("g1")),
+          ("Wikidata", Seq(s"Q${ck % 90}"))))
+        val parents = rorParents(Seq(
+          ("Parent", s"p${ck % 5}"), ("child", "c1"), ("PARENT", "p9")))
+        SmallOut(ck, ashmol.mkString(";"), homo.mkString(";"),
+          gnames.mkString(";"), glang.getOrElse(""), grank,
+          s"${galtid._1}|${galtid._2}",
+          wm.map(_._2).getOrElse(""), credit,
+          rnames.mkString(";"), formed, eqs.mkString(";"),
+          parents.mkString(";"))
+      }.toDF()
+  }
+  private val smallSourcesOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN 'c' || (ck % 4) || ';http://vocab.getty.edu/aat/300404024'
+      |    ELSE 'c' || (ck % 4) END AS ashmol_csv,
+      |  'e' || (ck % 3) || ';e' || (ck % 3) || ';x' || (ck % 5) AS homo_csv,
+      |  CASE ck % 4
+      |    WHEN 0 THEN 'can' || (ck % 9) || ';ver' || (ck % 9)
+      |    WHEN 1 THEN 'ver' || (ck % 9)
+      |    WHEN 2 THEN 'sci' || (ck % 9)
+      |    ELSE 'rk' || (ck % 9) END AS gbif_names,
+      |  CASE ck % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 3 THEN 'es'
+      |    ELSE '' END AS gbif_lang,
+      |  CASE ck % 3
+      |    WHEN 0 THEN 'http://www.wikidata.org/entity/Q34740'
+      |    WHEN 1 THEN 'http://www.wikidata.org/entity/Q7432'
+      |    ELSE '' END AS gbif_rank,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN 'classified_as|http://www.wikidata.org/entity/Q38840'
+      |    ELSE 'assigned_by|Src' || (ck % 3) END AS gbif_altid,
+      |  CASE ck % 4
+      |    WHEN 0 THEN 'https://commons.wikimedia.org/wiki/Special:Filepath/Img'
+      |      || (ck % 7) || '.JPG'
+      |    WHEN 3 THEN 'https://commons.wikimedia.org/wiki/Special:Filepath/Img'
+      |      || (ck % 7) || '.png'
+      |    ELSE '' END AS wm_uri,
+      |  '<span>Name ' || (ck % 5) || ' rest'
+      |    || CASE WHEN ck % 2 = 0 THEN ' by Art' || (ck % 3) ELSE '' END
+      |    || CASE WHEN ck % 3 = 0 THEN ' Cred' ELSE '' END
+      |    || ', '
+      |    || CASE WHEN ck % 2 = 0
+      |         THEN '<a href="http://lic.example/x">CC0</a>'
+      |         ELSE 'Public Domain' END
+      |    || '</span>' AS wm_credit,
+      |  CASE ck % 3
+      |    WHEN 0 THEN 'N' || (ck % 6) || '|primary|;L' || (ck % 6) || '|name|fr'
+      |    WHEN 1 THEN 'D' || (ck % 6) || '|primary|'
+      |    ELSE 'L' || (ck % 6) || '|name|' END AS ror_names,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN (850 + ck % 1200) || '-01-01T00:00:00|'
+      |      || (850 + ck % 1200) || '-12-31T23:59:59|' || (850 + ck % 1200)
+      |    ELSE '' END AS ror_formed,
+      |  'isnii' || (ck % 4) || ';wdQ' || (ck % 90) AS ror_eq,
+      |  'p' || (ck % 5) || ';p9' AS ror_parents
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1p_small_sources", smallSources, Some(smallSourcesOracle)))
     Queries.register(QueryDef("m1n_nomisma", nomismaAuth, Some(nomismaAuthOracle)))
     Queries.register(QueryDef("m1o_bne", bneAuth, Some(bneAuthOracle)))
     Queries.register(QueryDef("m1m_longtail", longTail, Some(longTailOracle)))
