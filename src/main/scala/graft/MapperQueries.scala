@@ -1250,7 +1250,121 @@ object MapperQueries extends QueryGroup {
       |  'p' || (ck % 5) || ';p9' AS ror_parents
       |FROM b""".stripMargin
 
+  final case class YaleOut(id: Long, ypm_species: String, ypm_names: String,
+      ypm_defined: String, ypm_item_csv: String, yuag_item_csv: String,
+      yuag_type: String, yuag_names: String, yuag_ts: String,
+      yuag_keep_part: Boolean, yuag_cobs: String, yuag_places: String,
+      pmc_member: String, pmc_part: String, pmc_classes: String,
+      pmc_notes: String)
+
+  /** M1q: the Yale unit mappers (ypm/yuag/pmc — ipch and arches are
+    * identity transforms) — species empty-id fill, the no-locality
+    * primary swap with its order-sensitive scan, the POLYGON/POINT
+    * defined_by gate, both Collection-Item gate variants, the
+    * Group→Person retype, identified_by repair, Activity timespan
+    * hoist + the /agt/ took_place_at split, the part_of→member_of
+    * rename, archive-set class drop and internal-note purge. */
+  def yaleQuirks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.YaleQuirks
+    import graft.pipeline.YaleQuirks.YpmName
+    val Primary = "http://vocab.getty.edu/aat/300404670"
+    val Arch = "http://vocab.getty.edu/aat/300375748"
+    val Coll = "http://vocab.getty.edu/aat/300025976"
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val species = YaleQuirks.ypmSpeciesFill(
+          if (ck % 2 == 0) "Type" else "Place",
+          Seq(("", "Species"), ("x", "Other")))
+          .map { case (i, l) => s"$i|$l" }.mkString(";")
+        val swapped = YaleQuirks.ypmNoLocalitySwap("Place", (ck % 3) match {
+          case 0 => Seq(YpmName("[No Locality Data]", Seq(Primary)),
+            YpmName(s"Real${ck % 5}", Seq("c")))
+          case 1 => Seq(YpmName(s"Real${ck % 5}", Seq("c")), // alt first: no swap
+            YpmName("[no locality data]", Seq(Primary)))
+          case _ => Seq(YpmName("[no locality data]", Seq("other")), // not primary
+            YpmName(s"Real${ck % 5}", Seq("c")))
+        }).map(_.content).mkString(";")
+        val defined = ((ck % 3) match {
+          case 0 => YaleQuirks.ypmDefinedBy("  POLYGON ((0 0))")
+          case 1 => YaleQuirks.ypmDefinedBy("POINT (1 2)")
+          case _ => YaleQuirks.ypmDefinedBy("LINESTRING (0 0)")
+        }).getOrElse("")
+        val rtype = if (ck % 2 == 0) "HumanMadeObject" else "Type"
+        val idCxns = if (ck % 3 == 0)
+          Seq("http://vocab.getty.edu/aat/300312355") else Seq("x")
+        val ypmItem = YaleQuirks.collectionItem(rtype, idCxns,
+          Seq(s"c${ck % 4}"), yuag = false).mkString(";")
+        val yuagItem = YaleQuirks.collectionItem(rtype, idCxns,
+          Seq(s"c${ck % 4}"), yuag = true).mkString(";")
+        val yuagType = YaleQuirks.yuagRetype(
+          if (ck % 2 == 0) "Group" else "Person", ck % 3 == 0)
+        val yuagNames = YaleQuirks.yuagNames(Seq(
+          ("Primary Name", Some(Right(s"N${ck % 7}"))),
+          ("Identifier", Some(Left(ck % 100))),
+          ("Name", None))) // content-less: killed
+          .map { case (t, c, p) => s"$t|$c|$p" }.mkString(";")
+        val (ts, keep) = (ck % 2) match {
+          case 0 => YaleQuirks.yuagActivityTimespan(None, Some(s"TS${ck % 9}"))
+          case _ => YaleQuirks.yuagActivityTimespan(Some(s"TS${ck % 9}"), Some("X"))
+        }
+        val (cobs, places) = YaleQuirks.yuagActivityPlaces(Seq(
+          s"http://y/agt/${ck % 5}", s"http://y/plc/${ck % 5}", ""))
+        val pmcType = if (ck % 2 == 0) "Group" else "Set"
+        val (member, part) = YaleQuirks.pmcGroupPartOf(pmcType, Seq(s"po${ck % 4}"))
+        val pmcClasses = YaleQuirks.pmcSetClasses(pmcType,
+          if (ck % 4 < 2) Seq(Arch, Coll, s"o${ck % 3}")
+          else Seq(Coll, s"o${ck % 3}")).mkString(";")
+        val pmcNotes = YaleQuirks.pmcNotes(Seq(
+          (s"keep${ck % 6}", Seq("x")),
+          ("kill", Seq("http://vocab.getty.edu/aat/300055863")),
+          ("keep2", Nil))).mkString(";")
+        YaleOut(ck, species, swapped, defined, ypmItem, yuagItem,
+          yuagType, yuagNames, ts.getOrElse(""), keep,
+          cobs.mkString(";"), places.mkString(";"),
+          member.mkString(";"), part.mkString(";"), pmcClasses, pmcNotes)
+      }.toDF()
+  }
+  private val yaleQuirksOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN 'https://www.wikidata.org/entity/Q7432|Species;x|Other'
+      |    ELSE '|Species;x|Other' END AS ypm_species,
+      |  CASE ck % 3
+      |    WHEN 0 THEN 'Real' || (ck % 5)
+      |    WHEN 1 THEN 'Real' || (ck % 5) || ';[no locality data]'
+      |    ELSE '[no locality data];Real' || (ck % 5) END AS ypm_names,
+      |  CASE ck % 3 WHEN 0 THEN 'POLYGON ((0 0))'
+      |    WHEN 1 THEN 'POINT (1 2)' ELSE '' END AS ypm_defined,
+      |  CASE WHEN ck % 2 = 0 AND ck % 3 = 0
+      |    THEN 'c' || (ck % 4) || ';http://vocab.getty.edu/aat/300404024'
+      |    ELSE 'c' || (ck % 4) END AS ypm_item_csv,
+      |  CASE WHEN ck % 3 = 0
+      |    THEN 'c' || (ck % 4) || ';http://vocab.getty.edu/aat/300404024'
+      |    ELSE 'c' || (ck % 4) END AS yuag_item_csv,
+      |  CASE WHEN ck % 2 = 0 AND ck % 3 = 0 THEN 'Person'
+      |    WHEN ck % 2 = 0 THEN 'Group' ELSE 'Person' END AS yuag_type,
+      |  'Name|N' || (ck % 7) || '|true;Identifier|' || (ck % 100)
+      |    || '|false' AS yuag_names,
+      |  'TS' || (ck % 9) AS yuag_ts,
+      |  (ck % 2 = 1) AS yuag_keep_part,
+      |  'http://y/agt/' || (ck % 5) AS yuag_cobs,
+      |  'http://y/plc/' || (ck % 5) || ';' AS yuag_places,
+      |  CASE WHEN ck % 2 = 0 THEN 'po' || (ck % 4) ELSE '' END AS pmc_member,
+      |  CASE WHEN ck % 2 = 1 THEN 'po' || (ck % 4) ELSE '' END AS pmc_part,
+      |  CASE ck % 4
+      |    WHEN 0 THEN 'http://vocab.getty.edu/aat/300375748;'
+      |      || 'http://vocab.getty.edu/aat/300025976;o' || (ck % 3)
+      |    WHEN 1 THEN 'http://vocab.getty.edu/aat/300375748;o' || (ck % 3)
+      |    ELSE 'http://vocab.getty.edu/aat/300025976;o' || (ck % 3)
+      |  END AS pmc_classes,
+      |  'keep' || (ck % 6) || ';keep2' AS pmc_notes
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1q_yale_quirks", yaleQuirks, Some(yaleQuirksOracle)))
     Queries.register(QueryDef("m1p_small_sources", smallSources, Some(smallSourcesOracle)))
     Queries.register(QueryDef("m1n_nomisma", nomismaAuth, Some(nomismaAuthOracle)))
     Queries.register(QueryDef("m1o_bne", bneAuth, Some(bneAuthOracle)))
