@@ -153,6 +153,22 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.length == n, "every document must receive a cluster decision")
   }
 
+  test("similar-full compiles to hash joins only (no cartesian product)") {
+    val p = planOf("q9b_similar_full")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in plan:\n$p")
+  }
+
+  test("reconcile fixpoint rounds stay join-shaped (no cartesian)") {
+    val p = planOf("j6_reconcile_fixpoint")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("jsonl roundtrip anti-joins the existing ids (skip-existing)") {
+    val p = planOf("k1_jsonl_roundtrip")
+    assert(p.contains("LeftAnti"), s"skip-existing not an anti-join:\n$p")
+  }
+
   test("substrate eviction unpersists and the cache rebuilds lazily") {
     val (e1, _) = LuxQueries.substrate(spark, TestSpark.sf)
     val (e2, _) = LuxQueries.substrate(spark, TestSpark.sf)
