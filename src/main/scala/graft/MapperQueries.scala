@@ -1363,7 +1363,157 @@ object MapperQueries extends QueryGroup {
       |  'keep' || (ck % 6) || ';keep2' AS pmc_notes
       |FROM b""".stripMargin
 
+  final case class DnbOut(id: Long, cls: String, lds_cls: String,
+      takes_broader: Boolean, death: String, activity: String,
+      keep_home: Boolean, depiction: String, gender: String,
+      macs: String, lds_id: String, pname: String)
+
+  /** M1r: the DNB/GND mapper exemplar (`libraries/dnb/mapper.py`,
+    * 528 LoC — previously only its loader was covered) — entity-graph
+    * and sachbegriff type guessing, the two-digit century completion,
+    * the periodOfActivity dash gates, homepage self-link skip,
+    * depiction URL repair, male/female-only gender, the macs.nt
+    * closeMatch sidecar parse, /about record election and the
+    * string-only preferredName. */
+  def dnbAuth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.DnbMap
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val cls = ((ck % 6) match {
+          case 0 => DnbMap.guessType("person")
+          case 1 => DnbMap.guessType("organisation")
+          case 2 => DnbMap.guessType("family")
+          case 3 => DnbMap.guessType("place")
+          case 4 => DnbMap.guessType("event")
+          case _ => DnbMap.guessType("work")
+        }).map { case (c, sub) => s"$c|$sub" }.getOrElse("")
+        val ldsCls = ((ck % 4) match {
+          case 0 => DnbMap.guessLdsType(Seq("gnd#SubjectHeadingSensoStricto"))
+          case 1 => DnbMap.guessLdsType(Seq("gnd#Language"))
+          case 2 => DnbMap.guessLdsType(Seq("gnd#Unknown", "gnd#EthnographicName"))
+          case _ => DnbMap.guessLdsType(Seq("gnd#Nothing"))
+        }).getOrElse("")
+        val dob = (1800 + ck % 100).toString
+        val death = (ck % 3) match {
+          case 0 => DnbMap.centuryComplete(dob, "99")
+          case 1 => DnbMap.centuryComplete(dob, "1920")
+          case _ => DnbMap.centuryComplete(dob, "")
+        }
+        val activity = ((ck % 4) match {
+          case 0 => DnbMap.activityRange(s"${1700 + ck % 50}-${1760 + ck % 40}")
+          case 1 => DnbMap.activityRange("-500") // leading minus: no gate
+          case 2 => DnbMap.activityRange("1800-1850-1900") // multi-dash aborts
+          case _ => DnbMap.activityRange("1800")
+        }).map { case (b, e) => s"$b|$e" }.getOrElse("")
+        val keep = DnbMap.keepHomepage(s"https://d-nb.info/gnd/${ck % 90}",
+          if (ck % 2 == 0) s"http://site.example/page/${ck % 90}"
+          else "http://site.example/other")
+        val gender = ((ck % 3) match {
+          case 0 => DnbMap.gender("https://d-nb.info/standards/vocab/gnd/gender#male")
+          case 1 => DnbMap.gender("https://d-nb.info/standards/vocab/gnd/gender#female")
+          case _ => DnbMap.gender("https://other.example/gender#x")
+        }).getOrElse("")
+        val macs = (if (ck % 2 == 0)
+          DnbMap.macsLine(s"<https://d-nb.info/gnd/${ck % 50}-2> " +
+            "<http://www.w3.org/2004/02/skos/core#closeMatch> " +
+            s"<http://id.loc.gov/authorities/subjects/sh${ck % 99}> .")
+        else DnbMap.macsLine("<https://other.example/x> <p> <o> ."))
+          .map { case (g, t) => s"$g|$t" }.getOrElse("")
+        val ldsId = DnbMap.ldsElect(Seq(
+          s"https://d-nb.info/gnd/${ck % 40}/about",
+          s"https://d-nb.info/gnd/${ck % 40}", "x")).getOrElse("")
+        val pname = DnbMap.preferredName(
+          if (ck % 2 == 0) Right(s"Nm${ck % 8}") else Left(Seq("a", "b")))
+          .getOrElse("")
+        DnbOut(ck, cls, ldsCls, DnbMap.takesBroader(ldsCls), death, activity,
+          keep, DnbMap.depictionUri(s"http://img.example/a b%20c${ck % 5}.jpg"),
+          gender, macs, ldsId, pname)
+      }.toDF()
+  }
+  private val dnbAuthOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE ck % 6 WHEN 0 THEN 'Person|' WHEN 1 THEN 'Group|Organization'
+      |    WHEN 2 THEN 'Group|Family' WHEN 3 THEN 'Place|'
+      |    WHEN 4 THEN 'Event|' ELSE '' END AS cls,
+      |  CASE ck % 4 WHEN 0 THEN 'Type' WHEN 1 THEN 'Language'
+      |    WHEN 2 THEN 'Group' ELSE '' END AS lds_cls,
+      |  (ck % 4 IN (0, 1)) AS takes_broader,
+      |  CASE ck % 3 WHEN 0 THEN '1899' WHEN 1 THEN '1920'
+      |    ELSE '' END AS death,
+      |  CASE ck % 4 WHEN 0 THEN
+      |    (1700 + ck % 50) || '-01-01T00:00:00|'
+      |      || (1760 + ck % 40) || '-12-31T23:59:59'
+      |    ELSE '' END AS activity,
+      |  (ck % 2 = 1) AS keep_home,
+      |  'http://img.example/a_b_c' || (ck % 5) || '.jpg' AS depiction,
+      |  CASE ck % 3 WHEN 0 THEN 'male' WHEN 1 THEN 'female'
+      |    ELSE '' END AS gender,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN (ck % 50) || '-2|http://id.loc.gov/authorities/subjects/sh'
+      |      || (ck % 99)
+      |    ELSE '' END AS macs,
+      |  'https://d-nb.info/gnd/' || (ck % 40) AS lds_id,
+      |  CASE WHEN ck % 2 = 0 THEN 'Nm' || (ck % 8) ELSE '' END AS pname
+      |FROM b""".stripMargin
+
+  final case class JapanOut(id: Long, names_csv: String, rename: String,
+      bio_csv: String)
+
+  /** M1s: the NDL (japan) mapper's name assembly and person biography
+    * (`libraries/japan/mapper.py` — guess_type already in LongTail):
+    * pref transcriptions emit BEFORE the preferred literal,
+    * transcription values are dupes-guarded but never added (repeats
+    * re-emit), alt literals guard AND add (the empty string too),
+    * languages take the @language primary subtag through the
+    * process_langs gate, primaryTopic.name lands as a guarded
+    * alternate, and previous/later company names classify with the
+    * wikidata rename entities. */
+  def japanLib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.JapanMap
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val k7 = ck % 7; val k5 = ck % 5
+        val preflbl = if (ck % 2 == 0) s"P$k7" else "" // odd: fallback
+        val names = JapanMap.names(
+          prefLiteral = preflbl, labelFallback = s"FB$k7",
+          prefTxns = Seq(
+            (if (ck % 2 == 0) s"P$k7" else s"FB$k7", "ja"), // == preflbl: skip
+            (s"T$k7", "ja-Latn"),
+            (s"T$k7", "en-GB")), // repeat re-emits: never added to dupes
+          alts = Seq(
+            (s"A$k5", Seq((s"V$k5", "zz-x"))), // zz unmapped: lang dropped
+            (s"A$k5", Nil), // second literal: guarded away
+            ("", Seq((if (ck % 2 == 0) s"P$k7" else s"FB$k7", "de")))),
+          topicName = s"TN$k5")
+          .map(n => s"${n.content}|${n.lang.getOrElse("")}|${n.primary}")
+          .mkString(";")
+        val rename = JapanMap.renameClass(later = ck % 2 == 1)
+        val bio = JapanMap.personBio(Seq(s"F${ck % 4}"), Seq(s"B${ck % 4}"))
+          .map { case (c, l) => s"$c|$l" }.mkString(";")
+        JapanOut(ck, names, rename, bio)
+      }.toDF()
+  }
+  private val japanLibOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer),
+      |p AS (SELECT ck, CASE WHEN ck % 2 = 0 THEN 'P' || (ck % 7)
+      |  ELSE 'FB' || (ck % 7) END AS preflbl FROM b)
+      |SELECT ck AS id,
+      |  'T' || (ck % 7) || '|ja|true;T' || (ck % 7) || '|en|true;'
+      |    || preflbl || '||true;A' || (ck % 5) || '||false;V' || (ck % 5)
+      |    || '||false;TN' || (ck % 5) || '||false' AS names_csv,
+      |  CASE WHEN ck % 2 = 1 THEN 'http://www.wikidata.org/entity/Q79030284'
+      |    ELSE 'http://www.wikidata.org/entity/Q79030196' END AS rename,
+      |  'F' || (ck % 4) || '|ja;B' || (ck % 4) || '|' AS bio_csv
+      |FROM p""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1r_dnb", dnbAuth, Some(dnbAuthOracle)))
+    Queries.register(QueryDef("m1s_japan", japanLib, Some(japanLibOracle)))
     Queries.register(QueryDef("m1q_yale_quirks", yaleQuirks, Some(yaleQuirksOracle)))
     Queries.register(QueryDef("m1p_small_sources", smallSources, Some(smallSourcesOracle)))
     Queries.register(QueryDef("m1n_nomisma", nomismaAuth, Some(nomismaAuthOracle)))
