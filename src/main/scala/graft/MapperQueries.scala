@@ -1511,7 +1511,99 @@ object MapperQueries extends QueryGroup {
       |  'F' || (ck % 4) || '|ja;B' || (ck % 4) || '|' AS bio_csv
       |FROM p""".stripMargin
 
+  final case class WofOut(id: Long, rdp: String, fixid: String,
+      name_lang: String, concord_csv: String, parent: Long,
+      bbox_kind: String, point: String, tiny: Boolean)
+
+  /** M1t: the WOF mapper exemplar (`general/wof/mapper.py`, 266 LoC —
+    * previously only its sqlite loader was covered) — the
+    * Ramer-Douglas-Peucker keep/drop decision (oracle-replayable on a
+    * spike ring: residual h² against dist²), fix_identifier,
+    * name:LLL language routing, concordance equivalents, hierarchy
+    * parent election, the bbox point/broken gates, the lbl→geom point
+    * fallback with the reference's POINT spacing, and the tiny-area
+    * rejection. The adaptive factor loop and the degenerate-ring
+    * EDIVZERO escape are spec-covered (`WofMapSpec`). */
+  def wofMapper(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.WofMap
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val h = (ck % 3).toDouble
+        // spike residual is exactly h²; dist²=1.21 → kept only when h=2
+        val rdp = WofMap.ramerdouglas(
+          Seq((0.0, 0.0), (2.0, h), (4.0, 0.0)), 1.1)
+          .map(p => s"${p._1.toLong},${p._2.toLong}").mkString(";")
+        val fixid = (ck % 3) match {
+          case 0 => WofMap.fixIdentifier("102/051/581/102051581.geojson")
+          case 1 => WofMap.fixIdentifier(s"${ck % 900}.geojson")
+          case _ => WofMap.fixIdentifier(s"plain${ck % 900}")
+        }
+        val nameLang = ((ck % 4) match {
+          case 0 => WofMap.nameLang("name:eng_x_preferred")
+          case 1 => WofMap.nameLang("name:fra_x_preferred")
+          case 2 => WofMap.nameLang("name:por_x_preferred") // pt: gated out
+          case _ => WofMap.nameLang("wof:name")
+        }).getOrElse("")
+        val concords = WofMap.concordances(
+          wd = if (ck % 2 == 0) Some(s"Q${ck % 90}") else None,
+          gn = Some((ck % 500).toString),
+          loc = None,
+          tgn = if (ck % 3 == 0) Some((ck % 70).toString) else None)
+        val parent = ((ck % 4) match {
+          case 0 => WofMap.hierarchyParent(ck % 50 + 1, "locality", Nil)
+          case 1 => WofMap.hierarchyParent(-1, "region", Seq(
+            Map("county_id" -> 1L), // wrong key: skipped
+            Map("macroregion_id" -> ck % 100),
+            Map("macroregion_id" -> 999L))) // first hit wins
+          case 2 => WofMap.hierarchyParent(-1, "continent", Nil) // idx 0
+          case _ => WofMap.hierarchyParent(-1, "campus", Nil) // unknown
+        }).getOrElse(-1L)
+        val bboxKind = (ck % 3) match {
+          case 0 => if (WofMap.bboxIsPoint(Seq(1, 2, 1, 2))) "point" else "?"
+          case 1 => if (WofMap.bboxRing(Seq(1, 2, 1, 5)).isEmpty) "broken" else "?"
+          case _ => if (WofMap.bboxRing(Seq(1, 2, 3, 5)).isDefined) "ring" else "?"
+        }
+        val pt = WofMap.pointFallback(
+          lbl = if (ck % 2 == 0)
+            Some((s"${ck % 180}.5", s"${ck % 90}.25")) else None,
+          geom = Some(((ck % 180).toString, (ck % 90).toString)))
+        val tiny = WofMap.tinyPolygon(Seq(
+          (0.0, 0.0), ((ck % 5).toDouble, 0.0),
+          ((ck % 5).toDouble, (ck % 5).toDouble)))
+        WofOut(ck, rdp, fixid, nameLang, concords.mkString(";"), parent,
+          bboxKind, WofMap.pointWkt(pt.get), tiny)
+      }.toDF()
+  }
+  private val wofMapperOracle: String =
+    """WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer)
+      |SELECT ck AS id,
+      |  CASE WHEN ck % 3 = 2 THEN '0,0;2,2;4,0' ELSE '0,0;4,0' END AS rdp,
+      |  CASE ck % 3 WHEN 0 THEN '102051581'
+      |    WHEN 1 THEN CAST(ck % 900 AS VARCHAR)
+      |    ELSE 'plain' || (ck % 900) END AS fixid,
+      |  CASE ck % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+      |    ELSE '' END AS name_lang,
+      |  CASE WHEN ck % 2 = 0 THEN 'http://www.wikidata.org/entity/Q'
+      |    || (ck % 90) || ';' ELSE '' END
+      |    || 'https://sws.geonames.org/' || (ck % 500)
+      |    || CASE WHEN ck % 3 = 0
+      |      THEN ';http://vocab.getty.edu/tgn/' || (ck % 70)
+      |      ELSE '' END AS concord_csv,
+      |  CASE ck % 4 WHEN 0 THEN ck % 50 + 1 WHEN 1 THEN ck % 100
+      |    ELSE -1 END AS parent,
+      |  CASE ck % 3 WHEN 0 THEN 'point' WHEN 1 THEN 'broken'
+      |    ELSE 'ring' END AS bbox_kind,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN 'POINT (' || (ck % 180) || '.5 ' || (ck % 90) || '.25 )'
+      |    ELSE 'POINT (' || (ck % 180) || ' ' || (ck % 90) || ' )'
+      |  END AS point,
+      |  (ck % 5 = 0) AS tiny
+      |FROM b""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1t_wof", wofMapper, Some(wofMapperOracle)))
     Queries.register(QueryDef("m1r_dnb", dnbAuth, Some(dnbAuthOracle)))
     Queries.register(QueryDef("m1s_japan", japanLib, Some(japanLibOracle)))
     Queries.register(QueryDef("m1q_yale_quirks", yaleQuirks, Some(yaleQuirksOracle)))
