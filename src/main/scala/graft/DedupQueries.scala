@@ -600,6 +600,98 @@ object DedupQueries extends QueryGroup {
        |  (COALESCE(h.n_hits, 0) > 0) AS contaminated
        |FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id""".stripMargin
 
+  /** FUZZY benchmark decontamination — the near-duplicate complement of
+    * d7's exact-shingle sweep (the published recipes run both: exact
+    * n-gram overlap AND MinHash near-duplication against the eval
+    * suites, since light paraphrase defeats exact 13-grams). A training
+    * doc is contaminated when it NEAR-duplicates a benchmark doc:
+    * band-collision candidates verified with exact Jaccard at the
+    * looser 0.5 threshold (dedup uses 0.8).
+    *
+    * Scale shape — the asymmetry is the whole point: the benchmark band
+    * index is tiny and BROADCAST (with its own hot-bucket cap, logged),
+    * so the corpus side is a map-only probe; candidate verification
+    * touches only colliding (train, bench) pairs. No corpus self-join
+    * exists anywhere in the plan; daily cost is corpus-scan + |bench|.
+    * One row per training doc (the audit shape, like d7). */
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sid = shingleTable(spark, dir).persist()
+    val base = sid.filter(size($"sid") > 0)
+    val bands = bandIndex(base).persist()
+    val benchBands0 = bands.filter($"doc_id" % 37 === 0)
+    val hot = benchBands0.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n")).filter($"n" > BandCap)
+      .select($"band_idx", $"band_hash")
+    val benchBands = benchBands0
+      .join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+      .withColumnRenamed("doc_id", "bench_id")
+    val cand = bands.filter($"doc_id" % 37 =!= 0)
+      .join(broadcast(benchBands), Seq("band_idx", "band_hash"))
+      .select($"doc_id", $"bench_id").distinct()
+      .localCheckpoint() // same barrier rationale as d2
+    val scored = cand
+      .join(base.select($"doc_id", $"sid".as("sid_t")), "doc_id")
+      .join(base.select($"doc_id".as("bench_id"), $"sid".as("sid_b")), "bench_id")
+      .select($"doc_id",
+        intDiv(size(array_intersect($"sid_t", $"sid_b")).cast("long") * 1000L,
+          size(array_union($"sid_t", $"sid_b")).cast("long")).as("jacc_milli"))
+      .filter($"jacc_milli" >= 500L)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max($"jacc_milli").as("max_jacc_milli"))
+    sid.filter($"doc_id" % 37 =!= 0).select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bench_hits", lit(0L)).as("n_bench_hits"),
+        coalesce($"max_jacc_milli", lit(0L)).as("max_jacc_milli"),
+        (coalesce($"n_bench_hits", lit(0L)) > 0L).as("contaminated"))
+  }
+  private val fuzzyDecontaminateOracle: String = {
+    val mh = (0 until K).map(j =>
+      s"list_min(list_transform(sid, s -> (${aj(j)}*s + ${bj(j)}) % $P)) AS m$j").mkString(",\n  ")
+    val bands = (0 until K / 2).map(b =>
+      s"((m${2 * b}*131 + m${2 * b + 1}) % $P) AS band$b").mkString(", ")
+    val bandRows = (0 until K / 2).map(b =>
+      s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM bandsig").mkString("\nUNION ALL\n")
+    val jacc = """CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
+      |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
+       |shing AS (SELECT doc_id, $shingleIdsSql AS sid FROM th),
+       |base AS (SELECT doc_id, sid FROM shing WHERE len(sid) > 0),
+       |sigs AS (SELECT doc_id, $mh FROM base),
+       |bandsig AS (SELECT doc_id, $bands FROM sigs),
+       |bandrows AS ($bandRows),
+       |benchhot AS (
+       |  SELECT band_idx, band_hash FROM bandrows WHERE doc_id % 37 = 0
+       |  GROUP BY 1, 2 HAVING COUNT(*) > $BandCap),
+       |bb AS (
+       |  SELECT doc_id AS bench_id, band_idx, band_hash FROM bandrows r
+       |  WHERE doc_id % 37 = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM benchhot h
+       |    WHERE h.band_idx = r.band_idx AND h.band_hash = r.band_hash)),
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id, bb.bench_id
+       |  FROM bandrows t JOIN bb USING (band_idx, band_hash)
+       |  WHERE t.doc_id % 37 <> 0),
+       |scored AS (
+       |  SELECT c.doc_id, $jacc AS jacc_milli
+       |  FROM cand c
+       |  JOIN base sa ON sa.doc_id = c.doc_id
+       |  JOIN base sb ON sb.doc_id = c.bench_id
+       |  WHERE $jacc >= 500),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bench_hits,
+       |    MAX(jacc_milli) AS max_jacc_milli
+       |  FROM scored GROUP BY 1)
+       |SELECT s.doc_id,
+       |  COALESCE(a.n_bench_hits, 0) AS n_bench_hits,
+       |  COALESCE(a.max_jacc_milli, 0) AS max_jacc_milli,
+       |  (COALESCE(a.n_bench_hits, 0) > 0) AS contaminated
+       |FROM shing s LEFT JOIN agg a ON a.doc_id = s.doc_id
+       |WHERE s.doc_id % 37 <> 0""".stripMargin
+  }
+
   /** Incremental dedup ingest: a NEW shard arrives (docs with
     * doc_id % 10 = 9 stand in for the day's batch) and must be deduped
     * against the existing corpus WITHOUT re-running the full self-join —
@@ -925,6 +1017,8 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d5_embedding_neardup", embeddingNearDup, Some(embeddingNearDupOracle), bench = true))
     Queries.register(QueryDef("d6_dedup_clusters", dedupClusters, Some(dedupClustersOracle)))
     Queries.register(QueryDef("d7_decontaminate", decontaminate, Some(decontaminateOracle)))
+    Queries.register(QueryDef("d12_fuzzy_decontaminate", fuzzyDecontaminate,
+      Some(fuzzyDecontaminateOracle)))
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
