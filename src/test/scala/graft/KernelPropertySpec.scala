@@ -261,4 +261,78 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(GettyMap.fixTimestamp(v, endPos = false) === v)
     }
   }
+
+  test("ramerdouglas: subset of input, endpoints kept, monotone in tol") {
+    import graft.pipeline.WofMap
+    val r = rnd
+    for (_ <- 0 until 200) {
+      val n = 4 + r.nextInt(40)
+      // open polyline with distinct endpoints (closed rings pick their
+      // own endpoints; covered by the fixture spec)
+      val line = Seq.tabulate(n)(i =>
+        (i.toDouble, r.nextDouble() * 10 - 5)) :+ (n.toDouble, 100.0)
+      val tol = r.nextDouble() * 5 + 0.01
+      val out = WofMap.ramerdouglas(line, tol)
+      assert(out.head === line.head && out.last === line.last)
+      assert(out.toSet.subsetOf(line.toSet))
+      assert(out.length <= line.length)
+      // a looser tolerance never keeps MORE points
+      val out2 = WofMap.ramerdouglas(line, tol * 2)
+      assert(out2.length <= out.length, s"tol=$tol: ${out.length} -> ${out2.length}")
+    }
+  }
+
+  test("similar-query synthesis always parses through the real grammar") {
+    import graft.plans.{LuxQL, LuxSimilar}
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val seed = LuxSimilar.Seed(
+        classifications = Seq.fill(r.nextInt(3))(s"c${r.nextInt(9)}"),
+        texts = Seq.fill(r.nextInt(2))(
+          Seq.fill(r.nextInt(12))(r.alphanumeric.filter(_.isLetter)
+            .take(3 + r.nextInt(6)).mkString).mkString(" ")),
+        born = if (r.nextBoolean()) Some(r.nextInt(2100) + 1) else None,
+        died = if (r.nextBoolean()) Some(r.nextInt(2100) + 1) else None,
+        memberOf = Seq.fill(r.nextInt(3))(s"g${r.nextInt(9)}"))
+      LuxSimilar.agentQueryString(seed).foreach { q =>
+        val ast = LuxQL.parse(q) // must never throw
+        assert(ast != null)
+      }
+    }
+  }
+
+  test("dnb century completion only ever rewrites two-digit dates") {
+    import graft.pipeline.DnbMap
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val dob = (1000 + r.nextInt(1100)).toString
+      val dod = r.nextInt(4) match {
+        case 0 => (r.nextInt(100)).toString // may be 1-2 digits
+        case 1 => (1000 + r.nextInt(1100)).toString
+        case 2 => ""
+        case _ => f"${r.nextInt(100)}%02d"
+      }
+      val out = DnbMap.centuryComplete(dob, dod)
+      if (dod.length == 2) {
+        assert(out === dob.take(2) + dod)
+        assert(out.length === 4)
+      } else assert(out === dod)
+    }
+  }
+
+  test("nomisma nmRef: idempotent, and nm-free ids pass through whole") {
+    import graft.pipeline.NomismaMap
+    val r = rnd
+    for (_ <- 0 until 300) {
+      val id = r.nextInt(3) match {
+        case 0 => s"nm:${r.alphanumeric.take(8).mkString}"
+        case 1 => s"http://${r.alphanumeric.take(10).mkString}/x"
+        case _ => s"a-nm:b-nm:${r.alphanumeric.take(5).mkString}"
+      }
+      val once = NomismaMap.nmRef(id)
+      assert(NomismaMap.nmRef(once) === once) // idempotent
+      if (!id.contains("nm:")) assert(once === id)
+      else assert(!once.contains("nm:"))
+    }
+  }
 }
