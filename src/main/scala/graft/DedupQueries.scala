@@ -1023,6 +1023,7 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
     Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
+    Queries.register(QueryDef("d13_winnow_dedup", winnowDedup, Some(winnowOracle)))
     Queries.register(QueryDef("t_incremental_refresh", incrementalRefresh,
       Some(incrementalRefreshOracle)))
   }
@@ -1180,5 +1181,95 @@ object DedupQueries extends QueryGroup {
        |SELECT doc_a, doc_b, cont_milli, jacc_milli,
        |  (cont_milli >= 800 AND jacc_milli < 800) AS containment_only
        |FROM cont WHERE cont_milli >= 500""".stripMargin
+  }
+
+  /** Winnowing window size: the fingerprint selector keeps the rightmost
+    * minimal 3-gram hash out of every `WinnowW` consecutive k-grams
+    * (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprinter). Density
+    * guarantee 2/(w+1); any shared token run of length >= w+k-1 = 6 is
+    * guaranteed to share a fingerprint — unlike minhash, matches are
+    * POSITIONAL, so winnowing catches local plagiarism/quoting that
+    * whole-document sketches dilute away. */
+  val WinnowW = 4
+
+  /** D13: winnowing-fingerprint near-dup. Per-doc fingerprint selection
+    * is one map-side pass (token hashes -> order-sensitive 3-gram stream
+    * -> rightmost-min-per-window, all codegen'd HOFs over materialized
+    * attribute columns per the shingleIdsFrom scaling note); pairing
+    * reuses d4's EXACT prefix-filter inverted index over the (much
+    * sparser: ~0.4x kgrams) fingerprint sets, so the oracle is the
+    * unblocked all-pairs join — no recall caveat to replay. */
+  private[graft] def winnowBase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = WinnowW
+    // order-sensitive 3-gram hash stream — duplicates KEPT (positions
+    // matter to the window walk), unlike the set-semantics shingleIds
+    val kgrams = when(size($"h") >= 3,
+      transform(sequence(lit(1), size($"h") - 2), i =>
+        ((element_at($"h", i) * 131L + element_at($"h", i + 1)) % P * 131L +
+          element_at($"h", i + 2)) % P))
+      .otherwise(array().cast("array<long>"))
+    // window j covers kg[j .. j+wl-1]; wl < W only on the single clamped
+    // window of a doc shorter than W k-grams (which still fingerprints)
+    val wl = (j: Column) => least(lit(W), size($"kg") - j + 1)
+    // rightmost occurrence of the window minimum — the canonical tie rule
+    // (maximizes selection overlap between adjacent windows)
+    val sel = (j: Column) =>
+      j + array_max(filter(sequence(lit(0), wl(j) - 1), i =>
+        element_at($"kg", j + i) === array_min(slice($"kg", j, wl(j)))))
+    val fps = when(size($"kg") >= 1,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), greatest(size($"kg") - W + 1, lit(1))),
+        j => element_at($"kg", sel(j))))))
+      .otherwise(array().cast("array<long>"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", transform(tokensCol($"text"), wordHash(_)).as("h"))
+      .select($"doc_id", kgrams.as("kg")) // attribute barrier (shingleIdsFrom)
+      .select($"doc_id", fps.as("sid"))
+      .persist() // barrier before filter (see minhashLsh) + verify joins
+      .filter(size($"sid") > 0)
+      .withColumn("len", size($"sid").cast("long"))
+  }
+
+  def winnowDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = winnowBase(spark, dir)
+    val cand = ngramCandidates(base) // exact prefix filter, J >= 0.5
+      .localCheckpoint() // barrier before verify (see minhashLsh)
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"sid".as("sid_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"sid".as("sid_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        intDiv(size(array_intersect($"sid_a", $"sid_b")).cast("long") * 1000L,
+          size(array_union($"sid_a", $"sid_b")).cast("long")).as("jacc_milli"))
+      .filter($"jacc_milli" >= 500L)
+  }
+  /** All-pairs oracle (prefix filtering is exact, cf. ngramJaccardOracle);
+    * the winnow selection replays bit-for-bit in DuckDB list
+    * comprehensions (rightmost-min via list_max over matching offsets). */
+  private val winnowOracle: String = {
+    val W = WinnowW
+    val wl = s"least($W, len(kg)-j+1)"
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
+       |kgs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 3 THEN [ ((h[i]*131 + h[i+1]) % $P * 131 + h[i+2]) % $P for i in range(1, len(t)-1) ]
+       |         ELSE CAST([] AS BIGINT[]) END AS kg
+       |  FROM th),
+       |base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(kg) >= 1 THEN list_sort(list_distinct([
+       |        kg[j + list_max([i for i in range(0, $wl) if kg[j+i] = list_min(kg[j:j+$wl-1])])]
+       |        for j in range(1, greatest(len(kg)-$W+1, 1)+1) ]))
+       |      ELSE CAST([] AS BIGINT[]) END AS sid
+       |  FROM kgs),
+       |nz AS (SELECT * FROM base WHERE len(sid) > 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
+       |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) AS jacc_milli
+       |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
+       |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 500""".stripMargin
   }
 }

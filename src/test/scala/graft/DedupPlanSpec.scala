@@ -98,6 +98,50 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(capped.count() == 0L)
   }
 
+  test("d13 winnow selection matches a plain-Scala reimplementation") {
+    import spark.implicits._
+    val P = TextQueries.HashP
+    val W = DedupQueries.WinnowW
+    def wordHash(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * TextQueries.WordB + c.toLong) % P)
+    def winnow(text: String): Seq[Long] = {
+      val h = text.split("\\s+").filter(_.nonEmpty).map(wordHash)
+      val kg = if (h.length >= 3)
+        (0 until h.length - 2).map(i =>
+          ((h(i) * 131L + h(i + 1)) % P * 131L + h(i + 2)) % P)
+        else Seq.empty[Long]
+      if (kg.isEmpty) Seq.empty
+      else (0 until math.max(kg.length - W + 1, 1)).map { j =>
+        val win = kg.slice(j, j + W)
+        // rightmost minimum: last index attaining the window min
+        kg(j + win.lastIndexOf(win.min))
+      }.distinct.sorted
+    }
+    val want = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => id -> winnow(text) }
+      .filter(_._2.nonEmpty).toMap
+    val got = DedupQueries.winnowBase(spark, TestSpark.sf)
+      .select($"doc_id", $"sid").as[(Long, Seq[Long])].collect().toMap
+    assert(got == want)
+    // density sanity: winnowing keeps roughly 2/(w+1) of the k-grams
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val totalKg = docs.map { case (_, t) =>
+      math.max(t.split("\\s+").count(_.nonEmpty) - 2, 0) }.sum.toDouble
+    val totalFp = want.values.map(_.size).sum.toDouble
+    assert(totalFp / totalKg > 0.2 && totalFp / totalKg < 0.6,
+      s"density ${totalFp / totalKg} outside the 2/(w+1) ballpark")
+  }
+
+  test("d13 candidates ride the same prefix-filter inverted index as d4") {
+    val p = DedupQueries.ngramCandidates(
+        DedupQueries.winnowBase(spark, TestSpark.sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("tok"), s"no prefix-token join key in plan:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), "cartesian product in d13 plan")
+  }
+
   test("d10 span dedup: kept spans = distinct spans; min agg is partial") {
     import spark.implicits._
     val out = DedupQueries.spanDedup(spark, TestSpark.sf)
