@@ -1024,6 +1024,7 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
     Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
     Queries.register(QueryDef("d13_winnow_dedup", winnowDedup, Some(winnowOracle)))
+    Queries.register(QueryDef("d14_cdc_dedup", cdcDedup, Some(cdcDedupOracle)))
     Queries.register(QueryDef("t_incremental_refresh", incrementalRefresh,
       Some(incrementalRefreshOracle)))
   }
@@ -1271,5 +1272,131 @@ object DedupQueries extends QueryGroup {
        |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 500""".stripMargin
+  }
+
+  /** Content-defined-chunking boundary divisor: a token closes a chunk
+    * when its hash ≡ 0 (mod CdcD), giving ~CdcD-token average chunks.
+    * Content-defined boundaries (the rsync/LBFS/FastCDC idea) are what
+    * make chunk dedup SHIFT-ROBUST: inserting one token re-aligns at
+    * most the chunk it lands in, where d10's fixed 8-token grid
+    * re-aligns every span after the edit point. */
+  val CdcD = 16L
+
+  /** Chunk spans for (doc_id, t): boundary positions -> [start,end]
+    * pairs -> valid-chunk count. Exposed for the shift-robustness spec. */
+  private[graft] def cdcBase(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bps = filter(sequence(lit(1), size($"t")), i =>
+      element_at($"h", i) % CdcD === 0)
+    docs
+      .select($"doc_id", $"t", transform($"t", wordHash(_)).as("h"))
+      .select($"doc_id", $"t", $"h", bps.as("bps")) // attribute barriers
+      .select($"doc_id", $"t", $"h",
+        transform(concat(array(lit(0)), $"bps"), x => x + 1).as("st"),
+        concat($"bps", array(size($"t"))).as("en"))
+      // the only invalid span is the trailing empty one (when the last
+      // token is itself a boundary), so pre-filter indices 1..nc align
+      // with post-filter positions on both engines
+      .select($"doc_id", $"t", $"h", $"st", $"en",
+        size(filter(zip_with($"st", $"en", (s, e) => s <= e), b => b)).as("nc"))
+  }
+
+  /** One row per chunk: (doc_id, pos, ntok, fp, txt, okey). */
+  private[graft] def cdcChunks(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val s = (j: Column) => element_at($"st", j)
+    val e = (j: Column) => element_at($"en", j)
+    base.filter($"nc" > 0)
+      .select($"doc_id",
+        explode(filter(transform(sequence(lit(1), size($"st")), j =>
+          struct(j.cast("long").as("pos"),
+            (e(j) - s(j) + 1).cast("long").as("ntok"),
+            aggregate(slice($"h", s(j), e(j) - s(j) + 1), lit(0L),
+              (a, b) => (a * 131L + b) % P).as("fp"),
+            concat_ws(" ", slice($"t", s(j), e(j) - s(j) + 1)).as("txt"))),
+          c => c.getField("ntok") >= 1L)).as("c"))
+      .select($"doc_id", $"c.pos".as("pos"), $"c.ntok".as("ntok"),
+        $"c.fp".as("fp"), $"c.txt".as("txt"),
+        ($"doc_id" * 1000000L + $"c.pos").as("okey"))
+  }
+
+  /** D14: corpus-wide CDC chunk dedup — d10's exact-region pass with
+    * content-defined boundaries instead of a fixed grid, so boilerplate
+    * regions dedupe even when surrounding edits shift their token
+    * offsets (the case the fixed grid structurally misses). Same scale
+    * shape as d10: narrow chunk rows, ONE groupBy(fp) whose map-side
+    * partial MIN absorbs hot boilerplate chunks, join back, per-doc
+    * reassembly; okey assumes pos < 10^6. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = cdcBase(Tables.load(spark, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"),
+          tokensCol(lower($"text")).as("t")))
+      .persist() // read twice: chunk explode + final reassembly join
+    val chunks = cdcChunks(base)
+    val firsts = chunks.groupBy($"fp").agg(min($"okey").as("first_okey"))
+    val kept = chunks.join(firsts, Seq("fp"))
+      .filter($"okey" === $"first_okey")
+    val perDoc = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      sum($"ntok").as("kt"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct($"pos", $"txt"))),
+        c => c.getField("txt"))).as("kept_txt"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"nc".cast("long").as("n_chunks"),
+        ($"nc" - coalesce($"n_kept", lit(0L))).cast("long").as("n_dropped"),
+        coalesce($"kt", lit(0L)).as("kept_tokens"),
+        md5(coalesce($"kept_txt", lit(""))).as("kept_md5"))
+  }
+  private val cdcDedupOracle: String = {
+    val t = tokensSql("lower(text)")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
+       |bp AS (
+       |  SELECT doc_id, t, h,
+       |    [i for i in range(1, len(t)+1) if h[i] % $CdcD = 0] AS bps
+       |  FROM th),
+       |se AS (
+       |  SELECT doc_id, t, h,
+       |    list_transform(list_prepend(CAST(0 AS BIGINT), bps), y -> y + 1) AS st,
+       |    list_append(bps, CAST(len(t) AS BIGINT)) AS en
+       |  FROM bp),
+       |base AS (
+       |  SELECT doc_id, t, h, st, en,
+       |    len([j for j in range(1, len(st)+1) if st[j] <= en[j]]) AS nc
+       |  FROM se),
+       |raw AS (
+       |  SELECT doc_id, unnest([{'pos': j,
+       |      'ntok': en[j] - st[j] + 1,
+       |      'fp': list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          h[CAST(st[j] AS INT):CAST(en[j] AS INT)]),
+       |        (a,b) -> (a*131+b) % $P),
+       |      'txt': array_to_string(t[CAST(st[j] AS INT):CAST(en[j] AS INT)], ' ')}
+       |    for j in range(1, len(st)+1) if st[j] <= en[j]]) AS u
+       |  FROM base WHERE nc > 0),
+       |chunks AS (
+       |  SELECT doc_id, struct_extract(u, 'pos') AS pos,
+       |    struct_extract(u, 'ntok') AS ntok,
+       |    struct_extract(u, 'fp') AS fp,
+       |    struct_extract(u, 'txt') AS txt,
+       |    doc_id*1000000 + struct_extract(u, 'pos') AS okey
+       |  FROM raw),
+       |firsts AS (SELECT fp, MIN(okey) AS fk FROM chunks GROUP BY 1),
+       |kept AS (
+       |  SELECT c.* FROM chunks c
+       |  JOIN firsts f ON c.fp = f.fp AND c.okey = f.fk),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    CAST(SUM(ntok) AS BIGINT) AS kt,
+       |    string_agg(txt, ' ' ORDER BY pos) AS kept_txt
+       |  FROM kept GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CAST(nc AS BIGINT) AS n_chunks,
+       |  CAST(nc - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped,
+       |  COALESCE(kt, 0) AS kept_tokens,
+       |  md5(COALESCE(kept_txt, '')) AS kept_md5
+       |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id""".stripMargin
   }
 }

@@ -142,6 +142,45 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesian"), "cartesian product in d13 plan")
   }
 
+  test("d14 CDC chunking is shift-robust where a fixed grid is not") {
+    import spark.implicits._
+    // the same 400 tokens, with ONE token inserted at the front: content-
+    // defined boundaries must leave every chunk after the edit intact,
+    // while the fixed 8-token grid re-aligns (and loses) all of them
+    val words = (1 to 400).map(i => s"w${i * 7919 % 1000}")
+    val docs = Seq((1L, words.mkString(" ")),
+        (2L, ("zzz" +: words).mkString(" ")))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
+    val chunks = DedupQueries.cdcChunks(DedupQueries.cdcBase(docs))
+      .select($"doc_id", $"fp").as[(Long, Long)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val cdcShared = (a intersect b).size.toDouble / a.size
+    def grid(ts: Seq[String]): Set[String] =
+      ts.grouped(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    val ga = grid(words)
+    val gridShared = (ga intersect grid("zzz" +: words)).size.toDouble / ga.size
+    assert(cdcShared > 0.8, s"CDC kept only $cdcShared of chunks after a 1-token edit")
+    assert(gridShared < 0.2, s"fixed grid unexpectedly shift-robust: $gridShared")
+  }
+
+  test("d14 chunks partition the token stream exactly") {
+    import spark.implicits._
+    // chunk lengths per doc must sum to the token count, and every fp
+    // must equal the rolling fold of its chunk's word hashes
+    val base = DedupQueries.cdcBase(
+      Tables.load(spark, TestSpark.sf, "documents")
+        .select($"doc_id".cast("long").as("doc_id"),
+          TextQueries.tokensCol(lower($"text")).as("t"))).persist()
+    val perDoc = DedupQueries.cdcChunks(base)
+      .groupBy($"doc_id").agg(sum($"ntok").as("covered"))
+    val bad = base.select($"doc_id", size($"t").cast("long").as("n"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .filter(coalesce($"covered", lit(0L)) =!= $"n")
+    assert(bad.count() == 0, "CDC chunks do not partition some document")
+  }
+
   test("d10 span dedup: kept spans = distinct spans; min agg is partial") {
     import spark.implicits._
     val out = DedupQueries.spanDedup(spark, TestSpark.sf)
