@@ -181,6 +181,14 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(bad.count() == 0, "CDC chunks do not partition some document")
   }
 
+  test("d14 first-occurrence MIN combines map-side; no window over chunks") {
+    val p = DedupQueries.cdcDedup(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial_finalmerge") ||
+      "HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("Window"), "CDC dedup must not use a window")
+  }
+
   test("d10 span dedup: kept spans = distinct spans; min agg is partial") {
     import spark.implicits._
     val out = DedupQueries.spanDedup(spark, TestSpark.sf)
