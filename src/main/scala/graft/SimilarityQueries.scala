@@ -535,6 +535,19 @@ object SimilarityQueries extends QueryGroup {
   def pqSearch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    val scored = pqScored(spark, dir)
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"approx_d2".asc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+        $"approx_d2")
+  }
+
+  /** The PQ train + code + ADC scan up to (query_id, vec_id, approx_d2)
+    * — shared by v8 (rank on approx) and v10 (exact re-rank). */
+  private[graft] def pqScored(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val base = quantized(spark, dir).persist()
     val step = base.count() / KmK
     val subs = base.select($"vec_id",
@@ -585,21 +598,18 @@ object SimilarityQueries extends QueryGroup {
       .groupBy($"query_id")
       .agg(sort_array(collect_list(struct($"idx", $"pd2"))).as("l"))
       .select($"query_id", transform($"l", _.getField("pd2")).as("lut"))
-    val scored = codes.crossJoin(broadcast(lut))
+    codes.crossJoin(broadcast(lut))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         aggregate($"codes", lit(0L),
           (acc, ix) => acc + element_at($"lut", ix.cast("int"))).as("approx_d2"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"approx_d2".asc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
-        $"approx_d2")
   }
-  private val pqSearchOracle: String = {
+  /** Oracle CTE chain replaying PQ train + code + ADC scan, ending in
+    * `scored` (query_id, vec_id, approx_d2) — shared by v8 and v10. */
+  private def pqScoredCtes: String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), [$a[i]*$b[i] for i in range(1, $PqD+1)]), (x,y)->x+y)"
-    s"""WITH base AS ($quantizedSql),
+    s"""base AS ($quantizedSql),
        |s AS (SELECT COUNT(*) // $KmK AS step FROM base),
        |subs AS (
        |  SELECT vec_id, CAST(t.m AS INT) AS m,
@@ -640,7 +650,10 @@ object SimilarityQueries extends QueryGroup {
        |  SELECT l.query_id, k.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS approx_d2
        |  FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
        |  WHERE k.vec_id <> l.query_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+  private val pqSearchOracle: String =
+    s"""WITH $pqScoredCtes,
        |ranked AS (
        |  SELECT query_id, vec_id, approx_d2,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -648,7 +661,66 @@ object SimilarityQueries extends QueryGroup {
        |  FROM scored)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, approx_d2
        |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Candidates proposed per query by the ADC scan before re-ranking. */
+  private val RerankR = 20
+
+  /** V10: TWO-STAGE retrieval — the production ANN serving pattern. The
+    * compressed-domain ADC scan (v8's machinery) only PROPOSES RerankR
+    * candidates per query; the exact integer cosine over the original
+    * vectors decides the final top-5. Quantization error then affects
+    * recall only (a true neighbor outside the top-RerankR proposals),
+    * never the reported metric or order — which is why every serving
+    * stack (FAISS refine, ScaNN reorder, DiskANN) re-ranks.
+    *
+    * Scale shape: stage 1 is v8's map-only broadcast-LUT scan; stage 2
+    * touches RerankR x NQueries rows — the full-precision vectors are
+    * fetched for a VANISHING fraction of the corpus (the point of the
+    * pattern: compressed codes in memory, exact vectors on cheap
+    * storage, random-read only the re-rank set). */
+  def pqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val wA = Window.partitionBy($"query_id")
+      .orderBy($"approx_d2".asc, $"vec_id".asc)
+    val cand = pqScored(spark, dir)
+      .withColumn("arank", row_number().over(wA)).filter($"arank" <= RerankR)
+      .select($"query_id", $"vec_id")
+    val base = quantized(spark, dir)
+    val probes = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"))
+    val exact = cand
+      .join(base.select($"vec_id", $"q", $"n2"), "vec_id")
+      .join(broadcast(probes), "query_id")
+      .select($"query_id", $"vec_id",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    exact.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
+        $"cos_milli")
   }
+  private val pqRerankOracle: String =
+    s"""WITH $pqScoredCtes,
+       |aranked AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2, vec_id) AS arank
+       |  FROM scored),
+       |cand AS (SELECT query_id, vec_id FROM aranked WHERE arank <= $RerankR),
+       |exact AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    ${cosMilliSql("p.q", "v.q", "p.n2", "v.n2")} AS cos_milli
+       |  FROM cand c
+       |  JOIN base v ON v.vec_id = c.vec_id
+       |  JOIN base p ON p.vec_id = c.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+       |  FROM exact)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_milli
+       |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** V9: IVF-PQ with RESIDUAL encoding — the full FAISS IVFPQ: vectors
     * assign to a trained coarse cell (v6's Lloyd), the residual
@@ -825,6 +897,7 @@ object SimilarityQueries extends QueryGroup {
   override def register(): Unit = {
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle)))
     Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
+    Queries.register(QueryDef("v10_pq_rerank", pqRerank, Some(pqRerankOracle)))
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
     Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))

@@ -107,6 +107,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ rerank: exact-cosine order, recall@5 at least PQ's own") {
+    import spark.implicits._
+    val rows = Queries.queries("v10_pq_rerank")(spark, TestSpark.sf)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+      .as[(Long, Long, Long, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10, s"expected 10 probe queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to 5L), s"query $q ranks not 1..5")
+      // exact cosine non-increasing with rank, self excluded
+      assert(sorted.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+    }
+    // re-ranking can only improve recall@5 against brute-force truth:
+    // stage 2 re-orders PQ's top-20 by the same exact metric brute uses
+    def top5(name: String): Map[Long, Set[Long]] =
+      Queries.queries(name)(spark, TestSpark.sf)
+        .select($"query_id", $"rank", $"vec_id")
+        .as[(Long, Long, Long)].collect()
+        .filter(_._2 <= 5).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val truth = top5("v1_knn_brute")
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    val rPq = recall(top5("v8_pq_search"))
+    val rRerank = recall(top5("v10_pq_rerank"))
+    assert(rRerank >= rPq,
+      s"rerank recall $rRerank below raw PQ recall $rPq")
+  }
+
   test("IVF-PQ: contiguous top-5 per probe, ADC distances monotone") {
     import spark.implicits._
     val rows = Queries.queries("v9_ivf_pq")(spark, TestSpark.sf)
