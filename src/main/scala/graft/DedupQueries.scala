@@ -165,9 +165,14 @@ object DedupQueries extends QueryGroup {
 
   /** The (doc_id, sid) shingle table — shared by d2, d7 and the corpus
     * pipeline so composed queries hash the corpus once. */
-  private[graft] def shingleTable(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "documents")
+  private[graft] def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    shingleTableOf(Tables.load(spark, dir, "documents"))
+
+  /** Shingle table over an arbitrary (doc_id, text) frame — the form the
+    * streaming admission path hashes per micro-batch. */
+  private[graft] def shingleTableOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", transform(tokensCol($"text"), wordHash(_)).as("h"))
       .select($"doc_id", shingleIdsFrom($"h").as("sid"))
   }
@@ -218,9 +223,10 @@ object DedupQueries extends QueryGroup {
       .filter($"jacc_milli" >= 800L)
   }
   /** The d2 oracle pipeline as a reusable CTE chain ending in `pairs`
-    * (doc_a, doc_b, jacc_milli with jacc >= 800) — shared by the d2
-    * oracle and the d6 cluster oracle built on top of it. */
-  private def minhashPairsCtes: String = {
+    * (doc_a, doc_b, jacc_milli with jacc >= 800) — shared by the d2/d6/
+    * d8/d11 oracles and the st8 streaming-admission oracle (which reads
+    * the uncapped `bandrows0` + `base` prefix). */
+  private[graft] def minhashPairsCtes: String = {
     val mh = (0 until K).map(j =>
       s"list_min(list_transform(sid, s -> (${aj(j)}*s + ${bj(j)}) % $P)) AS m$j").mkString(",\n  ")
     val bands = (0 until K / 2).map(b =>

@@ -169,7 +169,61 @@ object StreamQueries extends QueryGroup {
       |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n_events
       |FROM r WHERE rank <= 3""".stripMargin
 
+  /** Cutoff between the two id-ordered micro-batches of st8. */
+  private[graft] val NeardupCut = 250L
+
+  /** ST8: streaming near-dup ADMISSION replayed in batch form — the
+    * documents with doc_id % 3 = 0 arrive as two id-ordered
+    * micro-batches (below/above id 250) and each probes the monotone
+    * band index of the corpus (% 3 != 0) plus everything seen before
+    * it (StreamingOps.neardupAdmit, the d8 probe per batch). Because
+    * the index is monotone and batches are id-ordered, a doc's decision
+    * depends only on {corpus} ∪ {stream ids < its own} — the oracle is
+    * therefore batch-free, and the spec pins that 1-batch and 2-batch
+    * runs decide identically (the MemoryStream run exercises the real
+    * foreachBatch loop). */
+  def streamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val stream = docs.filter($"doc_id" % 3 === 0)
+    var index = DedupQueries.shingleTableOf(corpus)
+    val decisions = Seq(stream.filter($"doc_id" < NeardupCut),
+        stream.filter($"doc_id" >= NeardupCut)).map { b =>
+      val dec = streaming.StreamingOps.neardupAdmit(b, index)
+      index = index.unionByName(DedupQueries.shingleTableOf(b))
+      dec
+    }
+    decisions.reduce(_ unionByName _)
+      .select($"doc_id", $"admitted",
+        coalesce($"dup_of", lit(-1L)).as("dup_of"))
+  }
+  private val streamNeardupOracle: String = {
+    val jacc = """CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
+      |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT)""".stripMargin
+    s"""WITH ${DedupQueries.minhashPairsCtes},
+       |scand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS ref_id
+       |  FROM bandrows0 n JOIN bandrows0 o
+       |    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+       |  WHERE n.doc_id % 3 = 0
+       |    AND (o.doc_id % 3 <> 0 OR o.doc_id < n.doc_id)),
+       |sver AS (
+       |  SELECT new_id, MIN(ref_id) AS dup_of
+       |  FROM scand
+       |  JOIN base sa ON sa.doc_id = new_id
+       |  JOIN base sb ON sb.doc_id = ref_id
+       |  WHERE $jacc >= 800
+       |  GROUP BY 1)
+       |SELECT d.doc_id, (dup_of IS NULL) AS admitted,
+       |  COALESCE(dup_of, -1) AS dup_of
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |LEFT JOIN sver ON d.doc_id = new_id""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("st8_stream_neardup", streamNeardup,
+      Some(streamNeardupOracle)))
     Queries.register(QueryDef("st7_stream_topk", streamTopk, Some(streamTopkOracle)))
     Queries.register(QueryDef("st1_tumbling_window", tumbling, Some(tumblingOracle), bench = true))
     Queries.register(QueryDef("st2_sliding_window", sliding, Some(slidingOracle)))

@@ -97,6 +97,55 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch(idempotentBatchWriter(dir))
 
+  /** Streaming near-dup ADMISSION — the d8 incremental probe run per
+    * micro-batch inside foreachBatch: the batch's docs are minhashed and
+    * their band rows probe the already-seen index (asymmetric join,
+    * shuffle ∝ batch, never corpus), plus smaller-id docs of the SAME
+    * batch. A doc is rejected when exact Jaccard ≥ 0.8 verifies against
+    * any such reference; `dup_of` is the smallest matching id.
+    *
+    * Policy: the index is MONOTONE — every seen doc enters it, admitted
+    * or not (rejecting a near-dup of rejected content is still correct,
+    * and it keeps each decision per-doc local). With id-ordered batches
+    * the decision for doc d depends only on {corpus} ∪ {stream ids < d},
+    * so admission is provably independent of micro-batch slicing — the
+    * property the spec pins. At 100 TB the persisted index drops
+    * >BandCap boilerplate buckets exactly as d8 does at build time.
+    *
+    * Caller maintains `seenSids` across batches (append the batch's
+    * shingle rows after deciding); doc_ids must be disjoint from the
+    * corpus'. Returns (doc_id, admitted, dup_of) for every batch doc,
+    * empty-shingle docs admitted. */
+  def neardupAdmit(batchDocs: DataFrame, seenSids: DataFrame): DataFrame = {
+    val spark = batchDocs.sparkSession
+    import spark.implicits._
+    import graft.{DedupQueries, TextQueries}
+    val newSids = DedupQueries.shingleTableOf(batchDocs).persist()
+    val newNz = newSids.filter(size($"sid") > 0)
+    val seenNz = seenSids.filter(size($"sid") > 0)
+    val probe = DedupQueries.bandIndex(newNz)
+    val ref = DedupQueries.bandIndex(seenNz).withColumn("seen", lit(true))
+      .unionByName(DedupQueries.bandIndex(newNz).withColumn("seen", lit(false)))
+    val cand = probe.as("n").join(ref.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.band_hash") === col("o.band_hash") &&
+          (col("o.seen") || col("o.doc_id") < col("n.doc_id")))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("ref_id"))
+      .distinct()
+      .localCheckpoint() // same materialization barrier as d2/d8
+    val refSids = seenNz.unionByName(newNz)
+    val dups = cand
+      .join(newSids.select($"doc_id".as("new_id"), $"sid".as("sid_n")), "new_id")
+      .join(refSids.select($"doc_id".as("ref_id"), $"sid".as("sid_o")), "ref_id")
+      .filter(TextQueries.intDiv(
+        size(array_intersect($"sid_n", $"sid_o")).cast("long") * 1000L,
+        size(array_union($"sid_n", $"sid_o")).cast("long")) >= 800L)
+      .groupBy($"new_id").agg(min($"ref_id").as("dup_of"))
+    batchDocs.select($"doc_id")
+      .join(dups.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", $"dup_of".isNull.as("admitted"), $"dup_of")
+  }
+
   final case class Ev(user_id: Long, event_id: Long, us: Long)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -122,6 +122,47 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-03-01 10:02:00", 2L, "click")))
   }
 
+  test("streaming near-dup admission matches the batch replay, any slicing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    var index = DedupQueries.shingleTableOf(
+      docs.filter($"doc_id" % 3 =!= 0)).persist()
+    val stream0 = docs.filter($"doc_id" % 3 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        sink.synchronized {
+          sink ++= StreamingOps.neardupAdmit(b, index)
+            .select($"doc_id", $"admitted",
+              coalesce($"dup_of", lit(-1L)).as("dup_of"))
+            .as[(Long, Boolean, Long)].collect()
+        }
+        index = index.unionByName(DedupQueries.shingleTableOf(b)).persist()
+        ()
+      }.start()
+    // THREE id-ordered micro-batches — a different slicing than the
+    // registered query's two; monotone-index admission must not care
+    stream0.grouped(math.max(stream0.length / 3, 1)).foreach { g =>
+      input.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = sink.synchronized(sink.toSeq)
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = Queries.queries("st8_stream_neardup")(spark, TestSpark.sf)
+      .select($"doc_id", $"admitted", $"dup_of")
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "no stream docs at this sf")
+  }
+
   test("idempotent batch writer: replaying a batch does not duplicate rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
