@@ -534,6 +534,15 @@ object DedupQueries extends QueryGroup {
     * cluster map size is bounded by the number of near-dup docs. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    clusterAssign(spark, dir)
+      .select($"doc_id", $"cluster", ($"cluster" === $"doc_id").as("keep"))
+  }
+
+  /** Every document with its near-dup cluster id (cluster = CC minimum
+    * over the d2 pair graph, singletons their own id) — shared by d6
+    * (hard removal) and d15 (soft down-weighting). */
+  private[graft] def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val edges = minhashLsh(spark, dir)
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
     val clusters = operators.Graph.connectedComponents(edges)
@@ -541,12 +550,13 @@ object DedupQueries extends QueryGroup {
     Tables.load(spark, dir, "documents")
       .select($"doc_id")
       .join(clusters, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"component", $"doc_id").as("cluster"),
-        (coalesce($"component", $"doc_id") === $"doc_id").as("keep"))
+      .select($"doc_id", coalesce($"component", $"doc_id").as("cluster"))
   }
-  private val dedupClustersOracle: String =
-    s"""WITH RECURSIVE $minhashPairsCtes,
+
+  /** Recursive-CTE cluster closure ending in `asg` (doc_id, cluster) —
+    * the oracle twin of clusterAssign. */
+  private def clusterAssignCtes: String =
+    s"""$minhashPairsCtes,
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |cnodes AS (SELECT DISTINCT src AS node FROM sym),
@@ -554,11 +564,35 @@ object DedupQueries extends QueryGroup {
        |  SELECT node, node FROM cnodes
        |  UNION
        |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
-       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
-       |SELECT d.doc_id,
-       |  COALESCE(c.component, d.doc_id) AS cluster,
-       |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
-       |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin
+       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)""".stripMargin
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $clusterAssignCtes
+       |SELECT doc_id, cluster, (cluster = doc_id) AS keep FROM asg""".stripMargin
+
+  /** D15: SOFT dedup — down-weight near-duplicates instead of dropping
+    * them: every document trains with weight 1000/cluster_size (milli),
+    * so each cluster contributes exactly one copy's worth in
+    * expectation while keeping its internal variation — the soft-dedup
+    * recipe that preserves distribution tails hard removal clips.
+    * Same machinery as d6 plus one tiny per-cluster count joined back
+    * (clusters are minute next to the corpus — broadcastable). */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asg = clusterAssign(spark, dir)
+    val sizes = asg.groupBy($"cluster").agg(count(lit(1)).as("csize"))
+    asg.join(sizes, Seq("cluster"))
+      .select($"doc_id", $"cluster", $"csize",
+        intDiv(lit(1000L), $"csize").as("weight_milli"))
+  }
+  private val softDedupOracle: String =
+    s"""WITH RECURSIVE $clusterAssignCtes,
+       |sz AS (SELECT cluster, COUNT(*) AS csize FROM asg GROUP BY 1)
+       |SELECT doc_id, a.cluster, CAST(csize AS BIGINT) AS csize,
+       |  1000 // CAST(csize AS BIGINT) AS weight_milli
+       |FROM asg a JOIN sz ON a.cluster = sz.cluster""".stripMargin
 
   /** Benchmark decontamination: flag every training document sharing a
     * word-3-gram shingle with a held-out "benchmark" set (here: docs
@@ -1031,6 +1065,7 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
     Queries.register(QueryDef("d13_winnow_dedup", winnowDedup, Some(winnowOracle)))
     Queries.register(QueryDef("d14_cdc_dedup", cdcDedup, Some(cdcDedupOracle)))
+    Queries.register(QueryDef("d15_soft_dedup", softDedup, Some(softDedupOracle)))
     Queries.register(QueryDef("t_incremental_refresh", incrementalRefresh,
       Some(incrementalRefreshOracle)))
   }
