@@ -187,11 +187,18 @@ object StreamQueries extends QueryGroup {
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
     val corpus = docs.filter($"doc_id" % 3 =!= 0)
     val stream = docs.filter($"doc_id" % 3 === 0)
-    var index = DedupQueries.shingleTableOf(corpus)
+    // the maintained index: both tables MATERIALIZED (at 100 TB these
+    // are the on-disk index files); each batch appends its own rows
+    var sids = DedupQueries.shingleTableOf(corpus).persist()
+    var bands = DedupQueries.bandIndex(
+      sids.filter(size($"sid") > 0)).persist()
     val decisions = Seq(stream.filter($"doc_id" < NeardupCut),
         stream.filter($"doc_id" >= NeardupCut)).map { b =>
-      val dec = streaming.StreamingOps.neardupAdmit(b, index)
-      index = index.unionByName(DedupQueries.shingleTableOf(b))
+      val dec = streaming.StreamingOps.neardupAdmit(b, sids, bands)
+      val bSids = DedupQueries.shingleTableOf(b)
+      sids = sids.unionByName(bSids).persist()
+      bands = bands.unionByName(DedupQueries.bandIndex(
+        bSids.filter(size($"sid") > 0))).persist()
       dec
     }
     decisions.reduce(_ unionByName _)

@@ -112,11 +112,16 @@ object StreamingOps {
     * property the spec pins. At 100 TB the persisted index drops
     * >BandCap boilerplate buckets exactly as d8 does at build time.
     *
-    * Caller maintains `seenSids` across batches (append the batch's
-    * shingle rows after deciding); doc_ids must be disjoint from the
+    * Caller maintains the MATERIALIZED index across batches — both
+    * tables persisted/on disk, never re-derived (re-minhashing the
+    * corpus per batch would make each batch cost corpus-shaped, the
+    * exact failure this operator exists to avoid): `seenSids` =
+    * (doc_id, sid) and `seenBands` = its bandIndex, appending the
+    * batch's rows after deciding. doc_ids must be disjoint from the
     * corpus'. Returns (doc_id, admitted, dup_of) for every batch doc,
     * empty-shingle docs admitted. */
-  def neardupAdmit(batchDocs: DataFrame, seenSids: DataFrame): DataFrame = {
+  def neardupAdmit(batchDocs: DataFrame, seenSids: DataFrame,
+      seenBands: DataFrame): DataFrame = {
     val spark = batchDocs.sparkSession
     import spark.implicits._
     import graft.{DedupQueries, TextQueries}
@@ -124,7 +129,7 @@ object StreamingOps {
     val newNz = newSids.filter(size($"sid") > 0)
     val seenNz = seenSids.filter(size($"sid") > 0)
     val probe = DedupQueries.bandIndex(newNz)
-    val ref = DedupQueries.bandIndex(seenNz).withColumn("seen", lit(true))
+    val ref = seenBands.withColumn("seen", lit(true))
       .unionByName(DedupQueries.bandIndex(newNz).withColumn("seen", lit(false)))
     val cand = probe.as("n").join(ref.as("o"),
         col("n.band_idx") === col("o.band_idx") &&

@@ -128,8 +128,10 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .select($"doc_id", $"text")
-    var index = DedupQueries.shingleTableOf(
+    var sids = DedupQueries.shingleTableOf(
       docs.filter($"doc_id" % 3 =!= 0)).persist()
+    var bands = DedupQueries.bandIndex(
+      sids.filter(size($"sid") > 0)).persist()
     val stream0 = docs.filter($"doc_id" % 3 === 0)
       .as[(Long, String)].collect().sortBy(_._1)
     val input = MemoryStream[(Long, String)]
@@ -138,12 +140,15 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val b = batch.persist()
         sink.synchronized {
-          sink ++= StreamingOps.neardupAdmit(b, index)
+          sink ++= StreamingOps.neardupAdmit(b, sids, bands)
             .select($"doc_id", $"admitted",
               coalesce($"dup_of", lit(-1L)).as("dup_of"))
             .as[(Long, Boolean, Long)].collect()
         }
-        index = index.unionByName(DedupQueries.shingleTableOf(b)).persist()
+        val bSids = DedupQueries.shingleTableOf(b)
+        sids = sids.unionByName(bSids).persist()
+        bands = bands.unionByName(DedupQueries.bandIndex(
+          bSids.filter(size($"sid") > 0))).persist()
         ()
       }.start()
     // THREE id-ordered micro-batches — a different slicing than the
