@@ -1066,6 +1066,8 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d13_winnow_dedup", winnowDedup, Some(winnowOracle)))
     Queries.register(QueryDef("d14_cdc_dedup", cdcDedup, Some(cdcDedupOracle)))
     Queries.register(QueryDef("d15_soft_dedup", softDedup, Some(softDedupOracle)))
+    Queries.register(QueryDef("d16_bloom_prefilter", bloomPrefilter,
+      Some(bloomPrefilterOracle)))
     Queries.register(QueryDef("t_incremental_refresh", incrementalRefresh,
       Some(incrementalRefreshOracle)))
   }
@@ -1313,6 +1315,82 @@ object DedupQueries extends QueryGroup {
        |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 500""".stripMargin
+  }
+
+  /** Bloom pre-filter geometry: BloomM bits (as 32-bit words in BIGINTs
+    * — bit 63 would overflow DuckDB's checked shift), BloomK hash
+    * probes per key at aj/bj rows 48+ (clear of the minhash 0–15, LSH
+    * 16–31 and hyperplane 32–47 ranges). */
+  val BloomM = 65536L
+  val BloomK = 3
+
+  /** D16: Bloom-filter PRE-FILTER for incremental exact-dedup — the
+    * runtime-filter trick applied to admission: the corpus' content
+    * keys are folded into a BloomM-bit filter (one groupBy over ≤2048
+    * (word, bits) rows), which is BROADCAST so each arriving doc tests
+    * membership MAP-SIDE. `maybe_seen = false` is definitive (Bloom
+    * filters have no false negatives — the spec'd invariant), so only
+    * the maybe-seen sliver pays the exact probe join; at 100 TB the
+    * filter is megabytes while the key index is terabytes, and the
+    * expected join traffic drops by the filter's rejection rate.
+    * Deterministic integer bit math throughout, so the oracle replays
+    * the filter bit-for-bit. */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        docFingerprint(array_sort(tokensCol($"text"))).as("key"))
+      .persist() // corpus build + stream probe + exact check all read it
+    val corpus = keys.filter($"doc_id" % 3 =!= 0)
+    val stream = keys.filter($"doc_id" % 3 === 0)
+    // key < P and aj < P, so aj*key < 2^62: no overflow
+    val posCols = array((0 until BloomK).map(j =>
+      pmod(pmod(lit(aj(48 + j)) * $"key" + lit(bj(48 + j)), lit(P)),
+        lit(BloomM))): _*)
+    val bits = corpus.select(explode(posCols).as("pos")).distinct()
+      .select(intDiv($"pos", lit(32L)).as("word"),
+        pmod($"pos", lit(32L)).cast("int").as("b"))
+      .groupBy($"word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+    val hits = stream.select($"doc_id", explode(posCols).as("pos"))
+      .select($"doc_id", intDiv($"pos", lit(32L)).as("word"),
+        pmod($"pos", lit(32L)).cast("int").as("b"))
+      .join(broadcast(bits), Seq("word"), "left")
+      .select($"doc_id",
+        (coalesce($"bits", lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), b)")) =!= 0L)
+          .as("hit"))
+      .groupBy($"doc_id").agg(expr("bool_and(hit)").as("maybe_seen"))
+    val seen = corpus.select($"key").distinct()
+      .withColumn("actually_seen", lit(true))
+    stream.join(hits, Seq("doc_id"))
+      .join(seen, Seq("key"), "left")
+      .select($"doc_id", $"maybe_seen",
+        coalesce($"actually_seen", lit(false)).as("actually_seen"))
+  }
+  private val bloomPrefilterOracle: String = {
+    val t = tokensSql("text")
+    val posList = (0 until BloomK).map(j =>
+      s"((${aj(48 + j)}*key + ${bj(48 + j)}) % $P) % $BloomM").mkString(", ")
+    s"""WITH keys AS (
+       |  SELECT doc_id, ${docFingerprintSql(s"list_sort($t)")} AS key
+       |  FROM documents),
+       |corpus AS (SELECT * FROM keys WHERE doc_id % 3 <> 0),
+       |stream AS (SELECT * FROM keys WHERE doc_id % 3 = 0),
+       |cpos AS (SELECT DISTINCT unnest([$posList]) AS pos FROM corpus),
+       |bitsT AS (
+       |  SELECT pos // 32 AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+       |  FROM cpos GROUP BY 1),
+       |spos AS (SELECT doc_id, unnest([$posList]) AS pos FROM stream),
+       |hits AS (
+       |  SELECT doc_id,
+       |    (COALESCE(bits, 0) & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0 AS hit
+       |  FROM spos LEFT JOIN bitsT ON pos // 32 = word),
+       |mb AS (SELECT doc_id, bool_and(hit) AS maybe_seen FROM hits GROUP BY 1)
+       |SELECT s.doc_id, m.maybe_seen,
+       |  EXISTS(SELECT 1 FROM corpus c WHERE c.key = s.key) AS actually_seen
+       |FROM stream s JOIN mb m ON s.doc_id = m.doc_id""".stripMargin
   }
 
   /** Content-defined-chunking boundary divisor: a token closes a chunk

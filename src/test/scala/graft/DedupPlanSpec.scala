@@ -211,6 +211,27 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(keep == minima)
   }
 
+  test("d16 bloom pre-filter: no false negatives, and it actually filters") {
+    import spark.implicits._
+    val out = Queries.queries("d16_bloom_prefilter")(spark, TestSpark.sf)
+      .select($"doc_id", $"maybe_seen", $"actually_seen")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    // the Bloom guarantee: a seen key can never test negative
+    assert(out.forall(r => !r._3 || r._2),
+      "false negative: actually_seen doc tested maybe_seen=false")
+    // usefulness: at this fill factor most unseen docs are rejected
+    // map-side and skip the probe join entirely
+    val unseen = out.filter(!_._3)
+    assert(unseen.count(!_._2) > unseen.length / 2,
+      s"filter rejected only ${unseen.count(!_._2)}/${unseen.length} unseen docs")
+    // the filter itself must reach probes as a broadcast
+    val p = DedupQueries.bloomPrefilter(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"bloom bits not broadcast:\n$p")
+  }
+
   test("d10 span dedup: kept spans = distinct spans; min agg is partial") {
     import spark.implicits._
     val out = DedupQueries.spanDedup(spark, TestSpark.sf)
