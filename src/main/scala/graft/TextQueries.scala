@@ -198,6 +198,76 @@ object TextQueries extends QueryGroup {
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Count-Min sketch geometry: CmsD independent hash rows of CmsW
+    * buckets (aj/bj rows 56–59, clear of every other family's range).
+    * Unlike the HLL in t_profile, CMS with FIXED hashes is fully
+    * deterministic, so it gets a bit-exact oracle. */
+  val CmsD = 4
+  val CmsW = 256L
+
+  /** Count-Min sketch token-frequency estimation — the bounded-memory
+    * heavy-hitters primitive (Cormode & Muthukrishnan 2005): the whole
+    * corpus folds into a CmsD x CmsW counter grid (one groupBy over
+    * ≤1024 cells, map-side partial sums — state size independent of
+    * corpus and vocabulary), and a token's estimate is the MIN of its
+    * CmsD cells. Output: the exact top-20 tokens with exact and
+    * estimated counts; CMS can only OVERcount (est >= exact, the
+    * spec'd guarantee), with error bounded by collisions per bucket.
+    * At 100 TB the exact per-token groupBy this query carries for
+    * ground truth is what you'd drop — the sketch alone answers with
+    * megabytes of state. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def bucket(j: Int, h: Column): Column =
+      pmod(pmod(lit(functions.VecMath.aj(56 + j)) * h +
+        lit(functions.VecMath.bj(56 + j)), lit(HashP)), lit(CmsW))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(tokensCol(lower($"text"))).as("tok"))
+      .select($"tok", wordHash($"tok").as("h"))
+      .persist() // sketch build + exact ground truth both read it
+    val cells = toks
+      .select(explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("row"), bucket(j, $"h").as("bucket"))): _*)).as("c"))
+      .groupBy($"c.row".as("row"), $"c.bucket".as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val exact = toks.groupBy($"tok", $"h").agg(count(lit(1)).as("exact_n"))
+    val top = exact.withColumn("rk", row_number().over(
+        Window.orderBy($"exact_n".desc, $"tok".asc)))
+      .filter($"rk" <= 20)
+    top.select($"tok", $"h", $"exact_n",
+        explode(array((0 until CmsD).map(j =>
+          struct(lit(j).as("row"), bucket(j, $"h").as("bucket"))): _*)).as("c"))
+      .join(broadcast(cells),
+        $"c.row" === cells("row") && $"c.bucket" === cells("bucket"))
+      .groupBy($"tok", $"exact_n")
+      .agg(min($"n").as("cms_n"))
+      .select($"tok".as("token"), $"exact_n", $"cms_n")
+  }
+  private val cmsCountsOracle: String = {
+    val t = tokensSql("lower(text)")
+    val consts = (0 until CmsD).map(j =>
+      s"(${j}, ${functions.VecMath.aj(56 + j)}, ${functions.VecMath.bj(56 + j)})")
+      .mkString(", ")
+    s"""WITH toks AS (SELECT unnest($t) AS tok FROM documents),
+       |th AS (SELECT tok, ${wordHashSql("tok")} AS h FROM toks),
+       |consts(j, a, b) AS (SELECT * FROM (VALUES $consts)),
+       |cells AS (
+       |  SELECT j, ((a*h + b) % $HashP) % $CmsW AS bucket, COUNT(*) AS n
+       |  FROM th, consts GROUP BY 1, 2),
+       |exact AS (SELECT tok, h, COUNT(*) AS exact_n FROM th GROUP BY 1, 2),
+       |top AS (
+       |  SELECT * FROM (
+       |    SELECT tok, h, exact_n,
+       |      ROW_NUMBER() OVER (ORDER BY exact_n DESC, tok ASC) AS rk
+       |    FROM exact) WHERE rk <= 20)
+       |SELECT t.tok AS token, t.exact_n,
+       |  (SELECT MIN(ce.n) FROM consts c JOIN cells ce
+       |    ON ce.j = c.j AND ce.bucket = ((c.a*t.h + c.b) % $HashP) % $CmsW)
+       |    AS cms_n
+       |FROM top t""".stripMargin
+  }
+
   /** Repetition signals (the Gopher-style quality gates): fraction of
     * the doc taken by its most-repeated token / bigram and the overall
     * duplicate-token fraction, with a keep-flag at the published-recipe
@@ -979,6 +1049,7 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_classifier_score", classifierScore, Some(classifierOracle)))
     Queries.register(QueryDef("t_bpe_tokens", bpeTokens, Some(bpeOracle)))
     Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
+    Queries.register(QueryDef("t_cms_counts", cmsCounts, Some(cmsCountsOracle)))
     Queries.register(QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)))
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))
     Queries.register(QueryDef("t_quality_score", qualityScore, Some(qualityOracle)))

@@ -167,6 +167,29 @@ class PlanSpec extends AnyFunSuite {
       s"range join degenerated to a product:\n$p")
   }
 
+  test("CMS estimates never undercount, and sketch state stays bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Queries.queries("t_cms_counts")(spark, TestSpark.sf)
+      .select($"token", $"exact_n", $"cms_n")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS undercounted '$tok': $est < $exact")
+    }
+    // the sketch is a fixed grid — corpus- and vocabulary-independent
+    val toks = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(TextQueries.tokensCol(lower($"text"))).as("tok"))
+      .select($"tok", TextQueries.wordHash($"tok").as("h"))
+    val nCells = toks.select(explode(array((0 until TextQueries.CmsD).map(j =>
+        struct(lit(j).as("row"),
+          pmod(pmod(lit(functions.VecMath.aj(56 + j)) * $"h" +
+            lit(functions.VecMath.bj(56 + j)), lit(TextQueries.HashP)),
+            lit(TextQueries.CmsW)).as("bucket"))): _*)).as("c"))
+      .select($"c.row", $"c.bucket").distinct().count()
+    assert(nCells <= TextQueries.CmsD * TextQueries.CmsW)
+  }
+
   test("stratified sample plan is map-only (no exchange)") {
     val p = planOf("t_stratified_sample")
     assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
