@@ -198,6 +198,84 @@ object TextQueries extends QueryGroup {
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Deterministic-HLL geometry: HllM registers; the register hash
+    * (aj/bj row 60) yields a 31-bit value split as (index mod HllM,
+    * 25-bit suffix) whose leading-zero rank feeds the register max. */
+  val HllM = 64L
+
+  /** Deterministic HyperLogLog distinct-token count per source — the
+    * oracle-checked twin of t_profile's engine-opaque
+    * approx_count_distinct: with FIXED hashes every step is portable,
+    * so the sketch replays bit-for-bit. Registers are pure integers
+    * (groupBy(source, reg) MAX of the leading-zero rank — map-side
+    * partial max, HllM rows per source); the raw estimator
+    * alpha*m^2 / sum(2^-M_j) is IEEE-exact across engines because
+    * every 2^-M_j is dyadic with <= 26 fraction bits (the sum needs
+    * < 53), and one literal, one multiply, one divide and one floor
+    * are correctly rounded identically. Exact distincts ride along as
+    * ground truth; at 100 TB you keep only the 64 registers per
+    * source. (Raw estimator by design — linear counting, the standard
+    * small-range correction, needs ln() whose last ulp is not pinned
+    * across engines; on this corpus' ~31-token per-source vocabulary
+    * the raw estimate therefore reads ~2x high, a bounded overcount
+    * the spec pins. The point is the exact-replay sketch harness.) */
+  def hllCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokensCol(lower($"text"))).as("tok"))
+      .select($"source", $"tok", wordHash($"tok").as("h"))
+      .persist() // registers + exact truth
+    val regs = toks
+      .select($"source", pmod(lit(functions.VecMath.aj(60)) * $"h" +
+        lit(functions.VecMath.bj(60)), lit(HashP)).as("h2"))
+      .select($"source", pmod($"h2", lit(HllM)).as("reg"),
+        intDiv($"h2", lit(HllM)).as("w")) // w < 2^25
+      .select($"source", $"reg",
+        when($"w" === 0L, lit(26L))
+          .otherwise(lit(26L) - length(bin($"w"))).as("rho"))
+      .groupBy($"source", $"reg").agg(max($"rho").as("mj"))
+    val est = regs.groupBy($"source").agg(
+        count(lit(1)).as("n_regs"),
+        sum($"mj").cast("long").as("reg_digest"),
+        sum(lit(1.0d) / pow(lit(2.0d), $"mj")).as("s_present"))
+      .select($"source", $"reg_digest",
+        floor(lit(1000.0d * 0.709d * (HllM * HllM).toDouble) /
+          ($"s_present" + (lit(HllM) - $"n_regs").cast("double")))
+          .cast("long").as("hll_est_milli"))
+    val exact = toks.groupBy($"source")
+      .agg(countDistinct($"tok").as("exact_distinct"))
+    est.join(exact, Seq("source"))
+      .select($"source", $"exact_distinct", $"reg_digest", $"hll_est_milli")
+  }
+  private val hllCountsOracle: String = {
+    val t = tokensSql("lower(text)")
+    s"""WITH toks AS (
+       |  SELECT source, unnest($t) AS tok FROM documents),
+       |th AS (SELECT source, tok, ${wordHashSql("tok")} AS h FROM toks),
+       |h2t AS (
+       |  SELECT source, tok,
+       |    (${functions.VecMath.aj(60)}*h + ${functions.VecMath.bj(60)}) % $HashP AS h2
+       |  FROM th),
+       |rr AS (
+       |  SELECT source, h2 % $HllM AS reg,
+       |    CASE WHEN h2 // $HllM = 0 THEN 26
+       |         ELSE 26 - length(bin(h2 // $HllM)) END AS rho
+       |  FROM h2t),
+       |regs AS (SELECT source, reg, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+       |est AS (
+       |  SELECT source,
+       |    CAST(SUM(mj) AS BIGINT) AS reg_digest,
+       |    CAST(floor(1000.0 * 0.709 * ${HllM * HllM}
+       |      / (SUM(1.0 / pow(2.0, mj)) + ($HllM - COUNT(*)))) AS BIGINT)
+       |      AS hll_est_milli
+       |  FROM regs GROUP BY 1)
+       |SELECT t.source, COUNT(DISTINCT tok) AS exact_distinct,
+       |  ANY_VALUE(reg_digest) AS reg_digest,
+       |  ANY_VALUE(hll_est_milli) AS hll_est_milli
+       |FROM th t JOIN est e ON t.source = e.source
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Count-Min sketch geometry: CmsD independent hash rows of CmsW
     * buckets (aj/bj rows 56–59, clear of every other family's range).
     * Unlike the HLL in t_profile, CMS with FIXED hashes is fully
@@ -1050,6 +1128,7 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_bpe_tokens", bpeTokens, Some(bpeOracle)))
     Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
     Queries.register(QueryDef("t_cms_counts", cmsCounts, Some(cmsCountsOracle)))
+    Queries.register(QueryDef("t_hll_counts", hllCounts, Some(hllCountsOracle)))
     Queries.register(QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)))
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))
     Queries.register(QueryDef("t_quality_score", qualityScore, Some(qualityOracle)))

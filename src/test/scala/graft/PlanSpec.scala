@@ -190,6 +190,50 @@ class PlanSpec extends AnyFunSuite {
     assert(nCells <= TextQueries.CmsD * TextQueries.CmsW)
   }
 
+  test("deterministic HLL registers match a plain-Scala reimplementation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val P = TextQueries.HashP
+    val m = TextQueries.HllM
+    val (a, b) = (functions.VecMath.aj(60), functions.VecMath.bj(60))
+    def wordHash(word: String): Long =
+      word.foldLeft(0L)((acc, c) => (acc * TextQueries.WordB + c.toLong) % P)
+    val bySource = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1)
+    val want = bySource.map { case (src, docs) =>
+      val regs = scala.collection.mutable.Map.empty[Long, Long]
+      docs.flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .foreach { tok =>
+          val h2 = (a * wordHash(tok) + b) % P
+          val w = h2 / m
+          val rho = if (w == 0) 26L else 26L - java.lang.Long.toBinaryString(w).length
+          val reg = h2 % m
+          regs(reg) = math.max(regs.getOrElse(reg, 0L), rho)
+        }
+      val s = regs.values.map(mj => 1.0 / math.pow(2.0, mj.toDouble)).sum +
+        (m - regs.size).toDouble
+      src -> (regs.values.sum,
+        math.floor(1000.0 * 0.709 * (m * m).toDouble / s).toLong)
+    }
+    val got = Queries.queries("t_hll_counts")(spark, TestSpark.sf)
+      .select($"source", $"reg_digest", $"hll_est_milli")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+    // this corpus' ~31-token vocab sits in the small-range regime where
+    // the raw estimator reads high by design (linear counting is the
+    // production correction; its ln() is not last-ulp-pinned across
+    // engines, so the oracle-checked surface stays raw) — the estimate
+    // must still be a bounded overcount, never an undercount
+    val exact = Queries.queries("t_hll_counts")(spark, TestSpark.sf)
+      .select($"source", $"exact_distinct").as[(String, Long)].collect().toMap
+    got.foreach { case (src, (_, estMilli)) =>
+      assert(estMilli >= exact(src) * 1000L, s"$src: HLL undercounts")
+      assert(estMilli <= exact(src) * 3000L, s"$src: HLL bias unbounded")
+    }
+  }
+
   test("stratified sample plan is map-only (no exchange)") {
     val p = planOf("t_stratified_sample")
     assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
