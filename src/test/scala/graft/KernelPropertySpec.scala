@@ -320,6 +320,90 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  // plain-Scala twins of the d13/d14 kernels (their equivalence to the
+  // Spark expressions is pinned in DedupPlanSpec) — the properties below
+  // check the ALGORITHMS over random corpora
+  private val P = TextQueries.HashP
+  private def wHash(word: String): Long =
+    word.foldLeft(0L)((a, c) => (a * TextQueries.WordB + c.toLong) % P)
+  private def winnowFps(toks: Seq[String]): Set[Long] = {
+    val W = DedupQueries.WinnowW
+    val h = toks.map(wHash)
+    val kg = if (h.length >= 3)
+      (0 until h.length - 2).map(i =>
+        ((h(i) * 131L + h(i + 1)) % P * 131L + h(i + 2)) % P)
+      else Seq.empty[Long]
+    if (kg.isEmpty) Set.empty
+    else (0 until math.max(kg.length - W + 1, 1)).map { j =>
+      val win = kg.slice(j, j + W)
+      kg(j + win.lastIndexOf(win.min))
+    }.toSet
+  }
+  private def cdcChunksOf(toks: Seq[String]): Seq[(Int, Int, Long)] = {
+    val h = toks.map(wHash)
+    val bps = (1 to toks.length).filter(i => h(i - 1) % DedupQueries.CdcD == 0)
+    val starts = (0 +: bps).map(_ + 1)
+    val ends = bps :+ toks.length
+    starts.zip(ends).filter { case (s, e) => s <= e }
+      .map { case (s, e) =>
+        (s, e, h.slice(s - 1, e).foldLeft(0L)((a, b) => (a * 131L + b) % P)) }
+  }
+  private def randToks(r: scala.util.Random, n: Int): Seq[String] =
+    Seq.fill(n)(s"w${r.nextInt(500)}")
+
+  test("winnowing guarantee: any shared 6+-token run shares a fingerprint") {
+    // Schleimer et al. theorem: a match of at least w+k-1 tokens
+    // (= 4+3-1 = 6) contains a full window of identical k-grams, and
+    // per-window selection depends only on window content
+    val r = rnd
+    for (trial <- 0 until 200) {
+      val run = randToks(r, 6 + r.nextInt(10))
+      def plant(bg: Seq[String]): Seq[String] = {
+        val at = r.nextInt(bg.length + 1)
+        bg.take(at) ++ run ++ bg.drop(at)
+      }
+      val a = plant(randToks(r, r.nextInt(60)))
+      val b = plant(randToks(r, r.nextInt(60)))
+      assert(winnowFps(a).intersect(winnowFps(b)).nonEmpty,
+        s"trial=$trial: planted run produced no shared fingerprint")
+    }
+  }
+
+  test("winnowing density stays in the 2/(w+1) ballpark on random text") {
+    val r = rnd
+    val docs = Seq.fill(50)(randToks(r, 200 + r.nextInt(200)))
+    val kgTotal = docs.map(_.length - 2).sum.toDouble
+    val fpTotal = docs.map(winnowFps(_).size).sum.toDouble
+    val density = fpTotal / kgTotal
+    assert(density > 0.2 && density < 0.6, s"density $density")
+  }
+
+  test("CDC edit-locality: chunks outside the edited chunk survive any edit") {
+    val r = rnd
+    for (trial <- 0 until 200) {
+      val t = randToks(r, 40 + r.nextInt(120))
+      val p = r.nextInt(t.length) // 0-based edit site
+      val edited = r.nextInt(3) match {
+        case 0 => t.updated(p, s"x${r.nextInt(500)}") // replace
+        case 1 => t.take(p) ++ Seq(s"x${r.nextInt(500)}") ++ t.drop(p) // insert
+        case _ => t.take(p) ++ t.drop(p + 1) // delete
+      }
+      val orig = cdcChunksOf(t)
+      val after = cdcChunksOf(edited).map(_._3).toSet
+      val ci = orig.indexWhere { case (s, e, _) => s <= p + 1 && p + 1 <= e }
+      assert(ci >= 0, s"trial=$trial: edit site in no chunk")
+      // a boundary is a per-token property, so an edit at p can only
+      // change the boundary AT p — affecting the edited chunk and, if
+      // that boundary closed it, merging in its immediate successor;
+      // every other chunk must survive verbatim
+      val unaffected = orig.take(ci) ++ orig.drop(ci + 2)
+      unaffected.foreach { case (s, e, fp) =>
+        assert(after.contains(fp),
+          s"trial=$trial: chunk [$s,$e] lost by an edit at ${p + 1}")
+      }
+    }
+  }
+
   test("nomisma nmRef: idempotent, and nm-free ids pass through whole") {
     import graft.pipeline.NomismaMap
     val r = rnd
