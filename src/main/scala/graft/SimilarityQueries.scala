@@ -347,9 +347,15 @@ object SimilarityQueries extends QueryGroup {
     * only K×dim×partitions pre-combined rows, independent of corpus
     * size. That is the canonical distributed Lloyd's step; more
     * rounds repeat (a)+(b). */
-  private[graft] def kmeansState(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def kmeansState(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmeansStateOf(quantized(spark, dir))
+
+  /** Lloyd round over an arbitrary quantized base — v6/v7 train on the
+    * full table; v11 trains on the corpus only and FREEZES the result. */
+  private[graft] def kmeansStateOf(base0: DataFrame): (DataFrame, DataFrame) = {
+    val spark = base0.sparkSession
     import spark.implicits._
-    val base = quantized(spark, dir).persist()
+    val base = base0.persist()
     val step = base.count() / KmK
     def collapse(cents: DataFrame): DataFrame =
       cents.agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
@@ -377,9 +383,13 @@ object SimilarityQueries extends QueryGroup {
 
   /** Shared oracle CTE chain replaying kmeansState; ends in `cents1b`
     * (cid, cv, cn2) and `a2` (vec_id, q, n2, cid, d2). */
-  private[graft] val kmeansCtes: String = {
+  private[graft] val kmeansCtes: String = kmeansCtesFrom(quantizedSql)
+
+  /** The same chain over an arbitrary base SELECT (v11 trains on the
+    * corpus subset). */
+  private[graft] def kmeansCtesFrom(baseSql: String): String = {
     val dot0 = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [v.q[i]*c.cv[i] for i in range(1, len(v.q)+1)]), (x,y)->x+y)"
-    s"""base AS ($quantizedSql),
+    s"""base AS ($baseSql),
        |s AS (SELECT COUNT(*) // $KmK AS step FROM base),
        |cents0 AS (
        |  SELECT vec_id // step AS cid, q AS cv, n2 AS cn2
@@ -408,6 +418,59 @@ object SimilarityQueries extends QueryGroup {
        |      ORDER BY v.n2 - 2 * $dot0 + c.cn2, c.cid) AS rn
        |  FROM base v, cents1b c),
        |a2 AS (SELECT vec_id, q, n2, cid, d2 FROM d2s WHERE rn = 1)""".stripMargin
+  }
+
+  /** V11: incremental IVF ingest — the FAISS-add production pattern:
+    * the coarse codebook is trained on the EXISTING corpus (vec_id
+    * % 10 != 9) and then FROZEN; the arriving shard assigns to those
+    * fixed cells in one map-only broadcast pass and appends to the
+    * inverted lists. Retraining per ingest would re-shuffle the whole
+    * index (and silently move existing vectors between cells —
+    * breaking every stored list); freezing makes daily cost ∝ shard,
+    * the ANN twin of d8/st8's admission shape. Output: per-cell
+    * corpus size, shard growth, and added inertia — the drift signals
+    * that tell an operator when a retrain IS due. */
+  def ivfAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = quantized(spark, dir).persist()
+    val (cents1, a2) = kmeansStateOf(all.filter($"vec_id" % 10 =!= 9))
+    val centsRow = cents1
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    val assigned = all.filter($"vec_id" % 10 === 9)
+      .crossJoin(broadcast(centsRow))
+      .withColumn("best", element_at(array_sort(transform($"cents", c =>
+        struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
+          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))), 1))
+      .select($"vec_id", $"best".getField("cid").as("cid"),
+        $"best".getField("d2").as("d2"))
+    val oldN = a2.groupBy($"cid").agg(count(lit(1)).as("n_corpus"))
+    val addN = assigned.groupBy($"cid").agg(
+      count(lit(1)).as("n_added"), sum($"d2").as("add_inertia"))
+    oldN.join(addN, Seq("cid"), "left")
+      .select($"cid", $"n_corpus",
+        coalesce($"n_added", lit(0L)).as("n_added"),
+        coalesce($"add_inertia", lit(0L)).as("add_inertia"))
+  }
+  private val ivfAppendOracle: String = {
+    val dot0 = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [v.q[i]*c.cv[i] for i in range(1, len(v.q)+1)]), (x,y)->x+y)"
+    val corpusSql = s"SELECT * FROM ($quantizedSql) WHERE vec_id % 10 <> 9"
+    s"""WITH ${kmeansCtesFrom(corpusSql)},
+       |shardq AS (SELECT * FROM ($quantizedSql) t WHERE vec_id % 10 = 9),
+       |sd AS (
+       |  SELECT v.vec_id, c.cid, v.n2 - 2 * $dot0 + c.cn2 AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 - 2 * $dot0 + c.cn2, c.cid) AS rn
+       |  FROM shardq v, cents1b c),
+       |sa AS (SELECT vec_id, cid, d2 FROM sd WHERE rn = 1),
+       |oldn AS (SELECT cid, COUNT(*) AS n_corpus FROM a2 GROUP BY 1),
+       |addn AS (
+       |  SELECT cid, COUNT(*) AS n_added,
+       |    CAST(SUM(d2) AS BIGINT) AS add_inertia
+       |  FROM sa GROUP BY 1)
+       |SELECT o.cid, o.n_corpus,
+       |  COALESCE(n_added, 0) AS n_added,
+       |  COALESCE(add_inertia, 0) AS add_inertia
+       |FROM oldn o LEFT JOIN addn a ON o.cid = a.cid""".stripMargin
   }
 
   /** K-means codebook training (distributed Lloyd's): per-cell size,
@@ -898,6 +961,7 @@ object SimilarityQueries extends QueryGroup {
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle)))
     Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
     Queries.register(QueryDef("v10_pq_rerank", pqRerank, Some(pqRerankOracle)))
+    Queries.register(QueryDef("v11_ivf_append", ivfAppend, Some(ivfAppendOracle)))
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
     Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))

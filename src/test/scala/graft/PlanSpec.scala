@@ -155,6 +155,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF append: shard fully accounted, corpus cells untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Queries.queries("v11_ivf_append")(spark, TestSpark.sf)
+      .select($"cid", $"n_corpus", $"n_added", $"add_inertia")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val shardN = emb.filter($"vec_id" % 10 === 9).count()
+    val corpusN = emb.filter($"vec_id" % 10 =!= 9).count()
+    // every arriving vector lands in exactly one frozen cell; the
+    // corpus-side inverted lists are complete and unchanged
+    assert(rows.map(_._3).sum == shardN, "shard vectors lost or duplicated")
+    assert(rows.map(_._2).sum == corpusN, "corpus assignment incomplete")
+    assert(rows.forall(_._2 > 0), "phantom cell with no corpus members")
+    assert(rows.forall(r => r._4 >= 0 && (r._3 > 0 || r._4 == 0)))
+  }
+
   test("as-of join compiles to a window scan, not a join product") {
     val p = planOf("j14_asof_join")
     assert(!p.contains("Join"), s"as-of must not materialize a join:\n$p")
