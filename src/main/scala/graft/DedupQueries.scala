@@ -573,25 +573,33 @@ object DedupQueries extends QueryGroup {
        |SELECT doc_id, cluster, (cluster = doc_id) AS keep FROM asg""".stripMargin
 
   /** D15: SOFT dedup — down-weight near-duplicates instead of dropping
-    * them: every document trains with weight 1000/cluster_size (milli),
-    * so each cluster contributes exactly one copy's worth in
-    * expectation while keeping its internal variation — the soft-dedup
-    * recipe that preserves distribution tails hard removal clips.
-    * Same machinery as d6 plus one tiny per-cluster count joined back
-    * (clusters are minute next to the corpus — broadcastable). */
+    * them: every document trains with weight ~1000/cluster_size
+    * (milli), the CANONICAL doc (cluster minimum) absorbing the
+    * integer-division remainder so each cluster totals EXACTLY 1000 —
+    * one copy's worth, with internal variation preserved (the
+    * soft-dedup recipe; hard removal clips distribution tails, and a
+    * plain floor would zero out clusters larger than 1000 docs
+    * entirely). Same machinery as d6 plus one tiny per-cluster count
+    * joined back (clusters are minute next to the corpus —
+    * broadcastable). */
   def softDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val asg = clusterAssign(spark, dir)
     val sizes = asg.groupBy($"cluster").agg(count(lit(1)).as("csize"))
+    val base = intDiv(lit(1000L), $"csize")
     asg.join(sizes, Seq("cluster"))
       .select($"doc_id", $"cluster", $"csize",
-        intDiv(lit(1000L), $"csize").as("weight_milli"))
+        when($"doc_id" === $"cluster",
+          lit(1000L) - ($"csize" - 1L) * base)
+          .otherwise(base).as("weight_milli"))
   }
   private val softDedupOracle: String =
     s"""WITH RECURSIVE $clusterAssignCtes,
        |sz AS (SELECT cluster, COUNT(*) AS csize FROM asg GROUP BY 1)
        |SELECT doc_id, a.cluster, CAST(csize AS BIGINT) AS csize,
-       |  1000 // CAST(csize AS BIGINT) AS weight_milli
+       |  CASE WHEN doc_id = a.cluster
+       |    THEN 1000 - (CAST(csize AS BIGINT) - 1) * (1000 // CAST(csize AS BIGINT))
+       |    ELSE 1000 // CAST(csize AS BIGINT) END AS weight_milli
        |FROM asg a JOIN sz ON a.cluster = sz.cluster""".stripMargin
 
   /** Benchmark decontamination: flag every training document sharing a

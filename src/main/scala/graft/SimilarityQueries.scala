@@ -446,8 +446,12 @@ object SimilarityQueries extends QueryGroup {
     val oldN = a2.groupBy($"cid").agg(count(lit(1)).as("n_corpus"))
     val addN = assigned.groupBy($"cid").agg(
       count(lit(1)).as("n_added"), sum($"d2").as("add_inertia"))
-    oldN.join(addN, Seq("cid"), "left")
-      .select($"cid", $"n_corpus",
+    // FULL outer: a trained centroid can lose every corpus member in
+    // the Lloyd update yet still be some shard vector's nearest cell —
+    // a left join would silently drop those arrivals
+    oldN.join(addN, Seq("cid"), "full_outer")
+      .select($"cid",
+        coalesce($"n_corpus", lit(0L)).as("n_corpus"),
         coalesce($"n_added", lit(0L)).as("n_added"),
         coalesce($"add_inertia", lit(0L)).as("add_inertia"))
   }
@@ -467,10 +471,11 @@ object SimilarityQueries extends QueryGroup {
        |  SELECT cid, COUNT(*) AS n_added,
        |    CAST(SUM(d2) AS BIGINT) AS add_inertia
        |  FROM sa GROUP BY 1)
-       |SELECT o.cid, o.n_corpus,
+       |SELECT COALESCE(o.cid, a.cid) AS cid,
+       |  COALESCE(n_corpus, 0) AS n_corpus,
        |  COALESCE(n_added, 0) AS n_added,
        |  COALESCE(add_inertia, 0) AS add_inertia
-       |FROM oldn o LEFT JOIN addn a ON o.cid = a.cid""".stripMargin
+       |FROM oldn o FULL OUTER JOIN addn a ON o.cid = a.cid""".stripMargin
   }
 
   /** K-means codebook training (distributed Lloyd's): per-cell size,
@@ -749,6 +754,8 @@ object SimilarityQueries extends QueryGroup {
     val cand = pqScored(spark, dir)
       .withColumn("arank", row_number().over(wA)).filter($"arank" <= RerankR)
       .select($"query_id", $"vec_id")
+    // same logical plan pqScored just persisted: the CacheManager's
+    // plan-matching substitutes its InMemoryRelation, no re-scan
     val base = quantized(spark, dir)
     val probes = base.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"))

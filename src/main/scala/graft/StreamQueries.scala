@@ -194,8 +194,10 @@ object StreamQueries extends QueryGroup {
       sids.filter(size($"sid") > 0)).persist()
     val decisions = Seq(stream.filter($"doc_id" < NeardupCut),
         stream.filter($"doc_id" >= NeardupCut)).map { b =>
-      val dec = streaming.StreamingOps.neardupAdmit(b, sids, bands)
-      val bSids = DedupQueries.shingleTableOf(b)
+      // one hashing pass per batch: the same shingle table decides and
+      // then joins the index
+      val bSids = DedupQueries.shingleTableOf(b).persist()
+      val dec = streaming.StreamingOps.neardupAdmit(bSids, sids, bands)
       sids = sids.unionByName(bSids).persist()
       bands = bands.unionByName(DedupQueries.bandIndex(
         bSids.filter(size($"sid") > 0))).persist()

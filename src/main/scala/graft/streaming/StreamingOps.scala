@@ -109,28 +109,33 @@ object StreamingOps {
     * and it keeps each decision per-doc local). With id-ordered batches
     * the decision for doc d depends only on {corpus} ∪ {stream ids < d},
     * so admission is provably independent of micro-batch slicing — the
-    * property the spec pins. At 100 TB the persisted index drops
-    * >BandCap boilerplate buckets exactly as d8 does at build time.
+    * property the spec pins. Deliberately UNCAPPED, unlike d8's batch
+    * build: a per-batch hot-bucket cap would depend on how the stream
+    * is sliced, breaking both that property and oracle parity. At
+    * 100 TB, cap the PERSISTED index once at build time (bucket counts
+    * are slicing-independent there) before handing it to this probe.
     *
     * Caller maintains the MATERIALIZED index across batches — both
     * tables persisted/on disk, never re-derived (re-minhashing the
     * corpus per batch would make each batch cost corpus-shaped, the
     * exact failure this operator exists to avoid): `seenSids` =
     * (doc_id, sid) and `seenBands` = its bandIndex, appending the
-    * batch's rows after deciding. doc_ids must be disjoint from the
-    * corpus'. Returns (doc_id, admitted, dup_of) for every batch doc,
+    * batch's rows after deciding. `batchSids` is the batch's OWN
+    * shingle table (one hashing pass, shared with the caller's
+    * index append). doc_ids must be disjoint from the corpus'.
+    * Returns (doc_id, admitted, dup_of) for every batch doc,
     * empty-shingle docs admitted. */
-  def neardupAdmit(batchDocs: DataFrame, seenSids: DataFrame,
+  def neardupAdmit(batchSids: DataFrame, seenSids: DataFrame,
       seenBands: DataFrame): DataFrame = {
-    val spark = batchDocs.sparkSession
+    val spark = batchSids.sparkSession
     import spark.implicits._
     import graft.{DedupQueries, TextQueries}
-    val newSids = DedupQueries.shingleTableOf(batchDocs).persist()
+    val newSids = batchSids.persist()
     val newNz = newSids.filter(size($"sid") > 0)
     val seenNz = seenSids.filter(size($"sid") > 0)
-    val probe = DedupQueries.bandIndex(newNz)
+    val probe = DedupQueries.bandIndex(newNz).persist()
     val ref = seenBands.withColumn("seen", lit(true))
-      .unionByName(DedupQueries.bandIndex(newNz).withColumn("seen", lit(false)))
+      .unionByName(probe.withColumn("seen", lit(false)))
     val cand = probe.as("n").join(ref.as("o"),
         col("n.band_idx") === col("o.band_idx") &&
           col("n.band_hash") === col("o.band_hash") &&
@@ -146,7 +151,7 @@ object StreamingOps {
         size(array_intersect($"sid_n", $"sid_o")).cast("long") * 1000L,
         size(array_union($"sid_n", $"sid_o")).cast("long")) >= 800L)
       .groupBy($"new_id").agg(min($"ref_id").as("dup_of"))
-    batchDocs.select($"doc_id")
+    newSids.select($"doc_id")
       .join(dups.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id", $"dup_of".isNull.as("admitted"), $"dup_of")
   }

@@ -138,14 +138,13 @@ class StreamingSpec extends AnyFunSuite {
     val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
     val q = input.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val b = batch.persist()
+        val bSids = DedupQueries.shingleTableOf(batch).persist()
         sink.synchronized {
-          sink ++= StreamingOps.neardupAdmit(b, sids, bands)
+          sink ++= StreamingOps.neardupAdmit(bSids, sids, bands)
             .select($"doc_id", $"admitted",
               coalesce($"dup_of", lit(-1L)).as("dup_of"))
             .as[(Long, Boolean, Long)].collect()
         }
-        val bSids = DedupQueries.shingleTableOf(b)
         sids = sids.unionByName(bSids).persist()
         bands = bands.unionByName(DedupQueries.bandIndex(
           bSids.filter(size($"sid") > 0))).persist()
