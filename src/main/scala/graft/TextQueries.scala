@@ -679,6 +679,79 @@ object TextQueries extends QueryGroup {
        |FROM m""".stripMargin
   }
 
+  /** Filter-threshold CALIBRATION sweep — the step every pipeline runs
+    * before fixing a quality-filter cutoff: sweep the classifier score
+    * over a threshold grid and report the confusion counts plus
+    * integer-milli precision / recall / F1 at each point, against an
+    * independent truth label (lexical diversity ≥ 0.5 — distinct
+    * tokens over tokens). One map pass computes (score, label) per
+    * doc; the grid explode (21 rows per doc) feeds a 21-group
+    * aggregate with map-side partial sums — no shuffle wider than the
+    * grid, corpus-size-independent result. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokensCol($"text")
+    val weight = (t: Column) =>
+      (lit(Wa) * (wordHash(t) % FeatDim) + lit(Wb)) % HashP % 2001L - 1000L
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        aggregate(transform(toks, weight), lit(0L), _ + _).as("w_sum"))
+      // mean token weight: the weights are already milli (±1000 = ±1.0),
+      // so the score lands on the same [-1000, 1000] grid as the sweep
+      .select(
+        expr("w_sum div greatest(n, 1)").as("score"),
+        (intDiv($"nd" * 1000L, greatest($"n", lit(1L))) >= 500L).as("label"))
+    val cell = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    perDoc
+      .select($"score", $"label",
+        explode(sequence(lit(-1000L), lit(1000L), lit(100L))).as("threshold"))
+      .groupBy($"threshold")
+      .agg(
+        cell($"score" >= $"threshold" && $"label").as("tp"),
+        cell($"score" >= $"threshold" && !$"label").as("fp"),
+        cell($"score" < $"threshold" && $"label").as("fn"))
+      .select($"threshold", $"tp", $"fp", $"fn",
+        intDiv($"tp" * 1000L, greatest($"tp" + $"fp", lit(1L)))
+          .as("precision_milli"),
+        intDiv($"tp" * 1000L, greatest($"tp" + $"fn", lit(1L)))
+          .as("recall_milli"))
+      .withColumn("f1_milli",
+        intDiv($"precision_milli" * $"recall_milli" * 2L,
+          greatest($"precision_milli" + $"recall_milli", lit(1L))))
+  }
+  private val thresholdSweepOracle: String = {
+    val t = tokensSql("text")
+    val w = s"(($Wa * (${wordHashSql("w")} % $FeatDim) + $Wb) % $HashP) % 2001 - 1000"
+    s"""WITH m AS (
+       |  SELECT CAST(len($t) AS BIGINT) AS n,
+       |    CAST(len(list_distinct($t)) AS BIGINT) AS nd,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($t, w -> $w)), (a,b) -> a+b) AS w_sum
+       |  FROM documents),
+       |s AS (
+       |  SELECT w_sum // GREATEST(n, 1) AS score,
+       |    (nd * 1000 // GREATEST(n, 1)) >= 500 AS label
+       |  FROM m),
+       |th AS (SELECT unnest(range(-1000, 1001, 100)) AS threshold),
+       |cells AS (
+       |  SELECT threshold,
+       |    CAST(SUM(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM s, th GROUP BY 1),
+       |pr AS (
+       |  SELECT threshold, tp, fp, fn,
+       |    tp * 1000 // GREATEST(tp + fp, 1) AS precision_milli,
+       |    tp * 1000 // GREATEST(tp + fn, 1) AS recall_milli
+       |  FROM cells)
+       |SELECT threshold, tp, fp, fn, precision_milli, recall_milli,
+       |  precision_milli * recall_milli * 2
+       |    // GREATEST(precision_milli + recall_milli, 1) AS f1_milli
+       |FROM pr""".stripMargin
+  }
+
   /** Domain-level reputation filter — the URL/domain stage of corpus
     * pipelines (RefinedWeb filters whole domains; Dolma aggregates
     * doc-level signals per site before dropping it): per-source mean
@@ -1129,6 +1202,8 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_profile_exact", profileExact, Some(profileExactOracle)))
     Queries.register(QueryDef("t_cms_counts", cmsCounts, Some(cmsCountsOracle)))
     Queries.register(QueryDef("t_hll_counts", hllCounts, Some(hllCountsOracle)))
+    Queries.register(QueryDef("t_threshold_sweep", thresholdSweep,
+      Some(thresholdSweepOracle)))
     Queries.register(QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)))
     Queries.register(QueryDef("t_lang_id", langId, Some(langIdOracle)))
     Queries.register(QueryDef("t_quality_score", qualityScore, Some(qualityOracle)))

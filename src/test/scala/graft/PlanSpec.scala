@@ -187,6 +187,26 @@ class PlanSpec extends AnyFunSuite {
       s"range join degenerated to a product:\n$p")
   }
 
+  test("threshold sweep: 21-point grid with monotone confusion counts") {
+    import spark.implicits._
+    val rows = Queries.queries("t_threshold_sweep")(spark, TestSpark.sf)
+      .select($"threshold", $"tp", $"fp", $"fn", $"recall_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 21)
+    assert(rows.map(_._1).toSeq == (-1000L to 1000L by 100L).toSeq)
+    // raising the cutoff can only shrink the accepted set
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"tp grew at ${hi._1}")
+      assert(hi._3 <= lo._3, s"fp grew at ${hi._1}")
+      assert(hi._4 >= lo._4, s"fn shrank at ${hi._1}")
+      assert(hi._5 <= lo._5, s"recall grew at ${hi._1}")
+    }
+    // scores live in [-1000, 1000], so the lowest cutoff accepts all:
+    // perfect recall (when any positives exist)
+    val first = rows.head
+    if (first._2 + first._4 > 0) assert(first._5 == 1000L)
+  }
+
   test("CMS estimates never undercount, and sketch state stays bounded") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
