@@ -1070,6 +1070,85 @@ object TextQueries extends QueryGroup {
        |FROM d2, tot""".stripMargin
   }
 
+  /** UniMax language budgeting (Chung et al. 2023): allocate a total
+    * token budget B across languages with a per-language EPOCH CAP C —
+    * ascending by size, each language gets min(C·size, fair share of
+    * what remains). The sequential loop has a closed form: cappedness
+    * is monotone along the ascending order (the deciding quantity
+    * C·(prefix₍ᵢ₋₁₎ + sᵢ·(n-i+1)) is non-decreasing when sᵢ is
+    * sorted ascending), so a window prefix-sum decides every language
+    * in one pass — no driver loop. Uncapped languages split the
+    * remaining budget evenly (floor division; the remainder is slack,
+    * not reallocated — matching the paper's static allocation).
+    * B = 3/4 of corpus tokens, C = 1 epoch (the common post-dedup
+    * setting), which exercises BOTH regimes on this corpus: the four
+    * small languages cap at exactly 1000 milli-epochs and `en` is
+    * undersampled at the equal share. Scale: everything after the
+    * per-language aggregate is arithmetic over #languages rows. */
+  def unimax(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val C = 1L
+    val perLang = Tables.load(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(sum(size(tokensCol($"text"))).cast("long").as("n_tokens"))
+    val totals = perLang.agg(
+      count(lit(1)).as("n"),
+      intDiv(sum($"n_tokens") * 3L, lit(4L)).as("budget"))
+    val w = Window.orderBy($"n_tokens".asc, $"lang".asc)
+    val ranked = perLang.crossJoin(broadcast(totals))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum($"n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        (lit(C) * ($"prefix" - $"n_tokens" + $"n_tokens" * ($"n" - $"i" + 1L))
+          <= $"budget").cast("long"))
+    val capStats = ranked.agg(
+      sum($"capped").as("k"),
+      coalesce(sum(when($"capped" === 1L, $"n_tokens")), lit(0L)).as("capsum"))
+    ranked.crossJoin(broadcast(capStats))
+      .withColumn("alloc_tokens",
+        when($"capped" === 1L, lit(C) * $"n_tokens")
+          .otherwise(intDiv($"budget" - lit(C) * $"capsum",
+            greatest($"n" - $"k", lit(1L)))))
+      .select($"lang", $"n_tokens", $"capped", $"alloc_tokens",
+        intDiv($"alloc_tokens" * 1000L, greatest($"n_tokens", lit(1L)))
+          .as("epochs_milli"))
+  }
+  private val unimaxOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH perlang AS (
+       |  SELECT lang, CAST(SUM(len($t)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |g AS (SELECT COUNT(*) AS n, SUM(n_tokens) * 3 // 4 AS budget
+       |  FROM perlang),
+       |r AS (
+       |  SELECT lang, n_tokens, n, budget,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+       |    SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+       |      ROWS UNBOUNDED PRECEDING) AS prefix
+       |  FROM perlang, g),
+       |c AS (
+       |  SELECT *, CAST(
+       |    1 * (prefix - n_tokens + n_tokens * (n - i + 1)) <= budget
+       |    AS BIGINT) AS capped
+       |  FROM r),
+       |s AS (SELECT SUM(capped) AS k,
+       |  COALESCE(SUM(CASE WHEN capped = 1 THEN n_tokens END), 0) AS capsum
+       |  FROM c),
+       |a AS (
+       |  SELECT lang, n_tokens, capped,
+       |    CASE WHEN capped = 1 THEN 1 * n_tokens
+       |      ELSE (budget - 1 * capsum) // GREATEST(n - k, 1) END
+       |      AS alloc_tokens
+       |  FROM c, s)
+       |SELECT lang, n_tokens, capped,
+       |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       |  CAST(alloc_tokens * 1000 // GREATEST(n_tokens, 1) AS BIGINT)
+       |    AS epochs_milli
+       |FROM a""".stripMargin
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al. 2020): within each
     * language, documents rank by a quality signal and split into
     * head/middle/tail TERCILES — the standard pre-training data
@@ -1192,6 +1271,7 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_length_dist", lengthDist, Some(lengthDistOracle)))
     Queries.register(QueryDef("t_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)))
     Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
+    Queries.register(QueryDef("t_unimax", unimax, Some(unimaxOracle)))
     Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
     Queries.register(QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)))
     Queries.register(QueryDef("t_bpe_apply", bpeApply, Some(bpeApplyOracle)))

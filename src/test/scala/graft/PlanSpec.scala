@@ -207,6 +207,32 @@ class PlanSpec extends AnyFunSuite {
     if (first._2 + first._4 > 0) assert(first._5 == 1000L)
   }
 
+  test("unimax: capped languages get exactly C epochs, budget is respected") {
+    import spark.implicits._
+    val rows = Queries.queries("t_unimax")(spark, TestSpark.sf)
+      .select($"lang", $"n_tokens", $"capped", $"alloc_tokens", $"epochs_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._1)) // ascending size — allocation order
+    assert(rows.nonEmpty)
+    // the epoch cap binds exactly on capped rows (C = 1 epoch)
+    rows.filter(_._3 == 1L).foreach { r =>
+      assert(r._4 == r._2 && r._5 == 1000L, s"capped ${r._1} off-cap: $r")
+    }
+    // uncapped rows all get the same equal share, strictly under the cap
+    val shares = rows.filter(_._3 == 0L).map(_._4).distinct
+    assert(shares.length <= 1, s"unequal uncapped shares: $shares")
+    rows.filter(_._3 == 0L).foreach { r =>
+      assert(r._4 < r._2 && r._5 < 1000L, s"uncapped ${r._1} at/over cap: $r")
+    }
+    // cappedness is a PREFIX of the ascending-size order (the closed
+    // form's monotonicity claim)
+    val flags = rows.map(_._3)
+    assert(flags.sameElements(flags.sorted.reverse), s"capped not a prefix: ${flags.toSeq}")
+    // total allocation never exceeds the budget (3/4 of corpus tokens)
+    val budget = rows.map(_._2).sum * 3 / 4
+    assert(rows.map(_._4).sum <= budget)
+  }
+
   test("CMS estimates never undercount, and sketch state stays bounded") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
