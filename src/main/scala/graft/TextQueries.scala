@@ -1149,6 +1149,94 @@ object TextQueries extends QueryGroup {
        |FROM a""".stripMargin
   }
 
+  private val DsirDim = 256L // hashed n-gram feature space for t_dsir_select
+
+  /** DSIR-style data selection (Xie et al. 2023): score every document
+    * by how much its hashed unigram features look like a TARGET
+    * distribution (here: the `en` slice standing in for the curated
+    * target domain) relative to the RAW corpus distribution, then keep
+    * the top quarter. Portable integer analog of the paper's
+    * log-likelihood ratio: per feature bucket,
+    * ratio_milli = 1000·(target_count+1) / (raw_count+1) (add-one
+    * smoothed, floor division), and a document scores the MEAN
+    * ratio_milli over its token occurrences. Selection is
+    * threshold-based, the way production selectors deploy: the cutoff
+    * is the highest score whose descending cumulative count reaches
+    * the quota ceil(n/4), so ties at the cutoff are all admitted
+    * (reported quota slack, never an arbitrary tie-break).
+    * Scale: the feature dim is a 256-row broadcast; documents explode
+    * once and aggregate back by doc_id with map-side partials; the
+    * histogram the cutoff derives from is score-range-sized, not
+    * corpus-sized. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", tokensCol($"text").as("t"))
+      .persist() // two token passes: bucket stats + per-doc scoring
+    val tok = docs.select($"doc_id", $"lang",
+      explode($"t").as("w"))
+      .select($"doc_id", $"lang", (wordHash($"w") % DsirDim).as("bucket"))
+    val dim = tok.groupBy($"bucket").agg(
+      count(lit(1)).as("r_cnt"),
+      coalesce(sum(when($"lang" === "en", 1L)), lit(0L)).as("t_cnt"))
+      .select($"bucket",
+        intDiv(($"t_cnt" + 1L) * 1000L, $"r_cnt" + 1L).as("ratio_milli"))
+    val perDoc = tok.join(broadcast(dim), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"ratio_milli").as("rsum"))
+      .select($"doc_id", $"n_tokens",
+        intDiv($"rsum", greatest($"n_tokens", lit(1L))).as("score_milli"))
+    val scored = docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"score_milli", lit(0L)).as("score_milli"))
+    val hist = scored.groupBy($"score_milli").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.orderBy($"score_milli".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cutoff = hist.crossJoin(broadcast(
+        scored.agg(intDiv(count(lit(1)) + 3L, lit(4L)).as("quota"))))
+      .agg(max(when($"cum" >= $"quota", $"score_milli")).as("cutoff"))
+    scored.crossJoin(broadcast(cutoff))
+      .select($"doc_id", $"n_tokens", $"score_milli",
+        ($"score_milli" >= $"cutoff").cast("long").as("selected"))
+  }
+  private val dsirSelectOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (SELECT doc_id, lang, $t AS t FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang, ${wordHashSql("w")} % $DsirDim AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(t) AS w FROM toks)),
+       |dim AS (
+       |  SELECT bucket,
+       |    (COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0) + 1) * 1000
+       |      // (COUNT(*) + 1) AS ratio_milli
+       |  FROM tok GROUP BY 1),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    SUM(ratio_milli) AS rsum
+       |  FROM tok JOIN dim USING (bucket) GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(rsum // GREATEST(n_tokens, 1), 0) AS BIGINT)
+       |      AS score_milli
+       |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+       |hist AS (
+       |  SELECT score_milli, COUNT(*) AS cnt,
+       |    SUM(COUNT(*)) OVER (ORDER BY score_milli DESC
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM scored GROUP BY 1),
+       |q AS (SELECT (COUNT(*) + 3) // 4 AS quota FROM scored),
+       |cut AS (
+       |  SELECT MAX(CASE WHEN cum >= quota THEN score_milli END) AS cutoff
+       |  FROM hist, q)
+       |SELECT doc_id, n_tokens, score_milli,
+       |  CAST(score_milli >= cutoff AS BIGINT) AS selected
+       |FROM scored, cut""".stripMargin
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al. 2020): within each
     * language, documents rank by a quality signal and split into
     * head/middle/tail TERCILES — the standard pre-training data
@@ -1272,6 +1360,7 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)))
     Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
     Queries.register(QueryDef("t_unimax", unimax, Some(unimaxOracle)))
+    Queries.register(QueryDef("t_dsir_select", dsirSelect, Some(dsirSelectOracle)))
     Queries.register(QueryDef("t_gopher_rules", gopherRules, Some(gopherOracle)))
     Queries.register(QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)))
     Queries.register(QueryDef("t_bpe_apply", bpeApply, Some(bpeApplyOracle)))

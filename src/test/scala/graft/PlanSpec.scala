@@ -233,6 +233,34 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum <= budget)
   }
 
+  test("dsir: threshold selection meets quota and recovers the target slice") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Queries.queries("t_dsir_select")(spark, TestSpark.sf)
+      .select($"doc_id", $"score_milli", $"selected")
+      .as[(Long, Long, Long)].collect()
+    val n = rows.length
+    val sel = rows.filter(_._3 == 1L)
+    // the descending-cumulative cutoff admits at least ceil(n/4) docs
+    // (ties at the cutoff may push it over — that's the documented slack)
+    assert(sel.length >= (n + 3) / 4, s"quota missed: ${sel.length} of $n")
+    // selection is a pure score threshold: no unselected doc outscores
+    // a selected one
+    if (sel.nonEmpty && sel.length < n) {
+      val minSel = sel.map(_._2).min
+      val maxUnsel = rows.filter(_._3 == 0L).map(_._2).max
+      assert(maxUnsel < minSel, s"threshold violated: $maxUnsel >= $minSel")
+    }
+    // importance weighting recovers the target: the selected set is at
+    // least as target-heavy as the corpus
+    val en = Tables.load(spark, TestSpark.sf, "documents")
+      .filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    val corpusFrac = en.size.toDouble / n
+    val selFrac = sel.count(r => en(r._1)).toDouble / sel.length
+    assert(selFrac >= corpusFrac,
+      f"selected en fraction $selFrac%.3f below corpus $corpusFrac%.3f")
+  }
+
   test("CMS estimates never undercount, and sketch state stays bounded") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
