@@ -740,6 +740,68 @@ object DedupQueries extends QueryGroup {
        |WHERE s.doc_id % 37 <> 0""".stripMargin
   }
 
+  /** EMBEDDING-space benchmark decontamination — the semantic third leg
+    * of the decontamination battery (exact shingles d7, lexical near-dup
+    * d12): a paraphrase that defeats both n-grams and MinHash still
+    * lands next to the benchmark in embedding space, so every training
+    * vector reports its maximum cosine against the eval suite
+    * (vec_id % 37 = 0, the d7/d12 holdout convention) and a
+    * contaminated flag at the d5 near-dup threshold (cos ≥ 0.300).
+    *
+    * Scale shape: benchmarks are thousands of rows against a corpus of
+    * billions, so the quantized benchmark vectors BROADCAST and the
+    * scan is map-only — cost corpus·|bench|·dim, no shuffle until the
+    * per-vector max (map-side partial). A benchmark too large to
+    * broadcast would drop in via v4's IVF cells (probe the benchmark's
+    * nearest cells only); the audit row shape is unchanged. Integer-
+    * exact: d5's milli-quantized dot and floored cosine, so the oracle
+    * replays bit-for-bit. Nearest benchmark ties break to the smallest
+    * bench id via lexicographic struct max. */
+  def embedDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
+      .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
+    val bench = base.filter($"vec_id" % 37 === 0)
+      .select($"vec_id".as("bench_id"), $"q".as("qb"), $"n2".as("n2b"))
+    base.filter($"vec_id" % 37 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select($"vec_id",
+        struct(
+          floor(lit(1000d) *
+            functions.VecMath.dotCol($"q", $"qb").cast("double") /
+            sqrt($"n2".cast("double") * $"n2b".cast("double"))).cast("long")
+            .as("cos_milli"),
+          (-$"bench_id").as("neg_bench")).as("sc"))
+      .groupBy($"vec_id")
+      .agg(max($"sc").as("m"))
+      .select($"vec_id",
+        (-$"m.neg_bench").as("near_bench"),
+        $"m.cos_milli".as("cos_milli"),
+        ($"m.cos_milli" >= 300L).cast("long").as("contaminated"))
+  }
+  private val embedDecontaminateOracle: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i]*q[i] for i in range(1, len(q)+1)]), (a,b)->a+b) AS n2
+       |  FROM q0),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS bench_id,
+       |    $cosPairSql
+       |  FROM n a, n b
+       |  WHERE a.vec_id % 37 <> 0 AND b.vec_id % 37 = 0),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_milli DESC, bench_id ASC) AS rn
+       |  FROM pairs)
+       |SELECT vec_id, bench_id AS near_bench, cos_milli,
+       |  CAST(cos_milli >= 300 AS BIGINT) AS contaminated
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** Incremental dedup ingest: a NEW shard arrives (docs with
     * doc_id % 10 = 9 stand in for the day's batch) and must be deduped
     * against the existing corpus WITHOUT re-running the full self-join —
@@ -1067,6 +1129,8 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d7_decontaminate", decontaminate, Some(decontaminateOracle)))
     Queries.register(QueryDef("d12_fuzzy_decontaminate", fuzzyDecontaminate,
       Some(fuzzyDecontaminateOracle)))
+    Queries.register(QueryDef("d17_embed_decontaminate", embedDecontaminate,
+      Some(embedDecontaminateOracle)))
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))

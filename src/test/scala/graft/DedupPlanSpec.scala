@@ -232,6 +232,29 @@ class DedupPlanSpec extends AnyFunSuite {
       s"bloom bits not broadcast:\n$p")
   }
 
+  test("d17 embed decontamination: benchmark broadcasts, audit covers every train vec") {
+    import spark.implicits._
+    val out = Queries.queries("d17_embed_decontaminate")(spark, TestSpark.sf)
+    val rows = out.select($"vec_id", $"near_bench", $"cos_milli")
+      .as[(Long, Long, Long)].collect()
+    // one audit row per NON-benchmark vector, none for the benchmark
+    val total = Tables.load(spark, TestSpark.sf, "embeddings").count()
+    val nBench = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter($"vec_id" % 37 === 0).count()
+    assert(rows.length == total - nBench,
+      s"expected ${total - nBench} audit rows, got ${rows.length}")
+    assert(rows.forall(_._1 % 37 != 0), "benchmark vec leaked into the audit")
+    // the reported nearest IS a benchmark vector and cosine is a cosine
+    assert(rows.forall(_._2 % 37 == 0), "near_bench not a benchmark vec")
+    assert(rows.forall(r => r._3 >= -1000L && r._3 <= 1000L))
+    // the benchmark side must broadcast: map-only scan, no shuffle join
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"benchmark not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-shaped join in the decontamination scan:\n$p")
+  }
+
   test("d10 span dedup: kept spans = distinct spans; min agg is partial") {
     import spark.implicits._
     val out = DedupQueries.spanDedup(spark, TestSpark.sf)
