@@ -802,6 +802,59 @@ object DedupQueries extends QueryGroup {
        |  CAST(cos_milli >= 300 AS BIGINT) AS contaminated
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Train/validation SPLIT LEAKAGE audit — the check every held-out
+    * evaluation needs before its numbers mean anything: a deterministic
+    * split (doc_id % 10 = 0 → validation) is only sound if no validation
+    * document NEAR-DUPLICATES a training document, and a random or
+    * id-hash split over an undeduplicated corpus violates that
+    * constantly (the published dedup papers' core motivation). The
+    * audit reuses d2's exact band machinery — signatures, guarded band
+    * join, exact-Jaccard verify at 0.8 — keeps only pairs that CROSS
+    * the split, and reports one row per validation doc: leaked flag,
+    * the worst-offending training doc (max Jaccard, ties to the
+    * smallest id), and its overlap. Fixing a leak = moving one side or
+    * deduplicating first; the audit shape makes either actionable.
+    * Scale: identical to d2 (the one wide stage is the band join);
+    * the cross-split filter drops pairs before the per-doc max. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sid = shingleTable(spark, dir).persist()
+    val pairs = minhashVerified(sid.filter(size($"sid") > 0))
+    val cross = pairs
+      .filter(($"doc_a" % 10 === 0) =!= ($"doc_b" % 10 === 0))
+      .select(
+        when($"doc_a" % 10 === 0, $"doc_a").otherwise($"doc_b").as("doc_id"),
+        struct($"jacc_milli",
+          (-when($"doc_a" % 10 === 0, $"doc_b").otherwise($"doc_a"))
+            .as("neg_src")).as("sc"))
+    val best = cross.groupBy($"doc_id").agg(max($"sc").as("m"))
+    sid.filter($"doc_id" % 10 === 0).select($"doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"m".isNotNull.cast("long").as("leaked"),
+        coalesce(-$"m.neg_src", lit(-1L)).as("leak_src"),
+        coalesce($"m.jacc_milli", lit(0L)).as("jacc_milli"))
+  }
+  private val splitLeakageOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |cross_p AS (
+       |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+       |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS train_doc,
+       |    jacc_milli
+       |  FROM pairs WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+       |best AS (
+       |  SELECT doc_id, train_doc, jacc_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY jacc_milli DESC, train_doc ASC) AS rn
+       |  FROM cross_p)
+       |SELECT s.doc_id,
+       |  CAST(b.doc_id IS NOT NULL AS BIGINT) AS leaked,
+       |  COALESCE(b.train_doc, -1) AS leak_src,
+       |  COALESCE(b.jacc_milli, 0) AS jacc_milli
+       |FROM shing s
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.doc_id
+       |WHERE s.doc_id % 10 = 0""".stripMargin
+
   /** Incremental dedup ingest: a NEW shard arrives (docs with
     * doc_id % 10 = 9 stand in for the day's batch) and must be deduped
     * against the existing corpus WITHOUT re-running the full self-join —
@@ -1131,6 +1184,8 @@ object DedupQueries extends QueryGroup {
       Some(fuzzyDecontaminateOracle)))
     Queries.register(QueryDef("d17_embed_decontaminate", embedDecontaminate,
       Some(embedDecontaminateOracle)))
+    Queries.register(QueryDef("t_split_leakage", splitLeakage,
+      Some(splitLeakageOracle)))
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
