@@ -964,7 +964,71 @@ object SimilarityQueries extends QueryGroup {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** Triplet mining for contrastive embedding training (FaceNet,
+    * Schroff et al. 2015): for each probe, elect its best POSITIVE
+    * (highest-cosine same-label vector) and its top-5 HARD NEGATIVES
+    * (highest-cosine different-label vectors), reporting the margin
+    * positive−negative and the semi-hard flag (negative farther than
+    * the positive but within the α=0.1 margin — the band the paper
+    * samples from). This is the data-prep step that turns a labeled
+    * embedding corpus into training triplets.
+    * Scale: identical shape to v1 — the probe set broadcasts, the
+    * corpus is scanned map-side once, and the only shuffle is the
+    * per-probe top-k window over candidate rows (corpus × probes /
+    * executor-parallel). The positive max is a map-side partial MAX
+    * per probe, one scalar row each. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = quantized(spark, dir)
+    val probes = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"label".as("plabel"),
+        $"q".as("pq"), $"n2".as("pn2"))
+    val scored = base.join(broadcast(probes), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"label", $"plabel",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+      .persist() // one scan feeds the positive max and the negative top-k
+    val pos = scored.filter($"label" === $"plabel")
+      .groupBy($"query_id").agg(max($"cos_milli").as("pos_milli"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    scored.filter($"label" =!= $"plabel")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .join(pos, Seq("query_id"), "left")
+      .select($"query_id", $"rank", $"vec_id", $"label", $"cos_milli",
+        coalesce($"pos_milli", lit(-1000L)).as("pos_milli"),
+        (coalesce($"pos_milli", lit(-1000L)) - $"cos_milli").as("margin_milli"),
+        ($"cos_milli" < coalesce($"pos_milli", lit(-1000L)) &&
+          $"cos_milli" + 100L >= coalesce($"pos_milli", lit(-1000L)))
+          .cast("long").as("semi_hard"))
+  }
+  private val hardNegativesOracle: String =
+    s"""WITH base AS ($quantizedSql),
+       |probes AS (SELECT vec_id AS query_id, label AS plabel, q AS pq, n2 AS pn2
+       |  FROM base WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id, label, plabel,
+       |    ${cosMilliSql("pq", "q", "pn2", "n2")} AS cos_milli
+       |  FROM base JOIN probes ON vec_id <> query_id),
+       |pos AS (SELECT query_id, MAX(cos_milli) AS pos_milli
+       |  FROM scored WHERE label = plabel GROUP BY 1),
+       |neg AS (
+       |  SELECT query_id, vec_id, label, cos_milli,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_milli DESC, vec_id ASC) AS rank
+       |  FROM scored WHERE label <> plabel)
+       |SELECT n.query_id, n.rank, n.vec_id, n.label, n.cos_milli,
+       |  COALESCE(pos_milli, -1000) AS pos_milli,
+       |  COALESCE(pos_milli, -1000) - n.cos_milli AS margin_milli,
+       |  CAST(n.cos_milli < COALESCE(pos_milli, -1000)
+       |    AND n.cos_milli + 100 >= COALESCE(pos_milli, -1000) AS BIGINT)
+       |    AS semi_hard
+       |FROM neg n LEFT JOIN pos ON pos.query_id = n.query_id
+       |WHERE n.rank <= 5""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("v12_hard_negatives", hardNegatives,
+      Some(hardNegativesOracle)))
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle)))
     Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
     Queries.register(QueryDef("v10_pq_rerank", pqRerank, Some(pqRerankOracle)))

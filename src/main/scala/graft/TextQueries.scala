@@ -1237,6 +1237,128 @@ object TextQueries extends QueryGroup {
        |FROM scored, cut""".stripMargin
   }
 
+  /** Trigram stupid-backoff language model (Brants et al. 2007 — the
+    * distributed n-gram LM built FOR this exact MapReduce shape), the
+    * integer-exact analog of the CCNet/Wenzek perplexity filter: train
+    * n-gram count tables on the training split (doc_id % 10 != 0, the
+    * complement of t_split_leakage's held-out tenth) and score every
+    * document by its mean per-position transition probability. Per
+    * trigram position: 1000·c(w1w2w3)/c(w1w2) when the trigram was
+    * seen in training, else backoff 400·c(w2w3)/c(w2) (0.4 factor,
+    * milli-quantized), else add-one-smoothed unigram
+    * 160·(c(w3)+1)/(N+V). All divisions floor on non-negative
+    * operands, so both engines agree bit-for-bit.
+    * Scale: count-table construction is one groupBy per order with
+    * map-side partials (the canonical 100 TB aggregation); scoring
+    * joins positions against PRE-AGGREGATED tables (one row per
+    * n-gram), so Zipf skew in token frequency never concentrates a
+    * partition — the hot key's count row is one row, and AQE handles
+    * the probe-side imbalance. Driver traffic: zero (N and V ride a
+    * broadcast scalar row). */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokensCol($"text").as("t"))
+      .persist() // token pass feeds positions, count tables, final join
+    val pos = docs
+      .select($"doc_id",
+        when(size($"t") >= 3,
+          transform(sequence(lit(1), size($"t") - 2), i =>
+            struct(element_at($"t", i).as("w1"),
+              element_at($"t", i + 1).as("w2"),
+              element_at($"t", i + 2).as("w3"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+          .as("g"))
+      .select($"doc_id", explode($"g").as("g"))
+      .select($"doc_id", $"g.w1", $"g.w2", $"g.w3")
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val uni = train.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cu"))
+    val big = train
+      .select(when(size($"t") >= 2,
+          transform(sequence(lit(1), size($"t") - 1), i =>
+            struct(element_at($"t", i).as("w1"),
+              element_at($"t", i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("g"))
+      .select(explode($"g").as("g")).select($"g.w1", $"g.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val tri = pos.filter($"doc_id" % 10 =!= 0)
+      .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c3"))
+    val nv = uni.agg(count(lit(1)).as("v"), sum($"cu").as("n"))
+    val b12 = big.select($"w1".as("b1"), $"w2".as("b2"), $"cb".as("cb12"))
+    val b23 = big.select($"w1".as("c1"), $"w2".as("c2"), $"cb".as("cb23"))
+    val u2 = uni.select($"w".as("u2w"), $"cu".as("cu2"))
+    val u3 = uni.select($"w".as("u3w"), $"cu".as("cu3"))
+    // a train trigram's (w1,w2) is a train bigram and a train bigram's
+    // w1 is a train unigram, so each branch's denominator is non-null
+    val score = when($"c3".isNotNull, intDiv($"c3" * 1000L, $"cb12"))
+      .when($"cb23".isNotNull, intDiv($"cb23" * 400L, $"cu2"))
+      .otherwise(intDiv((coalesce($"cu3", lit(0L)) + 1L) * 160L, $"n" + $"v"))
+    val perDoc = pos
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(b12, $"w1" === $"b1" && $"w2" === $"b2", "left")
+      .join(b23, $"w2" === $"c1" && $"w3" === $"c2", "left")
+      .join(u2, $"w2" === $"u2w", "left")
+      .join(u3, $"w3" === $"u3w", "left")
+      .crossJoin(broadcast(nv))
+      .select($"doc_id", score.as("s"),
+        $"c3".isNotNull.cast("long").as("h3"),
+        ($"c3".isNull && $"cb23".isNotNull).cast("long").as("h2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pos"), sum($"h3").as("n_tri_hits"),
+        sum($"h2").as("n_big_hits"), sum($"s").as("ssum"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_pos", lit(0L)).as("n_pos"),
+        coalesce($"n_tri_hits", lit(0L)).as("n_tri_hits"),
+        coalesce($"n_big_hits", lit(0L)).as("n_big_hits"),
+        coalesce(intDiv($"ssum", greatest($"n_pos", lit(1L))), lit(0L))
+          .as("lm_milli"))
+  }
+  private val ngramLmOracle: String = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |pos0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+       |    [{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]} for i in range(1, len(t)-1)]
+       |    ELSE [] END) AS g
+       |  FROM toks),
+       |p AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM pos0),
+       |uni AS (SELECT w, COUNT(*) AS cu FROM
+       |  (SELECT unnest(t) AS w FROM toks WHERE doc_id % 10 <> 0) GROUP BY 1),
+       |big0 AS (
+       |  SELECT unnest(CASE WHEN len(t) >= 2 THEN
+       |    [{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]
+       |    ELSE [] END) AS g
+       |  FROM toks WHERE doc_id % 10 <> 0),
+       |big AS (SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS cb FROM big0 GROUP BY 1, 2),
+       |tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM p
+       |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+       |nv AS (SELECT COUNT(*) AS v, SUM(cu) AS n FROM uni),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN c3 IS NOT NULL THEN c3 * 1000 // b12.cb
+       |      WHEN b23.cb IS NOT NULL THEN b23.cb * 400 // u2.cu
+       |      ELSE (COALESCE(u3.cu, 0) + 1) * 160 // (n + v) END AS s,
+       |    CAST(c3 IS NOT NULL AS BIGINT) AS h3,
+       |    CAST(c3 IS NULL AND b23.cb IS NOT NULL AS BIGINT) AS h2
+       |  FROM p
+       |  LEFT JOIN tri ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+       |  LEFT JOIN big b12 ON b12.w1 = p.w1 AND b12.w2 = p.w2
+       |  LEFT JOIN big b23 ON b23.w1 = p.w2 AND b23.w2 = p.w3
+       |  LEFT JOIN uni u2 ON u2.w = p.w2
+       |  LEFT JOIN uni u3 ON u3.w = p.w3
+       |  CROSS JOIN nv),
+       |per AS (SELECT doc_id, COUNT(*) AS n_pos, SUM(h3) AS n_tri_hits,
+       |  SUM(h2) AS n_big_hits, SUM(s) AS ssum FROM sc GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos,
+       |  CAST(COALESCE(n_tri_hits, 0) AS BIGINT) AS n_tri_hits,
+       |  CAST(COALESCE(n_big_hits, 0) AS BIGINT) AS n_big_hits,
+       |  CAST(COALESCE(ssum // GREATEST(n_pos, 1), 0) AS BIGINT) AS lm_milli
+       |FROM toks t LEFT JOIN per ON per.doc_id = t.doc_id""".stripMargin
+  }
+
   /** CCNet-style quality bucketing (Wenzek et al. 2020): within each
     * language, documents rank by a quality signal and split into
     * head/middle/tail TERCILES — the standard pre-training data
@@ -1357,6 +1479,7 @@ object TextQueries extends QueryGroup {
   override def register(): Unit = {
     Queries.register(QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)))
     Queries.register(QueryDef("t_length_dist", lengthDist, Some(lengthDistOracle)))
+    Queries.register(QueryDef("t_ngram_lm", ngramLm, Some(ngramLmOracle)))
     Queries.register(QueryDef("t_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)))
     Queries.register(QueryDef("t_mix_temperature", mixTemperature, Some(mixTemperatureOracle)))
     Queries.register(QueryDef("t_unimax", unimax, Some(unimaxOracle)))

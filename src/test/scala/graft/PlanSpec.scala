@@ -363,6 +363,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"skip-existing not an anti-join:\n$p")
   }
 
+  test("ngram LM: train docs score pure-trigram, scores stay in [0,1000]") {
+    import spark.implicits._
+    val rows = Queries.queries("t_ngram_lm")(spark, TestSpark.sf)
+      .select($"doc_id", $"n_pos", $"n_tri_hits", $"n_big_hits", $"lm_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nPos, h3, h2, lm) =>
+      assert(h3 + h2 <= nPos, s"doc $id: hits exceed positions")
+      assert(lm >= 0L && lm <= 1000L, s"doc $id: score $lm out of range")
+      // every trigram of a TRAIN doc is in the trigram table by
+      // construction, so train docs hit the top backoff level everywhere
+      if (id % 10 != 0) assert(h3 == nPos, s"train doc $id missed a trigram")
+    }
+    // held-out docs exercise the backoff: at least one validation doc
+    // falls through to a lower order (else the split is degenerate)
+    assert(rows.exists { case (id, nPos, h3, _, _) =>
+      id % 10 == 0 && nPos > 0 && h3 < nPos })
+  }
+
+  test("hard negatives: ranked per probe, cross-label, semi-hard in band") {
+    import spark.implicits._
+    val rows = Queries.queries("v12_hard_negatives")(spark, TestSpark.sf)
+      .select($"query_id", $"rank", $"vec_id", $"label", $"cos_milli",
+        $"pos_milli", $"margin_milli", $"semi_hard")
+      .as[(Long, Long, Long, Int, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val probeLabel = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to g.length.toLong))
+      // descending cosine within the probe's list
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._5 >= b._5; case _ => true })
+      g.foreach { r =>
+        assert(r._4 != probeLabel(qid), s"negative shares probe $qid's label")
+        assert(r._7 == r._6 - r._5, "margin mismatch")
+        if (r._8 == 1L)
+          assert(r._7 > 0L && r._7 <= 100L, s"semi-hard out of band: $r")
+      }
+    }
+  }
+
   test("substrate eviction unpersists and the cache rebuilds lazily") {
     val (e1, _) = LuxQueries.substrate(spark, TestSpark.sf)
     val (e2, _) = LuxQueries.substrate(spark, TestSpark.sf)
