@@ -855,6 +855,57 @@ object DedupQueries extends QueryGroup {
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.doc_id
        |WHERE s.doc_id % 10 = 0""".stripMargin
 
+  /** Cross-source overlap matrix — the dataset-card-level contamination
+    * summary: for every pair of sources, the number of distinct word-3-gram
+    * shingles they share, plus containment (shared / smaller set) and
+    * Jaccard, milli-quantized. This is how a corpus audit finds that two
+    * crawls mirror each other before any per-document dedup runs.
+    * Scale: the (source, shingle) projection is distinct-reduced map-side
+    * first (one shuffle on the shingle key); the pair step self-joins on
+    * the shingle, whose per-key fan-out is bounded by #sources² — a
+    * constant, not a corpus quantity — so no key can straggle. The final
+    * matrix is #sources² rows: driver-safe at any corpus size. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val srcShingle = shingleTableOf(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", explode($"sid").as("s"))
+      .distinct()
+      .persist() // feeds the per-source sizes AND the pair join
+    val perSrc = srcShingle.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = srcShingle.select($"s", $"source".as("src_a"))
+      .join(srcShingle.select($"s", $"source".as("src_b")), "s")
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+    val ns = coalesce($"n_shared", lit(0L))
+    perSrc.select($"source".as("src_a"), $"n".as("n_a"))
+      .crossJoin(perSrc.select($"source".as("src_b"), $"n".as("n_b")))
+      .filter($"src_a" < $"src_b") // tiny: #sources² rows
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", ns.as("n_shared"),
+        intDiv(ns * 1000L, least($"n_a", $"n_b")).as("containment_milli"),
+        intDiv(ns * 1000L, $"n_a" + $"n_b" - ns).as("jaccard_milli"))
+  }
+  private val sourceOverlapOracle: String =
+    s"""WITH toks AS (SELECT doc_id, source, ${tokensSql("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, source, t, $tokenHashesSql AS h FROM toks),
+       |shing AS (SELECT doc_id, source, $shingleIdsSql AS sid FROM th),
+       |ss AS (SELECT DISTINCT source, unnest(sid) AS s FROM shing),
+       |per AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+       |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT pa.source AS src_a, pb.source AS src_b,
+       |  pa.n AS n_a, pb.n AS n_b,
+       |  COALESCE(n_shared, 0) AS n_shared,
+       |  COALESCE(n_shared, 0) * 1000 // LEAST(pa.n, pb.n) AS containment_milli,
+       |  COALESCE(n_shared, 0) * 1000
+       |    // (pa.n + pb.n - COALESCE(n_shared, 0)) AS jaccard_milli
+       |FROM per pa JOIN per pb ON pa.source < pb.source
+       |LEFT JOIN shared ON src_a = pa.source AND src_b = pb.source""".stripMargin
+
   /** Incremental dedup ingest: a NEW shard arrives (docs with
     * doc_id % 10 = 9 stand in for the day's batch) and must be deduped
     * against the existing corpus WITHOUT re-running the full self-join —
@@ -1186,6 +1237,8 @@ object DedupQueries extends QueryGroup {
       Some(embedDecontaminateOracle)))
     Queries.register(QueryDef("t_split_leakage", splitLeakage,
       Some(splitLeakageOracle)))
+    Queries.register(QueryDef("t_source_overlap", sourceOverlap,
+      Some(sourceOverlapOracle)))
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))

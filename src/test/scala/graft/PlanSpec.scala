@@ -406,6 +406,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap: full upper-triangle matrix with bounded measures") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Queries.queries("t_source_overlap")(spark, TestSpark.sf)
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"n_shared",
+        $"containment_milli", $"jaccard_milli")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val k = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(size(TextQueries.tokensCol($"text")) >= 3)
+      .select($"source").distinct().count()
+    assert(rows.length == k * (k - 1) / 2, s"not a full upper triangle")
+    rows.foreach { case (a, b, na, nb, sh, cont, jac) =>
+      assert(a < b, "pair not ordered")
+      assert(sh <= math.min(na, nb), s"$a/$b share more than the smaller set")
+      assert(cont >= jac, s"$a/$b containment below jaccard")
+      assert(cont >= 0L && cont <= 1000L && jac >= 0L && jac <= 1000L)
+    }
+  }
+
   test("substrate eviction unpersists and the cache rebuilds lazily") {
     val (e1, _) = LuxQueries.substrate(spark, TestSpark.sf)
     val (e2, _) = LuxQueries.substrate(spark, TestSpark.sf)
