@@ -201,7 +201,71 @@ object GraphQueries extends QueryGroup {
       |UNION
       |SELECT a, b FROM g WHERE a IN (SELECT v FROM nodes)""".stripMargin
 
+  /** Importance ranking over the same part–supplier co-occurrence graph
+    * g1 clusters: integer-exact PageRank (damping 0.85, three fixed
+    * power iterations, milli-quantized ranks) — the link-analysis
+    * sampler a linked-data pipeline uses to pick which entities to
+    * enrich or upweight first. All arithmetic is floor division on
+    * non-negative operands (per-edge contribution rank//outdeg, then
+    * 150 + 850·Σ//1000), so the unrolled DuckDB replay is bit-exact.
+    * Scale: each iteration is one shuffle join of the edge list against
+    * the corpus-sized rank table plus a groupBy(dst) with map-side
+    * partial sums — the canonical Pregel round expressed relationally.
+    * The iteration count is fixed (not convergence-polled), so no
+    * driver round-trips at all; the symmetric edge table means no
+    * dangling-node mass correction is needed (every node has outdeg
+    * ≥ 1). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import TextQueries.intDiv
+    val e = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+      .distinct()
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().persist() // read 3×: degree + every iteration's join
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    var rank = deg.select($"src".as("node"), lit(1000L).as("rank"))
+    for (_ <- 1 to 3) {
+      val contrib = sym
+        .join(rank.select($"node".as("src"), $"rank"), "src")
+        .join(deg, "src")
+        .select($"dst".as("node"), intDiv($"rank", $"outdeg").as("c"))
+        .groupBy($"node").agg(sum($"c").as("csum"))
+      rank = deg.select($"src".as("node"))
+        .join(contrib, Seq("node"), "left")
+        .select($"node",
+          (lit(150L) + intDiv(coalesce($"csum", lit(0L)) * 850L, lit(1000L)))
+            .as("rank"))
+    }
+    rank.join(deg.select($"src".as("node"), $"outdeg".as("degree")), "node")
+      .select($"node", $"rank".as("rank_milli"), $"degree")
+  }
+  private val pagerankOracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT sym.dst AS node, SUM($prev.rank // deg.outdeg) AS csum
+         |  FROM sym JOIN $prev ON $prev.node = sym.src
+         |  JOIN deg ON deg.src = sym.src GROUP BY 1),
+         |$cur AS (
+         |  SELECT d.src AS node, 150 + COALESCE(csum, 0) * 850 // 1000 AS rank
+         |  FROM deg d LEFT JOIN c$cur ON c$cur.node = d.src)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+       |  FROM lineitem WHERE l_orderkey % 50 = 0),
+       |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000 AS BIGINT) AS rank FROM deg),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT r3.node, CAST(r3.rank AS BIGINT) AS rank_milli,
+       |  CAST(deg.outdeg AS BIGINT) AS degree
+       |FROM r3 JOIN deg ON deg.src = r3.node""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("g3_pagerank", pagerank, Some(pagerankOracle)))
     Queries.register(QueryDef("g1_connected_components", connectedComponents,
       Some(ccOracle), bench = true))
     Queries.register(QueryDef("g2_bfs_walk", bfsWalk, Some(bfsOracle)))

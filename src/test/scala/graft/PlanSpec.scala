@@ -425,6 +425,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: every graph node ranked, mass bounded by the damping") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Queries.queries("g3_pagerank")(spark, TestSpark.sf)
+      .select($"node", $"rank_milli", $"degree")
+      .as[(Long, Long, Long)].collect()
+    val nNodes = Tables.load(spark, TestSpark.sf, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select(explode(array($"l_partkey", $"l_suppkey" + 1000000L)).as("n"))
+      .distinct().count()
+    assert(rows.length == nNodes, "ranked node set differs from the graph")
+    rows.foreach { case (n, r, d) =>
+      assert(r >= 150L, s"node $n below the teleport floor")
+      assert(d >= 1L)
+    }
+    // per-iteration mass: floor division only sheds mass, so the total
+    // stays within [teleport floor, uniform-start total]
+    val total = rows.map(_._2).sum
+    assert(total >= 150L * nNodes && total <= 1000L * nNodes,
+      s"rank mass $total outside [${150 * nNodes}, ${1000 * nNodes}]")
+    // the damping mixes: ranks are not stuck at the uniform start
+    assert(rows.map(_._2).distinct.length > 1, "degenerate uniform ranks")
+  }
+
   test("substrate eviction unpersists and the cache rebuilds lazily") {
     val (e1, _) = LuxQueries.substrate(spark, TestSpark.sf)
     val (e2, _) = LuxQueries.substrate(spark, TestSpark.sf)
