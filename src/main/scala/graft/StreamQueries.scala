@@ -230,7 +230,45 @@ object StreamQueries extends QueryGroup {
        |LEFT JOIN sver ON d.doc_id = new_id""".stripMargin
   }
 
+  /** Batch twin of the stream-stream interval join
+    * (streaming.StreamingOps.intervalJoin, MemoryStream-tested in
+    * StreamingSpec): every error within 30 minutes AFTER a click by the
+    * same user, with the gap. Registering the batch form puts the
+    * interval-join semantics under the DuckDB oracle — the streaming
+    * path keeps the same projection and bound so the spec can pin the
+    * two forms to each other.
+    * Scale: shuffle join on user_id; the time bound is a join-condition
+    * filter, not a post-filter, so Spark prunes pairs inside the join.
+    * In the streaming form the watermark bounds both state stores. */
+  def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"event_type")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"us".as("cus"))
+    val e = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("error_id"),
+        $"us".as("eus"))
+    c.join(e, $"user_id" === $"e_user" &&
+        $"eus" >= $"cus" && $"eus" <= $"cus" + 1800L * 1000000L)
+      .select($"user_id", $"click_id", $"error_id",
+        ($"eus" - $"cus").as("gap_micros"))
+  }
+  private val intervalJoinOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, us AS cus
+      |  FROM ev WHERE event_type = 'click'),
+      |e AS (SELECT user_id, event_id AS error_id, us AS eus
+      |  FROM ev WHERE event_type = 'error')
+      |SELECT c.user_id, click_id, error_id, eus - cus AS gap_micros
+      |FROM c JOIN e ON c.user_id = e.user_id
+      |  AND eus >= cus AND eus <= cus + 1800 * 1000000""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("st9_interval_join", intervalJoinBatch,
+      Some(intervalJoinOracle)))
     Queries.register(QueryDef("st8_stream_neardup", streamNeardup,
       Some(streamNeardupOracle)))
     Queries.register(QueryDef("st7_stream_topk", streamTopk, Some(streamTopkOracle)))

@@ -96,6 +96,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 100L, 200L, 600000000L)))
   }
 
+  test("interval join: MemoryStream path reproduces the registered batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val clickRows = ev.filter($"event_type" === "click")
+      .select($"ts", $"user_id", $"event_id")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val errorRows = ev.filter($"event_type" === "error")
+      .select($"ts", $"user_id", $"event_id")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val errors = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = StreamingOps.intervalJoin(
+        clicks.toDF().toDF("cts", "c_user", "click_id"),
+        errors.toDF().toDF("ets", "e_user", "error_id"))
+      .writeStream.format("memory").queryName("ij_sf_out")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(clickRows.toSeq)
+    errors.addData(errorRows.toSeq)
+    q.processAllAvailable()
+    val got = spark.table("ij_sf_out")
+      .select($"user_id", $"click_id", $"error_id", $"gap_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    val want = Queries.queries("st9_interval_join")(spark, TestSpark.sf)
+      .select($"user_id", $"click_id", $"error_id", $"gap_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "batch twin returned no pairs — degenerate data")
+    assert(got === want)
+  }
+
   test("streaming dedup keeps the first event per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
