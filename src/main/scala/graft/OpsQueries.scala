@@ -137,16 +137,13 @@ object OpsQueries extends QueryGroup {
     * similar = sharing >= 2 keywords. No driver round-trip: the top-5
     * set stays a (broadcastable) DataFrame. */
   def similarDocs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
     val words = docs.select($"doc_id",
       explode(TextQueries.tokensCol($"text")).as("word"))
     val seedTop = words.filter($"doc_id" === 0 && length($"word") > 3)
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"cnt".desc, $"word".asc)))
-      .filter($"rk" <= 5).select($"word")
+      .orderBy($"cnt".desc, $"word".asc).limit(5).select($"word")
     words.filter($"doc_id" =!= 0).distinct()
       .join(broadcast(seedTop), "word")
       .groupBy($"doc_id").agg(count(lit(1)).as("overlap"))

@@ -310,9 +310,10 @@ object TextQueries extends QueryGroup {
       .groupBy($"c.row".as("row"), $"c.bucket".as("bucket"))
       .agg(count(lit(1)).as("n"))
     val exact = toks.groupBy($"tok", $"h").agg(count(lit(1)).as("exact_n"))
-    val top = exact.withColumn("rk", row_number().over(
-        Window.orderBy($"exact_n".desc, $"tok".asc)))
-      .filter($"rk" <= 20)
+    // Top-20 via orderBy+limit, not a global row_number window: Spark
+    // plans TakeOrderedAndProject (per-partition top-k then merge), so
+    // the vocabulary-sized rank never lands in one partition.
+    val top = exact.orderBy($"exact_n".desc, $"tok".asc).limit(20)
     top.select($"tok", $"h", $"exact_n",
         explode(array((0 until CmsD).map(j =>
           struct(lit(j).as("row"), bucket(j, $"h").as("bucket"))): _*)).as("c"))
