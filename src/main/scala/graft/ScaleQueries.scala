@@ -63,8 +63,35 @@ object ScaleQueries extends QueryGroup {
       |  MIN(doc_id) AS canonical_doc, COUNT(*) AS n_pages
       |FROM raw GROUP BY 1""".stripMargin
 
+  /** Token-balanced output sharding: rank documents by token count
+    * (desc, doc_id tiebreak) and deal them round-robin over K shards —
+    * the longest-processing-time heuristic that keeps training shards
+    * within one max-document of each other in token mass. The global
+    * rank comes from operators.GlobalRank (range-partition + partition
+    * offsets), NOT an unpartitioned row_number window, so the plan has
+    * no single-partition stage at 100 TB. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 8L
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(TextQueries.tokensCol($"text")).cast("long").as("n_tokens"))
+    operators.GlobalRank.withRank(d, "rk", $"n_tokens".desc, $"doc_id".asc)
+      .select($"doc_id", $"n_tokens", pmod($"rk" - 1L, lit(K)).as("shard"))
+  }
+  private val shardBalanceOracle: String = {
+    val t = TextQueries.tokensSql("text")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($t) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  CAST((ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8
+       |    AS BIGINT) AS shard
+       |FROM d""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("a8_salted_refcount", saltedRefCount, Some(saltedRefCountOracle)))
     Queries.register(QueryDef("f9_url_normalize", urlNormalize, Some(urlNormalizeOracle)))
+    Queries.register(QueryDef("t_shard_balance", shardBalance, Some(shardBalanceOracle)))
   }
 }
