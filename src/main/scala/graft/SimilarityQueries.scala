@@ -1026,7 +1026,85 @@ object SimilarityQueries extends QueryGroup {
        |FROM neg n LEFT JOIN pos ON pos.query_id = n.query_id
        |WHERE n.rank <= 5""".stripMargin
 
+  /** V13: margin-based parallel-pair (bitext) mining — for every
+    * English document, the best foreign-language partner by MARGIN
+    * score: cosine relative to the mean of both endpoints' k-NN
+    * cosines (the ratio-margin criterion of Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"). A raw-cosine threshold over-selects hubs (vectors
+    * close to everything); dividing by the local k-NN level cancels
+    * hubness, which is the whole point of the margin.
+    *
+    * Integer-exact: cos_milli longs, margin_milli =
+    * floor(1000 * 2K * cos / (sumTopK_x + sumTopK_y)) — sums are exact
+    * longs < 2^53, the one IEEE divide+floor is bit-stable across
+    * engines (same contract as cosMilli).
+    *
+    * Scale: the exact all-pairs form here is the oracle-checkable
+    * baseline (same role as v1 vs v2/v3). At 100 TB the candidate
+    * pairs come from an LSH bucket join (v2/v3) and this margin
+    * rerank is a per-candidate map + two k-NN aggregations on the
+    * candidate table — no cross product anywhere. */
+  def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val K = 4
+    val langOf = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang")
+    val base = quantized(spark, dir)
+      .join(langOf, $"vec_id" === $"doc_id").drop("doc_id")
+    val en = base.filter($"lang" === "en")
+      .select($"vec_id".as("en_id"), $"q".as("eq"), $"n2".as("en2"))
+    val xx = base.filter($"lang" =!= "en")
+      .select($"vec_id".as("xx_id"), $"q".as("xq"), $"n2".as("xn2"))
+    val scored = en.join(broadcast(xx))
+      .select($"en_id", $"xx_id",
+        cosMilli($"eq", $"xq", $"en2", $"xn2").as("cos_milli"))
+    val wx = Window.partitionBy($"en_id").orderBy($"cos_milli".desc, $"xx_id".asc)
+    val wy = Window.partitionBy($"xx_id").orderBy($"cos_milli".desc, $"en_id".asc)
+    val sx = scored.withColumn("r", row_number().over(wx)).filter($"r" <= K)
+      .groupBy($"en_id").agg(sum($"cos_milli").as("sx"))
+    val sy = scored.withColumn("r", row_number().over(wy)).filter($"r" <= K)
+      .groupBy($"xx_id").agg(sum($"cos_milli").as("sy"))
+    val margins = scored.join(sx, "en_id").join(sy, "xx_id")
+      .filter($"sx" + $"sy" > 0)
+      .withColumn("margin_milli",
+        floor(lit(1000d * 2 * K) * $"cos_milli".cast("double") /
+          ($"sx" + $"sy").cast("double")).cast("long"))
+    val wbest = Window.partitionBy($"en_id")
+      .orderBy($"margin_milli".desc, $"xx_id".asc)
+    margins.withColumn("rb", row_number().over(wbest)).filter($"rb" === 1)
+      .select($"en_id", $"xx_id", $"cos_milli", $"margin_milli")
+  }
+  private val bitextMarginOracle: String =
+    s"""WITH base AS ($quantizedSql),
+       |en AS (SELECT b.vec_id AS en_id, q AS eq, n2 AS en2
+       |  FROM base b JOIN documents d ON b.vec_id = d.doc_id WHERE d.lang = 'en'),
+       |xx AS (SELECT b.vec_id AS xx_id, q AS xq, n2 AS xn2
+       |  FROM base b JOIN documents d ON b.vec_id = d.doc_id WHERE d.lang <> 'en'),
+       |scored AS (SELECT en_id, xx_id,
+       |    ${cosMilliSql("eq", "xq", "en2", "xn2")} AS cos_milli
+       |  FROM en, xx),
+       |sx AS (SELECT en_id, CAST(SUM(cos_milli) AS BIGINT) AS sx FROM (
+       |    SELECT en_id, cos_milli, ROW_NUMBER() OVER
+       |      (PARTITION BY en_id ORDER BY cos_milli DESC, xx_id) AS r
+       |    FROM scored) WHERE r <= 4 GROUP BY en_id),
+       |sy AS (SELECT xx_id, CAST(SUM(cos_milli) AS BIGINT) AS sy FROM (
+       |    SELECT xx_id, cos_milli, ROW_NUMBER() OVER
+       |      (PARTITION BY xx_id ORDER BY cos_milli DESC, en_id) AS r
+       |    FROM scored) WHERE r <= 4 GROUP BY xx_id),
+       |m AS (SELECT s.en_id, s.xx_id, cos_milli,
+       |    CAST(floor(8000.0 * cos_milli / (sx + sy)) AS BIGINT) AS margin_milli
+       |  FROM scored s JOIN sx USING (en_id) JOIN sy USING (xx_id)
+       |  WHERE sx + sy > 0)
+       |SELECT en_id, xx_id, cos_milli, margin_milli FROM (
+       |  SELECT m.*, ROW_NUMBER() OVER
+       |    (PARTITION BY en_id ORDER BY margin_milli DESC, xx_id) AS rb FROM m)
+       |WHERE rb = 1""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("v13_bitext_margin", bitextMargin,
+      Some(bitextMarginOracle)))
     Queries.register(QueryDef("v12_hard_negatives", hardNegatives,
       Some(hardNegativesOracle)))
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle)))

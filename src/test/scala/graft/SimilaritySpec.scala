@@ -67,4 +67,36 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     assert(survivors === 0L, s"$survivors near-dup pairs survived pruning")
   }
+
+  test("bitext margin demotes hubs: selection differs from raw-cosine best") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mined = Queries.queries("v13_bitext_margin")(spark, TestSpark.sf)
+      .select($"en_id", $"xx_id").as[(Long, Long)].collect().toMap
+    // one mined partner per English doc
+    assert(mined.nonEmpty)
+    // recompute the RAW cosine argmax per en_id (no margin normalization)
+    val langOf = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"lang")
+    val base = SimilarityQueries.quantized(spark, TestSpark.sf)
+      .join(langOf, $"vec_id" === $"doc_id").drop("doc_id")
+    val en = base.filter($"lang" === "en")
+      .select($"vec_id".as("en_id"), $"q".as("eq"), $"n2".as("en2"))
+    val xx = base.filter($"lang" =!= "en")
+      .select($"vec_id".as("xx_id"), $"q".as("xq"), $"n2".as("xn2"))
+    val w = Window.partitionBy($"en_id").orderBy($"cos_milli".desc, $"xx_id".asc)
+    val rawBest = en.join(broadcast(xx))
+      .select($"en_id", $"xx_id",
+        SimilarityQueries.cosMilli($"eq", $"xq", $"en2", $"xn2").as("cos_milli"))
+      .withColumn("rb", row_number().over(w)).filter($"rb" === 1)
+      .select($"en_id", $"xx_id").as[(Long, Long)].collect().toMap
+    // mined ⊆ raw (the sx+sy>0 guard may drop degenerate sources)
+    assert(mined.keySet.subsetOf(rawBest.keySet))
+    val divergent = mined.count { case (e, x) => rawBest(e) != x }
+    // margin normalization must actually change some selections —
+    // otherwise it degenerated to a plain cosine argmax (39/193 differ
+    // on the deterministic sf0.001 corpus)
+    assert(divergent > 0, "margin selection identical to raw-cosine argmax")
+  }
 }
