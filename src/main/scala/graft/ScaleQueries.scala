@@ -89,9 +89,43 @@ object ScaleQueries extends QueryGroup {
        |FROM d""".stripMargin
   }
 
+  /** Salted shuffle JOIN for a pathological head key — the join-side
+    * counterpart of a8's salted aggregation. The fact side carries a
+    * salt derived from an unrelated uniform column (l_orderkey), the
+    * dim side is replicated R ways with explode, and the equi-join
+    * runs on (key, salt) so ONE hot key spreads over R reducers.
+    * AQE's skew-join split handles moderate skew on its own; explicit
+    * salting is the shape for a head key too big for any single
+    * reducer (idmap heavy hitters, SURVEY §4.3). The dim side is
+    * hinted SHUFFLE_HASH so the salted co-location is actually
+    * exercised (auto-broadcast would short-circuit the demo; with a
+    * broadcast join salting is unnecessary in the first place).
+    * Result must equal the plain unsalted join — the oracle. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val R = 8
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_extendedprice",
+        pmod($"l_orderkey", lit(R)).as("salt"))
+    val p = Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_brand",
+        explode(array((0 until R).map(lit): _*)).as("salt"))
+    li.join(p.hint("SHUFFLE_HASH"),
+        li("l_partkey") === p("p_partkey") && li("salt") === p("salt"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+  }
+  private val saltedJoinOracle: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("a8_salted_refcount", saltedRefCount, Some(saltedRefCountOracle)))
     Queries.register(QueryDef("f9_url_normalize", urlNormalize, Some(urlNormalizeOracle)))
     Queries.register(QueryDef("t_shard_balance", shardBalance, Some(shardBalanceOracle)))
+    Queries.register(QueryDef("j16_salted_join", saltedJoin, Some(saltedJoinOracle)))
   }
 }

@@ -459,4 +459,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!(e3 eq e1)) // rebuilt fresh after eviction
     LuxQueries.evictSubstrate(spark) // leave the session clean
   }
+
+  test("salted join shuffles on (key, salt), no broadcast short-circuit") {
+    val p = planOf("j16_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast defeated the salt:\n$p")
+    // the join keys must include the salt column on both sides
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).get
+    assert(joinLine.contains("salt"), s"salt not in join keys: $joinLine")
+  }
 }
