@@ -230,6 +230,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(markers === dirs && dirs >= 1)
   }
 
+  test("checkpointed restart resumes at the committed offset, no replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("graft_rst_in").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_rst_out").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_ck").toFile
+    val schema = new StructType().add("k", LongType).add("v", StringType)
+    def start() = StreamingOps.exactlyOnceSink(
+        spark.readStream.schema(schema).parquet(in.getAbsolutePath),
+        out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath).start()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out.getAbsolutePath).count() === 2)
+    // new data lands while the query is DOWN; the restart must pick up
+    // exactly the delta from the checkpointed offset
+    Seq((3L, "c")).toDF("k", "v")
+      .write.mode("append").parquet(in.getAbsolutePath)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val ks = spark.read.parquet(out.getAbsolutePath)
+      .select($"k").as[Long].collect().sorted
+    assert(ks === Array(1L, 2L, 3L), s"replay or loss: ${ks.mkString(",")}")
+    // batch numbering continued across the restart (fresh query would
+    // restart at 0 and the idempotent sink would skip the write)
+    val ids = out.listFiles().filter(_.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+    assert(ids.distinct.length === ids.length && ids.length >= 2,
+      s"batch ids: ${ids.mkString(",")}")
+  }
+
   test("keyed-state sessionization emits gap-closed sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
