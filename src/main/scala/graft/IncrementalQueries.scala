@@ -129,8 +129,55 @@ object IncrementalQueries extends QueryGroup {
       |SELECT 100000 + id AS id, 'new' || id AS name, CAST(0 AS BIGINT) AS n_in
       |FROM ids WHERE id % 13 = 0""".stripMargin
 
+  /** SCD Type-2 history build: each user's event stream versions a
+    * "current event_type" attribute; consecutive repeats collapse (a
+    * version row only on CHANGE), each version carries
+    * [valid_from, valid_to) in epoch micros with an open-ended
+    * sentinel (Long.MaxValue) and an is_current flag — the standard
+    * slowly-changing-dimension shape an incremental warehouse keeps
+    * for every mutable dimension.
+    *
+    * Scale: two window passes partitioned by user_id (change
+    * detection via lag, interval close via lead) — shuffles once on
+    * the key, no global window, no self-join. Ties at the same
+    * microsecond order by event_id, so versioning is deterministic. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val OpenEnd = Long.MaxValue
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    val changes = ev
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+    val w2 = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    changes
+      .withColumn("next_us", lead($"us", 1).over(w2))
+      .select($"user_id", $"event_type", $"us".as("valid_from"),
+        coalesce($"next_us", lit(OpenEnd)).as("valid_to"),
+        $"next_us".isNull.cast("long").as("is_current"))
+  }
+  private val scd2HistoryOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+       |ch AS (SELECT *, LAG(event_type) OVER
+       |    (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev),
+       |c2 AS (SELECT user_id, us, event_id, event_type FROM ch
+       |  WHERE prev IS NULL OR prev <> event_type),
+       |v AS (SELECT user_id, event_type, us,
+       |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+       |  FROM c2)
+       |SELECT user_id, event_type, us AS valid_from,
+       |  COALESCE(next_us, ${Long.MaxValue}) AS valid_to,
+       |  CAST(next_us IS NULL AS BIGINT) AS is_current
+       |FROM v""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("u1_changeset_replay", changesetReplay,
       Some(changesetReplayOracle)))
+    Queries.register(QueryDef("u2_scd2_history", scd2History,
+      Some(scd2HistoryOracle)))
   }
 }

@@ -40,4 +40,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(incremental.except(full).count() === 0)
     assert(full.except(incremental).count() === 0)
   }
+
+  test("scd2 history: contiguous intervals, one open version per user") {
+    import spark.implicits._
+    val rows = Queries.queries("u2_scd2_history")(spark, TestSpark.sf)
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+        $"is_current")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val hist = vs.sortBy(_._3)
+      // exactly one open-ended current version, and it is the last one
+      assert(hist.count(_._5 == 1L) === 1, s"user $user current count")
+      assert(hist.last._5 === 1L && hist.last._4 === Long.MaxValue)
+      // intervals tile the timeline: each valid_to is the next valid_from
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 === b._3, s"gap/overlap for user $user")
+          assert(a._2 !== b._2, s"uncollapsed repeat for user $user")
+        case _ =>
+      }
+    }
+  }
 }
