@@ -266,7 +266,30 @@ object StreamQueries extends QueryGroup {
       |FROM c JOIN e ON c.user_id = e.user_id
       |  AND eus >= cus AND eus <= cus + 1800 * 1000000""".stripMargin
 
+  /** Batch twin of the stream-static enrichment join
+    * (streaming.StreamingOps.enrich): events looked up against the
+    * customer dimension (user_id ⊆ c_custkey in the synthetic data),
+    * left join so dimension gaps keep the event. The dim side
+    * broadcasts — no shuffle of the event stream at any scale; the
+    * streaming form re-resolves the dim per micro-batch so
+    * slowly-changing dimensions refresh without a restart. */
+  def streamEnrichBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val dim = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    streaming.StreamingOps.enrich(ev, dim, "user_id", "c_custkey")
+      .select($"event_id", $"user_id", $"event_type", $"c_name",
+        $"c_nationkey")
+  }
+  private val streamEnrichOracle: String =
+    """SELECT event_id, user_id, event_type, c_name, c_nationkey
+      |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("st10_stream_enrich", streamEnrichBatch,
+      Some(streamEnrichOracle)))
     Queries.register(QueryDef("st9_interval_join", intervalJoinBatch,
       Some(intervalJoinOracle)))
     Queries.register(QueryDef("st8_stream_neardup", streamNeardup,

@@ -43,6 +43,17 @@ object StreamingOps {
         col("event_type"), col("n_events"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * left-joined to a (broadcast) dimension table. The static side is
+    * re-resolved per micro-batch, so a dim backed by files picks up
+    * slowly-changing updates without restarting the query — the
+    * canonical lookup-enrichment pattern. Left join keeps events with
+    * no dim row (late dim arrival) instead of dropping them. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** Stream-stream INTERVAL join — the streaming form of
     * j15_range_join: each error joins clicks of the same user from
     * the previous 30 minutes. Both sides watermarked so Spark can

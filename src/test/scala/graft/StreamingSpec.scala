@@ -127,6 +127,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("stream-static enrich: MemoryStream path reproduces the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = Tables.load(spark, TestSpark.sf, "events")
+      .select($"event_id", $"user_id", $"event_type")
+      .as[(Long, Long, String)].collect()
+    val dim = Tables.load(spark, TestSpark.sf, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StreamingOps.enrich(
+        in.toDF().toDF("event_id", "user_id", "event_type"),
+        dim, "user_id", "c_custkey")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(evRows.toSeq)
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .select($"event_id", $"user_id", $"event_type", $"c_name", $"c_nationkey")
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    q.stop()
+    val want = Queries.queries("st10_stream_enrich")(spark, TestSpark.sf)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(want.nonEmpty && got === want)
+  }
+
   test("streaming dedup keeps the first event per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
