@@ -122,7 +122,40 @@ object ScaleQueries extends QueryGroup {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1""".stripMargin
 
+  /** Z-order layout audit: morton-interleave (l_partkey, l_orderkey)
+    * over an 8-bit folded domain, group rows by the top-4-bit morton
+    * prefix (16 buckets = 4×4 grid cells), and report each bucket's
+    * bounding box. The property that makes the layout worth writing:
+    * every prefix bucket bounds BOTH dimensions (box ≤ 64×64 here), so
+    * a file written per bucket is prunable by min/max footers on
+    * either key — see functions.ZOrder. The fold (% 256) keeps the
+    * demo scale-invariant across SFs. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(($"l_partkey" % 256).cast("long").as("pk"),
+        ($"l_orderkey" % 256).cast("long").as("sk"))
+    li.withColumn("bucket",
+        shiftright(functions.ZOrder.mortonCol($"pk", $"sk", 8), 12))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"pk").as("pk_lo"), max($"pk").as("pk_hi"),
+        min($"sk").as("sk_lo"), max($"sk").as("sk_hi"))
+  }
+  private val zorderLayoutOracle: String = {
+    val m = functions.ZOrder.mortonSql("pk", "sk", 8)
+    s"""WITH k AS (
+       |  SELECT CAST(l_partkey % 256 AS BIGINT) AS pk,
+       |         CAST(l_orderkey % 256 AS BIGINT) AS sk
+       |  FROM lineitem)
+       |SELECT ($m) >> 12 AS bucket, COUNT(*) AS n,
+       |  MIN(pk) AS pk_lo, MAX(pk) AS pk_hi,
+       |  MIN(sk) AS sk_lo, MAX(sk) AS sk_hi
+       |FROM k GROUP BY 1""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s13_zorder_layout", zorderLayout, Some(zorderLayoutOracle)))
     Queries.register(QueryDef("a8_salted_refcount", saltedRefCount, Some(saltedRefCountOracle)))
     Queries.register(QueryDef("f9_url_normalize", urlNormalize, Some(urlNormalizeOracle)))
     Queries.register(QueryDef("t_shard_balance", shardBalance, Some(shardBalanceOracle)))
