@@ -264,7 +264,65 @@ object GraphQueries extends QueryGroup {
        |FROM r3 JOIN deg ON deg.src = r3.node""".stripMargin
   }
 
+  /** G4 (extension): per-node triangle counts on the part–part
+    * co-occurrence graph (two parts sharing a sampled order). Uses
+    * DEGREE ORIENTATION (Suri & Vassilvitskii's MapReduce node
+    * iterator): each undirected edge points from its lower-(degree,
+    * id) endpoint, wedges are enumerated only at that low end, and a
+    * wedge closes iff the oriented edge between its tips exists. Every
+    * triangle is counted exactly once, and — the scale point — a hub
+    * of degree d generates wedges bounded by its LOWER-degree
+    * neighbors, not d², so the wedge join survives power-law graphs
+    * that explode a naive enumeration. The oracle recounts with the
+    * id-ordered triple join; the two orientations agree on the set of
+    * triangles. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val po = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val e = po.as("a").join(po.as("b"), "ok")
+      .filter($"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+    val deg = e.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select($"n".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+    val oriented = ed.select(
+      when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+        struct($"u".as("lo"), $"v".as("hi"), $"dv".as("dhi")))
+        .otherwise(struct($"v".as("lo"), $"u".as("hi"), $"du".as("dhi")))
+        .as("s"))
+      .select($"s.lo".as("lo"), $"s.hi".as("hi"), $"s.dhi".as("dhi"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        $"e1.lo" === $"e2.lo" &&
+          ($"e1.dhi" < $"e2.dhi" ||
+            ($"e1.dhi" === $"e2.dhi" && $"e1.hi" < $"e2.hi")))
+      .select($"e1.lo".as("x"), $"e1.hi".as("y"), $"e2.hi".as("z"))
+    val tris = wedges.join(oriented,
+        $"y" === $"lo" && $"z" === $"hi", "left_semi")
+    tris.select(explode(array($"x", $"y", $"z")).as("part"))
+      .groupBy($"part").agg(count(lit(1)).as("n_triangles"))
+  }
+  private val triangleOracle: String =
+    """WITH po AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey % 50 = 0),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+      |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |nodes AS (SELECT x AS part FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT part, COUNT(*) AS n_triangles FROM nodes GROUP BY part""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("g4_triangle_count", triangleCount,
+      Some(triangleOracle)))
     Queries.register(QueryDef("g3_pagerank", pagerank, Some(pagerankOracle)))
     Queries.register(QueryDef("g1_connected_components", connectedComponents,
       Some(ccOracle), bench = true))

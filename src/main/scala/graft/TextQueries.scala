@@ -1413,6 +1413,31 @@ object TextQueries extends QueryGroup {
     * ONE pass of map-side-combined aggregates; the fingerprint
     * distinct-count is the only corpus-keyed aggregation and it
     * shuffles 8-byte keys. */
+  /** Hierarchical dataset card: token/doc counts at every level of the
+    * (source, lang) hierarchy in ONE pass via ROLLUP — per-(source,
+    * lang) cells, per-source subtotals, and the grand total, with the
+    * rolled-up levels labelled 'ALL'. Catalyst expands the grouping
+    * sets inside a single aggregation (one shuffle, not three
+    * queries); DuckDB's ROLLUP replays it exactly. */
+  def rollupCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"source", $"lang", size(tokensCol($"text")).cast("long").as("n"))
+      .rollup($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").cast("long").as("n_tokens"))
+      .select(coalesce($"source", lit("ALL")).as("source"),
+        coalesce($"lang", lit("ALL")).as("lang"),
+        $"n_docs", $"n_tokens")
+  }
+  private val rollupCardOracle: String = {
+    val t = tokensSql("text")
+    s"""SELECT COALESCE(source, 'ALL') AS source,
+       |  COALESCE(lang, 'ALL') AS lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len($t)) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin
+  }
+
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokensCol($"text")
@@ -1479,6 +1504,7 @@ object TextQueries extends QueryGroup {
 
   override def register(): Unit = {
     Queries.register(QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)))
+    Queries.register(QueryDef("t_rollup_card", rollupCard, Some(rollupCardOracle)))
     Queries.register(QueryDef("t_length_dist", lengthDist, Some(lengthDistOracle)))
     Queries.register(QueryDef("t_ngram_lm", ngramLm, Some(ngramLmOracle)))
     Queries.register(QueryDef("t_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)))

@@ -51,4 +51,13 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
   }
+
+  test("triangle count is non-vacuous and totals divide by three") {
+    import spark.implicits._
+    val perNode = Queries.queries("g4_triangle_count")(spark, TestSpark.sf)
+      .select($"n_triangles").as[Long].collect()
+    // every order with >= 3 sampled parts yields triangles, so the demo
+    // must not be empty; each triangle touches exactly 3 nodes
+    assert(perNode.nonEmpty && perNode.sum % 3 === 0)
+  }
 }
