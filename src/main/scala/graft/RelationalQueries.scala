@@ -326,6 +326,77 @@ object RelationalQueries extends QueryGroup {
       |WINDOW w AS (PARTITION BY user_id ORDER BY es
       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** W9: ordered funnel — users progressing view → click → purchase in
+    * strict timestamp order. Sequential dependency resolved with three
+    * key-partitioned aggregations chained by joins (first view, first
+    * click AFTER it, first purchase after that): every stage shuffles
+    * on user_id only, no windows over the whole table, no UDF state.
+    * Ties at the same microsecond break by event_id, so each stage's
+    * "first" is deterministic. Output is the per-step user count. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+    def firstAfter(events: DataFrame, typ: String, after: DataFrame,
+        lower: String, out: String): DataFrame =
+      events.filter($"event_type" === typ)
+        .join(after, "user_id")
+        .filter($"us" > col(lower))
+        .groupBy($"user_id").agg(min(struct($"us", $"event_id"))
+          .getField("us").as(out))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min(struct($"us", $"event_id")).getField("us").as("t1"))
+    val c = firstAfter(ev, "click", v, "t1", "t2")
+    val p = firstAfter(ev, "purchase", c, "t2", "t3")
+    val counts = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      .map { case (step, df) =>
+        df.agg(lit(step).as("step"), count(lit(1)).as("n_users"))
+      }
+    counts.reduce(_ unionByName _)
+  }
+  private val funnelOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(us) AS t2 FROM ev JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(us) AS t3 FROM ev JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+      |SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p""".stripMargin
+
+  /** W10: cohort retention — users grouped by first-activity day, and
+    * for each (cohort, day-offset) the count of distinct cohort
+    * members active at that offset. Two aggregations and one join,
+    * all partitioned by user_id / (cohort, offset); the classic
+    * engagement matrix at any scale. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+    val cohort = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select($"user_id", $"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+  private val cohortOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ev
+      |  GROUP BY user_id),
+      |act AS (SELECT DISTINCT ev.user_id, cohort_day,
+      |    CAST(day - cohort_day AS BIGINT) AS day_offset
+      |  FROM ev JOIN cohort USING (user_id))
+      |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+      |FROM act GROUP BY 1, 2""".stripMargin
+
   /** A9: exact discrete quantiles (p50/p90/p99) of event values per
     * type — profiling without sketches: the rank-arithmetic form
     * (k = ceil(p·n), k-th smallest by (value, event_id)) is exact and
@@ -368,6 +439,8 @@ object RelationalQueries extends QueryGroup {
     Queries.register(QueryDef("j14_asof_join", asofJoin, Some(asofJoinOracle)))
     Queries.register(QueryDef("j15_range_join", rangeJoin, Some(rangeJoinOracle)))
     Queries.register(QueryDef("w8_rolling_window", rollingWindow, Some(rollingWindowOracle)))
+    Queries.register(QueryDef("w9_funnel_steps", funnelSteps, Some(funnelOracle)))
+    Queries.register(QueryDef("w10_cohort_retention", cohortRetention, Some(cohortOracle)))
     Queries.register(QueryDef("a9_exact_quantiles", exactQuantiles, Some(exactQuantilesOracle)))
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))
     Queries.register(QueryDef("s1_scan_pushdown", scanPushdown, Some(

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics of the funnel / cohort analytics queries. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("funnel steps shrink monotonically and start non-empty") {
+    import spark.implicits._
+    val steps = Queries.queries("w9_funnel_steps")(spark, TestSpark.sf)
+      .as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    assert(steps.length === 3)
+    assert(steps(0) > 0L, "no users entered the funnel")
+    assert(steps(0) >= steps(1) && steps(1) >= steps(2),
+      s"funnel grew: ${steps.mkString(" -> ")}")
+  }
+
+  test("cohort retention: offset 0 equals the cohort size") {
+    import spark.implicits._
+    val ret = Queries.queries("w10_cohort_retention")(spark, TestSpark.sf)
+      .select($"cohort_day".cast("string"), $"day_offset", $"n_users")
+      .as[(String, Long, Long)].collect()
+    assert(ret.nonEmpty)
+    // day 0 row exists for every cohort (each member is active on the
+    // day that DEFINES the cohort) and no offset exceeds its cohort's
+    // day-0 count
+    val day0 = ret.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    val cohorts = ret.map(_._1).distinct
+    assert(cohorts.forall(day0.contains), "cohort missing its day-0 row")
+    ret.foreach { case (c, off, n) =>
+      assert(n <= day0(c), s"cohort $c offset $off: $n > day0 ${day0(c)}")
+    }
+  }
+}
