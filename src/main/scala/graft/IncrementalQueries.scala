@@ -174,10 +174,62 @@ object IncrementalQueries extends QueryGroup {
        |  CAST(next_us IS NULL AS BIGINT) AS is_current
        |FROM v""".stripMargin
 
+  /** Snapshot diff — the change-data-feed primitive: classify every
+    * key across two table versions as added / removed / changed
+    * (unchanged rows are omitted; they are the bulk and carry no
+    * information). Here version B is a deterministic mutation of the
+    * orders snapshot (deletes %13, price bumps %7, new keys %11 at
+    * +1e6) so the oracle can rebuild both sides. One full-outer join
+    * on the key — at 100 TB both sides are parquet snapshots
+    * partitioned the same way, so the join co-locates. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".cast("long").as("k"),
+        round($"o_totalprice" * 100).cast("long").as("va"))
+    val base = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".cast("long").as("k"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+    val b = base.filter($"k" % 13 =!= 0)
+      .select($"k",
+        when($"k" % 7 === 0, $"v" + 500L).otherwise($"v").as("vb"))
+      .unionByName(base.filter($"k" % 11 === 0)
+        .select(($"k" + 1000000L).as("k"), $"v".as("vb")))
+    a.join(b, Seq("k"), "full_outer")
+      .select($"k",
+        when($"va".isNull, "added")
+          .when($"vb".isNull, "removed")
+          .when($"va" =!= $"vb", "changed").as("change"),
+        coalesce($"va", lit(-1L)).as("old_cents"),
+        coalesce($"vb", lit(-1L)).as("new_cents"))
+      .filter($"change".isNotNull)
+  }
+  private val snapshotDiffOracle: String =
+    """WITH a AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS va FROM orders),
+      |base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS v FROM orders),
+      |b AS (
+      |  SELECT k, CASE WHEN k % 7 = 0 THEN v + 500 ELSE v END AS vb
+      |  FROM base WHERE k % 13 <> 0
+      |  UNION ALL
+      |  SELECT k + 1000000, v FROM base WHERE k % 11 = 0),
+      |d AS (SELECT COALESCE(a.k, b.k) AS k, va, vb
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT k,
+      |  CASE WHEN va IS NULL THEN 'added'
+      |       WHEN vb IS NULL THEN 'removed'
+      |       WHEN va <> vb THEN 'changed' END AS change,
+      |  COALESCE(va, -1) AS old_cents, COALESCE(vb, -1) AS new_cents
+      |FROM d
+      |WHERE (va IS NULL OR vb IS NULL OR va <> vb)""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("u1_changeset_replay", changesetReplay,
       Some(changesetReplayOracle)))
     Queries.register(QueryDef("u2_scd2_history", scd2History,
       Some(scd2HistoryOracle)))
+    Queries.register(QueryDef("u3_snapshot_diff", snapshotDiff,
+      Some(snapshotDiffOracle)))
   }
 }

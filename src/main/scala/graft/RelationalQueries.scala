@@ -397,6 +397,37 @@ object RelationalQueries extends QueryGroup {
       |SELECT cohort_day, day_offset, COUNT(*) AS n_users
       |FROM act GROUP BY 1, 2""".stripMargin
 
+  /** Equi-depth histogram of event values — 16 buckets of equal ROW
+    * count (what an optimizer's statistics collector builds, and what
+    * equi-width histograms get wrong under skew). Global rank comes
+    * from operators.GlobalRank (range partition + partition offsets),
+    * so unlike an ntile() window nothing ever lands in one partition;
+    * bucket = floor(rank0 * 16 / n) reproduces exactly in the oracle's
+    * row_number arithmetic. */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select(cents($"value").as("v"), $"event_id")
+    val ranked = operators.GlobalRank.withRank(
+      ev, "rk", $"v".asc, $"event_id".asc)
+    val n = ranked.agg(count(lit(1)).cast("long").as("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(TextQueries.intDiv(($"rk" - 1L) * 16L, $"n").as("bucket"), $"v")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"v").as("v_lo"), max($"v").as("v_hi"))
+  }
+  private val equidepthOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(ROUND(value*100) AS BIGINT) AS v, event_id FROM events),
+      |r AS (SELECT v,
+      |    ROW_NUMBER() OVER (ORDER BY v, event_id) - 1 AS rk0,
+      |    COUNT(*) OVER () AS n
+      |  FROM ev)
+      |SELECT (rk0 * 16) // n AS bucket, COUNT(*) AS n_rows,
+      |  MIN(v) AS v_lo, MAX(v) AS v_hi
+      |FROM r GROUP BY 1""".stripMargin
+
   /** A9: exact discrete quantiles (p50/p90/p99) of event values per
     * type — profiling without sketches: the rank-arithmetic form
     * (k = ceil(p·n), k-th smallest by (value, event_id)) is exact and
@@ -440,6 +471,7 @@ object RelationalQueries extends QueryGroup {
     Queries.register(QueryDef("j15_range_join", rangeJoin, Some(rangeJoinOracle)))
     Queries.register(QueryDef("w8_rolling_window", rollingWindow, Some(rollingWindowOracle)))
     Queries.register(QueryDef("w9_funnel_steps", funnelSteps, Some(funnelOracle)))
+    Queries.register(QueryDef("t_equidepth_hist", equidepthHist, Some(equidepthOracle)))
     Queries.register(QueryDef("w10_cohort_retention", cohortRetention, Some(cohortOracle)))
     Queries.register(QueryDef("a9_exact_quantiles", exactQuantiles, Some(exactQuantilesOracle)))
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))

@@ -33,4 +33,19 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(n <= day0(c), s"cohort $c offset $off: $n > day0 ${day0(c)}")
     }
   }
+
+  test("equi-depth buckets hold equal row counts within one") {
+    import spark.implicits._
+    val rows = Queries.queries("t_equidepth_hist")(spark, TestSpark.sf)
+      .select($"bucket", $"n_rows", $"v_lo", $"v_hi")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L until 16L))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1L, s"depths ${sizes.mkString(",")}")
+    // bucket value ranges are ordered and non-overlapping
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"overlap at bucket ${b._1}")
+      case _ =>
+    }
+  }
 }
