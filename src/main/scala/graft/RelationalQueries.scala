@@ -397,6 +397,35 @@ object RelationalQueries extends QueryGroup {
       |SELECT cohort_day, day_offset, COUNT(*) AS n_users
       |FROM act GROUP BY 1, 2""".stripMargin
 
+  /** W11: event-type transition matrix — per-user bigram counts of
+    * consecutive event types in timestamp order (the Markov structure
+    * of the clickstream; feeds next-event prediction and funnel
+    * anomaly checks). One lag window partitioned by user, one count
+    * aggregation — shuffles on user_id then on the (from, to) pair. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us".asc, $"event_id".asc)
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+  private val transitionsOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events),
+      |lagged AS (SELECT event_type, LAG(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+      |  FROM ev)
+      |SELECT prev_type AS from_type, event_type AS to_type,
+      |  COUNT(*) AS n
+      |FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   /** Equi-depth histogram of event values — 16 buckets of equal ROW
     * count (what an optimizer's statistics collector builds, and what
     * equi-width histograms get wrong under skew). Global rank comes
@@ -472,6 +501,7 @@ object RelationalQueries extends QueryGroup {
     Queries.register(QueryDef("w8_rolling_window", rollingWindow, Some(rollingWindowOracle)))
     Queries.register(QueryDef("w9_funnel_steps", funnelSteps, Some(funnelOracle)))
     Queries.register(QueryDef("t_equidepth_hist", equidepthHist, Some(equidepthOracle)))
+    Queries.register(QueryDef("w11_event_transitions", eventTransitions, Some(transitionsOracle)))
     Queries.register(QueryDef("w10_cohort_retention", cohortRetention, Some(cohortOracle)))
     Queries.register(QueryDef("a9_exact_quantiles", exactQuantiles, Some(exactQuantilesOracle)))
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))

@@ -154,7 +154,45 @@ object ScaleQueries extends QueryGroup {
        |FROM k GROUP BY 1""".stripMargin
   }
 
+  /** S14: table statistics in ONE scan — min/max/exact NDV for three
+    * key columns of lineitem, unpivoted to (column, min_v, max_v, ndv)
+    * rows: what ANALYZE TABLE collects for the optimizer, computed as
+    * a single aggregation pass (Catalyst expands the multiple exact
+    * count-distincts; at 100 TB swap them for approx_count_distinct
+    * and keep the one-scan shape). */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        min($"l_partkey").cast("long").as("pk_min"),
+        max($"l_partkey").cast("long").as("pk_max"),
+        countDistinct($"l_partkey").as("pk_ndv"),
+        min($"l_suppkey").cast("long").as("sk_min"),
+        max($"l_suppkey").cast("long").as("sk_max"),
+        countDistinct($"l_suppkey").as("sk_ndv"),
+        min($"l_orderkey").cast("long").as("ok_min"),
+        max($"l_orderkey").cast("long").as("ok_max"),
+        countDistinct($"l_orderkey").as("ok_ndv"))
+      .select(expr(
+        """stack(3,
+          |  'l_partkey', pk_min, pk_max, pk_ndv,
+          |  'l_suppkey', sk_min, sk_max, sk_ndv,
+          |  'l_orderkey', ok_min, ok_max, ok_ndv)
+          |  AS (col_name, min_v, max_v, ndv)""".stripMargin))
+  }
+  private val tableStatsOracle: String =
+    """SELECT 'l_partkey' AS col_name, MIN(l_partkey) AS min_v,
+      |  MAX(l_partkey) AS max_v, COUNT(DISTINCT l_partkey) AS ndv
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_suppkey', MIN(l_suppkey), MAX(l_suppkey),
+      |  COUNT(DISTINCT l_suppkey) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_orderkey', MIN(l_orderkey), MAX(l_orderkey),
+      |  COUNT(DISTINCT l_orderkey) FROM lineitem""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s14_table_stats", tableStats, Some(tableStatsOracle)))
     Queries.register(QueryDef("s13_zorder_layout", zorderLayout, Some(zorderLayoutOracle)))
     Queries.register(QueryDef("a8_salted_refcount", saltedRefCount, Some(saltedRefCountOracle)))
     Queries.register(QueryDef("f9_url_normalize", urlNormalize, Some(urlNormalizeOracle)))

@@ -46,6 +46,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(9L))))
   }
 
+  test("partitioned export prunes partitions on the read path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"lang", $"source")
+    docs.write.partitionBy("lang").mode("overwrite")
+      .parquet(s"$dir/docs")
+    // hive-style lang=xx directories on disk
+    val langDirs = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(langDirs.nonEmpty && langDirs.forall(_.matches("lang=\\w+")))
+    // a lang filter must become a PartitionFilter, not a data filter:
+    // only the matching directory is scanned at any scale
+    val q = spark.read.parquet(s"$dir/docs").filter($"lang" === "de")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang not pruned:\n$plan")
+    assert(q.count() === docs.filter($"lang" === "de").count())
+  }
+
   test("multimodal decode is deterministic and partition-invariant") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
