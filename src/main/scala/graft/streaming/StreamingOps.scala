@@ -108,6 +108,25 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch(idempotentBatchWriter(dir))
 
+  /** Reader dual of the idempotent sink: load ONLY batch directories
+    * whose commit marker exists. A crash between the parquet write and
+    * the marker drop leaves a partial `batch_id=N` directory; replay
+    * rewrites it, but until then readers must not see it — this filter
+    * is what makes the at-least-once + idempotent-target combination
+    * read as exactly-once. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val committed = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("_batch_") &&
+        f.getName.endsWith("_COMMITTED"))
+      .map(_.getName.stripPrefix("_batch_").stripSuffix("_COMMITTED"))
+      .sorted
+    if (committed.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(committed.map(id => s"$dir/batch_id=$id"): _*)
+  }
+
   /** Streaming near-dup ADMISSION — the d8 incremental probe run per
     * micro-batch inside foreachBatch: the batch's docs are minhashed and
     * their band rows probe the already-seen index (asymmetric join,

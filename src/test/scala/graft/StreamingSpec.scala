@@ -286,6 +286,51 @@ class StreamingSpec extends AnyFunSuite {
       s"batch ids: ${ids.mkString(",")}")
   }
 
+  test("committed-only reader skips a crash's partial batch directory") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink3").toFile
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.exactlyOnceSink(
+      input.toDF().toDF("k", "v"), dir.getAbsolutePath).start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    // simulate a crash mid-batch: parquet landed, marker never dropped
+    val partial = new java.io.File(dir, "batch_id=99")
+    Seq((666L, "ghost")).toDF("k", "v")
+      .write.parquet(partial.getAbsolutePath)
+    val seen = StreamingOps.readCommitted(spark, dir.getAbsolutePath)
+      .select($"k").as[Long].collect().sorted
+    assert(seen.toSeq === Seq(1L, 2L), "uncommitted batch leaked to readers")
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("graft_mft_in").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_mft_out").toFile
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(in.getAbsolutePath)
+    }
+    val schema = new StructType().add("k", LongType).add("v", StringType)
+    val q = StreamingOps.exactlyOnceSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in.getAbsolutePath),
+        out.getAbsolutePath).start()
+    q.processAllAvailable()
+    q.stop()
+    // three input files -> three bounded micro-batches, all committed
+    val batches = out.listFiles()
+      .count(f => f.getName.startsWith("batch_id=") && {
+        val rows = spark.read.parquet(f.getAbsolutePath).count()
+        rows >= 1 && rows <= 1
+      })
+    assert(batches === 3, s"expected 3 single-file batches")
+    assert(StreamingOps.readCommitted(spark, out.getAbsolutePath).count() === 3)
+  }
+
   test("keyed-state sessionization emits gap-closed sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
