@@ -397,6 +397,43 @@ object RelationalQueries extends QueryGroup {
       |SELECT cohort_day, day_offset, COUNT(*) AS n_users
       |FROM act GROUP BY 1, 2""".stripMargin
 
+  /** J17: fuzzy self-join on names within edit distance 1 — the
+    * scalable approximate-string-match shape (FastSS deletion
+    * neighborhoods): each name emits itself plus every single-deletion
+    * variant; two names within one edit ALWAYS share a variant, so an
+    * equi-join on the variant is a complete candidate generator. The
+    * variant join replaces the quadratic all-pairs comparison — at
+    * 100 TB candidates ∝ matches, not n² — and a native levenshtein
+    * verify removes the neighborhood's false positives (e.g. "ab" vs
+    * "ba" share variants at distance 2). The oracle brute-forces the
+    * cross product, which only the small test scale affords. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"), $"c_name".as("name"))
+    val vars = c.withColumn("v", explode(expr(
+      """array_union(array(name),
+        |  transform(sequence(1, length(name)),
+        |    i -> concat(substr(name, 1, i-1), substr(name, i+1, 1000))))"""
+        .stripMargin)))
+    vars.as("x").join(vars.as("y"), "v")
+      .filter($"x.k" < $"y.k")
+      .select($"x.k".as("a_key"), $"y.k".as("b_key"),
+        $"x.name".as("na"), $"y.name".as("nb"))
+      .distinct()
+      .filter(levenshtein($"na", $"nb") <= 1)
+      .select($"a_key", $"b_key",
+        levenshtein($"na", $"nb").cast("long").as("dist"))
+  }
+  private val fuzzyJoinOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+      |  FROM customer)
+      |SELECT a.k AS a_key, b.k AS b_key,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM c a JOIN c b ON a.k < b.k
+      |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
+
   /** W11: event-type transition matrix — per-user bigram counts of
     * consecutive event types in timestamp order (the Markov structure
     * of the clickstream; feeds next-event prediction and funnel
@@ -502,6 +539,7 @@ object RelationalQueries extends QueryGroup {
     Queries.register(QueryDef("w9_funnel_steps", funnelSteps, Some(funnelOracle)))
     Queries.register(QueryDef("t_equidepth_hist", equidepthHist, Some(equidepthOracle)))
     Queries.register(QueryDef("w11_event_transitions", eventTransitions, Some(transitionsOracle)))
+    Queries.register(QueryDef("j17_fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)))
     Queries.register(QueryDef("w10_cohort_retention", cohortRetention, Some(cohortOracle)))
     Queries.register(QueryDef("a9_exact_quantiles", exactQuantiles, Some(exactQuantilesOracle)))
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))
