@@ -1218,6 +1218,102 @@ object DedupQueries extends QueryGroup {
        |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id""".stripMargin
   }
 
+  /** Sliding-gram width for d18 (tokens). Production exact-substring
+    * dedup uses 50 (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"); 8 exercises the machinery on the small
+    * synthetic docs. */
+  val SubK = 8
+
+  /** d18: exact duplicated-SUBSTRING regions at ARBITRARY offsets — the
+    * suffix-array pass of production pipelines, re-expressed relationally.
+    * Lee et al. build a corpus suffix array and drop any ≥50-token run
+    * occurring twice; the relational equivalent: every SLIDING K-token
+    * gram (not d10's disjoint chunks) that occurs ≥2 times corpus-wide
+    * (same doc counts — self-repetition is boilerplate too) marks the
+    * token interval [pos, pos+K-1] as duplicated, and a doc's maximal
+    * duplicated regions are the merged overlapping-or-adjacent intervals
+    * (gaps-and-islands). Any duplicated run of length L ≥ K is covered
+    * exactly by its L-K+1 duplicated grams, so merged islands ARE the
+    * maximal duplicated substrings — same answer as the suffix array,
+    * no global sort.
+    *
+    * Scale shape: sliding grams are ~tokens× rows, so the gram strings
+    * themselves must not all shuffle. Two-phase exact filter:
+    *   1. shuffle only (xxhash64(gram), 1) — map-side partial counts
+    *      absorb hot boilerplate — and keep hashes with count ≥ 2;
+    *   2. semi-join grams to the surviving hashes (hash shuffle, narrow
+    *      key) and confirm by exact gram string groupBy over the
+    *      (small) candidate subset only.
+    * Phase 2 makes the result collision-proof: a hash collision only
+    * admits a gram into the confirm stage, where the string groupBy
+    * rejects it. The per-doc interval merge windows over doc_id —
+    * bounded by one document's tokens, never corpus-wide. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokensCol(lower($"text")).as("t"))
+      .persist() // grams + final total_tokens join
+    val grams = toks.filter(size($"t") >= SubK)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), size($"t") - SubK),
+        i => concat_ws(" ", slice($"t", i + 1, lit(SubK)))))
+        .as(Seq("pos", "gram")))
+      .withColumn("gh", xxhash64($"gram"))
+      .persist() // count pass + probe pass share the explode
+    val dupHashes = grams.groupBy($"gh").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"gh")
+    val cand = grams.join(dupHashes, Seq("gh"), "left_semi")
+    val dupGrams = cand.groupBy($"gram").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"gram")
+    val hits = cand.join(dupGrams, Seq("gram"), "left_semi")
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        ($"pos" + (SubK - 1)).cast("long").as("e"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val prevEnd = max($"e").over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = hits
+      .withColumn("brk",
+        when($"pos" > coalesce(prevEnd, lit(-1L)) + 1L, 1L).otherwise(0L))
+      .withColumn("isl", sum($"brk").over(w))
+    val spans = isl.groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("s"), max($"e").as("e"))
+    spans.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1L).as("dup_tokens"))
+      .join(toks.select($"doc_id",
+        size($"t").cast("long").as("total_tokens")), Seq("doc_id"))
+      .select($"doc_id", $"n_spans", $"dup_tokens", $"total_tokens")
+  }
+  private val substringDedupOracle: String = {
+    val t = tokensSql("lower(text)")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |raw AS (
+       |  SELECT doc_id, unnest([{'pos': i,
+       |      'gram': array_to_string(t[CAST(i+1 AS INT):CAST(i+$SubK AS INT)], ' ')}
+       |    for i in range(0, CAST(len(t) - ${SubK - 1} AS INT))]) AS u
+       |  FROM toks WHERE len(t) >= $SubK),
+       |grams AS (SELECT doc_id, struct_extract(u, 'pos') AS pos,
+       |    struct_extract(u, 'gram') AS gram FROM raw),
+       |dup AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+       |hits AS (SELECT doc_id, pos, pos + ${SubK - 1} AS e
+       |  FROM grams JOIN dup USING (gram)),
+       |brk AS (SELECT doc_id, pos, e,
+       |    CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) + 1 THEN 1 ELSE 0 END AS b
+       |  FROM hits),
+       |isl AS (SELECT doc_id, pos, e,
+       |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk),
+       |spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(e) AS e
+       |  FROM isl GROUP BY 1, 2),
+       |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens FROM spans GROUP BY 1)
+       |SELECT p.doc_id, n_spans, dup_tokens,
+       |  CAST(len(t) AS BIGINT) AS total_tokens
+       |FROM perdoc p JOIN toks USING (doc_id)""".stripMargin
+  }
+
   override def register(): Unit = {
     // not bench-flagged: the 11-query bench set is held stable across
     // rounds for comparability; the pipeline's end-to-end time at sf0.1
@@ -1242,6 +1338,8 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
+    Queries.register(QueryDef("d18_substring_dedup", substringDedup,
+      Some(substringDedupOracle)))
     Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
     Queries.register(QueryDef("d13_winnow_dedup", winnowDedup, Some(winnowOracle)))
     Queries.register(QueryDef("d14_cdc_dedup", cdcDedup, Some(cdcDedupOracle)))

@@ -58,6 +58,58 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("d18 two-phase hash prefilter finds exactly the one-phase dup grams") {
+    // phase 1 shuffles only 64-bit hashes; the exact string confirm must
+    // make the candidate restriction lossless vs a direct groupBy(gram)
+    import spark.implicits._
+    val K = DedupQueries.SubK
+    val grams = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
+      .filter(size($"t") >= K)
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), size($"t") - K),
+        i => concat_ws(" ", slice($"t", i + 1, lit(K))))).as("gram"))
+    val direct = grams.groupBy($"gram").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"gram").as[String].collect().toSet
+    val hashed = grams.withColumn("gh", xxhash64($"gram"))
+    val dupH = hashed.groupBy($"gh").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"gh")
+    val twoPhase = hashed.join(dupH, Seq("gh"), "left_semi")
+      .groupBy($"gram").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"gram").as[String].collect().toSet
+    assert(twoPhase == direct)
+    assert(direct.nonEmpty, "sf0.001 corpus should contain duplicated grams")
+  }
+
+  test("d18 island merge marks maximal duplicated regions") {
+    // a doc whose duplicated grams tile [0, n] must report ONE span
+    // covering them; doc pairs sharing a full document report full cover
+    import spark.implicits._
+    val out = Queries.queries("d18_substring_dedup")(spark, TestSpark.sf)
+      .select($"doc_id", $"n_spans", $"dup_tokens", $"total_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, dup, tot) =>
+      assert(n >= 1L && dup >= DedupQueries.SubK && dup <= tot,
+        s"doc $id: n=$n dup=$dup tot=$tot out of range")
+    }
+    // exact whole-SEQUENCE duplicates must be fully covered (dup == tot)
+    val seqs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id",
+        concat_ws(" ", TextQueries.tokensCol(lower($"text"))).as("s"))
+      .filter(size(split($"s", " ")) >= DedupQueries.SubK)
+    val dupSeq = seqs.groupBy($"s").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"s")
+    val fullDup = seqs.join(dupSeq, Seq("s"), "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    if (fullDup.nonEmpty) {
+      val covered = out.filter(r => fullDup.contains(r._1))
+      assert(covered.nonEmpty)
+      covered.foreach { case (id, _, dup, tot) =>
+        assert(dup == tot, s"whole-dup doc $id only covered $dup/$tot") }
+    }
+  }
+
   test("d5 candidates are bounded by (label, band) sub-buckets, not label alone") {
     import spark.implicits._
     val base = Tables.load(spark, TestSpark.sf, "embeddings")
