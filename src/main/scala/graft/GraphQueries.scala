@@ -320,9 +320,84 @@ object GraphQueries extends QueryGroup {
       |  UNION ALL SELECT z FROM tri)
       |SELECT part, COUNT(*) AS n_triangles FROM nodes GROUP BY part""".stripMargin
 
+  /** g5 peel threshold and round cap. Synchronous peeling converges in
+    * ≤3 rounds on the sf0.01 co-part graph; the cap is 8 so the unrolled
+    * oracle provably covers convergence, and the spec pins that the cap
+    * was not hit (a converged round peels nothing, so extra unrolled
+    * rounds are identities and Spark's early exit is exact). */
+  val CoreK = 3
+  val CoreRounds = 8
+
+  /** G5: k-core decomposition by synchronous peeling — repeatedly drop
+    * nodes whose degree in the REMAINING subgraph is < k; the fixpoint is
+    * the maximal subgraph of min-degree ≥ k (the standard community-core
+    * primitive; reference analog: the reconciler's repeated trash-and-
+    * re-vote passes, `process/base/reconciler.py`, are one-field peeling).
+    *
+    * Scale shape: each round is one degree aggregation (map-side partial
+    * count) + two anti-joins, all hash-partitioned on the node key; no
+    * window, no driver-side graph. localCheckpoint truncates the loop's
+    * lineage (g1's recipe) and the only driver traffic is one scalar
+    * count per round. Rounds = the graph's peel depth, which is tiny for
+    * heavy-tailed co-occurrence graphs (hubs survive, fringes peel in
+    * 2-3 waves) — the same loop shape GraphX/Goldberg's k-core uses. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val po = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    var edges = po.as("a").join(po.as("b"), "ok")
+      .filter($"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      .localCheckpoint()
+    var round = 0
+    var removed = 1L
+    while (round < CoreRounds && removed > 0) {
+      val deg = edges.select(explode(array($"u", $"v")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      val bad = deg.filter($"d" < CoreK).select($"n").localCheckpoint()
+      removed = bad.count()
+      if (removed > 0) {
+        edges = edges
+          .join(bad.select($"n".as("u")), Seq("u"), "left_anti")
+          .join(bad.select($"n".as("v")), Seq("v"), "left_anti")
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    edges.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("core_deg"))
+  }
+  private val kcoreOracle: String = {
+    // every CTE is MATERIALIZED: each round references the previous one
+    // three times, so default inlining would expand e0 ~5^rounds times
+    val base =
+      """WITH po AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p)""".stripMargin
+    val rounds = (0 until CoreRounds).map { r =>
+      s""",
+         |d$r AS MATERIALIZED (SELECT n, COUNT(*) AS c FROM (
+         |  SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r) s GROUP BY 1),
+         |bad$r AS MATERIALIZED (SELECT n FROM d$r WHERE c < $CoreK),
+         |e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r
+         |  WHERE u NOT IN (SELECT n FROM bad$r)
+         |    AND v NOT IN (SELECT n FROM bad$r))""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT n AS node, c AS core_deg FROM (
+         |  SELECT n, COUNT(*) AS c FROM (
+         |    SELECT u AS n FROM e$CoreRounds
+         |    UNION ALL SELECT v FROM e$CoreRounds) s GROUP BY 1) f""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("g4_triangle_count", triangleCount,
       Some(triangleOracle)))
+    Queries.register(QueryDef("g5_kcore", kcore, Some(kcoreOracle)))
     Queries.register(QueryDef("g3_pagerank", pagerank, Some(pagerankOracle)))
     Queries.register(QueryDef("g1_connected_components", connectedComponents,
       Some(ccOracle), bench = true))

@@ -52,6 +52,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
   }
 
+  test("kcore reaches the true fixpoint within the round cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val core = Queries.queries("g5_kcore")(spark, TestSpark.sf)
+      .as[(Long, Long)].collect().toMap
+    assert(core.nonEmpty, "3-core of the co-part graph must be non-empty")
+    // self-consistency: the reported degree IS the degree of the induced
+    // subgraph on surviving nodes, and the min degree >= K — i.e. the
+    // peel CONVERGED (one more unrolled round would remove nothing), so
+    // the capped query equals the true k-core
+    val po = Tables.load(spark, TestSpark.sf, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val survivors = core.keySet
+    val induced = po.as("a").join(po.as("b"), "ok")
+      .filter($"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      .filter($"u".isInCollection(survivors) && $"v".isInCollection(survivors))
+      .select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(induced == core, "reported core_deg != induced-subgraph degree")
+    assert(core.values.min >= GraphQueries.CoreK, "un-peeled node below K")
+  }
+
   test("triangle count is non-vacuous and totals divide by three") {
     import spark.implicits._
     val perNode = Queries.queries("g4_triangle_count")(spark, TestSpark.sf)
