@@ -532,7 +532,43 @@ object RelationalQueries extends QueryGroup {
       |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v_cents END) AS p99_cents
       |FROM r GROUP BY 1""".stripMargin
 
+  /** W12: per-group top-k WITHOUT a window — per-nation top-3 customers
+    * by account balance via operators.TopK, a typed Aggregator whose
+    * buffer never exceeds k entries. The window form
+    * (`row_number() OVER (PARTITION BY nation ORDER BY bal DESC) <= 3`)
+    * shuffles and sorts every customer row; the aggregator discards to
+    * k per (group, partition) BEFORE the exchange, so at 100 TB the
+    * shuffle is k·|groups| rows. Tie-break c_custkey asc per the
+    * determinism contract. The oracle is the window form — same set. */
+  def groupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_nationkey".cast("long"), cents($"c_acctbal"),
+        $"c_custkey".cast("long"))
+      .as[(Long, Long, Long)]
+    c.groupByKey(_._1)
+      .mapValues { case (_, bal, ck) => operators.TopK.Entry(bal, ck) }
+      .agg(operators.TopK.TopKAgg(3).toColumn.name("top"))
+      .flatMap { case (nat, buf) =>
+        buf.items.zipWithIndex.map { case (e, i) =>
+          (nat, i + 1L, e.id, e.v)
+        }
+      }
+      .toDF("c_nationkey", "rk", "c_custkey", "bal_cents")
+  }
+  private val groupedTopKOracle: String =
+    """SELECT c_nationkey, rk, c_custkey, bal_cents FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT) DESC, c_custkey)
+      |      AS BIGINT) AS rk,
+      |    CAST(c_custkey AS BIGINT) AS c_custkey,
+      |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+      |  FROM customer) t
+      |WHERE rk <= 3""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("w12_grouped_topk", groupedTopK, Some(groupedTopKOracle)))
     Queries.register(QueryDef("j14_asof_join", asofJoin, Some(asofJoinOracle)))
     Queries.register(QueryDef("j15_range_join", rangeJoin, Some(rangeJoinOracle)))
     Queries.register(QueryDef("w8_rolling_window", rollingWindow, Some(rollingWindowOracle)))

@@ -48,4 +48,41 @@ class AnalyticsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("grouped top-k matches the window form with no Window in the plan") {
+    import spark.implicits._
+    val df = Queries.queries("w12_grouped_topk")(spark, TestSpark.sf)
+    // the whole point: bounded-buffer aggregation, not a window sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window snuck into the plan:\n$plan")
+    val got = df.as[(Long, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey").orderBy($"bal".desc, $"c_custkey".asc)
+    val want = Tables.load(spark, TestSpark.sf, "customer")
+      .select($"c_nationkey".cast("long").as("c_nationkey"),
+        round($"c_acctbal" * 100).cast("long").as("bal"),
+        $"c_custkey".cast("long").as("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"c_nationkey", $"rk", $"c_custkey", $"bal")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("TopK buffer is bounded and merge-order invariant") {
+    import graft.operators.TopK
+    val agg = TopK.TopKAgg(3)
+    val xs = (1L to 40L).map(i => TopK.Entry(i % 7, i))
+    // fold in two different partition splits; same result, buffer <= k
+    val (a, b) = xs.splitAt(13)
+    val left = a.foldLeft(agg.zero)(agg.reduce)
+    val right = b.foldLeft(agg.zero)(agg.reduce)
+    assert(left.items.length <= 3 && right.items.length <= 3)
+    val m1 = agg.merge(left, right)
+    val m2 = agg.merge(
+      xs.reverse.take(20).foldLeft(agg.zero)(agg.reduce),
+      xs.reverse.drop(20).foldLeft(agg.zero)(agg.reduce))
+    assert(m1.items === m2.items)
+    assert(m1.items === xs.sortBy(e => (-e.v, e.id)).take(3))
+  }
 }
