@@ -191,7 +191,134 @@ object ScaleQueries extends QueryGroup {
       |SELECT 'l_orderkey', MIN(l_orderkey), MAX(l_orderkey),
       |  COUNT(DISTINCT l_orderkey) FROM lineitem""".stripMargin
 
+  /** S15: bucketed co-located join — both sides written bucketed (and
+    * sorted) by the join key, so the repeated fact⋈fact join runs with
+    * NO exchange on either side: the layout pays the shuffle once at
+    * write time and every subsequent join on that key is local. This
+    * is the 100 TB answer to "the same big join every day" (idmap ⋈
+    * records each build): at sf the bucket count is 8; on a cluster
+    * it's sized so bucket ≈ one task's memory. The MERGE hint keeps
+    * auto-broadcast from short-circuiting the demonstration (with a
+    * broadcast join bucketing would be moot). PlanSpec pins the
+    * exchange-free join. Oracle = the plain join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bucketed").getAbsolutePath
+    val sides = Seq(
+      ("graft_b_orders",
+        Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        "o_orderkey"),
+      ("graft_b_lineitem",
+        Tables.load(spark, dir, "lineitem").select($"l_orderkey",
+          round($"l_extendedprice" * 100).cast("long").as("price_cents")),
+        "l_orderkey"))
+    sides.foreach { case (name, df, key) =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.format("parquet").option("path", s"$base/$name")
+        .mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+    }
+    val bl = spark.table("graft_b_lineitem")
+    val bo = spark.table("graft_b_orders")
+    bl.hint("MERGE").join(bo, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"price_cents").cast("long").as("rev_cents"))
+  }
+  private val bucketedJoinOracle: String =
+    """SELECT o_custkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** S16 compaction target size (bytes). Tiny at test sf so the plan is
+    * non-trivial (~hundreds of output files); production uses 128-512 MB. */
+  val CompactTarget = 16384L
+
+  /** S16: small-file compaction plan — the one-record-per-object JSONL
+    * layout (S1's dump world) read back as (id, bytes) and coalesced
+    * into ~target-size output files by cumulative byte offset in id
+    * order, preserving record order. The running sum comes from
+    * operators.PrefixSum (range partition + per-partition totals), NOT
+    * an unpartitioned window — at 100 TB the inventory itself is big.
+    * Output: per planned file its record span and byte total — exactly
+    * the manifest a compaction executor consumes. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", octet_length($"text").cast("long").as("bytes"))
+    val summed = operators.PrefixSum.withRunningSum(
+      d, "bytes", "cum_bytes", $"doc_id".asc)
+    summed.select($"doc_id", $"bytes",
+        TextQueries.intDiv($"cum_bytes" - $"bytes", lit(CompactTarget))
+          .as("out_file"))
+      .groupBy($"out_file")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"bytes").cast("long").as("file_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+  private val compactionOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, bytes,
+       |    CAST(SUM(bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - bytes AS BIGINT) AS prior
+       |  FROM d)
+       |SELECT prior // $CompactTarget AS out_file, COUNT(*) AS n_docs,
+       |  CAST(SUM(bytes) AS BIGINT) AS file_bytes,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** J18 sorted-neighborhood window width. */
+  val SnmWindow = 5L
+
+  /** J18: sorted-neighborhood blocking — the OTHER classic sub-quadratic
+    * entity-resolution shape next to j17's deletion neighborhoods: sort
+    * records by a blocking key (here the name), slide a fixed window of
+    * w ranks, and compare only pairs within the window. Candidates are
+    * n·w, never n²; the rank comes from operators.GlobalRank (no
+    * single-partition window) and the window join is an equi-join on
+    * rank after exploding each record to its w successor ranks. The
+    * documented recall trade: a true match sorting > w ranks apart is
+    * missed — mitigated in production by multi-pass SNM on a second key
+    * (j17 IS that second pass here). Verification stays exact
+    * (levenshtein ≤ 1). */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"), $"c_name".as("name"))
+    val ranked = operators.GlobalRank.withRank(
+      c, "rk", $"name".asc, $"k".asc)
+    val probes = ranked.select($"k".as("a_key"), $"name".as("na"),
+      explode(sequence($"rk" + 1L, $"rk" + SnmWindow)).as("rk"))
+    probes.join(ranked.select($"rk", $"k".as("b_key"), $"name".as("nb")),
+        "rk")
+      .filter(levenshtein($"na", $"nb") <= 1)
+      .select(least($"a_key", $"b_key").as("a_key"),
+        greatest($"a_key", $"b_key").as("b_key"),
+        levenshtein($"na", $"nb").cast("long").as("dist"))
+  }
+  private val snmOracle: String =
+    s"""WITH c AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+       |  FROM customer),
+       |r AS (
+       |  SELECT k, name,
+       |    ROW_NUMBER() OVER (ORDER BY name, k) AS rk
+       |  FROM c)
+       |SELECT LEAST(a.k, b.k) AS a_key, GREATEST(a.k, b.k) AS b_key,
+       |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+       |FROM r a JOIN r b
+       |  ON b.rk BETWEEN a.rk + 1 AND a.rk + $SnmWindow
+       |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s15_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)))
+    Queries.register(QueryDef("s16_compaction_plan", compactionPlan, Some(compactionOracle)))
+    Queries.register(QueryDef("j18_sorted_neighborhood", sortedNeighborhood, Some(snmOracle)))
     Queries.register(QueryDef("s14_table_stats", tableStats, Some(tableStatsOracle)))
     Queries.register(QueryDef("s13_zorder_layout", zorderLayout, Some(zorderLayoutOracle)))
     Queries.register(QueryDef("a8_salted_refcount", saltedRefCount, Some(saltedRefCountOracle)))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed inclusive running sum (prefix sum) under a total order.
+  *
+  * `SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` with no
+  * PARTITION BY moves the whole input into one partition, exactly like
+  * the unpartitioned `row_number()` that GlobalRank replaces. The
+  * scalable shape is the same two-pass:
+  *
+  *   1. range-partition + sort by the ordering;
+  *   2. total the value per partition (one long each), prefix-sum those
+  *      totals on the driver;
+  *   3. stream each partition adding its offset — narrow, no shuffle.
+  *
+  * Both passes run over the ONE sorted RDD instance so the
+  * RangePartitioner's sampled bounds (seeded by RDD id) give identical
+  * row→partition placement in the totals job and the output job — the
+  * same determinism pin GlobalRank documents.
+  *
+  * The ordering MUST be a total order (unique tiebreaker) and the value
+  * column LongType (the engine's integer-exact arithmetic contract —
+  * floating partial sums would make the result partitioning-dependent).
+  */
+object PrefixSum {
+
+  /** Returns `df` plus `sumCol`, the inclusive running sum of
+    * `valueCol` (LongType) under `order` (a total order). */
+  def withRunningSum(df: DataFrame, valueCol: String, sumCol: String,
+      order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val totals = rdd.mapPartitions(
+      it => Iterator.single(it.foldLeft(0L)(_ + _.getLong(idx))),
+      preservesPartitioning = true).collect()
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(sumCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var acc = offsets(pi)
+      it.map { r => acc += r.getLong(idx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

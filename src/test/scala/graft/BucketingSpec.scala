@@ -33,4 +33,16 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
   }
+
+  test("s15 joins bucketed scans with no exchange below the join") {
+    val df = Queries.queries("s15_bucketed_join")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    // the only shuffle is the groupBy(o_custkey) ABOVE the join — the
+    // join itself runs on the co-located bucket layout
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 agg exchange, got $exchanges:\n$plan")
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("running sum equals the single-partition window on skewed data") {
+    // half the sort keys collide so ties must split across range bounds
+    val df = (1 to 5000)
+      .map(i => (i.toLong, if (i % 2 == 0) 7L else (i % 97).toLong,
+        (i % 13).toLong))
+      .toDF("id", "key", "v")
+    val got = PrefixSum.withRunningSum(df, "v", "cum", $"key".asc, $"id".asc)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val want = df.orderBy($"key".asc, $"id".asc).collect()
+      .scanLeft((0L, 0L)) { case ((_, acc), r) =>
+        (r.getLong(0), acc + r.getLong(2))
+      }.drop(1).toMap
+    assert(got === want)
+  }
+
+  test("no window operator and no single-partition stage in the plan") {
+    val df = spark.range(0, 20000, 1, 17)
+      .select($"id", pmod($"id" * 2654435761L, lit(1000003L)).as("key"),
+        ($"id" % 5).as("v"))
+    val summed = PrefixSum.withRunningSum(df, "v", "cum", $"key".asc, $"id".asc)
+    val plan = summed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"fell back to a window:\n$plan")
+    // total conservation across the partition-offset handoff
+    val total = summed.agg(max($"cum")).as[Long].head()
+    assert(total === (0L until 20000L).map(_ % 5).sum)
+  }
+}
