@@ -513,6 +513,60 @@ object TextQueries extends QueryGroup {
        |FROM m WHERE u < rate_milli""".stripMargin
   }
 
+  /** Weighted-sample size and the Lehmer mixing multiplier. */
+  val WrsN = 100
+  val WrsA = 48271L
+
+  /** Deterministic weighted sampling without replacement — the
+    * integer-exact form of Efraimidis–Spirakis A-ES: a doc of weight w
+    * holds w lottery tickets, ticket j hashed from the string
+    * "doc_id:j" by the engine's PolyHash, and the doc's key is its BEST
+    * ticket (the max of w uniforms is distributed as u^(1/w), which is
+    * exactly the A-ES key — discretized to integers so both engines
+    * agree bit-for-bit where float pow would drift). Top-N by
+    * (best ticket, doc_id) is then the sample. Weights here derive from
+    * doc length (1..5); ticket expansion is a bounded explode (Σw rows),
+    * the per-doc max is a map-side partial aggregate, and the top-N is
+    * orderBy+limit (TakeOrderedAndProject) — no global window, shuffle
+    * ∝ docs.
+    *
+    * Ticket dispersion matters: the poly hash of "doc:j" alone puts a
+    * doc's w tickets within 4 units of each other on the 2^31 ring (only
+    * the last byte varies), so the max barely depends on w and the
+    * lottery loses its weight proportionality. Hashing j FIRST and then
+    * applying two Lehmer rounds (×48271 mod 2^31−1, int64-safe) wraps
+    * the ring twice and scatters a doc's tickets — measured on this
+    * corpus the top-100 selection rate is ≈ proportional to w. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id".cast("long").as("doc_id"),
+        (octet_length($"text") % 5L + 1L).cast("long").as("w"))
+    val h = wordHash(concat_ws(":", $"j", $"doc_id"))
+    val t = h * WrsA % HashP * WrsA % HashP
+    d.withColumn("j", explode(sequence(lit(1L), $"w")))
+      .select($"doc_id", $"w", t.as("t"))
+      .groupBy($"doc_id", $"w").agg(max($"t").as("best_ticket"))
+      .orderBy($"best_ticket".desc, $"doc_id".asc)
+      .limit(WrsN)
+  }
+  private val weightedSampleOracle: String =
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(strlen(text) % 5 + 1 AS BIGINT) AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, w, UNNEST(range(1, w + 1)) AS j
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id, w,
+       |    ${wordHashSql("j::VARCHAR || ':' || doc_id::VARCHAR")} AS h
+       |  FROM t)
+       |SELECT doc_id, w,
+       |  MAX(h * $WrsA % $HashP * $WrsA % $HashP) AS best_ticket
+       |FROM h GROUP BY doc_id, w
+       |ORDER BY best_ticket DESC, doc_id ASC LIMIT $WrsN""".stripMargin
+
   val ChunkTokens = 2048L
 
   /** Sequence packing: concatenate each source's documents in doc_id
@@ -1533,5 +1587,7 @@ object TextQueries extends QueryGroup {
     Queries.register(QueryDef("t_bigram_novelty", bigramNovelty, Some(bigramNoveltyOracle)))
     Queries.register(QueryDef("t_stratified_sample", stratifiedSample,
       Some(stratifiedSampleOracle)))
+    Queries.register(QueryDef("t_weighted_sample", weightedSample,
+      Some(weightedSampleOracle)))
   }
 }

@@ -49,6 +49,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample is the exact ticket-lottery top-N and skews heavy") {
+    import spark.implicits._
+    val got = Queries.queries("t_weighted_sample")(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === TextQueries.WrsN)
+    // recompute the lottery brute-force on the driver
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id".cast("long"), octet_length($"text") % 5L + 1L)
+      .as[(Long, Long)].collect()
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) =>
+        (a * 31L + (b & 0xff)) % TextQueries.HashP)
+    val want = docs.map { case (id, w) =>
+      val best = (1L to w).map { j =>
+        val h = polyHash(s"$j:$id")
+        h * TextQueries.WrsA % TextQueries.HashP *
+          TextQueries.WrsA % TextQueries.HashP
+      }.max
+      (id, w, best)
+    }.sortBy { case (id, _, best) => (-best, id) }.take(TextQueries.WrsN)
+    assert(got.sortBy(r => (-r._3, r._1)).toSeq === want.toSeq)
+    // weight-proportional selection: the sample over-represents heavy docs
+    val meanAll = docs.map(_._2).sum.toDouble / docs.length
+    val meanSample = got.map(_._2).sum.toDouble / got.length
+    assert(meanSample > meanAll,
+      s"sample mean weight $meanSample <= corpus mean $meanAll")
+  }
+
   test("grouped top-k matches the window form with no Window in the plan") {
     import spark.implicits._
     val df = Queries.queries("w12_grouped_topk")(spark, TestSpark.sf)
