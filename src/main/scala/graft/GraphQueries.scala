@@ -394,7 +394,65 @@ object GraphQueries extends QueryGroup {
          |    UNION ALL SELECT v FROM e$CoreRounds) s GROUP BY 1) f""".stripMargin
   }
 
+  /** Synchronous LPA rounds (fixed, for oracle replay determinism). */
+  val LpRounds = 3
+
+  /** G6 (extension): community detection by SYNCHRONOUS label
+    * propagation on the sampled part–supplier graph — the cheap
+    * community pass a reconciler runs before committing to full CC
+    * merges (communities ≈ candidate merge neighborhoods). Rule per
+    * round: every node adopts the most frequent label among its
+    * neighbors, ties broken by MIN label — fully deterministic, no
+    * vertex ordering dependence (unlike async LPA). Each round is two
+    * keyed aggregations and one join (all shuffle ∝ |E|); rounds are
+    * fixed so the oracle can replay them as iterated CTEs. No driver
+    * data traffic at all — the loop is unrolled, not converging. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+      .distinct()
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().persist() // read every round
+    var lbl = sym.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    for (_ <- 1 to LpRounds) {
+      val counts = sym
+        .join(lbl.select($"node".as("dst"), $"lbl"), "dst")
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
+      val top = counts.groupBy($"src").agg(max($"c").as("mc"))
+      lbl = counts.join(top, "src").filter($"c" === $"mc")
+        .groupBy($"src").agg(min($"lbl").as("lbl"))
+        .select($"src".as("node"), $"lbl")
+    }
+    lbl.select($"node", $"lbl".as("community"))
+  }
+  private val labelPropagationOracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""c$cur AS MATERIALIZED (
+         |  SELECT sym.src AS node, p.lbl AS lbl, COUNT(*) AS c
+         |  FROM sym JOIN $prev p ON p.node = sym.dst GROUP BY 1, 2),
+         |$cur AS MATERIALIZED (
+         |  SELECT node, MIN(lbl) AS lbl FROM (
+         |    SELECT node, lbl, c, MAX(c) OVER (PARTITION BY node) AS mc
+         |    FROM c$cur) t
+         |  WHERE c = mc GROUP BY 1)""".stripMargin
+    val rounds = (1 to LpRounds)
+      .map(r => round(s"r${r - 1}", s"r$r")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+       |  FROM lineitem WHERE l_orderkey % 50 = 0),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       |$rounds
+       |SELECT node, CAST(lbl AS BIGINT) AS community FROM r$LpRounds""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("g6_label_propagation", labelPropagation,
+      Some(labelPropagationOracle)))
     Queries.register(QueryDef("g4_triangle_count", triangleCount,
       Some(triangleOracle)))
     Queries.register(QueryDef("g5_kcore", kcore, Some(kcoreOracle)))

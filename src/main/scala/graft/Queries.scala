@@ -32,7 +32,8 @@ object Queries {
     RelationalQueries, TextQueries, DedupQueries, SimilarityQueries,
     GraphQueries, MergeQueries, LuxQueries, StreamQueries, SourceQueries,
     OpsQueries, ExportQueries, ScaleQueries, MapperQueries, PatchQueries,
-    WdQueries, MlIndexQueries, CleanupQueries, IncrementalQueries)
+    WdQueries, MlIndexQueries, CleanupQueries, IncrementalQueries,
+    GeoQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 

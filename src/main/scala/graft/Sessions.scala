@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Scale notes: shuffle partitions sized to local cores here; on a real
   * cluster this is `spark.sql.shuffle.partitions` ≈ 2-3× total cores and
   * AQE coalesces down. UTC pinned for oracle parity. nanosAsLong because
-  * the test `events` table carries TIMESTAMP(NANOS) parquet, which Spark
-  * only exposes as long (converted back in Tables.load).
+  * the test `events` table has carried TIMESTAMP(NANOS) parquet, which
+  * Spark only exposes as long (converted back in Tables.load); NTZ
+  * inference is off so the µs-no-UTC-flag flavor of the same file reads
+  * as a plain TIMESTAMP (identical values under the UTC session) instead
+  * of TIMESTAMP_NTZ, which unix_micros/window() reject.
   */
 object Sessions {
   def create(appName: String, cpus: String): SparkSession = {
@@ -19,6 +22,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

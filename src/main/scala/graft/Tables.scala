@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table access: one parquet file per table under an sf dir
   * (see TESTDATA.md). At 100 TB these would be partitioned parquet/Delta
@@ -15,13 +15,19 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long
-    // (nanosAsLong); truncate to micros like DuckDB/engines with µs
-    // timestamps do, so both sides see identical values.
+    // events.ts parquet flavor varies by generator run: TIMESTAMP(NANOS)
+    // reads as long (nanosAsLong) and is truncated to micros like
+    // DuckDB/engines with µs timestamps do; µs without the UTC flag can
+    // read as TIMESTAMP_NTZ (when a caller's session didn't disable NTZ
+    // inference) and is cast to plain TIMESTAMP — identity on the stored
+    // micros under the pinned UTC session. Either way both engines see
+    // identical values.
     // NB: integer `div`, not `/` — ns values are ~2^60 and IEEE double
     // division would round the low microsecond digit.
     if (table == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (table == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 }
