@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed Linked-Art build chain — the reference's actual product:
+  * one lineage from mapped records through reconcile fixpoint → idmap
+  * connected components → reidentify → ordered merge fold → final clean →
+  * N-Triples export, oracle-replayed end-to-end in DuckDB.
+  *
+  * Stage map (reference lifecycle):
+  *   1. map          — entity + relationship substrate (`run-reconcile.py:109-148`:
+  *                     acquire/map producing records + their references)
+  *   2. reconcile    — `operators.Reconcile.fixpoint` (reconciler.py:34-125):
+  *                     the collector crawl + name pass repeated to fixpoint
+  *   3. idmap CC     — `operators.Graph.connectedComponents` over the
+  *                     equivalence subset (reference_manager.py:212-407)
+  *   4. reidentify   — left join + coalesce fallback (`run-merge.py:105-140`:
+  *                     reider.reidentify with do-not-reidentify passthrough)
+  *   5. merge fold   — `operators.LaMerge.mergeCluster`, merge_order-sorted
+  *                     per cluster (`run-merge.py:141-155`, merger.py:962-1024)
+  *   6. clean        — `operators.Cleaner.clean` (final/mapper.py:778-908)
+  *   7. export       — N-Triples lines (`run-export.py:45-69`, K2 shape)
+  *
+  * Scale shape: every per-round driver interaction in stages 2-3 is ONE
+  * scalar (edge count / changed-label count); the merge fold is a single
+  * groupByKey(yuid) shuffle with clusters folding independently; the
+  * export is map-only explode+concat. The idmap join in stage 4 is a
+  * key-equi join against a table bounded by the reconciled entity count —
+  * broadcast-able when the build slice is small, shuffle-hash otherwise.
+  * Nothing in the chain collects data to the driver.
+  *
+  * Fixture semantics (deterministic, oracle-replayable):
+  *   - entities are typed star-schema nodes (cust k, order 1e7+k,
+  *     part 2e7+k, supp 3e7+k, nation 4e7+k); the build is seeded with
+  *     customers 1-5 and their orders, and the crawl walks
+  *     orders → parts → suppliers → nations exactly like j6;
+  *   - the name pass emits part→min-partkey twin edges per lower(p_name)
+  *     (the K4 name index), so the fixpoint GROWS across rounds: a twin
+  *     pulled in by the name pass contributes its suppliers next round;
+  *   - clusters merge as HumanMadeObject records from sources
+  *     ycba/viaf/wikidata by pk%3 (merge order = source priority, pk) —
+  *     the J10 protected-type × noisy-source veto fires for every
+  *     wikidata candidate, visible in the exported identifier set;
+  *   - the Cleaner's primary-name election, metatype injection
+  *     (eq0→mt1, eq1→mt2+mt3) and open-ended-timespan defaults all
+  *     surface as exported triples.
+  */
+object BuildChainQueries extends QueryGroup {
+  import operators.LaMerge
+  import operators.LaMerge.{LaName, LaRecord, LaTimespan}
+
+  /** Cleaned merged-cluster row carried from the fold into the export. */
+  final case class ChainMerged(yuid: Long, primary_name: String,
+      idents: Seq[String], eqs: Seq[String], cls: Seq[String], ts: String)
+
+  private val P = 20000000L // part node-id offset
+  private val S = 30000000L // supplier node-id offset
+
+  def laBuildPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val part = Tables.load(spark, dir, "part")
+
+    // ── stage 1: map — typed entity refs as a relationship edge table
+    val rel = orders.select($"o_custkey".cast("long").as("src"),
+        ($"o_orderkey" + 10000000L).as("dst"))
+      .union(li.select(($"l_orderkey" + 10000000L).as("src"), ($"l_partkey" + P).as("dst")))
+      .union(li.select(($"l_partkey" + P).as("src"), ($"l_suppkey" + S).as("dst")))
+      .union(cust.select($"c_custkey".cast("long").as("src"), ($"c_nationkey" + 40000000L).as("dst")))
+      .union(supp.select(($"s_suppkey" + S).as("src"), ($"s_nationkey" + 40000000L).as("dst")))
+      .distinct()
+    // the K4 name index as equivalence edges: part → min partkey per name
+    val twin = part
+      .select($"p_partkey".cast("long").as("pk"),
+        min($"p_partkey").over(Window.partitionBy(lower($"p_name")))
+          .cast("long").as("m"))
+      .filter($"pk" =!= $"m")
+      .select(($"pk" + P).as("src"), ($"m" + P).as("dst"))
+    val seed = orders.filter($"o_custkey" <= 5)
+      .select($"o_custkey".cast("long").as("src"), ($"o_orderkey" + 10000000L).as("dst"))
+
+    // ── stage 2: reconcile fixpoint (J6 operator, scalar-per-round)
+    def nodesOf(e: DataFrame) =
+      e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct()
+    val crawl = (e: DataFrame) =>
+      rel.join(nodesOf(e).withColumnRenamed("v", "src"), "src")
+    val namePass = (e: DataFrame) =>
+      twin.join(nodesOf(e).withColumnRenamed("v", "src"), "src")
+    val edges = operators.Reconcile.fixpoint(seed, Seq(crawl, namePass))
+
+    // ── stage 3: idmap CC (J7 operator) over the equivalence subset
+    val eqEdges = edges.filter($"src" >= P && $"src" < S && $"dst" >= P && $"dst" < S)
+    val idmap = operators.Graph.connectedComponents(eqEdges)
+
+    // ── stage 4: reidentify (J8: left join + do-not-reidentify coalesce)
+    val reached = nodesOf(edges).filter($"v" >= P && $"v" < S)
+      .select(($"v" - P).as("pk"))
+    val members = part.select($"p_partkey".cast("long").as("pk"), $"p_name")
+      .join(reached, "pk")
+      .join(idmap.select($"node", $"component"), $"pk" + P === $"node", "left")
+      .select($"pk", $"p_name", (coalesce($"component", $"pk" + P) - P).as("yuid"))
+      .persist() // read twice: merge input + relationship rewrite
+    val suppliedBy = li
+      .select($"l_partkey".cast("long").as("pk"), $"l_suppkey".cast("long").as("sk"))
+      .join(members.select($"pk", $"yuid"), "pk")
+      .select($"yuid", $"sk").distinct()
+
+    // ── stages 5+6: merge_order-sorted fold (LaMerge) + Cleaner per cluster
+    val metatypes = Map("eq0" -> Seq("mt1"), "eq1" -> Seq("mt2", "mt3"))
+    val cfg = LaMerge.MergeConfig(internalSources = Set("ycba"))
+    val sources = Vector("ycba", "viaf", "wikidata")
+    val merged = members
+      .select($"yuid", ($"pk" % 3).cast("int").as("ord"), $"pk", $"p_name")
+      .as[(Long, Int, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (y, it) =>
+        val recs = it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ord, pk, pname) =>
+          val content = ord match {
+            case 0 => pname
+            case 1 => pname.toUpperCase
+            case _ => pname + " (wd)"
+          }
+          val year = 1900 + (pk % 80)
+          LaRecord(s"p$pk", "HumanMadeObject", pname, sources(ord)).copy(
+            identifiedBy = Seq(
+              LaName("Name", content,
+                if (ord == 0) Seq(LaMerge.primaryNameId) else Nil, Nil),
+              LaName("Identifier", s"p$pk", Nil, Nil)),
+            classifiedAs = Seq(s"cls${pk % 5}"),
+            equivalent = Seq(s"eq${pk % 4}"),
+            timespan = Some(LaTimespan(s"$year-01-01T00:00:00", null, false)))
+        }
+        val m = LaMerge.mergeCluster(recs, cfg).get
+        val c = operators.Cleaner.clean(m.record, metatypes).get
+        ChainMerged(y,
+          c.identifiedBy.find(n => n.ntype == "Name" &&
+            n.classifiedAs.contains(LaMerge.primaryNameId)).map(_.content).orNull,
+          c.identifiedBy.filter(_.ntype == "Identifier").map(_.content),
+          c.equivalent, c.classifiedAs,
+          c.timespan.map(t => s"${t.begin}/${t.end}").orNull)
+      }
+
+    // ── stage 7: N-Triples export (K2 line shape, map-only)
+    val esc = (s: Column) =>
+      regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val uri = (y: Column) => concat(lit("<urn:graft:y"), y, lit(">"))
+    val md = merged.toDF().persist() // fanned out into 6 line projections
+    val lines = Seq(
+      md.select(concat(uri($"yuid"),
+        lit(" <urn:graft:type> <urn:graft:HumanMadeObject> .")).as("line")),
+      md.select(concat(uri($"yuid"), lit(" <urn:graft:name> \""),
+        esc($"primary_name"), lit("\" .")).as("line")),
+      md.select($"yuid", explode($"idents").as("i"))
+        .select(concat(uri($"yuid"), lit(" <urn:graft:identifier> \""),
+          $"i", lit("\" .")).as("line")),
+      md.select($"yuid", explode($"eqs").as("e"))
+        .select(concat(uri($"yuid"), lit(" <urn:graft:equivalent> <urn:graft:"),
+          $"e", lit("> .")).as("line")),
+      md.select($"yuid", explode($"cls").as("c"))
+        .select(concat(uri($"yuid"), lit(" <urn:graft:classifiedAs> <urn:graft:"),
+          $"c", lit("> .")).as("line")),
+      md.select(concat(uri($"yuid"), lit(" <urn:graft:timespan> \""),
+        $"ts", lit("\" .")).as("line")),
+      suppliedBy.select(concat(uri($"yuid"),
+        lit(" <urn:graft:suppliedBy> <urn:graft:s"), $"sk", lit("> .")).as("line")))
+    lines.reduce(_ union _)
+  }
+
+  /** The chain replayed in DuckDB: recursive-CTE fixpoint reachability
+    * (crawl + name pass share one edge relation, exactly the j6 oracle
+    * technique), cluster = min-partkey name group (the CC star), base =
+    * first member by (source priority, pk), the wikidata veto as the
+    * mrg membership predicate, and the Cleaner's election/injection/
+    * timespan rules as CASE logic. */
+  private val laBuildPipelineOracle: String =
+    """WITH RECURSIVE
+      |pm AS (SELECT p_partkey AS pk, p_name,
+      |  MIN(p_partkey) OVER (PARTITION BY lower(p_name)) AS m FROM part),
+      |g(src, dst) AS (
+      |  SELECT o_custkey, 10000000 + o_orderkey FROM orders
+      |  UNION SELECT 10000000 + l_orderkey, 20000000 + l_partkey FROM lineitem
+      |  UNION SELECT 20000000 + l_partkey, 30000000 + l_suppkey FROM lineitem
+      |  UNION SELECT c_custkey, 40000000 + c_nationkey FROM customer
+      |  UNION SELECT 30000000 + s_suppkey, 40000000 + s_nationkey FROM supplier
+      |  UNION SELECT 20000000 + pk, 20000000 + m FROM pm WHERE pk <> m),
+      |seed(src, dst) AS (
+      |  SELECT o_custkey, 10000000 + o_orderkey FROM orders WHERE o_custkey <= 5),
+      |nodes(v) AS (
+      |  SELECT src FROM seed UNION SELECT dst FROM seed
+      |  UNION SELECT g.dst FROM g JOIN nodes ON g.src = nodes.v),
+      |mem AS (SELECT pm.pk, pm.p_name, pm.m, pm.pk % 3 AS ord FROM pm
+      |  WHERE 20000000 + pm.pk IN (SELECT v FROM nodes)),
+      |base AS (SELECT m, pk AS bpk, ord AS bord, p_name AS bname FROM (
+      |  SELECT mem.*, ROW_NUMBER() OVER (PARTITION BY m ORDER BY ord, pk) AS rn
+      |  FROM mem) WHERE rn = 1),
+      |mrg AS (SELECT mem.pk, mem.m, mem.ord FROM mem JOIN base ON mem.m = base.m
+      |  WHERE (base.bord < 2 AND mem.ord < 2)
+      |     OR (base.bord = 2 AND mem.pk = base.bpk)),
+      |prim AS (SELECT m,
+      |  CASE WHEN bord = 0 THEN bname
+      |       WHEN bord = 1 THEN upper(bname)
+      |       ELSE bname || ' (wd)' END AS pname,
+      |  CAST(1900 + bpk % 80 AS VARCHAR)
+      |    || '-01-01T00:00:00/9999-12-31T23:59:59' AS ts
+      |  FROM base)
+      |SELECT '<urn:graft:y' || m || '> <urn:graft:type> <urn:graft:HumanMadeObject> .' AS line FROM base
+      |UNION ALL SELECT '<urn:graft:y' || m || '> <urn:graft:name> "'
+      |  || replace(replace(pname, '\', '\\'), '"', '\"') || '" .' FROM prim
+      |UNION ALL SELECT '<urn:graft:y' || m || '> <urn:graft:identifier> "p' || pk || '" .' FROM mrg
+      |UNION ALL SELECT DISTINCT '<urn:graft:y' || m
+      |  || '> <urn:graft:equivalent> <urn:graft:eq' || (pk % 4) || '> .' FROM mrg
+      |UNION ALL SELECT DISTINCT '<urn:graft:y' || m
+      |  || '> <urn:graft:classifiedAs> <urn:graft:cls' || (pk % 5) || '> .' FROM mrg
+      |UNION ALL SELECT DISTINCT '<urn:graft:y' || m
+      |  || '> <urn:graft:classifiedAs> <urn:graft:mt1> .' FROM mrg WHERE pk % 4 = 0
+      |UNION ALL SELECT DISTINCT '<urn:graft:y' || m
+      |  || '> <urn:graft:classifiedAs> <urn:graft:mt2> .' FROM mrg WHERE pk % 4 = 1
+      |UNION ALL SELECT DISTINCT '<urn:graft:y' || m
+      |  || '> <urn:graft:classifiedAs> <urn:graft:mt3> .' FROM mrg WHERE pk % 4 = 1
+      |UNION ALL SELECT '<urn:graft:y' || m || '> <urn:graft:timespan> "' || ts || '" .' FROM prim
+      |UNION ALL SELECT DISTINCT '<urn:graft:y' || mem.m
+      |  || '> <urn:graft:suppliedBy> <urn:graft:s' || l_suppkey || '> .'
+      |  FROM mem JOIN lineitem ON l_partkey = mem.pk""".stripMargin
+
+  def register(): Unit = {
+    Queries.register(QueryDef("la_build_pipeline", laBuildPipeline,
+      Some(laBuildPipelineOracle)))
+  }
+}
