@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * Nothing in the chain collects data to the driver.
   *
   * Fixture semantics (deterministic, oracle-replayable):
-  *   - entities are typed star-schema nodes (cust k, order 1e7+k,
-  *     part 2e7+k, supp 3e7+k, nation 4e7+k); the build is seeded with
+  *   - entities are typed star-schema nodes (cust k, order 1e12+k,
+  *     part 2e12+k, supp 3e12+k, nation 4e12+k); the build is seeded with
   *     customers 1-5 and their orders, and the crawl walks
   *     orders → parts → suppliers → nations exactly like j6;
   *   - the name pass emits part→min-partkey twin edges per lower(p_name)
@@ -55,8 +55,8 @@ object BuildChainQueries extends QueryGroup {
   final case class ChainMerged(yuid: Long, primary_name: String,
       idents: Seq[String], eqs: Seq[String], cls: Seq[String], ts: String)
 
-  private val P = 20000000L // part node-id offset
-  private val S = 30000000L // supplier node-id offset
+  private val P = 2000000000000L // part node-id offset
+  private val S = 3000000000000L // supplier node-id offset
 
   def laBuildPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -68,11 +68,11 @@ object BuildChainQueries extends QueryGroup {
 
     // ── stage 1: map — typed entity refs as a relationship edge table
     val rel = orders.select($"o_custkey".cast("long").as("src"),
-        ($"o_orderkey" + 10000000L).as("dst"))
-      .union(li.select(($"l_orderkey" + 10000000L).as("src"), ($"l_partkey" + P).as("dst")))
+        ($"o_orderkey" + 1000000000000L).as("dst"))
+      .union(li.select(($"l_orderkey" + 1000000000000L).as("src"), ($"l_partkey" + P).as("dst")))
       .union(li.select(($"l_partkey" + P).as("src"), ($"l_suppkey" + S).as("dst")))
-      .union(cust.select($"c_custkey".cast("long").as("src"), ($"c_nationkey" + 40000000L).as("dst")))
-      .union(supp.select(($"s_suppkey" + S).as("src"), ($"s_nationkey" + 40000000L).as("dst")))
+      .union(cust.select($"c_custkey".cast("long").as("src"), ($"c_nationkey" + 4000000000000L).as("dst")))
+      .union(supp.select(($"s_suppkey" + S).as("src"), ($"s_nationkey" + 4000000000000L).as("dst")))
       .distinct()
     // the K4 name index as equivalence edges: part → min partkey per name
     val twin = part
@@ -82,7 +82,7 @@ object BuildChainQueries extends QueryGroup {
       .filter($"pk" =!= $"m")
       .select(($"pk" + P).as("src"), ($"m" + P).as("dst"))
     val seed = orders.filter($"o_custkey" <= 5)
-      .select($"o_custkey".cast("long").as("src"), ($"o_orderkey" + 10000000L).as("dst"))
+      .select($"o_custkey".cast("long").as("src"), ($"o_orderkey" + 1000000000000L).as("dst"))
 
     // ── stage 2: reconcile fixpoint (J6 operator, scalar-per-round)
     def nodesOf(e: DataFrame) =
@@ -182,19 +182,19 @@ object BuildChainQueries extends QueryGroup {
       |pm AS (SELECT p_partkey AS pk, p_name,
       |  MIN(p_partkey) OVER (PARTITION BY lower(p_name)) AS m FROM part),
       |g(src, dst) AS (
-      |  SELECT o_custkey, 10000000 + o_orderkey FROM orders
-      |  UNION SELECT 10000000 + l_orderkey, 20000000 + l_partkey FROM lineitem
-      |  UNION SELECT 20000000 + l_partkey, 30000000 + l_suppkey FROM lineitem
-      |  UNION SELECT c_custkey, 40000000 + c_nationkey FROM customer
-      |  UNION SELECT 30000000 + s_suppkey, 40000000 + s_nationkey FROM supplier
-      |  UNION SELECT 20000000 + pk, 20000000 + m FROM pm WHERE pk <> m),
+      |  SELECT o_custkey, 1000000000000 + o_orderkey FROM orders
+      |  UNION SELECT 1000000000000 + l_orderkey, 2000000000000 + l_partkey FROM lineitem
+      |  UNION SELECT 2000000000000 + l_partkey, 3000000000000 + l_suppkey FROM lineitem
+      |  UNION SELECT c_custkey, 4000000000000 + c_nationkey FROM customer
+      |  UNION SELECT 3000000000000 + s_suppkey, 4000000000000 + s_nationkey FROM supplier
+      |  UNION SELECT 2000000000000 + pk, 2000000000000 + m FROM pm WHERE pk <> m),
       |seed(src, dst) AS (
-      |  SELECT o_custkey, 10000000 + o_orderkey FROM orders WHERE o_custkey <= 5),
+      |  SELECT o_custkey, 1000000000000 + o_orderkey FROM orders WHERE o_custkey <= 5),
       |nodes(v) AS (
       |  SELECT src FROM seed UNION SELECT dst FROM seed
       |  UNION SELECT g.dst FROM g JOIN nodes ON g.src = nodes.v),
       |mem AS (SELECT pm.pk, pm.p_name, pm.m, pm.pk % 3 AS ord FROM pm
-      |  WHERE 20000000 + pm.pk IN (SELECT v FROM nodes)),
+      |  WHERE 2000000000000 + pm.pk IN (SELECT v FROM nodes)),
       |base AS (SELECT m, pk AS bpk, ord AS bord, p_name AS bname FROM (
       |  SELECT mem.*, ROW_NUMBER() OVER (PARTITION BY m ORDER BY ord, pk) AS rn
       |  FROM mem) WHERE rn = 1),

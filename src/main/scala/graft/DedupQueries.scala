@@ -1339,7 +1339,7 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
     Queries.register(QueryDef("d18_substring_dedup", substringDedup,
-      Some(substringDedupOracle)))
+      Some(substringDedupOracle), bench = true))
     Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
     Queries.register(QueryDef("d13_winnow_dedup", winnowDedup, Some(winnowOracle)))
     Queries.register(QueryDef("d14_cdc_dedup", cdcDedup, Some(cdcDedupOracle)))

@@ -43,6 +43,8 @@ object GeoQueries extends QueryGroup {
   def gridDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val r = RadiusMicro
+    // intDiv is true FLOOR division (see its doc): cells straddling zero
+    // stay exactly r wide, which the 3×3 neighborhood guarantee needs
     def cell(x: Column) = TextQueries.intDiv(x, lit(r))
     val cust = Tables.load(spark, dir, "customer")
       .select($"c_custkey".cast("long").as("c_key"))
@@ -82,6 +84,6 @@ object GeoQueries extends QueryGroup {
 
   override def register(): Unit = {
     Queries.register(QueryDef("j19_grid_distance_join", gridDistanceJoin,
-      Some(gridDistanceOracle)))
+      Some(gridDistanceOracle), bench = true))
   }
 }

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * schema; the DuckDB oracle re-derives the same answers with recursive
   * CTEs (transitive closure / bounded walk).
   *
-  * Node id encoding (disjoint ranges): part = key, supplier = 1e6 + key;
-  * for the BFS walk: customer = key, order = 1e7 + key, part = 2e7 + key,
-  * supplier = 3e7 + key.
+  * Node id encoding (disjoint ranges): part = key, supplier = 1e12 + key;
+  * for the BFS walk: customer = key, order = 1e12 + key, part = 2e12 + key,
+  * supplier = 3e12 + key.
   */
 object GraphQueries extends QueryGroup {
 
@@ -22,17 +22,17 @@ object GraphQueries extends QueryGroup {
     import spark.implicits._
     val edges = Tables.load(spark, dir, "lineitem")
       .filter($"l_orderkey" % 50 === 0)
-      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000000000L).as("dst"))
       .distinct()
     operators.Graph.connectedComponents(edges)
       .groupBy($"component")
       .agg(count(lit(1)).as("n_nodes"),
-        sum(when($"node" < 1000000L, 1L).otherwise(0L)).as("n_parts"),
-        sum(when($"node" >= 1000000L, 1L).otherwise(0L)).as("n_supps"))
+        sum(when($"node" < 1000000000000L, 1L).otherwise(0L)).as("n_parts"),
+        sum(when($"node" >= 1000000000000L, 1L).otherwise(0L)).as("n_supps"))
   }
   private val ccOracle: String =
     """WITH RECURSIVE e AS (
-      |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+      |  SELECT DISTINCT l_partkey AS src, 1000000000000 + l_suppkey AS dst
       |  FROM lineitem WHERE l_orderkey % 50 = 0),
       |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
       |nodes AS (SELECT DISTINCT src AS node FROM sym),
@@ -42,8 +42,8 @@ object GraphQueries extends QueryGroup {
       |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
       |SELECT component, COUNT(*) AS n_nodes,
-      |  CAST(SUM(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
-      |  CAST(SUM(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
+      |  CAST(SUM(CASE WHEN node < 1000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+      |  CAST(SUM(CASE WHEN node >= 1000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
       |FROM comp GROUP BY component""".stripMargin
 
   /** J12: bounded reference walk (dist <= 3, min-dist) over the typed
@@ -53,11 +53,11 @@ object GraphQueries extends QueryGroup {
     val o = Tables.load(spark, dir, "orders")
     val li = Tables.load(spark, dir, "lineitem")
     val edges =
-      o.select($"o_custkey".as("src"), ($"o_orderkey" + 10000000L).as("dst"))
-        .union(li.select(($"l_orderkey" + 10000000L).as("src"),
-          ($"l_partkey" + 20000000L).as("dst")))
-        .union(li.select(($"l_partkey" + 20000000L).as("src"),
-          ($"l_suppkey" + 30000000L).as("dst")))
+      o.select($"o_custkey".as("src"), ($"o_orderkey" + 1000000000000L).as("dst"))
+        .union(li.select(($"l_orderkey" + 1000000000000L).as("src"),
+          ($"l_partkey" + 2000000000000L).as("dst")))
+        .union(li.select(($"l_partkey" + 2000000000000L).as("src"),
+          ($"l_suppkey" + 3000000000000L).as("dst")))
         .distinct()
     val seeds = Tables.load(spark, dir, "customer")
       .filter($"c_custkey" < 10).select($"c_custkey".as("node"))
@@ -66,11 +66,11 @@ object GraphQueries extends QueryGroup {
   }
   private val bfsOracle: String =
     """WITH RECURSIVE e AS (
-      |  SELECT o_custkey AS src, 10000000 + o_orderkey AS dst FROM orders
+      |  SELECT o_custkey AS src, 1000000000000 + o_orderkey AS dst FROM orders
       |  UNION
-      |  SELECT 10000000 + l_orderkey, 20000000 + l_partkey FROM lineitem
+      |  SELECT 1000000000000 + l_orderkey, 2000000000000 + l_partkey FROM lineitem
       |  UNION
-      |  SELECT 20000000 + l_partkey, 30000000 + l_suppkey FROM lineitem),
+      |  SELECT 2000000000000 + l_partkey, 3000000000000 + l_suppkey FROM lineitem),
       |seeds AS (SELECT c_custkey AS node FROM customer WHERE c_custkey < 10),
       |walk(node, dist) AS (
       |  SELECT node, 0 FROM seeds
@@ -220,7 +220,7 @@ object GraphQueries extends QueryGroup {
     import TextQueries.intDiv
     val e = Tables.load(spark, dir, "lineitem")
       .filter($"l_orderkey" % 50 === 0)
-      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000000000L).as("dst"))
       .distinct()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist() // read 3×: degree + every iteration's join
@@ -251,7 +251,7 @@ object GraphQueries extends QueryGroup {
          |  SELECT d.src AS node, 150 + COALESCE(csum, 0) * 850 // 1000 AS rank
          |  FROM deg d LEFT JOIN c$cur ON c$cur.node = d.src)""".stripMargin
     s"""WITH e AS (
-       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+       |  SELECT DISTINCT l_partkey AS src, 1000000000000 + l_suppkey AS dst
        |  FROM lineitem WHERE l_orderkey % 50 = 0),
        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1),
@@ -411,7 +411,7 @@ object GraphQueries extends QueryGroup {
     import spark.implicits._
     val e = Tables.load(spark, dir, "lineitem")
       .filter($"l_orderkey" % 50 === 0)
-      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000L).as("dst"))
+      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000000000L).as("dst"))
       .distinct()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist() // read every round
@@ -441,7 +441,7 @@ object GraphQueries extends QueryGroup {
     val rounds = (1 to LpRounds)
       .map(r => round(s"r${r - 1}", s"r$r")).mkString(",\n")
     s"""WITH e AS (
-       |  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+       |  SELECT DISTINCT l_partkey AS src, 1000000000000 + l_suppkey AS dst
        |  FROM lineitem WHERE l_orderkey % 50 = 0),
        |sym AS MATERIALIZED (
        |  SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -456,7 +456,7 @@ object GraphQueries extends QueryGroup {
     Queries.register(QueryDef("g4_triangle_count", triangleCount,
       Some(triangleOracle)))
     Queries.register(QueryDef("g5_kcore", kcore, Some(kcoreOracle)))
-    Queries.register(QueryDef("g3_pagerank", pagerank, Some(pagerankOracle)))
+    Queries.register(QueryDef("g3_pagerank", pagerank, Some(pagerankOracle), bench = true))
     Queries.register(QueryDef("g1_connected_components", connectedComponents,
       Some(ccOracle), bench = true))
     Queries.register(QueryDef("g2_bfs_walk", bfsWalk, Some(bfsOracle)))

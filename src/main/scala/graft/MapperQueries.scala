@@ -1602,7 +1602,98 @@ object MapperQueries extends QueryGroup {
       |  (ck % 5 = 0) AS tiny
       |FROM b""".stripMargin
 
+  final case class GnOut(id: Long, ident: String, name: String,
+      n_primary: Long, n_alt: Long, wkt: String, parents_csv: String,
+      equiv_csv: String, pass_ok: Boolean)
+
+  /** M1u: the geonames MAPPER exemplar (pipeline.GeonamesMap; the
+    * loader is s5_geonames_tsv). Each customer key synthesizes one
+    * harvested feature exercising every rule: the Place-only gate
+    * (ck%5=0 records ask as Group and drop), trailing-slash id strip,
+    * the officialName/alternateName language gate (tlh/xx entries drop
+    * entirely), same-lang official overwrite (en TownBis over Town),
+    * the five-step label election, reference POINT spacing, the
+    * parentFeature-suppresses-parentCountry election, seeAlso
+    * equivalents carrying the elected label, and the JSON passthrough
+    * gate. */
+  def geonamesMapper(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.GeonamesMap
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long"))
+      .as[Long].flatMap { ck =>
+        val rectype = if (ck % 5 == 0) "Group" else "Place"
+        if (!GeonamesMap.mapsType(rectype)) None
+        else {
+          val ident = GeonamesMap.fixIdentifier(s"https://sws.geonames.org/$ck/")
+          val name = if (ck % 3 == 0) Some(s"City$ck") else None
+          val off = Seq(
+            (ck % 2 == 1) -> ("fr", s"Ville$ck"),
+            true -> ("tlh", s"Klingon$ck"), // gated lang: dropped entirely
+            (ck % 4 == 0) -> ("en", s"Town$ck"),
+            (ck % 8 == 0) -> ("en", s"TownBis$ck"), // same-lang overwrite
+            (ck % 7 == 0) -> ("", s"Plain$ck")).collect { case (true, e) => e }
+          val alt = Seq(
+            (ck % 6 == 2) -> ("en", s"Alt$ck"),
+            (ck % 2 == 0) -> ("de", s"Alt2_$ck"),
+            true -> ("xx", s"Gated$ck"), // gated lang: dropped entirely
+            (ck % 4 == 2) -> ("de", s"Alt3_$ck")).collect { case (true, e) => e }
+          val pnames = GeonamesMap.foldOfficial(off)
+          val anames = GeonamesMap.foldAlternate(alt)
+          val elected = GeonamesMap.electName(name, pnames, anames).orNull
+          val wkt = if (ck % 2 == 0)
+            GeonamesMap.pointWkt(s"${ck % 90}.5", s"${ck % 180}.25") else null
+          val pf = if (ck % 3 == 1) Seq(s"pf${ck % 10}", s"pf${(ck + 1) % 10}")
+            else Nil
+          val pars = GeonamesMap.parents(pf, Seq(s"pc${ck % 10}"))
+          val sa = if (ck % 4 == 1) Seq(s"sa${ck % 10}", s"sa${ck % 9}") else Nil
+          Some(GnOut(ck, ident, elected,
+            pnames.size.toLong, anames.map(_._2.size).sum.toLong, wkt,
+            pars.mkString(";"), sa.map(s => s"$s|$elected").mkString(";"),
+            GeonamesMap.passthroughOk(ck % 2 == 0,
+              if (ck % 9 == 0) "Group" else "Place")))
+        }
+      }.toDF()
+  }
+  /** Election precedence replayed: gn:name > en official (overwritten
+    * content when ck%8=0) > en alternate > untagged official > first
+    * official (fr leads insertion order for odd keys) > first alternate
+    * (the de bucket head for the remaining even keys). */
+  private val geonamesMapperOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer
+      |  WHERE c_custkey % 5 <> 0),
+      |e AS (SELECT ck,
+      |  CASE WHEN ck % 3 = 0 THEN 'City' || ck
+      |       WHEN ck % 8 = 0 THEN 'TownBis' || ck
+      |       WHEN ck % 4 = 0 THEN 'Town' || ck
+      |       WHEN ck % 6 = 2 THEN 'Alt' || ck
+      |       WHEN ck % 7 = 0 THEN 'Plain' || ck
+      |       WHEN ck % 2 = 1 THEN 'Ville' || ck
+      |       ELSE 'Alt2_' || ck END AS nm
+      |  FROM b)
+      |SELECT ck AS id,
+      |  'https://sws.geonames.org/' || ck AS ident,
+      |  nm AS name,
+      |  CAST((CASE WHEN ck % 2 = 1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN ck % 4 = 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN ck % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+      |  CAST((CASE WHEN ck % 6 = 2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN ck % 2 = 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN ck % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_alt,
+      |  CASE WHEN ck % 2 = 0
+      |    THEN 'POINT ( ' || (ck % 180) || '.25 ' || (ck % 90) || '.5 )'
+      |    ELSE NULL END AS wkt,
+      |  CASE WHEN ck % 3 = 1 THEN 'pf' || (ck % 10) || ';pf' || ((ck + 1) % 10)
+      |       ELSE 'pc' || (ck % 10) END AS parents_csv,
+      |  CASE WHEN ck % 4 = 1
+      |    THEN 'sa' || (ck % 10) || '|' || nm || ';sa' || (ck % 9) || '|' || nm
+      |    ELSE '' END AS equiv_csv,
+      |  (ck % 2 = 0 AND ck % 9 <> 0) AS pass_ok
+      |FROM e""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("m1u_geonames", geonamesMapper, Some(geonamesMapperOracle)))
     Queries.register(QueryDef("m1t_wof", wofMapper, Some(wofMapperOracle)))
     Queries.register(QueryDef("m1r_dnb", dnbAuth, Some(dnbAuthOracle)))
     Queries.register(QueryDef("m1s_japan", japanLib, Some(japanLibOracle)))

@@ -649,9 +649,8 @@ object SimilarityQueries extends QueryGroup {
     val a2 = assign(collapse(cents1))
     // global flat rank over (m, cid): codes and LUT share one index
     // space, immune to empty cells (tiny dim table, ≤ PqM*KmK rows)
-    val centIdx = cents1.select($"m", $"cid")
-      .withColumn("idx", row_number().over(
-        Window.orderBy($"m", $"cid")))
+    val centIdx = operators.GlobalRank.withRank(
+      cents1.select($"m", $"cid"), "idx", $"m".asc, $"cid".asc)
     val codes = a2.join(broadcast(centIdx), Seq("m", "cid"))
       .groupBy($"vec_id")
       .agg(sort_array(collect_list(struct($"m", $"idx"))).as("cs"))
@@ -848,8 +847,8 @@ object SimilarityQueries extends QueryGroup {
       .withColumn("cn2", functions.VecMath.dotCol($"cv", $"cv"))
       .persist()
     val pa2 = assign(collapse(pc1))
-    val pIdx = pc1.select($"m", $"pcid")
-      .withColumn("idx", row_number().over(Window.orderBy($"m", $"pcid")))
+    val pIdx = operators.GlobalRank.withRank(
+      pc1.select($"m", $"pcid"), "idx", $"m".asc, $"pcid".asc)
     val codes = pa2.join(broadcast(pIdx), Seq("m", "pcid"))
       .groupBy($"vec_id", $"cid")
       .agg(sort_array(collect_list(struct($"m", $"idx"))).as("cs"))
@@ -1107,7 +1106,7 @@ object SimilarityQueries extends QueryGroup {
       Some(bitextMarginOracle)))
     Queries.register(QueryDef("v12_hard_negatives", hardNegatives,
       Some(hardNegativesOracle)))
-    Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle)))
+    Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle), bench = true))
     Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
     Queries.register(QueryDef("v10_pq_rerank", pqRerank, Some(pqRerankOracle)))
     Queries.register(QueryDef("v11_ivf_append", ivfAppend, Some(ivfAppendOracle)))

@@ -26,8 +26,17 @@ object Tables {
     // division would round the low microsecond digit.
     if (table == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else if (table == "events" && df.schema("ts").dataType == TimestampNTZType)
+    else if (table == "events" && df.schema("ts").dataType == TimestampNTZType) {
+      // the NTZ→TZ cast reinterprets wall-clock in the SESSION timezone;
+      // it is value-preserving only under UTC (Sessions.create pins it).
+      // A caller with its own non-UTC session would silently shift every
+      // event timestamp — fail loudly instead.
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP needs " +
+          s"spark.sql.session.timeZone=UTC (got $tz) to preserve values")
       df.withColumn("ts", col("ts").cast(TimestampType))
+    }
     else df
   }
 }

@@ -21,7 +21,14 @@ object TextQueries extends QueryGroup {
   val WordB = 31L
   val DocB = 131L
 
-  /** Positive-operand integer division matching DuckDB `//` (floor). */
+  /** Integer FLOOR division: floor(a/b), exact while |a/b| fits double's
+    * 2^53 mantissa (every use here: keys, counts, ±1.8e8 microdegrees).
+    * Matches DuckDB `//` for non-negative dividends — which is all the
+    * oracle SQL uses — but on NEGATIVE dividends DuckDB `//` truncates
+    * toward zero (-7//2 = -3) while this floors (-4). GeoQueries.cell
+    * depends on the floor contract for grid cells straddling zero (a
+    * truncating division would make cell 0 twice as wide and break the
+    * 3×3 neighborhood guarantee), so do not "fix" this to `a div b`. */
   def intDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
 
   /** Whitespace tokens with empties dropped (both engines keep boundary
@@ -1141,7 +1148,6 @@ object TextQueries extends QueryGroup {
     * undersampled at the equal share. Scale: everything after the
     * per-language aggregate is arithmetic over #languages rows. */
   def unimax(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val C = 1L
     val perLang = Tables.load(spark, dir, "documents")
@@ -1150,11 +1156,14 @@ object TextQueries extends QueryGroup {
     val totals = perLang.agg(
       count(lit(1)).as("n"),
       intDiv(sum($"n_tokens") * 3L, lit(4L)).as("budget"))
-    val w = Window.orderBy($"n_tokens".asc, $"lang".asc)
-    val ranked = perLang.crossJoin(broadcast(totals))
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("prefix", sum($"n_tokens").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // ascending rank + running sum via GlobalRank/PrefixSum (the table is
+    // #languages rows, but no production path gets to single-partition a
+    // window — the same discipline as t_shard_balance / s16)
+    val ranked = operators.PrefixSum.withRunningSum(
+        operators.GlobalRank.withRank(
+          perLang.crossJoin(broadcast(totals)),
+          "i", $"n_tokens".asc, $"lang".asc),
+        "n_tokens", "prefix", $"n_tokens".asc, $"lang".asc)
       .withColumn("capped",
         (lit(C) * ($"prefix" - $"n_tokens" + $"n_tokens" * ($"n" - $"i" + 1L))
           <= $"budget").cast("long"))
@@ -1224,7 +1233,6 @@ object TextQueries extends QueryGroup {
     * histogram the cutoff derives from is score-range-sized, not
     * corpus-sized. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"lang", tokensCol($"text").as("t"))
@@ -1246,10 +1254,12 @@ object TextQueries extends QueryGroup {
       .select($"doc_id",
         coalesce($"n_tokens", lit(0L)).as("n_tokens"),
         coalesce($"score_milli", lit(0L)).as("score_milli"))
-    val hist = scored.groupBy($"score_milli").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum($"cnt").over(
-        Window.orderBy($"score_milli".desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // running count over the (score-range-sized) histogram via PrefixSum —
+    // bounded here, but no production path should carry an unpartitioned
+    // WindowExec even on small inputs
+    val hist = operators.PrefixSum.withRunningSum(
+      scored.groupBy($"score_milli").agg(count(lit(1)).as("cnt")),
+      "cnt", "cum", $"score_milli".desc)
     val cutoff = hist.crossJoin(broadcast(
         scored.agg(intDiv(count(lit(1)) + 3L, lit(4L)).as("quota"))))
       .agg(max(when($"cum" >= $"quota", $"score_milli")).as("cutoff"))

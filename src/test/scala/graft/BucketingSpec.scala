@@ -45,4 +45,16 @@ class BucketingSpec extends AnyFunSuite {
       .count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected 1 agg exchange, got $exchanges:\n$plan")
   }
+
+  test("s15 concurrent invocations share one fixture without racing") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fn = Queries.queries("s15_bucketed_join")
+    val counts = Await.result(
+      Future.sequence(Seq.fill(2)(Future(fn(spark, TestSpark.sf).count()))),
+      5.minutes)
+    assert(counts.distinct.size == 1, s"divergent results: $counts")
+    assert(counts.head > 0)
+  }
 }
