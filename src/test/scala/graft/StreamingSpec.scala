@@ -223,6 +223,145 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "no stream docs at this sf")
   }
 
+  test("interval join restart: click state survives the checkpoint stop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ij_ck").toFile
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val clickRows = ev.filter($"event_type" === "click")
+      .select($"ts", $"user_id", $"event_id")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val errorRows = ev.filter($"event_type" === "error")
+      .select($"ts", $"user_id", $"event_id")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    // split both streams by TIME at the error timestamp of a known
+    // positive-gap pair: its click arrives in phase 1, its error in
+    // phase 2, so the pair can only be emitted from join state recovered
+    // out of the checkpoint (watermark is 1h, join bound 30min, so no
+    // needed click can have been evicted at the boundary)
+    val want = Queries.queries("st9_interval_join")(spark, TestSpark.sf)
+      .select($"user_id", $"click_id", $"error_id", $"gap_micros")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val errTs = errorRows.map(r => r._3 -> r._1.getTime).toMap
+    val cross = want.filter(_._4 > 0L).maxByOption(_._4)
+      .getOrElse(fail("fixture degenerate: no positive-gap pair at this sf"))
+    val split = errTs(cross._3)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val errors = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def start() = StreamingOps.intervalJoin(
+        clicks.toDF().toDF("cts", "c_user", "click_id"),
+        errors.toDF().toDF("ets", "e_user", "error_id"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select(b("user_id"), b("click_id"), b("error_id"),
+          b("gap_micros")).as[(Long, Long, Long, Long)].collect()
+        sink.synchronized { sink ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    clicks.addData(clickRows.filter(_._1.getTime < split).toSeq)
+    errors.addData(errorRows.filter(_._1.getTime < split).toSeq)
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    clicks.addData(clickRows.filter(_._1.getTime >= split).toSeq)
+    errors.addData(errorRows.filter(_._1.getTime >= split).toSeq)
+    q2.processAllAvailable(); q2.stop()
+    val got = sink.synchronized(sink.toSeq)
+    assert(got.size === got.distinct.size, "restart replayed committed pairs")
+    assert(got.toSet === want)
+    val clickTs = clickRows.map(r => r._3 -> r._1.getTime).toMap
+    assert(clickTs(cross._2) < split && errTs(cross._3) >= split,
+      "chosen pair does not cross the restart boundary")
+  }
+
+  test("stream-static enrich restart: offsets resume, no replay, no loss") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_en_ck").toFile
+    val evRows = Tables.load(spark, TestSpark.sf, "events")
+      .select($"event_id", $"user_id", $"event_type")
+      .as[(Long, Long, String)].collect()
+    val dim = Tables.load(spark, TestSpark.sf, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val in = MemoryStream[(Long, Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, String, Long)]
+    def start() = StreamingOps.enrich(
+        in.toDF().toDF("event_id", "user_id", "event_type"),
+        dim, "user_id", "c_custkey")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select(b("event_id"), b("user_id"), b("event_type"),
+            b("c_name"), b("c_nationkey"))
+          .as[(Long, Long, String, String, Long)].collect()
+        sink.synchronized { sink ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode(OutputMode.Append()).start()
+    val (h1, h2) = evRows.splitAt(evRows.length / 2)
+    val q1 = start()
+    in.addData(h1.toSeq); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    in.addData(h2.toSeq); q2.processAllAvailable(); q2.stop()
+    val got = sink.synchronized(sink.toSeq)
+    assert(got.size === got.distinct.size, "restart replayed committed rows")
+    val want = Queries.queries("st10_stream_enrich")(spark, TestSpark.sf)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(want.nonEmpty && got.toSet === want)
+  }
+
+  test("near-dup admission restart: band index and offsets survive the stop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ck").toFile
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    var sids = DedupQueries.shingleTableOf(
+      docs.filter($"doc_id" % 3 =!= 0)).persist()
+    var bands = DedupQueries.bandIndex(
+      sids.filter(size($"sid") > 0)).persist()
+    val stream0 = docs.filter($"doc_id" % 3 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    def start() = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bSids = DedupQueries.shingleTableOf(batch).persist()
+        sink.synchronized {
+          sink ++= StreamingOps.neardupAdmit(bSids, sids, bands)
+            .select($"doc_id", $"admitted",
+              coalesce($"dup_of", lit(-1L)).as("dup_of"))
+            .as[(Long, Boolean, Long)].collect()
+        }
+        sids = sids.unionByName(bSids).persist()
+        bands = bands.unionByName(DedupQueries.bandIndex(
+          bSids.filter(size($"sid") > 0))).persist()
+        ()
+      }
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    val (h1, h2) = stream0.splitAt(stream0.length / 2)
+    val q1 = start()
+    input.addData(h1.toSeq); q1.processAllAvailable(); q1.stop()
+    // restart: committed batches must NOT rerun (the index would double-
+    // count and the sink would hold duplicate decisions)
+    val q2 = start()
+    input.addData(h2.toSeq); q2.processAllAvailable(); q2.stop()
+    val got = sink.synchronized(sink.toSeq)
+    assert(got.map(_._1).distinct.size === got.size,
+      "restart replayed a committed admission batch")
+    val want = Queries.queries("st8_stream_neardup")(spark, TestSpark.sf)
+      .select($"doc_id", $"admitted", $"dup_of")
+      .as[(Long, Boolean, Long)].collect()
+    assert(want.nonEmpty && got.map(r => r._1 -> (r._2, r._3)).toMap ===
+      want.map(r => r._1 -> (r._2, r._3)).toMap)
+  }
+
   test("idempotent batch writer: replaying a batch does not duplicate rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
