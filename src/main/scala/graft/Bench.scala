@@ -27,7 +27,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.create("graft-bench", cpus)
     val fns = Queries.queries
-    Queries.benchNames.foreach { name =>
+    // optional comma-separated filter for local single-query timing; the
+    // driver never sets it, so recorded rounds always cover the full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchNames = Queries.benchNames
+      .filter(n => only.forall(_.contains(n)))
+    benchNames.foreach { name =>
       try fns(name)(spark, sfDir).count()
       catch { case _: Throwable => () } // surfaced by the timed pass below
     }
@@ -41,7 +47,7 @@ object Bench {
       }
     }
     val results: Seq[(String, Either[String, Double])] =
-      Queries.benchNames.map { name =>
+      benchNames.map { name =>
         name -> (timeOnce(name), timeOnce(name)) match {
           case (n, (Right(a), Right(b))) =>
             val lo = math.min(a, b)

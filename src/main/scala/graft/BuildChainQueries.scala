@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   * Nothing in the chain collects data to the driver.
   *
   * Fixture semantics (deterministic, oracle-replayable):
-  *   - entities are typed star-schema nodes (cust k, order 1e12+k,
-  *     part 2e12+k, supp 3e12+k, nation 4e12+k); the build is seeded with
+  *   - entities are typed star-schema nodes (cust 8k, order 8k+1,
+  *     part 8k+2, supp 8k+3, nation 8k+4 — structurally disjoint at any
+  *     scale factor, value-compact for the sort/agg paths); the build is seeded with
   *     customers 1-5 and their orders, and the crawl walks
   *     orders → parts → suppliers → nations exactly like j6;
   *   - the name pass emits part→min-partkey twin edges per lower(p_name)
@@ -55,8 +56,6 @@ object BuildChainQueries extends QueryGroup {
   final case class ChainMerged(yuid: Long, primary_name: String,
       idents: Seq[String], eqs: Seq[String], cls: Seq[String], ts: String)
 
-  private val P = 2000000000000L // part node-id offset
-  private val S = 3000000000000L // supplier node-id offset
 
   def laBuildPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -67,12 +66,12 @@ object BuildChainQueries extends QueryGroup {
     val part = Tables.load(spark, dir, "part")
 
     // ── stage 1: map — typed entity refs as a relationship edge table
-    val rel = orders.select($"o_custkey".cast("long").as("src"),
-        ($"o_orderkey" + 1000000000000L).as("dst"))
-      .union(li.select(($"l_orderkey" + 1000000000000L).as("src"), ($"l_partkey" + P).as("dst")))
-      .union(li.select(($"l_partkey" + P).as("src"), ($"l_suppkey" + S).as("dst")))
-      .union(cust.select($"c_custkey".cast("long").as("src"), ($"c_nationkey" + 4000000000000L).as("dst")))
-      .union(supp.select(($"s_suppkey" + S).as("src"), ($"s_nationkey" + 4000000000000L).as("dst")))
+    val rel = orders.select(($"o_custkey" * 8L).as("src"),
+        ($"o_orderkey" * 8L + 1L).as("dst"))
+      .union(li.select(($"l_orderkey" * 8L + 1L).as("src"), ($"l_partkey" * 8L + 2L).as("dst")))
+      .union(li.select(($"l_partkey" * 8L + 2L).as("src"), ($"l_suppkey" * 8L + 3L).as("dst")))
+      .union(cust.select(($"c_custkey" * 8L).as("src"), ($"c_nationkey" * 8L + 4L).as("dst")))
+      .union(supp.select(($"s_suppkey" * 8L + 3L).as("src"), ($"s_nationkey" * 8L + 4L).as("dst")))
       .distinct()
     // the K4 name index as equivalence edges: part → min partkey per name
     val twin = part
@@ -80,9 +79,9 @@ object BuildChainQueries extends QueryGroup {
         min($"p_partkey").over(Window.partitionBy(lower($"p_name")))
           .cast("long").as("m"))
       .filter($"pk" =!= $"m")
-      .select(($"pk" + P).as("src"), ($"m" + P).as("dst"))
+      .select(($"pk" * 8L + 2L).as("src"), ($"m" * 8L + 2L).as("dst"))
     val seed = orders.filter($"o_custkey" <= 5)
-      .select($"o_custkey".cast("long").as("src"), ($"o_orderkey" + 1000000000000L).as("dst"))
+      .select(($"o_custkey" * 8L).as("src"), ($"o_orderkey" * 8L + 1L).as("dst"))
 
     // ── stage 2: reconcile fixpoint (J6 operator, scalar-per-round)
     def nodesOf(e: DataFrame) =
@@ -94,16 +93,17 @@ object BuildChainQueries extends QueryGroup {
     val edges = operators.Reconcile.fixpoint(seed, Seq(crawl, namePass))
 
     // ── stage 3: idmap CC (J7 operator) over the equivalence subset
-    val eqEdges = edges.filter($"src" >= P && $"src" < S && $"dst" >= P && $"dst" < S)
+    val eqEdges = edges.filter($"src" % 8 === 2 && $"dst" % 8 === 2)
     val idmap = operators.Graph.connectedComponents(eqEdges)
 
     // ── stage 4: reidentify (J8: left join + do-not-reidentify coalesce)
-    val reached = nodesOf(edges).filter($"v" >= P && $"v" < S)
-      .select(($"v" - P).as("pk"))
+    val reached = nodesOf(edges).filter($"v" % 8 === 2)
+      .select(shiftright($"v" - 2L, 3).as("pk"))
     val members = part.select($"p_partkey".cast("long").as("pk"), $"p_name")
       .join(reached, "pk")
-      .join(idmap.select($"node", $"component"), $"pk" + P === $"node", "left")
-      .select($"pk", $"p_name", (coalesce($"component", $"pk" + P) - P).as("yuid"))
+      .join(idmap.select($"node", $"component"), $"pk" * 8L + 2L === $"node", "left")
+      .select($"pk", $"p_name",
+        shiftright(coalesce($"component", $"pk" * 8L + 2L) - 2L, 3).as("yuid"))
       .persist() // read twice: merge input + relationship rewrite
     val suppliedBy = li
       .select($"l_partkey".cast("long").as("pk"), $"l_suppkey".cast("long").as("sk"))
@@ -182,19 +182,19 @@ object BuildChainQueries extends QueryGroup {
       |pm AS (SELECT p_partkey AS pk, p_name,
       |  MIN(p_partkey) OVER (PARTITION BY lower(p_name)) AS m FROM part),
       |g(src, dst) AS (
-      |  SELECT o_custkey, 1000000000000 + o_orderkey FROM orders
-      |  UNION SELECT 1000000000000 + l_orderkey, 2000000000000 + l_partkey FROM lineitem
-      |  UNION SELECT 2000000000000 + l_partkey, 3000000000000 + l_suppkey FROM lineitem
-      |  UNION SELECT c_custkey, 4000000000000 + c_nationkey FROM customer
-      |  UNION SELECT 3000000000000 + s_suppkey, 4000000000000 + s_nationkey FROM supplier
-      |  UNION SELECT 2000000000000 + pk, 2000000000000 + m FROM pm WHERE pk <> m),
+      |  SELECT 8 * o_custkey, 8 * o_orderkey + 1 FROM orders
+      |  UNION SELECT 8 * l_orderkey + 1, 8 * l_partkey + 2 FROM lineitem
+      |  UNION SELECT 8 * l_partkey + 2, 8 * l_suppkey + 3 FROM lineitem
+      |  UNION SELECT 8 * c_custkey, 8 * c_nationkey + 4 FROM customer
+      |  UNION SELECT 8 * s_suppkey + 3, 8 * s_nationkey + 4 FROM supplier
+      |  UNION SELECT 8 * pk + 2, 8 * m + 2 FROM pm WHERE pk <> m),
       |seed(src, dst) AS (
-      |  SELECT o_custkey, 1000000000000 + o_orderkey FROM orders WHERE o_custkey <= 5),
+      |  SELECT 8 * o_custkey, 8 * o_orderkey + 1 FROM orders WHERE o_custkey <= 5),
       |nodes(v) AS (
       |  SELECT src FROM seed UNION SELECT dst FROM seed
       |  UNION SELECT g.dst FROM g JOIN nodes ON g.src = nodes.v),
       |mem AS (SELECT pm.pk, pm.p_name, pm.m, pm.pk % 3 AS ord FROM pm
-      |  WHERE 2000000000000 + pm.pk IN (SELECT v FROM nodes)),
+      |  WHERE 8 * pm.pk + 2 IN (SELECT v FROM nodes)),
       |base AS (SELECT m, pk AS bpk, ord AS bord, p_name AS bname FROM (
       |  SELECT mem.*, ROW_NUMBER() OVER (PARTITION BY m ORDER BY ord, pk) AS rn
       |  FROM mem) WHERE rn = 1),

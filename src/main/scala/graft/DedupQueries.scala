@@ -419,6 +419,69 @@ object DedupQueries extends QueryGroup {
        |WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 500""".stripMargin
 
+  /** D19: MEASURED recall of the d2 banding scheme — "measure, don't
+    * guess" applied to the dedup pipeline itself. Ground truth is the
+    * all-pairs exact shingle Jaccard >= 800 (computed with the same
+    * exact prefix-filter blocking as d4 — a superset filter tuned for
+    * J>=0.5, so zero recall loss at 800); prediction is d2's full
+    * LSH-band + hot-bucket-cap + exact-verify pipeline. Because d2
+    * verifies candidates exactly, false positives are IMPOSSIBLE and
+    * the interesting number is recall: what the band scheme and the
+    * BandCap drop. Run at sample scale (truth is quadratic by nature);
+    * the measured recall transfers to the production thresholds.
+    * Output: one row of integer-exact counts + milli rates. */
+  def lshRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = shingleTable(spark, dir)
+      .filter(size($"sid") > 0)
+      .select($"doc_id", array_sort($"sid").as("sid"))
+      .withColumn("len", size($"sid").cast("long"))
+      .persist() // candidate fan-out + both verify joins
+    val cand = ngramCandidates(base).localCheckpoint()
+    val truth = cand
+      .join(base.select($"doc_id".as("doc_a"), $"sid".as("sid_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"sid".as("sid_b")), "doc_b")
+      .filter(intDiv(size(array_intersect($"sid_a", $"sid_b")).cast("long") * 1000L,
+        size(array_union($"sid_a", $"sid_b")).cast("long")) >= 800L)
+      .select($"doc_a", $"doc_b", lit(1L).as("t"))
+    val pred = minhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b", lit(1L).as("p"))
+    pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(when($"p".isNotNull && $"t".isNotNull, 1)).as("tp"),
+        count(when($"p".isNotNull && $"t".isNull, 1)).as("fp"),
+        count(when($"p".isNull && $"t".isNotNull, 1)).as("fn"))
+      .select($"tp", $"fp", $"fn",
+        intDiv($"tp" * 1000L, greatest($"tp" + $"fp", lit(1L)))
+          .as("precision_milli"),
+        intDiv($"tp" * 1000L, greatest($"tp" + $"fn", lit(1L)))
+          .as("recall_milli"))
+  }
+  /** Truth = unblocked all-pairs >= 800 over the SAME shingle ids the
+    * LSH pipeline hashes (the `base` CTE); prediction = the d2 pairs
+    * CTE verbatim. */
+  private val lshRecallEvalOracle: String =
+    s"""WITH $minhashPairsCtes,
+       |pred AS (SELECT doc_a, doc_b FROM pairs),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM base a JOIN base b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
+       |      // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 800),
+       |m AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM pred WHERE EXISTS (SELECT 1 FROM truth t
+       |       WHERE t.doc_a = pred.doc_a AND t.doc_b = pred.doc_b)) AS tp,
+       |    (SELECT COUNT(*) FROM pred WHERE NOT EXISTS (SELECT 1 FROM truth t
+       |       WHERE t.doc_a = pred.doc_a AND t.doc_b = pred.doc_b)) AS fp,
+       |    (SELECT COUNT(*) FROM truth WHERE NOT EXISTS (SELECT 1 FROM pred p
+       |       WHERE p.doc_a = truth.doc_a AND p.doc_b = truth.doc_b)) AS fn)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CAST(tp * 1000 // GREATEST(tp + fp, 1) AS BIGINT) AS precision_milli,
+       |  CAST(tp * 1000 // GREATEST(tp + fn, 1) AS BIGINT) AS recall_milli
+       |FROM m""".stripMargin
+
   /** Number of hyperplanes / bands for the embedding near-dup blocking.
     * 16 planes in 4 bands of 4 bits: a (label, band, 4-bit value) bucket
     * holds ~1/16 of its label cell. At 100 TB both knobs grow with the
@@ -1336,6 +1399,8 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("t_source_overlap", sourceOverlap,
       Some(sourceOverlapOracle)))
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
+    Queries.register(QueryDef("d19_lsh_recall_eval", lshRecallEval,
+      Some(lshRecallEvalOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
     Queries.register(QueryDef("d18_substring_dedup", substringDedup,

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * schema; the DuckDB oracle re-derives the same answers with recursive
   * CTEs (transitive closure / bounded walk).
   *
-  * Node id encoding (disjoint ranges): part = key, supplier = 1e12 + key;
-  * for the BFS walk: customer = key, order = 1e12 + key, part = 2e12 + key,
-  * supplier = 3e12 + key.
+  * Node id encoding (structurally disjoint at ANY scale factor, and
+  * value-compact so long-range-sensitive sort/agg paths stay cheap):
+  * part = 2k, supplier = 2k+1; for the BFS walk: customer = 4k,
+  * order = 4k+1, part = 4k+2, supplier = 4k+3.
   */
 object GraphQueries extends QueryGroup {
 
@@ -22,17 +23,17 @@ object GraphQueries extends QueryGroup {
     import spark.implicits._
     val edges = Tables.load(spark, dir, "lineitem")
       .filter($"l_orderkey" % 50 === 0)
-      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000000000L).as("dst"))
+      .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
       .distinct()
     operators.Graph.connectedComponents(edges)
       .groupBy($"component")
       .agg(count(lit(1)).as("n_nodes"),
-        sum(when($"node" < 1000000000000L, 1L).otherwise(0L)).as("n_parts"),
-        sum(when($"node" >= 1000000000000L, 1L).otherwise(0L)).as("n_supps"))
+        sum(when($"node" % 2 === 0, 1L).otherwise(0L)).as("n_parts"),
+        sum(when($"node" % 2 === 1, 1L).otherwise(0L)).as("n_supps"))
   }
   private val ccOracle: String =
     """WITH RECURSIVE e AS (
-      |  SELECT DISTINCT l_partkey AS src, 1000000000000 + l_suppkey AS dst
+      |  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
       |  FROM lineitem WHERE l_orderkey % 50 = 0),
       |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
       |nodes AS (SELECT DISTINCT src AS node FROM sym),
@@ -42,8 +43,8 @@ object GraphQueries extends QueryGroup {
       |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
       |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
       |SELECT component, COUNT(*) AS n_nodes,
-      |  CAST(SUM(CASE WHEN node < 1000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
-      |  CAST(SUM(CASE WHEN node >= 1000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
+      |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+      |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
       |FROM comp GROUP BY component""".stripMargin
 
   /** J12: bounded reference walk (dist <= 3, min-dist) over the typed
@@ -53,25 +54,25 @@ object GraphQueries extends QueryGroup {
     val o = Tables.load(spark, dir, "orders")
     val li = Tables.load(spark, dir, "lineitem")
     val edges =
-      o.select($"o_custkey".as("src"), ($"o_orderkey" + 1000000000000L).as("dst"))
-        .union(li.select(($"l_orderkey" + 1000000000000L).as("src"),
-          ($"l_partkey" + 2000000000000L).as("dst")))
-        .union(li.select(($"l_partkey" + 2000000000000L).as("src"),
-          ($"l_suppkey" + 3000000000000L).as("dst")))
+      o.select(($"o_custkey" * 4L).as("src"), ($"o_orderkey" * 4L + 1L).as("dst"))
+        .union(li.select(($"l_orderkey" * 4L + 1L).as("src"),
+          ($"l_partkey" * 4L + 2L).as("dst")))
+        .union(li.select(($"l_partkey" * 4L + 2L).as("src"),
+          ($"l_suppkey" * 4L + 3L).as("dst")))
         .distinct()
     val seeds = Tables.load(spark, dir, "customer")
-      .filter($"c_custkey" < 10).select($"c_custkey".as("node"))
+      .filter($"c_custkey" < 10).select(($"c_custkey" * 4L).as("node"))
     operators.Graph.bfs(edges, seeds, maxDist = 3)
       .select($"node", $"dist".cast("long").as("dist"))
   }
   private val bfsOracle: String =
     """WITH RECURSIVE e AS (
-      |  SELECT o_custkey AS src, 1000000000000 + o_orderkey AS dst FROM orders
+      |  SELECT 4 * o_custkey AS src, 4 * o_orderkey + 1 AS dst FROM orders
       |  UNION
-      |  SELECT 1000000000000 + l_orderkey, 2000000000000 + l_partkey FROM lineitem
+      |  SELECT 4 * l_orderkey + 1, 4 * l_partkey + 2 FROM lineitem
       |  UNION
-      |  SELECT 2000000000000 + l_partkey, 3000000000000 + l_suppkey FROM lineitem),
-      |seeds AS (SELECT c_custkey AS node FROM customer WHERE c_custkey < 10),
+      |  SELECT 4 * l_partkey + 2, 4 * l_suppkey + 3 FROM lineitem),
+      |seeds AS (SELECT 4 * c_custkey AS node FROM customer WHERE c_custkey < 10),
       |walk(node, dist) AS (
       |  SELECT node, 0 FROM seeds
       |  UNION
@@ -220,7 +221,7 @@ object GraphQueries extends QueryGroup {
     import TextQueries.intDiv
     val e = Tables.load(spark, dir, "lineitem")
       .filter($"l_orderkey" % 50 === 0)
-      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000000000L).as("dst"))
+      .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
       .distinct()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist() // read 3×: degree + every iteration's join
@@ -251,7 +252,7 @@ object GraphQueries extends QueryGroup {
          |  SELECT d.src AS node, 150 + COALESCE(csum, 0) * 850 // 1000 AS rank
          |  FROM deg d LEFT JOIN c$cur ON c$cur.node = d.src)""".stripMargin
     s"""WITH e AS (
-       |  SELECT DISTINCT l_partkey AS src, 1000000000000 + l_suppkey AS dst
+       |  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
        |  FROM lineitem WHERE l_orderkey % 50 = 0),
        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1),
@@ -411,7 +412,7 @@ object GraphQueries extends QueryGroup {
     import spark.implicits._
     val e = Tables.load(spark, dir, "lineitem")
       .filter($"l_orderkey" % 50 === 0)
-      .select($"l_partkey".as("src"), ($"l_suppkey" + 1000000000000L).as("dst"))
+      .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
       .distinct()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist() // read every round
@@ -441,7 +442,7 @@ object GraphQueries extends QueryGroup {
     val rounds = (1 to LpRounds)
       .map(r => round(s"r${r - 1}", s"r$r")).mkString(",\n")
     s"""WITH e AS (
-       |  SELECT DISTINCT l_partkey AS src, 1000000000000 + l_suppkey AS dst
+       |  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
        |  FROM lineitem WHERE l_orderkey % 50 = 0),
        |sym AS MATERIALIZED (
        |  SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -450,7 +451,69 @@ object GraphQueries extends QueryGroup {
        |SELECT node, CAST(lbl AS BIGINT) AS community FROM r$LpRounds""".stripMargin
   }
 
+  /** G7 (extension): INCREMENTAL connected components — the daily idmap
+    * update (`reference_manager.py:212-407` re-run per build over only
+    * the day's new equivalences). Given yesterday's labels L over the
+    * base graph and today's delta edges, every delta endpoint is first
+    * CONTRACTED through L (left join + coalesce-to-self for unseen
+    * nodes), and full CC runs only on that contracted graph — sized by
+    * |touched components| + |new nodes|, NOT the corpus. Final labels
+    * compose the two maps (node → L → contracted component). Because
+    * every stage preserves the min-label invariant, the composition
+    * equals full CC over base ∪ delta — which is exactly what the
+    * oracle replays (the same recursive CTE as g1 over the union
+    * slice). Scale: the base graph is never re-shuffled; daily cost
+    * ∝ delta, the asymmetric-probe discipline of d8. */
+  def incrementalCC(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    def slice(m: Long) = li.filter($"l_orderkey" % 50 === m)
+      .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
+      .distinct()
+    val base = slice(0L)
+    val delta = slice(25L)
+    val l0 = operators.Graph.connectedComponents(base)
+    val contracted = delta
+      .join(l0.select($"node".as("src"), $"component".as("sc")), Seq("src"), "left")
+      .join(l0.select($"node".as("dst"), $"component".as("dc")), Seq("dst"), "left")
+      .select(coalesce($"sc", $"src").as("src"), coalesce($"dc", $"dst").as("dst"))
+      .filter($"src" =!= $"dst")
+    val l1 = operators.Graph.connectedComponents(contracted)
+    val allNodes = base.select($"src".as("node"))
+      .union(base.select($"dst".as("node")))
+      .union(delta.select($"src".as("node")))
+      .union(delta.select($"dst".as("node"))).distinct()
+    allNodes
+      .join(l0, Seq("node"), "left")
+      .select($"node", coalesce($"component", $"node").as("mid"))
+      .join(l1.select($"node".as("mid"), $"component".as("fin")), Seq("mid"), "left")
+      .select($"node", coalesce($"fin", $"mid").as("component"))
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when($"node" % 2 === 0, 1L).otherwise(0L)).as("n_parts"),
+        sum(when($"node" % 2 === 1, 1L).otherwise(0L)).as("n_supps"))
+  }
+  /** Full CC over base ∪ delta — equality with the incremental
+    * composition is the correctness claim. */
+  private val incrementalCCOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+      |  FROM lineitem WHERE l_orderkey % 50 IN (0, 25)),
+      |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |nodes AS (SELECT DISTINCT src AS node FROM sym),
+      |reach(node, r) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+      |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+      |SELECT component, COUNT(*) AS n_nodes,
+      |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+      |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
+      |FROM comp GROUP BY component""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("g7_incremental_cc", incrementalCC,
+      Some(incrementalCCOracle)))
     Queries.register(QueryDef("g6_label_propagation", labelPropagation,
       Some(labelPropagationOracle)))
     Queries.register(QueryDef("g4_triangle_count", triangleCount,

@@ -77,6 +77,37 @@ class GraphSpec extends AnyFunSuite {
     assert(core.values.min >= GraphQueries.CoreK, "un-peeled node below K")
   }
 
+  test("incremental CC composition equals full CC over base ∪ delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // base: {1..4} and {10,11}; delta merges them via a NEW node 0 that
+    // also becomes the merged component's min — the hardest composition
+    // case — plus a delta-only component {30,31}
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val delta = Seq((4L, 0L), (0L, 10L), (30L, 31L)).toDF("src", "dst")
+    val l0 = Graph.connectedComponents(base)
+    val contracted = delta
+      .join(l0.select($"node".as("src"), $"component".as("sc")), Seq("src"), "left")
+      .join(l0.select($"node".as("dst"), $"component".as("dc")), Seq("dst"), "left")
+      .select(coalesce($"sc", $"src").as("src"), coalesce($"dc", $"dst").as("dst"))
+      .filter($"src" =!= $"dst")
+    val l1 = Graph.connectedComponents(contracted)
+    val allNodes = base.select($"src".as("node")).union(base.select($"dst".as("node")))
+      .union(delta.select($"src".as("node"))).union(delta.select($"dst".as("node")))
+      .distinct()
+    val inc = allNodes
+      .join(l0, Seq("node"), "left")
+      .select($"node", coalesce($"component", $"node").as("mid"))
+      .join(l1.select($"node".as("mid"), $"component".as("fin")), Seq("mid"), "left")
+      .select($"node", coalesce($"fin", $"mid").as("component"))
+      .as[(Long, Long)].collect().toMap
+    val full = Graph.connectedComponents(base.union(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(11L) === 0L, "merged component must take the new min node")
+    assert(inc(30L) === 30L)
+  }
+
   test("triangle count is non-vacuous and totals divide by three") {
     import spark.implicits._
     val perNode = Queries.queries("g4_triangle_count")(spark, TestSpark.sf)
