@@ -455,6 +455,49 @@ object SimilarityQueries extends QueryGroup {
         coalesce($"n_added", lit(0L)).as("n_added"),
         coalesce($"add_inertia", lit(0L)).as("add_inertia"))
   }
+  /** V14: IVF index DELETE maintenance — the third index-lifecycle op
+    * (build v6/v7, append v11, delete here). Deletes tombstone instead
+    * of rebuilding: the probe path anti-joins the tombstone set, and
+    * per-cell live fractions drive the offline compaction decision
+    * (cells at >= 15% tombstones get rewritten). first_live_vec pins
+    * that the anti-join actually filters each cell's posting list.
+    * Scale: the tombstone table is deletion-sized (broadcast at any
+    * realistic daily delete rate); untouched cells cost one counting
+    * aggregate, never a rebuild. */
+  def ivfDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import TextQueries.intDiv
+    val all = quantized(spark, dir).persist()
+    val (_, a2) = kmeansStateOf(all)
+    val tomb = all.filter($"vec_id" % 7 === 3).select($"vec_id")
+    val live = a2.join(tomb, Seq("vec_id"), "left_anti")
+    val total = a2.groupBy($"cid").agg(count(lit(1)).as("n_total"))
+    val liveAgg = live.groupBy($"cid").agg(
+      count(lit(1)).as("n_live"), min($"vec_id").as("first_live_vec"))
+    total.join(liveAgg, Seq("cid"), "left")
+      .select($"cid", $"n_total",
+        ($"n_total" - coalesce($"n_live", lit(0L))).as("n_deleted"),
+        intDiv(coalesce($"n_live", lit(0L)) * 1000L, $"n_total")
+          .as("live_milli"),
+        coalesce($"first_live_vec", lit(-1L)).as("first_live_vec"),
+        (($"n_total" - coalesce($"n_live", lit(0L))) * 1000L >=
+          $"n_total" * 150L).as("needs_compact"))
+  }
+  private val ivfDeleteOracle: String =
+    s"""WITH $kmeansCtes,
+       |tomb AS (SELECT vec_id FROM ($quantizedSql) WHERE vec_id % 7 = 3),
+       |total AS (SELECT cid, COUNT(*) AS n_total FROM a2 GROUP BY 1),
+       |liv AS (
+       |  SELECT cid, COUNT(*) AS n_live, MIN(vec_id) AS first_live_vec
+       |  FROM a2 WHERE vec_id NOT IN (SELECT vec_id FROM tomb) GROUP BY 1)
+       |SELECT t.cid, CAST(n_total AS BIGINT) AS n_total,
+       |  CAST(n_total - COALESCE(n_live, 0) AS BIGINT) AS n_deleted,
+       |  CAST(COALESCE(n_live, 0) * 1000 // n_total AS BIGINT) AS live_milli,
+       |  CAST(COALESCE(first_live_vec, -1) AS BIGINT) AS first_live_vec,
+       |  (n_total - COALESCE(n_live, 0)) * 1000 >= n_total * 150
+       |    AS needs_compact
+       |FROM total t LEFT JOIN liv l ON t.cid = l.cid""".stripMargin
+
   private val ivfAppendOracle: String = {
     val dot0 = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [v.q[i]*c.cv[i] for i in range(1, len(v.q)+1)]), (x,y)->x+y)"
     val corpusSql = s"SELECT * FROM ($quantizedSql) WHERE vec_id % 10 <> 9"
@@ -1109,6 +1152,8 @@ object SimilarityQueries extends QueryGroup {
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle), bench = true))
     Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
     Queries.register(QueryDef("v10_pq_rerank", pqRerank, Some(pqRerankOracle)))
+    Queries.register(QueryDef("v14_ivf_delete", ivfDelete,
+      Some(ivfDeleteOracle)))
     Queries.register(QueryDef("v11_ivf_append", ivfAppend, Some(ivfAppendOracle)))
     Queries.register(QueryDef("v1_knn_brute", knnBrute, Some(knnBruteOracle), bench = true))
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
