@@ -110,6 +110,33 @@ object MapperQueries extends QueryGroup {
           transform($"pb", j => abs(i - j))))).cast("long").as("min_dist"))
       .filter($"min_dist" <= 3L)
   }
+  /** Q13: exact PHRASE query — ordered token adjacency ("merge group"),
+    * one row per matching doc with the occurrence count. Same map-only
+    * columnar shape as q12: per-doc position arrays via HOF filters, the
+    * adjacency test a membership probe of pa+1 in pb — no explode, no
+    * positional-index shuffle; completes the text-query family
+    * word (q5) / boolean (lux) / NEAR (q12) / phrase / BM25 (q10) /
+    * hybrid (q11). */
+  def phraseQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posOf = (t: org.apache.spark.sql.Column, w: String) =>
+      filter(sequence(lit(1), size(t)), i => element_at(t, i) === lit(w))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
+      .select($"doc_id", posOf($"t", "merge").as("pa"), posOf($"t", "group").as("pb"))
+      .select($"doc_id",
+        size(filter($"pa", i => array_contains($"pb", i + 1)))
+          .cast("long").as("n_occurrences"))
+      .filter($"n_occurrences" > 0)
+  }
+  private val phraseOracle: String = {
+    val t = TextQueries.tokensSql("lower(text)")
+    val occ = "len([i for i in range(1, len(t)) if t[i] = 'merge' AND t[i+1] = 'group'])"
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents)
+       |SELECT doc_id, CAST($occ AS BIGINT) AS n_occurrences
+       |FROM toks WHERE $occ > 0""".stripMargin
+  }
+
   private val nearPosOracle: String = {
     val t = TextQueries.tokensSql("lower(text)")
     val md = "list_min(flatten([[abs(i-j) for j in pb] for i in pa]))"
@@ -1712,6 +1739,7 @@ object MapperQueries extends QueryGroup {
     Queries.register(QueryDef("q5_word_query", wordQuery, Some(wordQueryOracle)))
     Queries.register(QueryDef("q10_bm25", bm25Rank, Some(bm25Oracle)))
     Queries.register(QueryDef("q12_near_pos", nearPos, Some(nearPosOracle)))
+    Queries.register(QueryDef("q13_phrase_query", phraseQuery, Some(phraseOracle)))
     Queries.register(QueryDef("f10_geometry_merge", geometryMerge, Some(geometryMergeOracle)))
     Queries.register(QueryDef("f11_html_strip", htmlStrip, Some(htmlStripOracle)))
     Queries.register(QueryDef("f8_uri_canonicalize", uriCanonicalize, Some(uriCanonicalizeOracle)))
