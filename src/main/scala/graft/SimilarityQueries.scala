@@ -455,6 +455,94 @@ object SimilarityQueries extends QueryGroup {
         coalesce($"n_added", lit(0L)).as("n_added"),
         coalesce($"add_inertia", lit(0L)).as("add_inertia"))
   }
+  /** V15: truncated-prefix retrieval evaluation (the Matryoshka /
+    * dimension-adaptive pattern): a COARSE pass ranks by distance over
+    * only the first 16 of 64 dims (4x less compute and memory traffic
+    * per candidate — at 100 TB the prefix index is what fits in RAM),
+    * keeps the top-20, and a rerank pass re-scores those by full-dim
+    * distance. Output = measured overlap@5 against the exact full-dim
+    * top-5 plus a top-1 agreement flag, per probe — like d19, the
+    * shortcut's quality is a VERIFIED number, not an assumption.
+    * Integer-exact squared-L2 on the milli-quantized vectors; every
+    * order carries the vec_id tiebreak. Windows partition by query. */
+  def mrlTruncateEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val TruncD = 16; val K = 5; val Coarse = 20
+    val base = quantized(spark, dir).persist()
+    val probes = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"))
+    val trunc = (c: Column) => slice(c, 1, TruncD)
+    val pairs = base.crossJoin(broadcast(probes))
+      .select($"query_id", $"vec_id",
+        ($"pn2" + $"n2" -
+          lit(2L) * functions.VecMath.dotCol($"q", $"pq")).as("d2_full"),
+        (functions.VecMath.dotCol(trunc($"pq"), trunc($"pq")) +
+          functions.VecMath.dotCol(trunc($"q"), trunc($"q")) -
+          lit(2L) * functions.VecMath.dotCol(trunc($"q"), trunc($"pq")))
+          .as("d2_trunc"))
+      .persist() // exact ranking + coarse/rerank both read this
+    val exact = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"d2_full".asc, $"vec_id".asc)))
+      .filter($"rk" <= K).select($"query_id", $"vec_id", $"rk")
+    val approx = pairs.withColumn("crk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"d2_trunc".asc, $"vec_id".asc)))
+      .filter($"crk" <= Coarse)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"d2_full".asc, $"vec_id".asc)))
+      .filter($"rk" <= K).select($"query_id", $"vec_id", $"rk")
+    val hits = approx.join(exact.select($"query_id", $"vec_id", lit(1L).as("hit")),
+      Seq("query_id", "vec_id"), "left")
+    val top1 = approx.filter($"rk" === 1)
+      .join(exact.filter($"rk" === 1)
+        .select($"query_id", $"vec_id".as("exact_top1")), "query_id")
+      .select($"query_id", ($"vec_id" === $"exact_top1").as("top1_match"))
+    hits.groupBy($"query_id")
+      .agg(coalesce(sum($"hit"), lit(0L)).as("n_overlap"))
+      .join(top1, "query_id")
+      .select($"query_id", $"n_overlap",
+        TextQueries.intDiv($"n_overlap" * 1000L, lit(K.toLong))
+          .as("overlap_milli"), $"top1_match")
+  }
+  private val mrlTruncateEvalOracle: String = {
+    def dot(a: String, b: String, n: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [$a[i]*$b[i] for i in range(1, $n)]), (x,y)->x+y)"
+    s"""WITH base AS ($quantizedSql),
+       |probes AS (SELECT vec_id AS query_id, q AS pq, n2 AS pn2
+       |  FROM base WHERE vec_id < $NQueries),
+       |pairs AS (
+       |  SELECT p.query_id, b.vec_id,
+       |    p.pn2 + b.n2 - 2 * ${dot("b.q", "p.pq", "len(b.q)+1")} AS d2_full,
+       |    ${dot("p.pq", "p.pq", "17")} + ${dot("b.q", "b.q", "17")}
+       |      - 2 * ${dot("b.q", "p.pq", "17")} AS d2_trunc
+       |  FROM base b, probes p),
+       |exact AS (
+       |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY d2_full, vec_id) AS rk FROM pairs
+       |  QUALIFY rk <= 5),
+       |coarse AS (
+       |  SELECT query_id, vec_id, d2_full, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY d2_trunc, vec_id) AS crk FROM pairs
+       |  QUALIFY crk <= 20),
+       |approx AS (
+       |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY d2_full, vec_id) AS rk FROM coarse
+       |  QUALIFY rk <= 5),
+       |ov AS (
+       |  SELECT a.query_id,
+       |    CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap
+       |  FROM approx a LEFT JOIN exact e
+       |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |t1 AS (
+       |  SELECT a.query_id, a.vec_id = e.vec_id AS top1_match
+       |  FROM approx a JOIN exact e
+       |    ON a.query_id = e.query_id AND a.rk = 1 AND e.rk = 1)
+       |SELECT o.query_id, n_overlap,
+       |  CAST(n_overlap * 1000 // 5 AS BIGINT) AS overlap_milli, top1_match
+       |FROM ov o JOIN t1 USING (query_id)""".stripMargin
+  }
+
   /** V14: IVF index DELETE maintenance — the third index-lifecycle op
     * (build v6/v7, append v11, delete here). Deletes tombstone instead
     * of rebuilding: the probe path anti-joins the tombstone set, and
@@ -1152,6 +1240,8 @@ object SimilarityQueries extends QueryGroup {
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle), bench = true))
     Queries.register(QueryDef("v8_pq_search", pqSearch, Some(pqSearchOracle)))
     Queries.register(QueryDef("v10_pq_rerank", pqRerank, Some(pqRerankOracle)))
+    Queries.register(QueryDef("v15_mrl_truncate_eval", mrlTruncateEval,
+      Some(mrlTruncateEvalOracle)))
     Queries.register(QueryDef("v14_ivf_delete", ivfDelete,
       Some(ivfDeleteOracle)))
     Queries.register(QueryDef("v11_ivf_append", ivfAppend, Some(ivfAppendOracle)))
