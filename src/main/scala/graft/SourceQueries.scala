@@ -468,7 +468,61 @@ object SourceQueries extends QueryGroup {
       |  'n' || (ck % 100) AS raw_ident
       |FROM b""".stripMargin
 
+  /** One evolved-layout fixture per (application, sf dir): generation 1
+    * written with the v1 schema, generation 2 with an added column —
+    * the s15 write-once discipline (suffixed dir, synchronized). */
+  private val evoSuffix =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  private val evoDirs =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  private[graft] def evolutionDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      import spark.implicits._
+      evoDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_evo_${evoSuffix}_${evoDirs.size}").getAbsolutePath
+        val o = Tables.load(spark, dir, "orders")
+        o.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", $"o_custkey")
+          .write.mode("overwrite").parquet(s"$base/gen=1")
+        o.filter($"o_orderkey" % 2 === 1)
+          .select($"o_orderkey", $"o_custkey",
+            round($"o_totalprice" * 100).cast("long").as("price_cents"))
+          .write.mode("overwrite").parquet(s"$base/gen=2")
+        base
+      })
+    }
+
+  /** S17: schema-evolution-tolerant scan — the ingest reality at 100 TB:
+    * a long-lived parquet dataset where later generations added columns.
+    * `mergeSchema` reconciles the per-file footers into one superset
+    * schema; rows from pre-evolution files read the new column as null
+    * (counted here per generation, with null-safe aggregation), and the
+    * generation partition column still prunes (spec-pinned) — adding a
+    * column never forces a rewrite of the old petabytes. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("mergeSchema", "true").parquet(evolutionDir(spark, dir))
+      .groupBy($"gen".cast("long").as("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        count($"price_cents").as("n_with_price"),
+        sum(coalesce($"price_cents", lit(0L))).cast("long")
+          .as("price_cents_sum"))
+  }
+  private val schemaEvolutionOracle: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_price,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+      |    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS price_cents_sum
+      |FROM orders GROUP BY 1""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s17_schema_evolution", schemaEvolution,
+      Some(schemaEvolutionOracle)))
     Queries.register(QueryDef("s5_lc_links", lcLinks, Some(lcLinksOracle)))
     Queries.register(QueryDef("s5_dnb", dnbLoad, Some(dnbLoadOracle)))
     Queries.register(QueryDef("m1d_av_meta", avMeta, Some(avMetaOracle)))

@@ -16,6 +16,23 @@ class PlanSpec extends AnyFunSuite {
       s"missing pushdown:\n$p")
   }
 
+  test("evolved dataset: merged schema reads old rows null, gen prunes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = SourceQueries.evolutionDir(spark, TestSpark.sf)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.contains("price_cents"), "schema not merged")
+    // old-generation rows surface the evolved column as null
+    assert(df.filter($"gen" === 1 && $"price_cents".isNotNull).count() === 0L)
+    // the generation partition column prunes: a gen=2 read never
+    // touches generation-1 files (adding a column must not force a
+    // rewrite or rescan of the old data)
+    val plan = df.filter($"gen" === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(gen"),
+      s"no partition pruning:\n$plan")
+    assert(!plan.contains("gen=1"), s"gen=1 files in scan:\n$plan")
+  }
+
   test("scan queries prune columns (no full-width read)") {
     val p = planOf("s1_scan_pushdown")
     assert(p.contains("ReadSchema"))
