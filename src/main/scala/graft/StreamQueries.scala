@@ -287,7 +287,56 @@ object StreamQueries extends QueryGroup {
     """SELECT event_id, user_id, event_type, c_name, c_nationkey
       |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin
 
+  /** ST11: watermark-lateness audit — the sizing study every streaming
+    * deployment needs BEFORE picking `withWatermark`: replay the
+    * arrival sequence (event time + deterministic ±5 min ingest jitter)
+    * and count, for each candidate delay, the events whose event time
+    * falls behind the running-max watermark at their arrival — exactly
+    * the rows Structured Streaming would silently drop. The running max
+    * comes from operators.PrefixSum.withRunningMax (two-pass range
+    * partition — a watermark IS a running max, and the audit must not
+    * single-partition the corpus to compute it). Output: one row per
+    * candidate delay with dropped counts and milli rates — the curve
+    * that turns watermark choice from a guess into a measurement. */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .withColumn("arr_us",
+        $"us" + (($"event_id" * 2654435761L) % 600L - 300L) * 1000000L)
+    val rm = operators.PrefixSum.withRunningMax(
+      ev, "us", "wm_us", $"arr_us".asc, $"event_id".asc)
+    val delays = Seq(60L, 300L, 900L)
+    rm.select($"us", $"wm_us",
+        explode(array(delays.map(lit): _*)).as("delay_s"))
+      .groupBy($"delay_s")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when($"us" < $"wm_us" - $"delay_s" * 1000000L, 1L)),
+          lit(0L)).as("n_dropped"))
+      .select($"delay_s", $"n_events", $"n_dropped",
+        TextQueries.intDiv($"n_dropped" * 1000L, $"n_events")
+          .as("drop_milli"))
+  }
+  private val latenessAuditOracle: String =
+    """WITH a AS (
+      |  SELECT event_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) + ((event_id * 2654435761) % 600 - 300) * 1000000
+      |      AS arr_us
+      |  FROM events),
+      |rm AS (
+      |  SELECT us, MAX(us) OVER (ORDER BY arr_us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS wm_us FROM a)
+      |SELECT d.delay_s, COUNT(*) AS n_events,
+      |  CAST(COALESCE(SUM(CASE WHEN us < wm_us - d.delay_s * 1000000
+      |    THEN 1 END), 0) AS BIGINT) AS n_dropped,
+      |  CAST(COALESCE(SUM(CASE WHEN us < wm_us - d.delay_s * 1000000
+      |    THEN 1 END), 0) * 1000 // COUNT(*) AS BIGINT) AS drop_milli
+      |FROM rm, (VALUES (60), (300), (900)) AS d(delay_s)
+      |GROUP BY 1""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("st11_lateness_audit", latenessAudit,
+      Some(latenessAuditOracle)))
     Queries.register(QueryDef("st10_stream_enrich", streamEnrichBatch,
       Some(streamEnrichOracle)))
     Queries.register(QueryDef("st9_interval_join", intervalJoinBatch,

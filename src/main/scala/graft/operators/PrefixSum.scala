@@ -47,4 +47,34 @@ object PrefixSum {
     }
     spark.createDataFrame(out, schema)
   }
+
+  /** Returns `df` plus `maxCol`, the inclusive running MAX of
+    * `valueCol` (LongType) under `order` — the same two-pass shape
+    * with max as the (associative, commutative) fold: per-partition
+    * maxima prefix-combine on the driver, each partition streams with
+    * its predecessor offset. Running max is what a streaming watermark
+    * is (max event time seen so far), so the lateness audit runs on
+    * this instead of an unpartitioned window. */
+  def withRunningMax(df: DataFrame, valueCol: String, maxCol: String,
+      order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val totals = rdd.mapPartitions(
+      it => Iterator.single(
+        it.foldLeft(Long.MinValue)((m, r) => math.max(m, r.getLong(idx)))),
+      preservesPartitioning = true).collect()
+    val offsets = totals.scanLeft(Long.MinValue)(math.max)
+    val schema = sorted.schema.add(maxCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var acc = offsets(pi)
+      it.map { r =>
+        acc = math.max(acc, r.getLong(idx)); Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

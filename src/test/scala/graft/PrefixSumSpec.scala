@@ -23,6 +23,22 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("running max matches the driver-side scan under a shuffled order") {
+    import graft.operators.PrefixSum
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    val df = (1 to 5000)
+      .map(i => (i.toLong, r.nextLong() % 1000000L))
+      .toDF("id", "v")
+    val got = PrefixSum.withRunningMax(df, "v", "rmax", $"id".asc)
+      .select($"id", $"rmax").as[(Long, Long)].collect().toMap
+    val want = df.orderBy($"id".asc).collect()
+      .scanLeft((0L, Long.MinValue)) { case ((_, acc), row) =>
+        (row.getLong(0), math.max(acc, row.getLong(1)))
+      }.drop(1).toMap
+    assert(got === want)
+  }
+
   test("no window operator and no single-partition stage in the plan") {
     val df = spark.range(0, 20000, 1, 17)
       .select($"id", pmod($"id" * 2654435761L, lit(1000003L)).as("key"),
