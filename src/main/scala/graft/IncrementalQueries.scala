@@ -224,7 +224,89 @@ object IncrementalQueries extends QueryGroup {
       |FROM d
       |WHERE (va IS NULL OR vb IS NULL OR va <> vb)""".stripMargin
 
+  /** U4: merge-on-read upsert log + compaction decision — the lakehouse
+    * ingest shape (Hudi MOR / Delta DV): base files stay immutable,
+    * upserts and deletes land in a per-key versioned log, reads merge
+    * "latest log entry wins, tombstone removes" (one max_by aggregate
+    * per key — partitioned, no driver state), and each file group's
+    * log-to-base ratio drives the rewrite decision. The fixture derives
+    * three log generations from orders (upsert v1 on key%3, upsert v2
+    * on key%7, tombstone v3 on key%11 — keys can carry all three, so
+    * latest-wins precedence is genuinely exercised); the oracle replays
+    * precedence as CASE logic and live sums pin value-level
+    * correctness, not just counts. Scale: the log is delta-sized; the
+    * merge joins base←latest-log on the key, and untouched file groups
+    * cost one counting aggregate — never a rewrite. */
+  def morCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import TextQueries.intDiv
+    val base = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".cast("long").as("k"),
+        ($"o_orderkey" % 16).cast("long").as("grp"),
+        round($"o_totalprice" * 100).cast("long").as("pc"))
+      .persist() // log derivation + merge + group stats all read this
+    val log =
+      base.filter($"k" % 3 === 0)
+        .select($"k", lit(1L).as("ver"), lit("u").as("op"),
+          ($"pc" + 100000L).as("val"))
+      .union(base.filter($"k" % 7 === 0)
+        .select($"k", lit(2L).as("ver"), lit("u").as("op"),
+          ($"pc" * 2L).as("val")))
+      .union(base.filter($"k" % 11 === 0)
+        .select($"k", lit(3L).as("ver"), lit("d").as("op"),
+          lit(null).cast("long").as("val")))
+      // generation 4 re-upserts EVERY key of file groups 0-3 — the
+      // hot-partition pattern; it also resurrects their tombstoned keys
+      // (upsert-after-delete), which latest-wins must honor
+      .union(base.filter($"grp" < 4)
+        .select($"k", lit(4L).as("ver"), lit("u").as("op"),
+          ($"pc" + 7L).as("val")))
+    val latest = log.groupBy($"k")
+      .agg(max_by(struct($"op", $"val"), $"ver").as("last"),
+        count(lit(1)).as("n_log_k"))
+    val merged = base.join(latest, Seq("k"), "left")
+      .select($"k", $"grp", coalesce($"n_log_k", lit(0L)).as("n_log_k"),
+        when($"last".isNull, $"pc")                 // untouched key
+          .when($"last.op" === "d", lit(null).cast("long")) // tombstone
+          .otherwise($"last.val").as("live_pc"))    // latest upsert
+    merged.groupBy($"grp")
+      .agg(count(lit(1)).as("n_base"),
+        sum($"n_log_k").as("n_log"),
+        count($"live_pc").as("n_live"),
+        sum(coalesce($"live_pc", lit(0L))).cast("long").as("live_cents"))
+      .select($"grp", $"n_base", $"n_log", $"n_live", $"live_cents",
+        intDiv($"n_log" * 1000L, $"n_base").as("log_ratio_milli"),
+        ($"n_log" * 1000L >= $"n_base" * 1000L).as("needs_compact"))
+  }
+  private val morCompactOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |    CAST(o_orderkey % 16 AS BIGINT) AS grp,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+      |  FROM orders),
+      |eff AS (
+      |  SELECT k, grp,
+      |    CASE WHEN grp < 4 THEN pc + 7
+      |         WHEN k % 11 = 0 THEN NULL
+      |         WHEN k % 7 = 0 THEN pc * 2
+      |         WHEN k % 3 = 0 THEN pc + 100000
+      |         ELSE pc END AS live_pc,
+      |    (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN grp < 4 THEN 1 ELSE 0 END) AS n_log_k
+      |  FROM b)
+      |SELECT grp, COUNT(*) AS n_base,
+      |  CAST(SUM(n_log_k) AS BIGINT) AS n_log,
+      |  COUNT(live_pc) AS n_live,
+      |  CAST(SUM(COALESCE(live_pc, 0)) AS BIGINT) AS live_cents,
+      |  CAST(SUM(n_log_k) * 1000 // COUNT(*) AS BIGINT) AS log_ratio_milli,
+      |  SUM(n_log_k) * 1000 >= COUNT(*) * 1000 AS needs_compact
+      |FROM eff GROUP BY 1""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("u4_mor_compact", morCompact,
+      Some(morCompactOracle)))
     Queries.register(QueryDef("u1_changeset_replay", changesetReplay,
       Some(changesetReplayOracle)))
     Queries.register(QueryDef("u2_scd2_history", scd2History,
