@@ -233,9 +233,65 @@ object ExportQueries extends QueryGroup {
     """SELECT doc_id, lang, source, text, n_chars
       |FROM documents WHERE doc_id >= 100""".stripMargin
 
+  final case class SanOut(id: Long, clean_padded: String, clean_plain: String,
+      uri: String)
+
+  /** F18: the qlever full-text sanitize kernels (functions.Sanitize) —
+    * per customer a raw literal exercising every rule: control chars,
+    * quotes, backslashes, hyphen tokenization, NFD diacritics folding,
+    * per-word punctuation strip + thorn padding, and the IRI brace
+    * encoding. `clean_padded` runs with the knobs ON (diacritics off +
+    * min 3 chars); `clean_plain` is the default path. */
+  def sanitizeStrings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Sanitize
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long"), $"c_name")
+      .as[(Long, String)].map { case (ck, cname) =>
+        val raw = (ck % 4) match {
+          case 0 => s"$cname-D\u00e9j\u00e0 \"Vu\""
+          case 1 => s"$cname\tCr\u00e8me\\Br\u00fbl\u00e9e"
+          case 2 => s"\u00d1a\u00f1o:: $cname"
+          case _ => s"$cname a b!!"
+        }
+        SanOut(ck,
+          Sanitize.sanitizeString(raw, removeDiacritics = true, minWordChars = 3),
+          Sanitize.sanitizeString(raw),
+          Sanitize.sanitizeUri(s"https://x.org/{q$ck}\r"))
+      }.toDF()
+  }
+  private val sanitizeOracle: String =
+    """WITH r AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+      |    CASE CAST(c_custkey % 4 AS INTEGER)
+      |      WHEN 0 THEN c_name || '-Déjà "Vu"'
+      |      WHEN 1 THEN c_name || chr(9) || 'Crème\Brûlée'
+      |      WHEN 2 THEN 'Ñaño:: ' || c_name
+      |      ELSE c_name || ' a b!!' END AS raw
+      |  FROM customer),
+      |base AS (
+      |  SELECT ck,
+      |    replace(replace(replace(replace(replace(replace(lower(raw),
+      |      chr(13), ' '), chr(10), ' '), chr(9), ' '), '"', ''), '\', ''),
+      |      '-', ' ') AS b
+      |  FROM r)
+      |SELECT ck AS id,
+      |  list_aggregate(list_transform(
+      |    list_filter(string_split_regex(strip_accents(b), '\s+'),
+      |      w -> w <> ''),
+      |    w -> CASE WHEN length(trim(w, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~')) >= 3
+      |      THEN trim(w, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~')
+      |      ELSE rpad(trim(w, '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~'), 3, 'þ')
+      |      END),
+      |    'string_agg', ' ') AS clean_padded,
+      |  b AS clean_plain,
+      |  'https://x.org/%7Bq' || ck || '%7D' AS uri
+      |FROM base""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("k1_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle)))
     Queries.register(QueryDef("k2_nt_triples", ntTriples, Some(ntTriplesOracle), bench = true))
+    Queries.register(QueryDef("f18_sanitize_string", sanitizeStrings, Some(sanitizeOracle)))
     Queries.register(QueryDef("m15_nt_walk", ntWalk, Some(ntWalkOracle)))
     Queries.register(QueryDef("f7_extract_names", extractNames, Some(extractNamesOracle)))
     Queries.register(QueryDef("j13_delete_cascade", deleteCascade, Some(deleteCascadeOracle)))
