@@ -95,6 +95,56 @@ object WdQueries extends QueryGroup {
       }.toDF()
   }
 
+  final case class M4bOut(id: Long, n_diffs: Long, diffs: String)
+
+  /** M4b: the differentFrom expansion (base.py:84-109) — disambiguation
+    * pages (P31 ∋ Q4167410, membership tested among OTHER types too)
+    * expand their P1889 list pairwise in both directions; regular
+    * records pair each value with the record id; value-less records
+    * emit nothing. Rendered as ordered 'src|dst' CSV per record. */
+  def wdDifferentFrom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"))
+      .as[Long].map { ck =>
+        val p1889 = (ck % 3) match {
+          case 0 => Seq(s"Qa${ck % 20}", s"Qb${ck % 30}")
+          case 1 => Seq(s"Qa${ck % 20}")
+          case _ => Nil
+        }
+        val p31 =
+          if (ck % 8 == 0) Seq("Q5", "Q4167410") // disambig among others
+          else if (ck % 4 == 0) Seq("Q4167410")
+          else Seq("Q5")
+        val diffs = WdClaims.processDifferentFrom(s"Q$ck",
+          Map("P1889" -> p1889, "P31" -> p31))
+        M4bOut(ck, diffs.size.toLong,
+          diffs.map { case (a, b) => s"$a|$b" }.mkString(";"))
+      }.toDF()
+  }
+  private val wdDifferentFromOracle: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS id,
+      |  CAST(CASE
+      |    WHEN c_custkey % 3 = 2 THEN 0
+      |    WHEN c_custkey % 4 = 0 THEN
+      |      CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 0 END
+      |    ELSE CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END
+      |  END AS BIGINT) AS n_diffs,
+      |  CASE
+      |    WHEN c_custkey % 3 = 2 THEN ''
+      |    WHEN c_custkey % 4 = 0 THEN
+      |      CASE WHEN c_custkey % 3 = 0 THEN
+      |        'Qa' || (c_custkey % 20) || '|Qb' || (c_custkey % 30) || ';'
+      |          || 'Qb' || (c_custkey % 30) || '|Qa' || (c_custkey % 20)
+      |      ELSE '' END
+      |    ELSE
+      |      CASE WHEN c_custkey % 3 = 0 THEN
+      |        'Qa' || (c_custkey % 20) || '|Q' || c_custkey || ';'
+      |          || 'Qb' || (c_custkey % 30) || '|Q' || c_custkey
+      |      ELSE 'Qa' || (c_custkey % 20) || '|Q' || c_custkey END
+      |  END AS diffs
+      |FROM customer""".stripMargin
+
   private val equivalentsOracle: String =
     """WITH e AS (
       |  SELECT c_custkey AS ck,
@@ -769,6 +819,7 @@ object WdQueries extends QueryGroup {
     Queries.register(QueryDef("m2_guess_type", guessType, Some(guessTypeOracle)))
     Queries.register(QueryDef("m3_labels", labels, Some(labelsOracle)))
     Queries.register(QueryDef("m4_equivalents", equivalents, Some(equivalentsOracle)))
+    Queries.register(QueryDef("m4b_wd_different_from", wdDifferentFrom, Some(wdDifferentFromOracle)))
     Queries.register(QueryDef("m5_person", person, Some(personOracle)))
     Queries.register(QueryDef("m5_group", group, Some(groupOracle)))
     Queries.register(QueryDef("m5_place", place, Some(placeOracle)))

@@ -123,6 +123,30 @@ object WdClaims {
   def wofUrl(id: String): String =
     s"https://data.whosonfirst.org/${id.grouped(3).mkString("/")}/$id.geojson"
 
+  /** The differentFrom expansion (`sources/general/wikidata/base.py:84-109`):
+    * a record that is itself a DISAMBIGUATION page (P31 contains
+    * Q4167410) asserts that the entities it lists under P1889 are
+    * different from EACH OTHER — every ordered pair (x, y), x != y, in
+    * list order, both directions (the reference's nested loops) — while
+    * a regular record asserts each P1889 value different from the
+    * record itself. These edges feed the J4 cannot-link veto. */
+  val differentProp = "P1889"   // base.py:57
+  val instanceOfProp = "P31"    // base.py:58
+  val disambiguations: Seq[String] = Seq("Q4167410") // base.py:59
+
+  def processDifferentFrom(recId: String,
+      claims: Map[String, Seq[String]]): Seq[(String, String)] = {
+    val vals = claims.getOrElse(differentProp, Nil)
+    if (vals.isEmpty) Nil
+    else {
+      val types = claims.getOrElse(instanceOfProp, Nil)
+      val isDisambig = disambiguations.exists(types.contains)
+      if (isDisambig)
+        for (x <- vals; y <- vals if x != y) yield (x, y)
+      else vals.map(v => (v, recId))
+    }
+  }
+
   /** M4 process_equivalents (mapper.py:370-417): template expansion in
     * ext_hash order, then the P244 s/n split (unknown prefixes dropped),
     * then WOF chunking. */

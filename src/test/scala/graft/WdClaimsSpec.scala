@@ -8,6 +8,31 @@ import graft.pipeline.WdClaims._
   * `wikidata/mapper.py:297-658` behaviors. */
 class WdClaimsSpec extends AnyFunSuite {
 
+  // --- differentFrom expansion (base.py:84-109) ---
+
+  test("disambiguation pages expand P1889 pairwise, both directions") {
+    import graft.pipeline.WdClaims
+    val d = WdClaims.processDifferentFrom("Qrec", Map(
+      "P1889" -> Seq("QA", "QB", "QC"),
+      "P31" -> Seq("Q5", "Q4167410"))) // membership among other types
+    assert(d === Seq("QA" -> "QB", "QA" -> "QC", "QB" -> "QA",
+      "QB" -> "QC", "QC" -> "QA", "QC" -> "QB"))
+    // duplicate values: x != y compares CONTENT, so dup pairs collapse
+    // to the cross terms only — faithful to the reference's nested loop
+    val dd = WdClaims.processDifferentFrom("Qrec", Map(
+      "P1889" -> Seq("QA", "QA", "QB"), "P31" -> Seq("Q4167410")))
+    assert(dd === Seq("QA" -> "QB", "QA" -> "QB", "QB" -> "QA", "QB" -> "QA"))
+  }
+
+  test("regular records pair each value with the record id; empty emits none") {
+    import graft.pipeline.WdClaims
+    assert(WdClaims.processDifferentFrom("Qrec", Map(
+      "P1889" -> Seq("QA", "QB"), "P31" -> Seq("Q5"))) ===
+      Seq("QA" -> "Qrec", "QB" -> "Qrec"))
+    assert(WdClaims.processDifferentFrom("Qrec",
+      Map("P31" -> Seq("Q4167410"))) === Nil)
+  }
+
   // --- process_labels (:311-368) ---
 
   test("must-have languages processed in priority order, content deduped") {
