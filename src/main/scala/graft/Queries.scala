@@ -33,7 +33,7 @@ object Queries {
     GraphQueries, MergeQueries, LuxQueries, StreamQueries, SourceQueries,
     OpsQueries, ExportQueries, ScaleQueries, MapperQueries, PatchQueries,
     WdQueries, MlIndexQueries, CleanupQueries, IncrementalQueries,
-    GeoQueries, BuildChainQueries)
+    GeoQueries, BuildChainQueries, CurationQueries)
 
   lazy val all: Seq[QueryDef] = { groups.foreach(_.register()); registry.values.toSeq }
 
