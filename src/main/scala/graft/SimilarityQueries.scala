@@ -254,6 +254,125 @@ object SimilarityQueries extends QueryGroup {
        |SELECT query_id, rank, vec_id, cos_milli FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** The IVF operating-point sweep: recall@5 against exact brute-force
+    * search at nprobe ∈ {1,2,4,8} — the t_threshold_sweep twin for the
+    * vector index family (v4/v7/v9/v11/v14 share this machinery; this
+    * query measures what each probe budget buys). Integer-exact: the
+    * same quantized cosine, ties broken by vec_id, recall in milli via
+    * floor division on positive operands.
+    *
+    * Scale shape: probe assignment ranks ONE broadcast 16-entry
+    * codebook map-side; the swept candidate set is generated once at
+    * the widest budget (rank ≤ 8) and each level filters by probe
+    * rank, so the corpus-side join happens a single time, not once per
+    * level. Exact ground truth is the v1 brute pass over the broadcast
+    * query set — at 100 TB you run it on a sampled query set, exactly
+    * what NQueries models. */
+  def nprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val MaxProbe = 8
+    val levels = Seq(1, 2, 4, 8).toDF("nprobe")
+    val base = quantized(spark, dir).persist()
+    val step = base.count() / IvfLists
+    val centsRow = base
+      .filter($"vec_id" % step === 0 && $"vec_id" < step * IvfLists)
+      .select(TextQueries.intDiv($"vec_id", lit(step)).as("cid"),
+        $"q".as("cv"), $"n2".as("cn2"))
+      .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    val withDists = base.crossJoin(broadcast(centsRow))
+      .withColumn("dists", array_sort(transform($"cents", c =>
+        struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
+          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))))
+    val assigned = withDists
+      .select($"vec_id", $"q", $"n2",
+        element_at($"dists", 1).getField("cid").as("list_id"))
+    val probes = withDists.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"),
+        posexplode(slice($"dists", 1, MaxProbe)).as(Seq("pos", "probe")))
+      .select($"query_id", $"pq", $"pn2",
+        ($"pos" + 1).as("probe_rank"), $"probe.cid".as("probe_list"))
+    val scored = assigned.join(broadcast(probes),
+        $"list_id" === $"probe_list" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"probe_rank", $"vec_id",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+    val wiv = Window.partitionBy($"nprobe", $"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    val ivfTop = scored.join(broadcast(levels), $"probe_rank" <= $"nprobe")
+      .withColumn("rk", row_number().over(wiv)).filter($"rk" <= 5)
+      .select($"nprobe", $"query_id", $"vec_id")
+    val querySet = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"))
+    val wex = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id".asc)
+    val exactTop = base.join(broadcast(querySet), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
+      .withColumn("rk", row_number().over(wex)).filter($"rk" <= 5)
+      .select($"query_id", $"vec_id")
+    val hits = ivfTop.join(exactTop, Seq("query_id", "vec_id"))
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+    levels.join(hits, Seq("nprobe"), "left")
+      .select($"nprobe".cast("long").as("nprobe"),
+        TextQueries.intDiv(coalesce($"n_hits", lit(0L)) * 1000L,
+          lit(5L * NQueries)).as("recall_milli"))
+  }
+  private val nprobeSweepOracle: String = {
+    val dot = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [v.q[i]*c.cv[i] for i in range(1, len(v.q)+1)]), (x,y)->x+y)"
+    s"""WITH base AS ($quantizedSql),
+       |s AS (SELECT COUNT(*) // $IvfLists AS step FROM base),
+       |cents AS (
+       |  SELECT vec_id // step AS cid, q AS cv, n2 AS cn2
+       |  FROM base, s WHERE vec_id % step = 0 AND vec_id < step * $IvfLists),
+       |dists AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY v.n2 - 2 * $dot + c.cn2, c.cid) AS rn
+       |  FROM base v, cents c),
+       |assigned AS (
+       |  SELECT b.vec_id, b.q, b.n2, d.cid AS list_id
+       |  FROM base b JOIN dists d ON d.vec_id = b.vec_id AND d.rn = 1),
+       |probes AS (
+       |  SELECT b.vec_id AS query_id, b.q AS pq, b.n2 AS pn2,
+       |    d.cid AS probe_list, d.rn AS probe_rank
+       |  FROM base b JOIN dists d ON d.vec_id = b.vec_id AND d.rn <= 8
+       |  WHERE b.vec_id < $NQueries),
+       |levels AS (SELECT 1 AS nprobe UNION ALL SELECT 2
+       |  UNION ALL SELECT 4 UNION ALL SELECT 8),
+       |scored AS (
+       |  SELECT l.nprobe, p.query_id, a.vec_id,
+       |    ${cosMilliSql("p.pq", "a.q", "p.pn2", "a.n2")} AS cos_milli
+       |  FROM assigned a
+       |  JOIN probes p ON a.list_id = p.probe_list AND a.vec_id <> p.query_id
+       |  JOIN levels l ON p.probe_rank <= l.nprobe),
+       |ivf_top AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT nprobe, query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY cos_milli DESC, vec_id ASC) AS rk
+       |    FROM scored) WHERE rk <= 5),
+       |exact_scored AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id,
+       |    ${cosMilliSql("b.q", "a.q", "b.n2", "a.n2")} AS cos_milli
+       |  FROM base a, base b
+       |  WHERE b.vec_id < $NQueries AND a.vec_id <> b.vec_id),
+       |exact_top AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_milli DESC, vec_id ASC) AS rk
+       |    FROM exact_scored) WHERE rk <= 5),
+       |hits AS (
+       |  SELECT i.nprobe, COUNT(*) AS n_hits
+       |  FROM ivf_top i JOIN exact_top e
+       |    ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+       |  GROUP BY i.nprobe)
+       |SELECT CAST(l.nprobe AS BIGINT) AS nprobe,
+       |  CAST(COALESCE(h.n_hits, 0) * 1000 // (5 * $NQueries) AS BIGINT)
+       |    AS recall_milli
+       |FROM levels l LEFT JOIN hits h ON l.nprobe = h.nprobe""".stripMargin
+  }
+
   /** Int8 scalar quantization + brute-force search over the CODES — the
     * memory/IO scale path ANN stacks deploy first (4x smaller vectors
     * before any index): per-dimension [min,max] over the corpus maps
@@ -1249,6 +1368,8 @@ object SimilarityQueries extends QueryGroup {
     Queries.register(QueryDef("v2_ann_lsh", annLsh, Some(annLshOracle)))
     Queries.register(QueryDef("v3_ann_multiprobe", annMultiprobe, Some(annMultiprobeOracle)))
     Queries.register(QueryDef("v4_ann_ivf", annIvf, Some(annIvfOracle)))
+    Queries.register(QueryDef("v16_nprobe_sweep", nprobeSweep,
+      Some(nprobeSweepOracle)))
     Queries.register(QueryDef("v5_quantized_knn", quantizedKnn, Some(quantizedKnnOracle)))
     Queries.register(QueryDef("v6_kmeans", kmeansCodebook, Some(kmeansOracle)))
     Queries.register(QueryDef("v7_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedOracle)))

@@ -1566,7 +1566,30 @@ object TextQueries extends QueryGroup {
        |FROM m GROUP BY 1""".stripMargin
   }
 
+  /** The k-anonymity release audit for a training-data drop: group the
+    * corpus by its quasi-identifier tuple (language, source, length
+    * bucket) and flag every group smaller than k=5 for suppression —
+    * the standard pre-release governance check next to t_pii_scrub.
+    * One groupBy on a bounded key domain, map-side partial aggregation;
+    * at 100 TB the result is the (tiny) group census, never the rows. */
+  def kanonAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 5L
+    Tables.load(spark, dir, "documents")
+      .groupBy($"lang", $"source",
+        intDiv($"n_chars", lit(500L)).as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("status",
+        when($"n_docs" < K, "suppress").otherwise("ok"))
+  }
+  private val kanonAuditOracle: String =
+    """SELECT lang, source, n_chars // 500 AS len_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CASE WHEN COUNT(*) < 5 THEN 'suppress' ELSE 'ok' END AS status
+      |FROM documents GROUP BY 1, 2, 3""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("t_kanon_audit", kanonAudit, Some(kanonAuditOracle)))
     Queries.register(QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)))
     Queries.register(QueryDef("t_rollup_card", rollupCard, Some(rollupCardOracle)))
     Queries.register(QueryDef("t_length_dist", lengthDist, Some(lengthDistOracle)))

@@ -23,6 +23,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi.size >= single.size) // and possibly more queries answered
   }
 
+  test("nprobe sweep recall is monotone non-decreasing in probe budget") {
+    import spark.implicits._
+    val rows = Queries.queries("v16_nprobe_sweep")(spark, TestSpark.sf)
+      .select($"nprobe", $"recall_milli").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // widening the probe set can only add candidates → recall never drops
+    rows.sliding(2).foreach { case Array((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"recall dropped $r1 -> $r2 between nprobe $np1 -> $np2")
+    }
+    rows.foreach { case (_, r) => assert(r >= 0L && r <= 1000L) }
+  }
+
   test("k-means update round does not increase total inertia") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
