@@ -51,4 +51,27 @@ class BuildChainSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in chain plan:\n$p")
     assert(!p.contains("Window"), s"window exec in chain plan:\n$p")
   }
+
+  test("incremental update: output partitions into carried + recomputed") {
+    import spark.implicits._
+    val out = Queries.queries("la_incremental_update")(spark, TestSpark.sf)
+      .select($"yuid", $"idents_csv").as[(Long, String)].collect()
+    // result is a set keyed by yuid (carried and recomputed are disjoint)
+    assert(out.map(_._1).distinct.length == out.length)
+    // every delta part (pk % 10 == 0) appears exactly once in the output
+    val allIdents = out.flatMap(_._2.split(","))
+    assert(allIdents.distinct.length == allIdents.length)
+    val deltaIdents = allIdents.filter(_.stripPrefix("p").toLong % 10 == 0)
+    assert(deltaIdents.nonEmpty)
+    // untouched day-0 clusters carry forward: some cluster has no delta pk
+    assert(out.exists(r => !r._2.split(",").exists(_.stripPrefix("p").toLong % 10 == 0)))
+  }
+
+  test("incremental update plan: touched filters broadcast, no cartesian") {
+    val p = Queries.queries("la_incremental_update")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("Window"), s"window exec in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"touched-label set not broadcast:\n$p")
+  }
 }
