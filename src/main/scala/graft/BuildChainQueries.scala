@@ -309,7 +309,7 @@ object BuildChainQueries extends QueryGroup {
 
   def register(): Unit = {
     Queries.register(QueryDef("la_build_pipeline", laBuildPipeline,
-      Some(laBuildPipelineOracle)))
+      Some(laBuildPipelineOracle), bench = true))
     Queries.register(QueryDef("la_incremental_update", laIncrementalUpdate,
       Some(laIncrementalUpdateOracle)))
   }

@@ -1382,7 +1382,7 @@ object DedupQueries extends QueryGroup {
     // rounds for comparability; the pipeline's end-to-end time at sf0.1
     // is ~3.2s (measured, ≈ the sum of its stages' standalone costs)
     Queries.register(QueryDef("t_corpus_pipeline", corpusPipeline,
-      Some(corpusPipelineOracle)))
+      Some(corpusPipelineOracle), bench = true))
     Queries.register(QueryDef("d1_exact_dedup", exactDedup, Some(exactDedupOracle)))
     Queries.register(QueryDef("d2_minhash_lsh", minhashLsh, Some(minhashOracle), bench = true))
     Queries.register(QueryDef("d3_simhash", simhash, Some(simhashOracle)))
