@@ -99,6 +99,45 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("uri canonicalization is idempotent over random structured URIs") {
+    import graft.functions.UriCanon
+    val r = rnd
+    val hosts = Seq(
+      "http://vocab.getty.edu/aat/", "https://vocab.getty.edu/page/aat/",
+      "http://vocab.getty.edu/ulan/", "https://www.wikidata.org/wiki/",
+      "http://www.wikidata.org/entity/", "https://id.loc.gov/authorities/names/n",
+      "http://id.loc.gov/authorities/subjects/sh", "https://viaf.org/viaf/",
+      "https://www.geonames.org/", "https://data.whosonfirst.org/",
+      "http://isni-url.oclc.nl/isni/", "https://random.junk.example/",
+      "https://creativecommons.org/licenses/")
+    val tails = Seq("", "/", ".html", "\"", " ")
+    for (_ <- 0 until 500) {
+      val u = hosts(r.nextInt(hosts.length)) + r.nextInt(1000000) +
+        tails(r.nextInt(tails.length))
+      val once = UriCanon.canonicalizeJvm(u)
+      if (once != null) {
+        val twice = UriCanon.canonicalizeJvm(once)
+        assert(twice == once, s"not idempotent: $u -> $once -> $twice")
+      }
+    }
+  }
+
+  test("sanitize kernels are idempotent under every knob combination") {
+    import graft.functions.Sanitize
+    val r = rnd
+    val alphabet = "aB č-é\t\"\\{}!.þ\r\nñ øA"
+    for (_ <- 0 until 300) {
+      val s = Seq.fill(r.nextInt(40))(alphabet(r.nextInt(alphabet.length))).mkString
+      for (dia <- Seq(false, true); mwc <- Seq(0, 3)) {
+        val once = Sanitize.sanitizeString(s, dia, mwc)
+        assert(Sanitize.sanitizeString(once, dia, mwc) == once,
+          s"sanitizeString not idempotent: '$s' (dia=$dia mwc=$mwc)")
+      }
+      val u = Sanitize.sanitizeUri(s)
+      assert(Sanitize.sanitizeUri(u) == u, s"sanitizeUri not idempotent: '$s'")
+    }
+  }
+
   test("hebrew year length equals the sum of its month lengths") {
     val r = rnd
     for (_ <- 0 until 100) {
