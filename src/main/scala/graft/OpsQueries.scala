@@ -258,7 +258,71 @@ object OpsQueries extends QueryGroup {
       | AND d.born > s.born - s.bd AND d.born < s.born + s.bd
       | AND d.died > s.died - s.dd AND d.died < s.died + s.dd""".stripMargin
 
+  /** The composed entity-resolution chain — blocking → pairwise feature
+    * scoring → Fellegi-Sunter-style threshold bands → match clustering,
+    * the generalized shape of the reference's reconcile+idmap core run
+    * as ONE lineage (reconciler.py's name pass is the blocking stage,
+    * reference_manager's equivalence graph is the match-cluster stage).
+    *
+    * Fixture: each entity contributes a source-A record and (2/3 of the
+    * time) a source-B record; names collide across entities (the %1200
+    * wrap) so blocking alone over-generates, city+street agreement
+    * separates. Score = 100 (blocked name) + 500 (city) + 400 (street):
+    * true pairs score 1000, the ck%5 street-typo pairs land in the
+    * 600-899 "possible" clerical band and must NOT cluster, cross-entity
+    * same-name pairs score 100. Threshold 900 → real CC over matches →
+    * per-record cluster id + size.
+    *
+    * Scale shape: the self-join is keyed on the blocking key (at 100 TB
+    * hot blocking keys get the d2 guardedBandPairs cap treatment); the
+    * score is codegen'd column arithmetic; CC is the g1 operator. The
+    * oracle replays ground truth directly from the fixture arithmetic —
+    * a hash match proves blocking+scoring+clustering recovered exactly
+    * the planted matches and nothing else. */
+  def erPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ck = $"c_custkey".cast("long")
+    val base = Tables.load(spark, dir, "customer")
+    val recsA = base.select((ck * 2).as("rid"),
+      concat(lit("name"), ck % 1200).as("nm"),
+      concat(lit("city"), ck % 23).as("city"),
+      concat(lit("street"), ck % 97).as("street"))
+    val recsB = base.filter(ck % 3 =!= 0).select((ck * 2 + 1).as("rid"),
+      concat(lit("name"), ck % 1200).as("nm"),
+      concat(lit("city"), ck % 23).as("city"),
+      concat(lit("street"),
+        when(ck % 5 === 0, (ck + 1) % 97).otherwise(ck % 97)).as("street"))
+    val recs = recsA.union(recsB).persist() // blocking join + final label join
+    val lhs = recs.select($"nm", $"rid".as("ra"), $"city".as("ca"), $"street".as("sa"))
+    val rhs = recs.select($"nm", $"rid".as("rb"), $"city".as("cb"), $"street".as("sb"))
+    val scored = lhs.join(rhs, "nm").filter($"ra" < $"rb")
+      .select($"ra", $"rb",
+        (lit(100L) + when($"ca" === $"cb", 500L).otherwise(0L)
+          + when($"sa" === $"sb", 400L).otherwise(0L)).as("score_milli"))
+    val matches = scored.filter($"score_milli" >= 900)
+      .select($"ra".as("src"), $"rb".as("dst"))
+    val cc = operators.Graph.connectedComponents(matches)
+    val labeled = recs
+      .join(cc.withColumnRenamed("node", "rid"), Seq("rid"), "left")
+      .select($"rid", coalesce($"component", $"rid").as("cluster_id"))
+    val sizes = labeled.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, "cluster_id").select($"rid", $"cluster_id", $"n_members")
+  }
+  private val erPipelineOracle: String =
+    """WITH c AS (SELECT c_custkey AS ck FROM customer),
+      |recs AS (
+      |  SELECT 2 * ck AS rid, ck FROM c
+      |  UNION ALL
+      |  SELECT 2 * ck + 1, ck FROM c WHERE ck % 3 <> 0)
+      |SELECT rid,
+      |  CASE WHEN ck % 3 <> 0 AND ck % 5 <> 0 THEN 2 * ck ELSE rid END
+      |    AS cluster_id,
+      |  CAST(CASE WHEN ck % 3 <> 0 AND ck % 5 <> 0 THEN 2 ELSE 1 END
+      |    AS BIGINT) AS n_members
+      |FROM recs""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("r2_er_pipeline", erPipeline, Some(erPipelineOracle)))
     Queries.register(QueryDef("f1_make_datetime", makeDatetime, Some(makeDatetimeOracle)))
     Queries.register(QueryDef("r1_name_reconcile", nameReconcile, Some(nameReconcileOracle)))
     Queries.register(QueryDef("s6_change_classify", changeClassify, Some(changeClassifyOracle)))

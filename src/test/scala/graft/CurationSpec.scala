@@ -96,6 +96,27 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(1) == "ok"))
   }
 
+  test("er pipeline: possible-band typos and cross-entity name collisions never cluster") {
+    import spark.implicits._
+    val out = OpsQueries.erPipeline(spark, sf)
+      .select($"rid", $"cluster_id", $"n_members").as[(Long, Long, Long)]
+      .collect()
+    out.foreach { case (rid, cid, n) =>
+      val ck = rid / 2
+      val matched = ck % 3 != 0 && ck % 5 != 0 && rid % 2 == 0 ||
+        (rid % 2 == 1 && ck % 5 != 0) // B exists only when ck % 3 != 0
+      if (matched) {
+        // true pair clusters under the A-record id with exactly 2 members
+        assert(cid == ck * 2 && n == 2L, s"rid=$rid cid=$cid n=$n")
+      } else {
+        // street-typo (possible band) and unpaired records stay singletons
+        assert(cid == rid && n == 1L, s"rid=$rid cid=$cid n=$n")
+      }
+    }
+    assert(out.count(_._3 == 2L) > 0)
+    assert(out.count(_._3 == 1L) > 0)
+  }
+
   test("c8: malformed json is bad, empty pages map is deleted, valid kept") {
     import spark.implicits._
     val rows = CurationQueries.cacheSweep(spark, sf)
