@@ -567,7 +567,55 @@ object RelationalQueries extends QueryGroup {
       |  FROM customer) t
       |WHERE rk <= 3""".stripMargin
 
+  /** W13: marketing-touch attribution — per conversion (purchase), the
+    * first- and last-touch credit among that user's view/click events
+    * inside a 7-day lookback. The pattern behind funnel ROI reporting:
+    * a per-user range join (shuffle keyed on user_id; a power-user skew
+    * gets the a8 salting treatment at 100 TB) followed by one
+    * per-conversion min_by/max_by aggregation. Timestamps compare as
+    * integer microseconds; the event stream is strictly ts-ordered by
+    * construction so min_by/max_by on ts is deterministic. Unattributed
+    * conversions survive the left join with n_touches = 0. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Lookback = 604800000000L // 7 days in µs
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type")
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("conv_id"), $"user_id", $"us".as("cus"))
+    val touch = ev.filter($"event_type".isin("view", "click"))
+      .select($"event_id".as("touch_id"), $"user_id".as("tu"),
+        $"us".as("tus"), $"event_type".as("ch"))
+    conv.join(touch,
+        $"user_id" === $"tu" && $"tus" < $"cus" && $"tus" >= $"cus" - Lookback,
+        "left")
+      .groupBy($"conv_id", $"user_id")
+      .agg(min_by($"touch_id", $"tus").as("first_touch_id"),
+        min_by($"ch", $"tus").as("first_channel"),
+        max_by($"touch_id", $"tus").as("last_touch_id"),
+        max_by($"ch", $"tus").as("last_channel"),
+        count($"touch_id").as("n_touches"))
+  }
+  private val attributionOracle: String =
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS cus
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT event_id AS touch_id, user_id AS tu, epoch_us(ts) AS tus,
+      |    event_type AS ch
+      |  FROM events WHERE event_type IN ('view', 'click'))
+      |SELECT conv_id, user_id,
+      |  min_by(touch_id, tus) AS first_touch_id,
+      |  min_by(ch, tus) AS first_channel,
+      |  max_by(touch_id, tus) AS last_touch_id,
+      |  max_by(ch, tus) AS last_channel,
+      |  CAST(COUNT(touch_id) AS BIGINT) AS n_touches
+      |FROM conv LEFT JOIN t
+      |  ON user_id = tu AND tus < cus AND tus >= cus - 604800000000
+      |GROUP BY conv_id, user_id""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("w13_attribution", attribution, Some(attributionOracle)))
     Queries.register(QueryDef("w12_grouped_topk", groupedTopK, Some(groupedTopKOracle)))
     Queries.register(QueryDef("j14_asof_join", asofJoin, Some(asofJoinOracle)))
     Queries.register(QueryDef("j15_range_join", rangeJoin, Some(rangeJoinOracle)))

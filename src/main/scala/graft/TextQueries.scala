@@ -1588,8 +1588,33 @@ object TextQueries extends QueryGroup {
       |  CASE WHEN COUNT(*) < 5 THEN 'suppress' ELSE 'ok' END AS status
       |FROM documents GROUP BY 1, 2, 3""".stripMargin
 
+  /** The l-diversity companion to t_kanon_audit: within each
+    * quasi-identifier group (source, length bucket), the sensitive
+    * attribute (language) must take at least l=2 distinct values —
+    * a small k-anonymous group that is language-homogeneous still
+    * leaks its members' language. Exact COUNT(DISTINCT) per bounded
+    * group (expand + two-level aggregate under the hood). */
+  def ldiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy($"source", intDiv($"n_chars", lit(500L)).as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("l_distinct"))
+      .withColumn("status",
+        when($"l_distinct" < 2, "homogeneous").otherwise("ok"))
+  }
+  private val ldiversityAuditOracle: String =
+    """SELECT source, n_chars // 500 AS len_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_distinct,
+      |  CASE WHEN COUNT(DISTINCT lang) < 2 THEN 'homogeneous'
+      |    ELSE 'ok' END AS status
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("t_kanon_audit", kanonAudit, Some(kanonAuditOracle)))
+    Queries.register(QueryDef("t_ldiversity_audit", ldiversityAudit,
+      Some(ldiversityAuditOracle)))
     Queries.register(QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)))
     Queries.register(QueryDef("t_rollup_card", rollupCard, Some(rollupCardOracle)))
     Queries.register(QueryDef("t_length_dist", lengthDist, Some(lengthDistOracle)))

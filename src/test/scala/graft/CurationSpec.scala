@@ -117,6 +117,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count(_._3 == 1L) > 0)
   }
 
+  test("attribution: touch order and channel domain hold on every credited row") {
+    import spark.implicits._
+    val rows = RelationalQueries.attribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(6)
+      if (n > 0) {
+        // event ids are assigned in ts order, so first <= last
+        assert(r.getLong(2) <= r.getLong(4))
+        assert(Set("view", "click")(r.getString(3)))
+        assert(Set("view", "click")(r.getString(5)))
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(4), s"phantom touch: $r")
+      }
+    }
+  }
+
   test("c8: malformed json is bad, empty pages map is deleted, valid kept") {
     import spark.implicits._
     val rows = CurationQueries.cacheSweep(spark, sf)
