@@ -511,7 +511,65 @@ object GraphQueries extends QueryGroup {
       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_supps
       |FROM comp GROUP BY component""".stripMargin
 
+  /** G8: partition modularity — the quality metric for the community
+    * family (g6 produces partitions; this evaluates ANY given one, here
+    * the structural p%16 assignment over g4's co-purchase graph).
+    * Newman's Q = Σc [ec/m − (dc/2m)²] is kept RATIONAL: the query
+    * returns q_num = Σc(4m·ec − dc²) and q_den = 4m², both exact
+    * BIGINTs, because a single floor/truncate division on a possibly
+    * NEGATIVE Q is exactly the signed-division trap the intDiv contract
+    * warns about — consumers divide at display time.
+    *
+    * Scale shape: one degree aggregation, one intra-edge aggregation
+    * (both keyed on the bounded community domain after a map-side
+    * partial), and a broadcast scalar m — no all-pairs anything. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val po = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val e = po.as("a").join(po.as("b"), "ok")
+      .filter($"a.p" < $"b.p")
+      .select($"a.p".cast("long").as("u"), $"b.p".cast("long").as("v"))
+      .distinct().persist() // degree agg + intra-edge agg + |E|
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val dc = deg.groupBy(($"n" % 16).as("c"))
+      .agg(sum($"d").as("dc"), count(lit(1)).as("nn"))
+    val ec = e.filter($"u" % 16 === $"v" % 16)
+      .groupBy(($"u" % 16).as("c")).agg(count(lit(1)).as("ec"))
+    dc.join(ec, Seq("c"), "left")
+      .select($"c", $"dc", coalesce($"ec", lit(0L)).as("ec"))
+      .crossJoin(broadcast(mRow))
+      .agg(count(lit(1)).as("n_communities"),
+        max($"m").as("m_edges"),
+        sum(lit(4L) * $"m" * $"ec" - $"dc" * $"dc").as("q_num"),
+        (lit(4L) * max($"m") * max($"m")).as("q_den"))
+  }
+  private val modularityOracle: String =
+    """WITH po AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |  WHERE l_orderkey % 50 = 0),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT n, COUNT(*) AS d FROM (
+      |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |dc AS (SELECT n % 16 AS c, SUM(d) AS dc FROM deg GROUP BY 1),
+      |ec AS (SELECT u % 16 AS c, COUNT(*) AS ec FROM e
+      |  WHERE u % 16 = v % 16 GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS m FROM e)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+      |  CAST(MAX(m.m) AS BIGINT) AS m_edges,
+      |  CAST(SUM(4 * m.m * COALESCE(ec.ec, 0) - dc.dc * dc.dc) AS BIGINT)
+      |    AS q_num,
+      |  CAST(4 * MAX(m.m) * MAX(m.m) AS BIGINT) AS q_den
+      |FROM dc LEFT JOIN ec ON dc.c = ec.c, m""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("g8_modularity", modularity,
+      Some(modularityOracle)))
     Queries.register(QueryDef("g7_incremental_cc", incrementalCC,
       Some(incrementalCCOracle)))
     Queries.register(QueryDef("g6_label_propagation", labelPropagation,

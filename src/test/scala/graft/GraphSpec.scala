@@ -116,4 +116,13 @@ class GraphSpec extends AnyFunSuite {
     // must not be empty; each triangle touches exactly 3 nodes
     assert(perNode.nonEmpty && perNode.sum % 3 === 0)
   }
+
+  test("modularity stays rational-exact and within Newman's bounds") {
+    val r = Queries.queries("g8_modularity")(spark, TestSpark.sf).head()
+    val (m, num, den) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(den == 4L * m * m)
+    // Q = num/den must lie in [-1, 1); the structure-blind p%16
+    // partition lands near 0
+    assert(math.abs(num) <= den, s"Q out of range: $num/$den")
+  }
 }
