@@ -1042,7 +1042,14 @@ object DedupQueries extends QueryGroup {
     * filtered to survivors) and runs CC on the tiny pair graph; stage 6
     * is a per-source window. Nothing here widens beyond the standalone
     * stages — composition adds no new shuffle class. */
-  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus pipeline's intermediate stage outputs, shared by the
+    * flagship t_corpus_pipeline (final packed stream) and the
+    * t_corpus_card funnel report (per-stage survivor counts). */
+  private final case class CorpusStages(input: DataFrame, quality: DataFrame,
+      clean: DataFrame, exact: DataFrame, canonical: DataFrame,
+      sampled: DataFrame, packed: DataFrame)
+
+  private def corpusStages(spark: SparkSession, dir: String): CorpusStages = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val stop = TextQueries.stopwords
@@ -1096,18 +1103,42 @@ object DedupQueries extends QueryGroup {
     // 6. pack the kept stream into training windows
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampled
+    val packed = sampled
       .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
       .select($"doc_id", $"source", $"lang", $"n_tokens",
         intDiv($"start_tok", lit(TextQueries.ChunkTokens)).as("bin"),
         ($"start_tok" % TextQueries.ChunkTokens).as("offset"))
+    CorpusStages(docs, quality, clean, exact, canonical, sampled, packed)
   }
-  private val corpusPipelineOracle: String = {
+
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
+    corpusStages(spark, dir).packed
+
+  /** The pipeline funnel report — the per-stage survivor counts a data
+    * engineer reads before shipping a corpus drop: input → quality gate
+    * → decontamination → exact dedup → near-dup canonical → sampled.
+    * Same stage lineage as t_corpus_pipeline (shared code), six
+    * count(*) aggregations. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = corpusStages(spark, dir)
+    Seq(("input", s.input), ("quality", s.quality), ("clean", s.clean),
+      ("exact", s.exact), ("canonical", s.canonical), ("sampled", s.sampled))
+      .zipWithIndex.map { case ((nm, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"), $"n_docs")
+      }.reduce(_ union _)
+  }
+
+  /** The shared CTE body replaying the corpus stages (m → quality →
+    * clean → exact → canonical → sampled → packed); the pipeline and
+    * card oracles append different final selects. */
+  private def corpusCtes: String = {
     val t = tokensSql("text")
     val stop = TextQueries.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
     val rates = TextQueries.sampleRates
       .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
-    s"""WITH RECURSIVE $minhashPairsCtes,
+    s"""$minhashPairsCtes,
        |m AS (
        |  SELECT doc_id, lang, source, t,
        |    CAST(len(t) AS BIGINT) AS n,
@@ -1157,12 +1188,30 @@ object DedupQueries extends QueryGroup {
        |  SELECT doc_id, source, lang, n_tokens,
        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
-       |  FROM sampled)
+       |  FROM sampled)""".stripMargin
+  }
+
+  private val corpusPipelineOracle: String =
+    s"""WITH RECURSIVE $corpusCtes
        |SELECT doc_id, source, lang, n_tokens,
        |  CAST(start_tok // ${TextQueries.ChunkTokens} AS BIGINT) AS bin,
        |  CAST(start_tok % ${TextQueries.ChunkTokens} AS BIGINT) AS offset
        |FROM packed""".stripMargin
-  }
+
+  private val corpusCardOracle: String =
+    s"""WITH RECURSIVE $corpusCtes
+       |SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs FROM m
+       |UNION ALL SELECT CAST(1 AS BIGINT), 'quality',
+       |  CAST(COUNT(*) AS BIGINT) FROM quality
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'clean',
+       |  CAST(COUNT(*) AS BIGINT) FROM clean
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'exact',
+       |  CAST(COUNT(*) AS BIGINT) FROM exact
+       |UNION ALL SELECT CAST(4 AS BIGINT), 'canonical',
+       |  CAST(COUNT(*) AS BIGINT) FROM canonical
+       |UNION ALL SELECT CAST(5 AS BIGINT), 'sampled',
+       |  CAST(COUNT(*) AS BIGINT) FROM sampled""".stripMargin
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus
     * embeddings with k-means (one distributed Lloyd's round,
@@ -1383,6 +1432,8 @@ object DedupQueries extends QueryGroup {
     // is ~3.2s (measured, ≈ the sum of its stages' standalone costs)
     Queries.register(QueryDef("t_corpus_pipeline", corpusPipeline,
       Some(corpusPipelineOracle), bench = true))
+    Queries.register(QueryDef("t_corpus_card", corpusCard,
+      Some(corpusCardOracle)))
     Queries.register(QueryDef("d1_exact_dedup", exactDedup, Some(exactDedupOracle)))
     Queries.register(QueryDef("d2_minhash_lsh", minhashLsh, Some(minhashOracle), bench = true))
     Queries.register(QueryDef("d3_simhash", simhash, Some(simhashOracle)))
