@@ -83,14 +83,16 @@ object BuildChainQueries extends QueryGroup {
     val seed = orders.filter($"o_custkey" <= 5)
       .select(($"o_custkey" * 8L).as("src"), ($"o_orderkey" * 8L + 1L).as("dst"))
 
-    // ── stage 2: reconcile fixpoint (J6 operator, scalar-per-round)
+    // ── stage 2: reconcile fixpoint (J6 operator, scalar-per-round);
+    // both expanders are node-anchored (src ∈ input nodes), the
+    // frontierFixpoint contract — per-round cost ∝ frontier fan-out
     def nodesOf(e: DataFrame) =
       e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct()
-    val crawl = (e: DataFrame) =>
-      rel.join(nodesOf(e).withColumnRenamed("v", "src"), "src")
-    val namePass = (e: DataFrame) =>
-      twin.join(nodesOf(e).withColumnRenamed("v", "src"), "src")
-    val edges = operators.Reconcile.fixpoint(seed, Seq(crawl, namePass))
+    val crawl = (ns: DataFrame) =>
+      rel.join(ns.withColumnRenamed("v", "src"), "src")
+    val namePass = (ns: DataFrame) =>
+      twin.join(ns.withColumnRenamed("v", "src"), "src")
+    val edges = operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
 
     // ── stage 3: idmap CC (J7 operator) over the equivalence subset
     val eqEdges = edges.filter($"src" % 8 === 2 && $"dst" % 8 === 2)

@@ -170,16 +170,16 @@ object GraphQueries extends QueryGroup {
       .filter($"p_partkey" =!= $"m")
       .select(concat(lit("p"), $"p_partkey").as("src"),
         concat(lit("p"), $"m").as("dst"))
-    def nodes(edges: DataFrame) =
-      edges.select($"src".as("v")).union(edges.select($"dst".as("v"))).distinct()
-    val crawl = (edges: DataFrame) =>
-      rel.join(nodes(edges).withColumnRenamed("v", "src"), "src")
-    val namePass = (edges: DataFrame) =>
-      canon.join(nodes(edges).withColumnRenamed("v", "src"), "src")
+    // node-anchored expanders (src ∈ input nodes) — the
+    // frontierFixpoint contract; per-round cost ∝ frontier fan-out
+    val crawl = (ns: DataFrame) =>
+      rel.join(ns.withColumnRenamed("v", "src"), "src")
+    val namePass = (ns: DataFrame) =>
+      canon.join(ns.withColumnRenamed("v", "src"), "src")
     val seed = Tables.load(spark, dir, "orders").filter($"o_custkey" <= 5)
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("o"), $"o_orderkey").as("dst"))
-    operators.Reconcile.fixpoint(seed, Seq(crawl, namePass))
+    operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
   }
   private val reconcileFixpointOracle: String =
     """WITH RECURSIVE g AS (

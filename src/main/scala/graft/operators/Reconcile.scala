@@ -35,4 +35,43 @@ object Reconcile {
     }
     edges
   }
+
+  import org.apache.spark.sql.functions.col
+
+  /** Frontier-driven fixpoint — same closure as `fixpoint` when every
+    * expander is NODE-ANCHORED and monotone: it takes a one-column
+    * (`v`) node set and returns only edges whose `src` is in that set
+    * (the crawl and name-pass reconcilers both have this shape). Then
+    * each edge is produced exactly once — the round its anchor node
+    * first appears — so per-round work is proportional to the FRONTIER
+    * fan-out, not the accumulated reach: the old loop re-joined and
+    * re-distincted the full edge set every round (O(rounds × total)),
+    * which is the difference between a BFS and re-crawling the whole
+    * graph per round at 100 TB. One scalar (new-node count) reaches
+    * the driver per round; lineage is cut with localCheckpoint. */
+  def frontierFixpoint(seed: DataFrame,
+      expanders: Seq[DataFrame => DataFrame],
+      maxIter: Int = 50): DataFrame = {
+    def nodesOf(e: DataFrame) =
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct()
+    val seedE = seed.select("src", "dst").distinct().localCheckpoint()
+    var seen = nodesOf(seedE).localCheckpoint()
+    var frontier = seen
+    var layers = List(seedE)
+    var iter = 0
+    var active = true
+    while (active && iter < maxIter) {
+      val newEdges = expanders.map(_(frontier)).reduce(_ union _)
+        .select("src", "dst").distinct().localCheckpoint()
+      val newNodes = nodesOf(newEdges)
+        .join(seen, Seq("v"), "left_anti").localCheckpoint()
+      val n = newNodes.count() // the round's single driver scalar
+      layers ::= newEdges
+      seen = seen.union(newNodes).localCheckpoint() // disjoint by anti-join
+      frontier = newNodes
+      active = n > 0
+      iter += 1
+    }
+    layers.reduce(_ union _).distinct()
+  }
 }

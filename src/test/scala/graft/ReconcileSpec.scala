@@ -36,6 +36,37 @@ class ReconcileSpec extends AnyFunSuite {
     assert(edges.count() === 1)
   }
 
+  test("frontierFixpoint equals the whole-set fixpoint on random node-anchored graphs") {
+    import spark.implicits._
+    val r = new scala.util.Random(0xBEEF)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val rel = Seq.fill(80)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .distinct.toDF("src", "dst")
+      val seed = Seq.fill(3)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .distinct.toDF("src", "dst")
+      // the node-anchored crawl shape both production call sites use
+      def nodesOf(e: DataFrame) =
+        e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct()
+      val edgeCrawl: DataFrame => DataFrame = e =>
+        rel.join(nodesOf(e).withColumnRenamed("v", "src"), "src")
+      val nodeCrawl: DataFrame => DataFrame = ns =>
+        rel.join(ns.withColumnRenamed("v", "src"), "src")
+      val whole = Reconcile.fixpoint(seed, Seq(edgeCrawl), maxIter = 50)
+      val front = Reconcile.frontierFixpoint(seed, Seq(nodeCrawl))
+      assert(whole.except(front).count() === 0L, s"trial $trial: whole ⊄ front")
+      assert(front.except(whole).count() === 0L, s"trial $trial: front ⊄ whole")
+    }
+  }
+
+  test("frontierFixpoint with a no-op expander terminates immediately") {
+    import spark.implicits._
+    val seed = Seq((1L, 2L)).toDF("src", "dst")
+    val noop: DataFrame => DataFrame = ns => ns.limit(0)
+      .select(col("v").as("src"), col("v").as("dst"))
+    assert(Reconcile.frontierFixpoint(seed, Seq(noop)).count() === 1)
+  }
+
   test("lux compiler rejects fields and predicates outside the catalog") {
     val c = new graft.plans.LuxCompiler(
       LuxQueries.entities(spark, TestSpark.sf),
