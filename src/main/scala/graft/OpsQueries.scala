@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.DateLib
 
@@ -321,7 +321,71 @@ object OpsQueries extends QueryGroup {
       |    AS BIGINT) AS n_members
       |FROM recs""".stripMargin
 
+  /** S18: the declarative data-quality gate — a rule table (config as
+    * data, SURVEY §1.3) evaluated over the event stream in ONE scan:
+    * every rule is a violation predicate compiled into a conditional
+    * count inside a single wide aggregation (codegen'd), then unpivoted
+    * with stack() into the per-rule report a freshness dashboard reads.
+    * Eight rules cover null checks, range checks, domain membership,
+    * embedded-JSON shape, and a conditional business rule; the fixture
+    * data genuinely fails several of them. */
+  def dqRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")
+    val rules: Seq[(String, Column)] = Seq(
+      "value_not_null" -> $"value".isNull,
+      "value_nonneg" -> ($"value" < 0d),
+      "value_max_450" -> ($"value" > 450d),
+      "type_in_domain" -> !$"event_type".isin(
+        "view", "click", "purchase", "signup", "error"),
+      "user_positive" -> ($"user_id" <= 0L),
+      "props_k_under_90" -> (k >= 90L),
+      "ts_in_2024" -> ($"ts" < lit("2024-01-01").cast("timestamp") ||
+        $"ts" >= lit("2025-01-01").cast("timestamp")),
+      "purchase_min_50" -> ($"event_type" === "purchase" && $"value" < 50d))
+    val aggCols = count(lit(1)).as("n") +:
+      rules.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"v$i") }
+    val stackArgs = rules.zipWithIndex
+      .map { case ((nm, _), i) => s"'$nm', v$i" }.mkString(", ")
+    Tables.load(spark, dir, "events")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("n"),
+        expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))
+      .select($"rule", $"n".as("n_rows"), $"n_violations",
+        when($"n_violations" === 0L, "pass").otherwise("fail").as("status"))
+  }
+  private val dqRulesOracle: String =
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT) AS v0,
+      |    CAST(COUNT(*) FILTER (value < 0) AS BIGINT) AS v1,
+      |    CAST(COUNT(*) FILTER (value > 450) AS BIGINT) AS v2,
+      |    CAST(COUNT(*) FILTER (event_type NOT IN
+      |      ('view','click','purchase','signup','error')) AS BIGINT) AS v3,
+      |    CAST(COUNT(*) FILTER (user_id <= 0) AS BIGINT) AS v4,
+      |    CAST(COUNT(*) FILTER (CAST(regexp_extract(props, '"k": (\d+)', 1)
+      |      AS BIGINT) >= 90) AS BIGINT) AS v5,
+      |    CAST(COUNT(*) FILTER (ts < TIMESTAMP '2024-01-01'
+      |      OR ts >= TIMESTAMP '2025-01-01') AS BIGINT) AS v6,
+      |    CAST(COUNT(*) FILTER (event_type = 'purchase' AND value < 50)
+      |      AS BIGINT) AS v7
+      |  FROM events),
+      |r AS (
+      |  SELECT 'value_not_null' AS rule, n, v0 AS n_violations FROM a
+      |  UNION ALL SELECT 'value_nonneg', n, v1 FROM a
+      |  UNION ALL SELECT 'value_max_450', n, v2 FROM a
+      |  UNION ALL SELECT 'type_in_domain', n, v3 FROM a
+      |  UNION ALL SELECT 'user_positive', n, v4 FROM a
+      |  UNION ALL SELECT 'props_k_under_90', n, v5 FROM a
+      |  UNION ALL SELECT 'ts_in_2024', n, v6 FROM a
+      |  UNION ALL SELECT 'purchase_min_50', n, v7 FROM a)
+      |SELECT rule, n AS n_rows, n_violations,
+      |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM r""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s18_dq_rules", dqRules, Some(dqRulesOracle)))
     Queries.register(QueryDef("r2_er_pipeline", erPipeline, Some(erPipelineOracle)))
     Queries.register(QueryDef("f1_make_datetime", makeDatetime, Some(makeDatetimeOracle)))
     Queries.register(QueryDef("r1_name_reconcile", nameReconcile, Some(nameReconcileOracle)))
