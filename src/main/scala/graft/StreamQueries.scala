@@ -31,6 +31,37 @@ object StreamQueries extends QueryGroup {
       |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** ST12: the streaming data-quality gate — s18's rule battery scoped
+    * to tumbling 1-day event-time windows, so a bad producer deploy
+    * surfaces in its own window instead of diluting into the lifetime
+    * counts. Same single-scan wide conditional aggregation; the shape
+    * is watermark-compatible (groupBy window + sums) and the
+    * StreamingSpec harness runs it over a MemoryStream. */
+  def streamDq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"value" > 450d, 1L).otherwise(0L)).as("v_value_max"),
+        sum(when($"user_id" <= 0L, 1L).otherwise(0L)).as("v_user_pos"),
+        sum(when(k >= 90L, 1L).otherwise(0L)).as("v_props_k"),
+        sum(when($"event_type" === "purchase" && $"value" < 50d, 1L)
+          .otherwise(0L)).as("v_purchase_min"))
+      .select($"w.start".as("window_start"), $"n_rows", $"v_value_max",
+        $"v_user_pos", $"v_props_k", $"v_purchase_min")
+  }
+  private val streamDqOracle: String =
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) FILTER (value > 450) AS BIGINT) AS v_value_max,
+      |  CAST(COUNT(*) FILTER (user_id <= 0) AS BIGINT) AS v_user_pos,
+      |  CAST(COUNT(*) FILTER (CAST(regexp_extract(props, '"k": (\d+)', 1)
+      |    AS BIGINT) >= 90) AS BIGINT) AS v_props_k,
+      |  CAST(COUNT(*) FILTER (event_type = 'purchase' AND value < 50)
+      |    AS BIGINT) AS v_purchase_min
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Sliding 2-day windows advancing by 1 day (each event in 2 windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -335,6 +366,7 @@ object StreamQueries extends QueryGroup {
       |GROUP BY 1""".stripMargin
 
   override def register(): Unit = {
+    Queries.register(QueryDef("st12_stream_dq", streamDq, Some(streamDqOracle)))
     Queries.register(QueryDef("st11_lateness_audit", latenessAudit,
       Some(latenessAuditOracle)))
     Queries.register(QueryDef("st10_stream_enrich", streamEnrichBatch,

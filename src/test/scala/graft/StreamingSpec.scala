@@ -35,6 +35,40 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-03-01 00:00:00", "b", 1L, 300L)))
   }
 
+  test("streaming DQ gate: per-window rule counts finalize over MemoryStream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value", "props")
+    val k = regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")
+    val q = df.withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"value" > 450d, 1L).otherwise(0L)).as("v_value_max"),
+        sum(when($"user_id" <= 0L, 1L).otherwise(0L)).as("v_user_pos"),
+        sum(when(k >= 90L, 1L).otherwise(0L)).as("v_props_k"))
+      .select($"w.start".as("window_start"), $"n_rows", $"v_value_max",
+        $"v_user_pos", $"v_props_k")
+      .writeStream.format("memory").queryName("dq_out")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-03-01 10:00:00"), 1L, "view", 10.0, "{\"k\": 5}"),
+      (t("2024-03-01 11:00:00"), 0L, "click", 470.0, "{\"k\": 95}"),
+      (t("2024-03-01 12:00:00"), 2L, "view", 20.0, "{\"k\": 50}"))
+    q.processAllAvailable()
+    input.addData((t("2024-03-03 00:00:01"), 3L, "view", 1.0, "{\"k\": 1}"))
+    q.processAllAvailable()
+    val got = spark.table("dq_out")
+      .select($"window_start".cast("string"), $"n_rows", $"v_value_max",
+        $"v_user_pos", $"v_props_k")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    // the bad producer (user 0, value 470, k 95) shows up in its window
+    assert(got === Set(("2024-03-01 00:00:00", 3L, 1L, 1L, 1L)))
+  }
+
   test("streaming top-k ranks watermark-finalized windows in foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
