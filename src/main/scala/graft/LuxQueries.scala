@@ -113,6 +113,15 @@ object LuxQueries extends QueryGroup {
       |  AND EXISTS (SELECT 1 FROM orders
       |    WHERE o_custkey = c_custkey AND CAST(ROUND(o_totalprice*100) AS BIGINT) > 30000000)""".stripMargin
 
+  /** Q7: the identity leaf (`ml_lexer.py:177-182` sem_iri): a direct id
+    * lookup, a namespace-completed id, and an id-anchored hop — orders
+    * placed by one named customer plus two point lookups. */
+  val q7 = """OR(id="p42", id="urn:graft:s7", placedBy(id="c3"))"""
+  private val q7Oracle: String =
+    """SELECT 'p42' AS id FROM part WHERE p_partkey = 42
+      |UNION ALL SELECT 's7' FROM supplier WHERE s_suppkey = 7
+      |UNION ALL SELECT 'o' || o_orderkey FROM orders WHERE o_custkey = 3""".stripMargin
+
   /** OR of word-match + relationship branch: big widget parts, or parts
     * supplied out of a NATION_1*-named nation. */
   val q2 = """OR(AND(etype="part", name="widget", num>40), AND(etype="part", suppliedBy(locatedIn(name="NATION_1"))))"""
@@ -172,5 +181,6 @@ object LuxQueries extends QueryGroup {
     Queries.register(QueryDef("lux_q3_andnot", run(q3), Some(q3Oracle)))
     Queries.register(QueryDef("lux_q4_near", run(q4), Some(q4Oracle)))
     Queries.register(QueryDef("lux_q6_json", runJson(q6Json), Some(q6Oracle)))
+    Queries.register(QueryDef("lux_q7_id", run(q7), Some(q7Oracle)))
   }
 }

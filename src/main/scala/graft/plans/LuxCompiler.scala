@@ -49,6 +49,14 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
 
   /** Result: DataFrame with a single `id` column (distinct). */
   def ids(q: Ast): DataFrame = q match {
+    // the identity leaf (ml_lexer.py:177-182): field "id" bypasses the
+    // catalog (every class has it) and completes a bare identifier to
+    // the data-namespace IRI before the exact lookup — our namespace
+    // twin is the urn:graft: prefix the N-Triples export uses
+    case Leaf("id", "=", str, _, false) =>
+      val v = if (str.startsWith("urn:graft:")) str.stripPrefix("urn:graft:")
+        else str
+      entities.filter(col("id") === v).select("id")
     case Leaf(field, _, _, _, _) if !catalog.fields(field) =>
       sys.error(s"unknown field '$field' (catalog: ${catalog.fields.toSeq.sorted.mkString(",")})")
     case Rel(pred, _) if !catalog.predicates(pred) =>

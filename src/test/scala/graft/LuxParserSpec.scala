@@ -111,4 +111,18 @@ class LuxParserSpec extends AnyFunSuite {
     val b = c.ids(jAst).collect().map(_.getString(0)).sorted
     assert(a.sameElements(b))
   }
+
+  test("id leaf bypasses the catalog and completes the namespace prefix") {
+    val spark = TestSpark.spark
+    val (e, t) = LuxQueries.substrate(spark, TestSpark.sf)
+    val c = new graft.plans.LuxCompiler(e, t)
+    // "id" is not a catalog field, yet the leaf compiles (sem_iri path)
+    assert(!graft.plans.LuxCatalog.default.fields("id"))
+    val direct = c.compile("""id="p42"""").collect().map(_.getString(0))
+    val prefixed = c.compile("""id="urn:graft:p42"""").collect().map(_.getString(0))
+    assert(direct.sameElements(Array("p42")))
+    assert(prefixed.sameElements(direct))
+    // unknown ids return empty, not an error
+    assert(c.compile("""id="zz999"""").count() === 0L)
+  }
 }
