@@ -614,7 +614,33 @@ object RelationalQueries extends QueryGroup {
       |  ON user_id = tu AND tus < cus AND tus >= cus - 604800000000
       |GROUP BY conv_id, user_id""".stripMargin
 
+  /** A12: the pivoted daily activity report — event counts per day wide
+    * by type, the dashboard-export shape. The pivot value list is
+    * STATIC (the event-type domain), which is the 100 TB contract: a
+    * dynamic pivot needs a driver-side distinct pass first; a declared
+    * domain keeps it one groupBy. Empty cells coalesce to 0. */
+  def pivotReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val p = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select($"day" +: types.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+  private val pivotReportOracle: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+      |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("a12_pivot_report", pivotReport,
+      Some(pivotReportOracle)))
     Queries.register(QueryDef("w13_attribution", attribution, Some(attributionOracle)))
     Queries.register(QueryDef("w12_grouped_topk", groupedTopK, Some(groupedTopKOracle)))
     Queries.register(QueryDef("j14_asof_join", asofJoin, Some(asofJoinOracle)))

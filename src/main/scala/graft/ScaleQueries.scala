@@ -154,6 +154,57 @@ object ScaleQueries extends QueryGroup {
        |FROM k GROUP BY 1""".stripMargin
   }
 
+  /** S19: the file-skipping evaluation s13 exists to justify — per-file
+    * (bucket) min/max column stats under the Z-ORDERED layout vs the
+    * naive single-key (orderkey-range) layout, probed with four pk
+    * range predicates: a file is skippable when its [pk_lo, pk_hi]
+    * stripe misses the probe range, which is exactly the parquet
+    * row-group / Delta file-stats pruning rule. The linear layout's
+    * stripes span the whole pk domain (skips nothing); Z-ordering
+    * localizes BOTH keys, so the same stats skip real files — the
+    * measured difference is the query's output. */
+  def fileSkippingEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(($"l_partkey" % 256).cast("long").as("pk"),
+        ($"l_orderkey" % 256).cast("long").as("sk"))
+    def stats(bucketed: DataFrame, layout: String) = bucketed
+      .groupBy($"bucket")
+      .agg(min($"pk").as("pk_lo"), max($"pk").as("pk_hi"))
+      .withColumn("layout", lit(layout))
+    val z = stats(li.withColumn("bucket",
+      shiftright(functions.ZOrder.mortonCol($"pk", $"sk", 8), 12)), "zorder")
+    val lin = stats(li.withColumn("bucket", shiftright($"sk", 4)), "linear")
+    val probes = Seq((0L, 0L, 31L), (1L, 64L, 95L), (2L, 128L, 191L),
+      (3L, 240L, 255L)).toDF("probe", "lo", "hi")
+    z.union(lin).crossJoin(broadcast(probes))
+      .groupBy($"layout", $"probe")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"pk_hi" < $"lo" || $"pk_lo" > $"hi", 1L).otherwise(0L))
+          .as("n_skipped"))
+  }
+  private val fileSkippingEvalOracle: String = {
+    val m = functions.ZOrder.mortonSql("pk", "sk", 8)
+    s"""WITH k AS (
+       |  SELECT CAST(l_partkey % 256 AS BIGINT) AS pk,
+       |         CAST(l_orderkey % 256 AS BIGINT) AS sk
+       |  FROM lineitem),
+       |z AS (
+       |  SELECT 'zorder' AS layout, ($m) >> 12 AS bucket,
+       |    MIN(pk) AS pk_lo, MAX(pk) AS pk_hi FROM k GROUP BY 2),
+       |lin AS (
+       |  SELECT 'linear' AS layout, sk >> 4 AS bucket,
+       |    MIN(pk) AS pk_lo, MAX(pk) AS pk_hi FROM k GROUP BY 2),
+       |f AS (SELECT * FROM z UNION ALL SELECT * FROM lin),
+       |p AS (SELECT * FROM (VALUES (0, 0, 31), (1, 64, 95), (2, 128, 191),
+       |  (3, 240, 255)) AS t(probe, lo, hi))
+       |SELECT layout, CAST(probe AS BIGINT) AS probe,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) FILTER (pk_hi < lo OR pk_lo > hi) AS BIGINT)
+       |    AS n_skipped
+       |FROM f, p GROUP BY 1, 2""".stripMargin
+  }
+
   /** S14: table statistics in ONE scan — min/max/exact NDV for three
     * key columns of lineitem, unpivoted to (column, min_v, max_v, ndv)
     * rows: what ANALYZE TABLE collects for the optimizer, computed as
@@ -344,6 +395,8 @@ object ScaleQueries extends QueryGroup {
     Queries.register(QueryDef("j18_sorted_neighborhood", sortedNeighborhood, Some(snmOracle)))
     Queries.register(QueryDef("s14_table_stats", tableStats, Some(tableStatsOracle)))
     Queries.register(QueryDef("s13_zorder_layout", zorderLayout, Some(zorderLayoutOracle)))
+    Queries.register(QueryDef("s19_file_skipping_eval", fileSkippingEval,
+      Some(fileSkippingEvalOracle)))
     Queries.register(QueryDef("a8_salted_refcount", saltedRefCount, Some(saltedRefCountOracle)))
     Queries.register(QueryDef("f9_url_normalize", urlNormalize, Some(urlNormalizeOracle)))
     Queries.register(QueryDef("t_shard_balance", shardBalance, Some(shardBalanceOracle)))
