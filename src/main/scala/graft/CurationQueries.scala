@@ -209,11 +209,13 @@ object CurationQueries extends QueryGroup {
       |    WHEN v = 2 THEN 'failed_b' ELSE 'ok' END AS status
       |FROM b""".stripMargin
 
-  /** The source-freshness audit (`checkDataUpdates.py:96-160`): per
-    * source-cache, the local mirror watermark vs the latest record time;
-    * a cache whose watermark is invalid (the reference's leading-0000
-    * timestamp) fails outright. Microsecond-exact integer epochs; one
-    * scan, partial aggregation to ten groups. */
+  /** The source-freshness audit (`checkDataUpdates.py:96-160`; the
+    * same per-cache `datacache.latest()` watermark feeds the reporting
+    * sweep in `populate-timestamps.py:137-149`): per source-cache, the
+    * local mirror watermark vs the latest record time; a cache whose
+    * watermark is invalid (the reference's leading-0000 timestamp)
+    * fails outright. Microsecond-exact integer epochs; one scan,
+    * partial aggregation to ten groups. */
   def freshnessAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val caches = Seq("aat", "bnf", "geonames", "japan", "japansh", "lcdgt",

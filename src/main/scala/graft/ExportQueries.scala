@@ -217,7 +217,14 @@ object ExportQueries extends QueryGroup {
     * just that a roundtrip spec passed on a toy frame.
     *
     * Scale: save is a straight sharded write; load is line-splittable
-    * JSON; skip-existing ships only the id column into the anti-join. */
+    * JSON; skip-existing ships only the id column into the anti-join.
+    *
+    * The reference's ad-hoc export scripts are this same kernel: the
+    * typed per-slice dump (`extract_people.py:24-33` — our typed scan
+    * + sharded write) and the external-record zip export with its
+    * qua-split first-wins dedupe (`exportExternal.py:45-63` — the
+    * distinct-on-identifier step is s10's typed scan + d1's exact
+    * dedupe composed ahead of the write). */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
