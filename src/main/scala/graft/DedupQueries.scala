@@ -665,6 +665,49 @@ object DedupQueries extends QueryGroup {
        |    ELSE 1000 // CAST(csize AS BIGINT) END AS weight_milli
        |FROM asg a JOIN sz ON a.cluster = sz.cluster""".stripMargin
 
+  /** D20: QUALITY-elected cluster canonicals — d6 keeps the min doc_id
+    * per near-dup cluster (the idmap winner rule); a production corpus
+    * keeps the BEST member: within each cluster elect the document with
+    * the highest lexical-diversity score (distinct-token milli-ratio,
+    * integer-exact like t_quality_score), ties to the lowest doc_id.
+    * The LLM-dedup twin of the reference's merge base-record choice
+    * (`run-merge.py:105-168` picks the fold base by source priority,
+    * not arrival order). Same cluster machinery as d6/d15; the election
+    * is one max-of-struct aggregate over the (tiny) clustered slice —
+    * no window, and the per-cluster struct max combines map-side. */
+  def qualityCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokensCol($"text")
+    val q = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        intDiv(size(array_distinct(toks)).cast("long") * 1000L,
+          size(toks).cast("long")).as("dm"))
+    val scored = clusterAssign(spark, dir).join(q, Seq("doc_id"))
+    // max over (dm, -doc_id) = highest score, then lowest id
+    val reps = scored.groupBy($"cluster")
+      .agg(max(struct($"dm", (-$"doc_id").as("nid"))).as("best"))
+      .select($"cluster", (-$"best.nid").as("rep"))
+    scored.join(reps, Seq("cluster"))
+      .select($"doc_id", $"cluster", $"rep", $"dm",
+        ($"doc_id" === $"rep").as("keep"))
+  }
+  private val qualityCanonicalOracle: String =
+    s"""WITH RECURSIVE $clusterAssignCtes,
+       |q AS (SELECT doc_id,
+       |  CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) * 1000
+       |    // CAST(len(${tokensSql("text")}) AS BIGINT) AS dm
+       |  FROM documents),
+       |sc AS (SELECT a.doc_id, a.cluster, q.dm
+       |  FROM asg a JOIN q ON a.doc_id = q.doc_id),
+       |reps AS (SELECT cluster, doc_id AS rep FROM (
+       |  SELECT cluster, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY dm DESC, doc_id ASC) AS rn
+       |  FROM sc) WHERE rn = 1)
+       |SELECT sc.doc_id, sc.cluster, reps.rep, sc.dm,
+       |  (sc.doc_id = reps.rep) AS keep
+       |FROM sc JOIN reps ON sc.cluster = reps.cluster""".stripMargin
+
   /** Benchmark decontamination: flag every training document sharing a
     * word-3-gram shingle with a held-out "benchmark" set (here: docs
     * with doc_id % 37 = 0 stand in for the eval suite). The standard
@@ -1462,6 +1505,8 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d15_soft_dedup", softDedup, Some(softDedupOracle)))
     Queries.register(QueryDef("d16_bloom_prefilter", bloomPrefilter,
       Some(bloomPrefilterOracle)))
+    Queries.register(QueryDef("d20_quality_canonical", qualityCanonical,
+      Some(qualityCanonicalOracle)))
     Queries.register(QueryDef("t_incremental_refresh", incrementalRefresh,
       Some(incrementalRefreshOracle)))
   }

@@ -567,7 +567,42 @@ object GraphQueries extends QueryGroup {
       |  CAST(4 * MAX(m.m) * MAX(m.m) AS BIGINT) AS q_den
       |FROM dc LEFT JOIN ec ON dc.c = ec.c, m""".stripMargin
 
+  /** G9: bounded weighted shortest paths over the part–supplier
+    * co-occurrence graph (edge weight = cheapest observed quantity on
+    * the link, min-merged across duplicate lineitems), from the low-id
+    * seed nodes, within 4 hops — cost-ranked reachability, the weighted
+    * twin of g2's hop-ranked reference walk. Costs are sums of integer
+    * quantities, so the DuckDB hop-bounded recursive-CTE replay is
+    * bit-exact. The frontier loop's early convergence exit and the
+    * oracle's hop bound agree exactly (a k-edge path needs k rounds and
+    * the fixpoint sends nothing new — see operators.Graph.boundedSssp). */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 25 === 0)
+      .groupBy(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
+      .agg(min($"l_quantity".cast("long")).as("w"))
+    val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val seeds = sym.filter($"src" < 100).select($"src".as("node")).distinct()
+    operators.Graph.boundedSssp(sym, seeds, maxHops = 4)
+  }
+  private val ssspOracle: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst,
+      |    MIN(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem WHERE l_orderkey % 25 = 0 GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM e0
+      |  UNION ALL SELECT dst, src, w FROM e0),
+      |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src < 100),
+      |walk(node, hops, dist) AS (
+      |  SELECT node, 0, CAST(0 AS BIGINT) FROM seeds
+      |  UNION
+      |  SELECT sym.dst, walk.hops + 1, walk.dist + sym.w
+      |  FROM walk JOIN sym ON walk.node = sym.src WHERE walk.hops < 4)
+      |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""".stripMargin
+
   override def register(): Unit = {
+    Queries.register(QueryDef("g9_sssp", sssp, Some(ssspOracle)))
     Queries.register(QueryDef("g8_modularity", modularity,
       Some(modularityOracle)))
     Queries.register(QueryDef("g7_incremental_cc", incrementalCC,

@@ -127,6 +127,59 @@ object Graph {
     labels.select($"node", $"label".as("component"))
   }
 
+  /** Bounded weighted shortest paths — Bellman-Ford as a delta iteration
+    * over directed weighted edges (src, dst, w) from a seed set (node).
+    * Output (node, dist): the minimum total weight over paths of at most
+    * `maxHops` edges (weights non-negative longs; unreachable-within-
+    * bound nodes are absent). The weighted generalization of `bfs` — the
+    * reference's walk ranks by hop count only (`run-reconcile.py`
+    * reference walk); cost-ranked traversal is what a relevance- or
+    * confidence-weighted identity graph needs.
+    *
+    * Exactness of the frontier restriction: a node whose tentative
+    * distance improved in round j sends messages in round j+1, and a
+    * k-edge path relaxes one edge per round, so by induction after round
+    * h every node holds min cost over <=h-hop paths; conversely a message
+    * chain crosses one edge per round, so after maxHops rounds no path
+    * longer than maxHops has contributed. Early exit when a round
+    * improves nothing is exact (fixpoint).
+    *
+    * Scale shape: per round ONE shuffle join of the (cached) edge table
+    * against the improved frontier + a map-side-combining groupBy(dst)
+    * min — message volume is frontier fan-out, not |E|; state is a
+    * (node, dist) table; the convergence probe shares the round's single
+    * job via a lazy localCheckpoint, scalar-only driver traffic. */
+  def boundedSssp(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select($"src", $"dst", $"w".cast("long").as("w")).persist()
+    var dist = seeds.select($"node").distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var h = 0
+    var converged = false
+    while (h < maxHops && !converged) {
+      val msgs = e.join(frontier, e("src") === frontier("node"))
+        .groupBy($"dst".as("node2")).agg(min($"dist" + $"w").as("cand"))
+      // full outer: messages can reach nodes with no tentative distance yet
+      val stepped = dist.join(msgs, dist("node") === msgs("node2"), "full")
+        .select(coalesce($"node", $"node2").as("node"),
+          $"dist".as("prev"),
+          least(coalesce($"dist", $"cand"), coalesce($"cand", $"dist")).as("dist"))
+        .localCheckpoint(eager = false)
+      // ONE job: improvement count doubles as the convergence test
+      val nImproved = stepped
+        .agg(count(when($"prev".isNull || $"dist" < $"prev", 1))).head().getLong(0)
+      converged = nImproved == 0L
+      frontier = stepped.filter($"prev".isNull || $"dist" < $"prev")
+        .select($"node", $"dist")
+      dist = stepped.select($"node", $"dist")
+      h += 1
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Breadth-first search with min-distance semantics over directed edges
     * (src, dst) from a seed set (node), bounded by maxDist — the
     * reference-walk shape (dist <= 3, min-dist re-queueing). Output

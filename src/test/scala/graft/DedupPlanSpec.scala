@@ -263,6 +263,32 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(keep == minima)
   }
 
+  test("d20 quality canonical: rep maximizes diversity with lowest-id ties, no window") {
+    import spark.implicits._
+    val out = Queries.queries("d20_quality_canonical")(spark, TestSpark.sf)
+      .select($"doc_id", $"cluster", $"rep", $"dm", $"keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (c, rs) =>
+      val reps = rs.map(_._3).distinct
+      assert(reps.length == 1, s"cluster $c disagrees on rep")
+      val bestDm = rs.map(_._4).max
+      val expect = rs.filter(_._4 == bestDm).map(_._1).min
+      assert(reps.head == expect,
+        s"cluster $c elected ${reps.head}, expected $expect (dm=$bestDm)")
+      assert(rs.count(_._5) == 1, s"cluster $c keep count != 1")
+      assert(rs.find(_._5).get._1 == expect)
+    }
+    // same cluster assignment as d6 (shared machinery stays shared)
+    val d6 = Queries.queries("d6_dedup_clusters")(spark, TestSpark.sf)
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(out.map(r => r._1 -> r._2).toMap == d6)
+    // the election is an aggregate, not a per-cluster window
+    val p = DedupQueries.qualityCanonical(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"election must not use a window:\n$p")
+  }
+
   test("d16 bloom pre-filter: no false negatives, and it actually filters") {
     import spark.implicits._
     val out = Queries.queries("d16_bloom_prefilter")(spark, TestSpark.sf)

@@ -83,4 +83,50 @@ class GraphPropertySpec extends AnyFunSuite {
       assert(got === dist, s"trial=$trial edges=$edges")
     }
   }
+
+  test("boundedSssp matches brute hop-bounded Bellman-Ford on random weighted graphs") {
+    import spark.implicits._
+    val r = new scala.util.Random(0x5E55)
+    for (trial <- 0 until 6) {
+      val n = r.nextInt(25) + 8
+      val edges = Seq.fill(r.nextInt(60) + 5)(
+        (r.nextInt(n).toLong, r.nextInt(n).toLong, r.nextInt(20).toLong + 1L))
+        .filter(e => e._1 != e._2)
+      val seeds = Seq(0L, 1L)
+      val maxHops = r.nextInt(4) + 1
+      // brute DP: d_h(v) = min(d_{h-1}(v), min over (u,v,w) of d_{h-1}(u)+w)
+      var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to maxHops) {
+        val relax = edges.flatMap { case (u, v, w) =>
+          dist.get(u).map(du => v -> (du + w))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        dist = (dist.keySet ++ relax.keySet).map { v =>
+          v -> math.min(dist.getOrElse(v, Long.MaxValue),
+            relax.getOrElse(v, Long.MaxValue))
+        }.toMap
+      }
+      val got = Graph.boundedSssp(edges.toDF("src", "dst", "w"),
+          seeds.toDF("node"), maxHops)
+        .as[(Long, Long)].collect().toMap
+      assert(got === dist, s"trial=$trial maxHops=$maxHops edges=$edges")
+    }
+  }
+
+  test("boundedSssp prefers a cheaper longer path and exits early at the fixpoint") {
+    import spark.implicits._
+    // 0 -> 3 direct cost 100; 0 ->1 ->2 ->3 total cost 3
+    val edges = Seq((0L, 3L, 100L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    val seeds = Seq(0L)
+    // within 1 hop the direct edge wins; within 3 the cheap chain wins
+    val oneHop = Graph.boundedSssp(edges.toDF("src", "dst", "w"),
+      seeds.toDF("node"), maxHops = 1).as[(Long, Long)].collect().toMap
+    assert(oneHop === Map(0L -> 0L, 1L -> 1L, 3L -> 100L))
+    val threeHop = Graph.boundedSssp(edges.toDF("src", "dst", "w"),
+      seeds.toDF("node"), maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(threeHop === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // a generous bound converges early to the same fixpoint
+    val big = Graph.boundedSssp(edges.toDF("src", "dst", "w"),
+      seeds.toDF("node"), maxHops = 50).as[(Long, Long)].collect().toMap
+    assert(big === threeHop)
+  }
 }
