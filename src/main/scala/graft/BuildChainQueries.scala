@@ -73,6 +73,10 @@ object BuildChainQueries extends QueryGroup {
       .union(cust.select(($"c_custkey" * 8L).as("src"), ($"c_nationkey" * 8L + 4L).as("dst")))
       .union(supp.select(($"s_suppkey" * 8L + 3L).as("src"), ($"s_nationkey" * 8L + 4L).as("dst")))
       .distinct()
+      // probed once per fixpoint round: without the persist every round
+      // re-unions + re-distincts the full relationship substrate (the
+      // single biggest cost in the chain — O(rounds × |rel|))
+      .persist()
     // the K4 name index as equivalence edges: part → min partkey per name
     val twin = part
       .select($"p_partkey".cast("long").as("pk"),
@@ -80,6 +84,7 @@ object BuildChainQueries extends QueryGroup {
           .cast("long").as("m"))
       .filter($"pk" =!= $"m")
       .select(($"pk" * 8L + 2L).as("src"), ($"m" * 8L + 2L).as("dst"))
+      .persist() // same: probed once per round by the name pass
     val seed = orders.filter($"o_custkey" <= 5)
       .select(($"o_custkey" * 8L).as("src"), ($"o_orderkey" * 8L + 1L).as("dst"))
 
@@ -93,6 +98,7 @@ object BuildChainQueries extends QueryGroup {
     val namePass = (ns: DataFrame) =>
       twin.join(ns.withColumnRenamed("v", "src"), "src")
     val edges = operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
+      .persist() // read three ways: eqEdges (CC), reached, final layers
 
     // ── stage 3: idmap CC (J7 operator) over the equivalence subset
     val eqEdges = edges.filter($"src" % 8 === 2 && $"dst" % 8 === 2)
