@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+
+/** Registry-wide scale audit: EVERY registered query's physical plan is
+  * traversed (not string-matched) and checked for the three shapes that
+  * do not survive a 100× scale-up:
+  *
+  *   - CartesianProductExec — an all-pairs join;
+  *   - WindowExec with an empty partitionSpec — a single-partition
+  *     global window (the repo owns operators.PrefixSum/GlobalRank for
+  *     that shape);
+  *   - BroadcastNestedLoopJoinExec whose broadcast side is NOT a
+  *     scalar aggregate — broadcasting one computed row (a count, a
+  *     corpus total) is the sanctioned crossJoin(broadcast(scalar))
+  *     idiom; broadcasting anything wider is an unbounded product.
+  *
+  * Per-query PlanSpec/DedupPlanSpec pins assert positive structure
+  * (which join strategy, where the exchanges are); this sweep asserts
+  * the negative claim globally so "no cartesian and no unpartitioned
+  * window anywhere in the registry" is a test, not a review note.
+  * AQE is disabled while planning so the raw join/window operators are
+  * visible (AQE can only improve on them at runtime, never introduce
+  * these shapes).
+  *
+  * Allowlist: a handful of queries broadcast a BOUNDED non-scalar side
+  * by design — brute/ADC vector scans broadcast the fixed query set or
+  * codebook, the decontamination audit broadcasts the benchmark
+  * fraction, the file-skipping eval probes 4 predicates against
+  * per-file stats, and the source-overlap matrix pairs a bounded
+  * source domain. Each is pinned BY NAME with the bounded side stated;
+  * the sweep fails if any OTHER query grows one of these shapes, and
+  * also if an allowlist entry goes stale (entry no longer exhibits the
+  * shape — keep the list tight). */
+class RegistryPlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** query name → bounded side justifying its non-equi join shape. */
+  private val boundedBroadcast: Map[String, String] = Map(
+    "v1_knn_brute" -> "fixed 100-query probe set (the documented brute baseline)",
+    "v4_ann_ivf" -> "probe set × nprobe-selected cell centroids (K=16)",
+    "v5_quantized_knn" -> "fixed int8 probe set",
+    "v6_kmeans" -> "K=16 centroid table per Lloyd round",
+    "v8_pq_search" -> "per-query PQ lookup tables (M×K entries)",
+    "v10_pq_rerank" -> "coarse-pass candidate LUTs, top-N bounded",
+    "v11_ivf_append" -> "trained centroid table on the ingest path",
+    "v14_ivf_delete" -> "centroid table on the probe path",
+    "v16_nprobe_sweep" -> "widest-budget candidate set, filtered per level",
+    "v13_bitext_margin" -> "per-side neighborhood-average tables (k=4)",
+    "d17_embed_decontaminate" -> "benchmark vectors (corpus/37, the broadcast probe)",
+    "s19_file_skipping_eval" -> "4 range predicates × 16 per-file stat rows",
+    "t_source_overlap" -> "source-domain pair matrix (|sources|^2 rows)")
+
+  private def scalarAggBelow(p: SparkPlan): Boolean = p.collectFirst {
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+  }.nonEmpty
+
+  test("every registered query plans free of cartesians and unpartitioned windows") {
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    val sanctioned = scala.collection.mutable.Set[String]()
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Queries.all) {
+        try {
+          val plan = q.fn(spark, TestSpark.sf).queryExecution.executedPlan
+          val hits = plan.collectWithSubqueries {
+            case _: CartesianProductExec => Some("CartesianProduct")
+            case w: WindowExec if w.partitionSpec.isEmpty =>
+              Some("unpartitioned Window")
+            case j: BroadcastNestedLoopJoinExec
+                if !scalarAggBelow(j.left) && !scalarAggBelow(j.right) =>
+              Some("non-scalar BroadcastNestedLoopJoin")
+            case _ => None
+          }.flatten
+          hits.foreach { h =>
+            // a global window is never sanctioned; the join shapes are,
+            // for the named bounded-broadcast designs only
+            if (h != "unpartitioned Window" && boundedBroadcast.contains(q.name))
+              sanctioned += q.name
+            else violations += s"${q.name}: $h"
+          }
+        } catch { case e: Throwable =>
+          violations += s"${q.name}: failed to plan: " +
+            String.valueOf(e.getMessage).linesIterator.next().take(120)
+        }
+        // iterative queries persist their substrates during construction;
+        // drop them so the sweep's storage footprint stays per-query
+        spark.catalog.clearCache()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert(violations.isEmpty,
+      s"${violations.size} plan violations:\n" + violations.mkString("\n"))
+    // staleness: every allowlist entry must still earn its place
+    val stale = boundedBroadcast.keySet -- sanctioned
+    assert(stale.isEmpty,
+      s"allowlist entries no longer exhibit the shape (remove them): $stale")
+  }
+}
