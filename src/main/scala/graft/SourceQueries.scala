@@ -66,6 +66,87 @@ object SourceQueries extends QueryGroup {
       |    WHEN 2 THEN 41 ELSE 54 END AS BIGINT) AS n_bytes
       |FROM customer""".stripMargin
 
+  /** M1v: image near-duplicate detection over REAL decoded pixels — the
+    * canonical VLM-corpus image dedup. Per document an 8×8 grayscale
+    * 24bpp BMP (luma pattern arithmetic in (doc_id, cell)) travels as an
+    * opaque binary payload; `ImageCodec.decodeBmp24` parses the actual
+    * pixel bytes back (bottom-up rows, BGR, padding — the real layout);
+    * the 64-bit average-hash packs as 4×16-bit bands; near-dups = band
+    * equi-join candidates verified at Hamming <= 3 (pigeonhole: <=3 bit
+    * flips leave >=1 band identical — never an all-pairs stage, the
+    * image twin of d3's simhash blocking).
+    *
+    * Fixture: class = doc_id % 50 picks the base pattern; one +128 luma
+    * spike (mod 256) at cell doc_id % 64 per doc — same-class images
+    * differ at <=2 cells, cross-class patterns decorrelate. The oracle
+    * replays pattern → mean → bits → bands arithmetically, so the
+    * decode path is pinned end to end: any byte-layout bug in the
+    * encoder/decoder shifts a luma and breaks the hash compare. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Tables.load(spark, dir, "documents")
+      .select($"doc_id".cast("long")).as[Long].map { id =>
+        val gray = Array.tabulate(64) { k =>
+          (((id % 50) * 37 + k.toLong * k * 11 +
+            (if (k.toLong == id % 64) 128L else 0L)) % 256L).toInt
+        }
+        val bytes = sources.ImageCodec.encodeBmp24(8, 8, gray)
+        // the real decode path: header + pixel parse of the actual bytes
+        val (_, _, luma) = sources.ImageCodec.decodeBmp24(bytes).get
+        val b = sources.ImageCodec.aHashBands(luma)
+        (id, b(0), b(1), b(2), b(3))
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+      .persist() // both sides of the band self-join
+    val e = bands.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+      posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("j", "v")))
+    e.as("a").join(e.as("b"),
+        col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.b0").bitwiseXOR(col("b.b0"))) +
+          bit_count(col("a.b1").bitwiseXOR(col("b.b1"))) +
+          bit_count(col("a.b2").bitwiseXOR(col("b.b2"))) +
+          bit_count(col("a.b3").bitwiseXOR(col("b.b3")))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3L)
+  }
+  private val imageNearDupOracle: String = {
+    def bandSql(j: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CASE WHEN v[${16 * j} + i + 1] >= mean
+         |       THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+         |     for i in range(0, 16)]), (a,b)->a+b)""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    [CAST(((doc_id % 50) * 37 + k*k*11 +
+       |       CASE WHEN k = doc_id % 64 THEN 128 ELSE 0 END) % 256 AS BIGINT)
+       |     for k in range(0, 64)] AS v
+       |  FROM documents),
+       |hm AS (SELECT doc_id, v,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), v), (a,b)->a+b) // 64 AS mean
+       |  FROM g),
+       |bands AS (SELECT doc_id,
+       |  ${bandSql(0)} AS b0,
+       |  ${bandSql(1)} AS b1,
+       |  ${bandSql(2)} AS b2,
+       |  ${bandSql(3)} AS b3
+       |  FROM hm),
+       |e AS (
+       |  SELECT doc_id, 0 AS j, b0 AS bv, b0, b1, b2, b3 FROM bands
+       |  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM bands
+       |  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM bands
+       |  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |      AS BIGINT) AS hamming
+       |  FROM e a JOIN e b
+       |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
   /** The non-image fallback path: documents' UTF-8 text bytes through
     * the same pipeline — unknown format, 0×0, checksum still exact. */
   def mediaFallback(spark: SparkSession, dir: String): DataFrame = {
@@ -532,6 +613,7 @@ object SourceQueries extends QueryGroup {
     Queries.register(QueryDef("m1f_features", mediaFeatures, Some(mediaFeaturesOracle)))
     Queries.register(QueryDef("m1g_frame_sample", mediaFrames, Some(mediaFramesOracle)))
     Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))
+    Queries.register(QueryDef("m1v_image_neardup", imageNearDup, Some(imageNearDupOracle)))
     Queries.register(QueryDef("s7_pmh_walk", pmhWalk, Some(pmhWalkOracle)))
     Queries.register(QueryDef("s4_archive_load", archiveLoad, Some(archiveLoadOracle)))
     Queries.register(QueryDef("s2_zip_load", zipLoad, Some(zipLoadOracle)))

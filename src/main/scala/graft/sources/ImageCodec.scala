@@ -109,4 +109,80 @@ object ImageCodec {
     "BM".getBytes ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
       le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
       Array.fill(24)(0.toByte)
+
+  /** 24bpp uncompressed BMP WITH real pixel data — the standard Windows
+    * layout: 54-byte header, bottom-up rows, BGR byte order, rows padded
+    * to 4 bytes. Encodes a grayscale image (r=g=b=v); any conformant
+    * reader decodes the same pixels. */
+  def encodeBmp24(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == w * h, s"expected ${w * h} pixels, got ${gray.length}")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowSize * h
+    val out = new Array[Byte](size)
+    val header = "BM".getBytes ++ le32b(size) ++ le32b(0) ++ le32b(54) ++
+      le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+      le32b(0) ++ le32b(rowSize * h) ++ Array.fill(16)(0.toByte)
+    System.arraycopy(header, 0, out, 0, 54)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y // file rows run bottom-up
+      var x = 0
+      while (x < w) {
+        val v = (gray(srcRow * w + x) & 0xff).toByte
+        val off = 54 + y * rowSize + x * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v // B G R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real pixel decode of a 24bpp uncompressed bottom-up BMP: returns
+    * (w, h, integer luma per pixel in row-major top-down order) via the
+    * ITU-R 601 integer weights (299r + 587g + 114b) / 1000 — exact on
+    * grayscale payloads (luma = v). None on any other layout. */
+  def decodeBmp24(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M' ||
+      le16(b, 28) != 24 || le32(b, 30) != 0) return None
+    val w = le32(b, 18); val h = le32(b, 22); val off = le32(b, 10)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (w <= 0 || h <= 0 || off < 54 || b.length < off + rowSize * h) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val dstRow = h - 1 - y
+      var x = 0
+      while (x < w) {
+        val p = off + y * rowSize + x * 3
+        val blue = u8(b, p); val green = u8(b, p + 1); val red = u8(b, p + 2)
+        gray(dstRow * w + x) = (red * 299 + green * 587 + blue * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** 8×8 average-hash packed as four 16-bit bands: bit k = cell k's
+    * luma >= the integer mean; band j holds bits 16j..16j+15
+    * little-endian. Band equality is the Hamming-LSH bucket key —
+    * hamming(a, b) <= 3 leaves at least one of the 4 bands identical
+    * (pigeonhole), so a per-band equi-join finds every <=3-bit pair
+    * without an all-pairs stage. Images larger than 8×8 box-downsample
+    * before hashing; the fixture images are exactly 8×8 so the whole
+    * decode→hash path stays integer-replayable. */
+  def aHashBands(gray: Array[Int]): Array[Int] = {
+    require(gray.length == 64, s"aHash expects an 8x8 image, got ${gray.length} px")
+    val mean = gray.sum / 64
+    Array.tabulate(4) { j =>
+      var v = 0
+      var i = 0
+      while (i < 16) {
+        if (gray(16 * j + i) >= mean) v |= 1 << i
+        i += 1
+      }
+      v
+    }
+  }
 }

@@ -63,4 +63,54 @@ class ImageCodecSpec extends AnyFunSuite {
     b(4) = '7'.toByte
     assert(ImageCodec.parse(b).contains(ImageInfo("gif", 10, 20)))
   }
+
+  test("BMP24 pixel roundtrip across padded and unpadded row widths") {
+    val r = new scala.util.Random(0xB127)
+    // w=3 → 9-byte rows padded to 12; w=4 → exact; w=5 → 15 padded to 16
+    for ((w, h) <- Seq((3, 2), (4, 4), (5, 3), (8, 8), (1, 1))) {
+      val gray = Array.fill(w * h)(r.nextInt(256))
+      val bytes = ImageCodec.encodeBmp24(w, h, gray)
+      assert(bytes.length == 54 + (w * 3 + 3) / 4 * 4 * h)
+      // the header parser agrees with the pixel decoder
+      assert(ImageCodec.parse(bytes).contains(ImageInfo("bmp", w, h)))
+      val Some((dw, dh, luma)) = ImageCodec.decodeBmp24(bytes)
+      assert((dw, dh) == (w, h))
+      // grayscale payload: luma = v exactly (299+587+114 = 1000)
+      assert(luma.toSeq == gray.toSeq)
+    }
+  }
+
+  test("decodeBmp24 rejects non-BMP, truncated, and compressed payloads") {
+    assert(ImageCodec.decodeBmp24(ImageCodec.synthPng(8, 8)).isEmpty)
+    val good = ImageCodec.encodeBmp24(8, 8, Array.fill(64)(7))
+    assert(ImageCodec.decodeBmp24(good.take(100)).isEmpty)
+    val compressed = good.clone()
+    compressed(30) = 1 // biCompression = BI_RLE8
+    assert(ImageCodec.decodeBmp24(compressed).isEmpty)
+  }
+
+  test("aHash bands: bit packing, and <=3-flip pairs always share a band") {
+    val base = Array.tabulate(64)(k => (k * 7) % 256)
+    val bands = ImageCodec.aHashBands(base)
+    val mean = base.sum / 64
+    for (k <- 0 until 64) {
+      val bit = (bands(k / 16) >> (k % 16)) & 1
+      assert(bit == (if (base(k) >= mean) 1 else 0), s"cell $k")
+    }
+    // flip <=3 cells hard across the mean: some band must stay equal
+    val r = new scala.util.Random(0xA5)
+    for (_ <- 0 until 20) {
+      val mod = base.clone()
+      val cells = r.shuffle((0 until 64).toList).take(r.nextInt(3) + 1)
+      // nudge without moving the mean out from under the other bits
+      cells.foreach(c => mod(c) = if (mod(c) >= mean) 0 else 255)
+      val mb = ImageCodec.aHashBands(mod)
+      val hamming = (0 until 64).count { k =>
+        ((bands(k / 16) >> (k % 16)) & 1) != ((mb(k / 16) >> (k % 16)) & 1)
+      }
+      if (hamming <= 3)
+        assert((0 until 4).exists(j => bands(j) == mb(j)),
+          s"no shared band at hamming=$hamming")
+    }
+  }
 }
