@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-technique operators: explicit skew-salted two-phase aggregation
@@ -389,7 +389,78 @@ object ScaleQueries extends QueryGroup {
        |  ON b.rk BETWEEN a.rk + 1 AND a.rk + $SnmWindow
        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
 
+  /** S21: join-size estimation from Count-Min sketches — the planner
+    * probe that decides broadcast vs shuffle vs salt BEFORE running a
+    * 100 TB join. Each side folds into a CmsD×CmsW counter grid (one
+    * map-side pass, 1024 cells — table-size-independent); the estimate
+    * is min over rows of the per-row inner product Σ_b L[b]·R[b]
+    * (AMS/CMS join-size, Alon-Matias-Szegedy '96 / Cormode-Muthukrishnan
+    * '05), which NEVER undercounts the true Σ_k l(k)·r(k) — collisions
+    * only add mass — so acting on it is safe: a join the sketch calls
+    * small IS small. Two probes: the key-unique orders⋈lineitem and the
+    * 25-key customer⋈supplier nation blowup the estimator exists to
+    * catch. exact_n is the evaluation ground truth, computed as
+    * Σ_k cntL·cntR over per-key counts (never materializing the join).
+    * Deterministic hash rows → the DuckDB replay is bit-exact. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import TextQueries.{CmsD, CmsW, HashP}
+    def bucket(j: Int, k: Column) =
+      pmod(pmod(lit(functions.VecMath.aj(60 + j)) * k +
+        lit(functions.VecMath.bj(60 + j)), lit(HashP)), lit(CmsW))
+    def cells(s: DataFrame) = s
+      .select(explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("row"), bucket(j, $"k").as("bucket"))): _*)).as("c"))
+      .groupBy($"c.row".as("row"), $"c.bucket".as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    def probe(name: String, left: DataFrame, right: DataFrame): DataFrame = {
+      val est = cells(left).as("a").join(cells(right).as("b"), Seq("row", "bucket"))
+        .groupBy($"row").agg(sum(col("a.n") * col("b.n")).as("ip"))
+        .agg(min($"ip").as("cms_n"))
+      val exact = left.groupBy($"k").agg(count(lit(1)).as("ln"))
+        .join(right.groupBy($"k").agg(count(lit(1)).as("rn")), "k")
+        .agg(coalesce(sum($"ln" * $"rn"), lit(0L)).as("exact_n"))
+      exact.crossJoin(est).select(lit(name).as("join_name"),
+        $"exact_n".cast("long").as("exact_n"), $"cms_n".cast("long").as("cms_n"))
+    }
+    val o = Tables.load(spark, dir, "orders").select($"o_orderkey".cast("long").as("k"))
+    val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey".cast("long").as("k"))
+    val c = Tables.load(spark, dir, "customer").select($"c_nationkey".cast("long").as("k"))
+    val s = Tables.load(spark, dir, "supplier").select($"s_nationkey".cast("long").as("k"))
+    probe("orders_lineitem", o, li).union(probe("cust_supp_nation", c, s))
+  }
+  private val joinSizeEstimateOracle: String = {
+    import TextQueries.{CmsD, CmsW, HashP}
+    val consts = (0 until CmsD).map(j =>
+      s"($j, ${functions.VecMath.aj(60 + j)}, ${functions.VecMath.bj(60 + j)})")
+      .mkString(", ")
+    def one(name: String, lsql: String, rsql: String): String =
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT CAST(COALESCE(SUM(ln * rn), 0) AS BIGINT) FROM
+         |    (SELECT k, COUNT(*) AS ln FROM ($lsql) GROUP BY k) a
+         |    JOIN (SELECT k, COUNT(*) AS rn FROM ($rsql) GROUP BY k) b
+         |    USING (k)) AS exact_n,
+         |  (SELECT CAST(MIN(ip) AS BIGINT) FROM (
+         |    SELECT l.j, SUM(l.n * r.n) AS ip
+         |    FROM (SELECT j, ((a*k + b) % $HashP) % $CmsW AS bucket,
+         |            COUNT(*) AS n FROM ($lsql), consts GROUP BY 1, 2) l
+         |    JOIN (SELECT j, ((a*k + b) % $HashP) % $CmsW AS bucket,
+         |            COUNT(*) AS n FROM ($rsql), consts GROUP BY 1, 2) r
+         |      ON l.j = r.j AND l.bucket = r.bucket
+         |    GROUP BY l.j)) AS cms_n""".stripMargin
+    s"""WITH consts(j, a, b) AS (SELECT * FROM (VALUES $consts))
+       |${one("orders_lineitem",
+      "SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders",
+      "SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem")}
+       |UNION ALL
+       |${one("cust_supp_nation",
+      "SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer",
+      "SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier")}""".stripMargin
+  }
+
   override def register(): Unit = {
+    Queries.register(QueryDef("s21_join_size_estimate", joinSizeEstimate,
+      Some(joinSizeEstimateOracle)))
     Queries.register(QueryDef("s15_bucketed_join", bucketedJoin, Some(bucketedJoinOracle), bench = true))
     Queries.register(QueryDef("s16_compaction_plan", compactionPlan, Some(compactionOracle)))
     Queries.register(QueryDef("j18_sorted_neighborhood", sortedNeighborhood, Some(snmOracle)))

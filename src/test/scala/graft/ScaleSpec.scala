@@ -33,6 +33,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("s21 CMS join-size estimate never undercounts and is ordered-useful") {
+    val got = Queries.queries("s21_join_size_estimate")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("orders_lineitem", "cust_supp_nation"))
+    val sizes = Map(
+      "orders_lineitem" ->
+        (Tables.load(spark, TestSpark.sf, "orders").count(),
+          Tables.load(spark, TestSpark.sf, "lineitem").count()),
+      "cust_supp_nation" ->
+        (Tables.load(spark, TestSpark.sf, "customer").count(),
+          Tables.load(spark, TestSpark.sf, "supplier").count()))
+    got.foreach { case (name, (exact, cms)) =>
+      // the CMS/AMS guarantee: collisions only ADD mass, never remove it
+      assert(cms >= exact, s"$name: estimate $cms undercounts exact $exact")
+      // deterministic ceiling: a row's inner product cannot exceed the
+      // all-in-one-bucket product of the two table sizes
+      val (nl, nr) = sizes(name)
+      assert(cms <= nl * nr, s"$name: estimate $cms exceeds |L|x|R|")
+      // additive-error shape: inflation is bounded by the CMS error term
+      // |L|*|R|/W per colliding pair, comfortably within 2x of it
+      assert(cms - exact <= 2L * nl * nr / TextQueries.CmsW,
+        s"$name: inflation ${cms - exact} above the |L||R|/W error shape")
+    }
+    // the blowup probe (tiny key domain: every key collides with itself
+    // only) estimates near-exactly — the planner can trust its magnitude
+    val (bx, bc) = got("cust_supp_nation")
+    assert(bc - bx <= bx / 2, s"blowup probe inflated: exact $bx cms $bc")
+  }
+
   test("sorted-neighborhood pairs are exact matches and a subset of j17") {
     import spark.implicits._
     val snm = Queries.queries("j18_sorted_neighborhood")(spark, TestSpark.sf)
