@@ -198,7 +198,9 @@ object Graph {
         .select($"dst".as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(d)).localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+      // plain union over checkpointed layers — re-checkpointing the
+      // accumulated set would rewrite O(reach) every round
+      visited = visited.union(next)
       frontier = next.select($"node")
     }
     e.unpersist()

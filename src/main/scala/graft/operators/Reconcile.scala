@@ -61,13 +61,20 @@ object Reconcile {
     var iter = 0
     var active = true
     while (active && iter < maxIter) {
+      // lazy checkpoints: the count below is the round's ONLY job and
+      // materializes both (newEdges via newNodes' lineage)
       val newEdges = expanders.map(_(frontier)).reduce(_ union _)
-        .select("src", "dst").distinct().localCheckpoint()
+        .select("src", "dst").distinct().localCheckpoint(eager = false)
       val newNodes = nodesOf(newEdges)
-        .join(seen, Seq("v"), "left_anti").localCheckpoint()
+        .join(seen, Seq("v"), "left_anti").localCheckpoint(eager = false)
       val n = newNodes.count() // the round's single driver scalar
       layers ::= newEdges
-      seen = seen.union(newNodes).localCheckpoint() // disjoint by anti-join
+      // plain union, NOT a fresh checkpoint: both sides are already
+      // checkpointed, so re-materializing the accumulated set would
+      // rewrite O(reach) per round — O(rounds x reach) total, the same
+      // disease the frontier restriction cures on the edge side. The
+      // union lineage is one node per round over checkpointed leaves.
+      seen = seen.union(newNodes) // disjoint by anti-join
       frontier = newNodes
       active = n > 0
       iter += 1
