@@ -575,6 +575,70 @@ object SourceQueries extends QueryGroup {
       })
     }
 
+  /** One two-commit snapshot fixture per (application, sf dir): commit 1
+    * writes a third of orders, its file list is captured as the v1
+    * manifest, then commit 2 APPENDS the rest into the same directory —
+    * same write-once discipline as the evolution fixture. */
+  private val snapSuffix =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  private val snapDirs =
+    scala.collection.mutable.Map.empty[(String, String), (String, Seq[String])]
+
+  private[graft] def snapshotFixture(
+      spark: SparkSession, dir: String): (String, Seq[String]) =
+    synchronized {
+      import spark.implicits._
+      snapDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_snap_${snapSuffix}_${snapDirs.size}").getAbsolutePath
+        val o = Tables.load(spark, dir, "orders")
+          .select($"o_orderkey",
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+        o.filter($"o_orderkey" % 3 === 0).write.mode("overwrite").parquet(base)
+        // the v1 manifest: the exact files of commit 1 — a snapshot is a
+        // FILE LIST, captured at commit time (a driver-side metadata op,
+        // like any table-format manifest)
+        val v1 = new java.io.File(base).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq.sorted
+        o.filter($"o_orderkey" % 3 =!= 0).write.mode("append").parquet(base)
+        (base, v1)
+      })
+    }
+
+  /** S22: snapshot-pinned read via a file manifest — the time-travel /
+    * isolation read every table format (Iceberg/Delta/Hudi) is built
+    * on: a reader that plans from the v1 manifest sees EXACTLY commit
+    * 1, even though commit 2's files already sit in the same directory;
+    * a directory-listing reader sees the current state. At 100 TB this
+    * is the difference between a consistent training corpus and one
+    * that shifts under a running job — and the manifest read is also
+    * the retraceability story: the file list IS the dataset version.
+    * Output: one row per read mode; the v1 row must replay commit 1's
+    * aggregate exactly. */
+  def manifestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, v1) = snapshotFixture(spark, dir)
+    def snap(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum($"cents").cast("long").as("cents_sum"),
+          max($"o_orderkey").cast("long").as("max_key"))
+        .select(lit(name).as("snapshot"), $"n_rows", $"cents_sum", $"max_key")
+    snap(spark.read.parquet(v1: _*), "v1")
+      .union(snap(spark.read.parquet(base), "current"))
+  }
+  private val manifestSnapshotOracle: String =
+    """SELECT 'v1' AS snapshot, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents_sum,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 'current', COUNT(*),
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+      |  CAST(MAX(o_orderkey) AS BIGINT)
+      |FROM orders""".stripMargin
+
   /** S17: schema-evolution-tolerant scan — the ingest reality at 100 TB:
     * a long-lived parquet dataset where later generations added columns.
     * `mergeSchema` reconciles the per-file footers into one superset
@@ -604,6 +668,8 @@ object SourceQueries extends QueryGroup {
   override def register(): Unit = {
     Queries.register(QueryDef("s17_schema_evolution", schemaEvolution,
       Some(schemaEvolutionOracle)))
+    Queries.register(QueryDef("s22_manifest_snapshot", manifestSnapshot,
+      Some(manifestSnapshotOracle)))
     Queries.register(QueryDef("s5_lc_links", lcLinks, Some(lcLinksOracle)))
     Queries.register(QueryDef("s5_dnb", dnbLoad, Some(dnbLoadOracle)))
     Queries.register(QueryDef("m1d_av_meta", avMeta, Some(avMetaOracle)))

@@ -89,6 +89,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() === docs.filter($"lang" === "de").count())
   }
 
+  test("manifest snapshot pins commit 1 exactly while the directory moves on") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, round, sum}
+    val rows = Queries.queries("s22_manifest_snapshot")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("v1", "current"))
+    // the pinned read must be commit 1 verbatim — no appended rows leak in
+    val commit1 = Tables.load(spark, TestSpark.sf, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .agg(count(lit(1)), sum(round($"o_totalprice" * 100).cast("long")),
+        max($"o_orderkey").cast("long"))
+      .as[(Long, Long, Long)].head()
+    assert(rows("v1") == commit1, "v1 manifest read drifted from commit 1")
+    // and the directory read sees the append
+    assert(rows("current")._1 > rows("v1")._1, "append invisible to current")
+    // re-invocation reuses the fixture: same answer, no second write
+    val again = Queries.queries("s22_manifest_snapshot")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == rows)
+  }
+
   test("multimodal decode is deterministic and partition-invariant") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf, "documents")
