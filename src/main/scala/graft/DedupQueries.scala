@@ -678,10 +678,11 @@ object DedupQueries extends QueryGroup {
   def qualityCanonical(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokensCol($"text")
+    // greatest(n, 1): a zero-token doc scores 0, not a division error
     val q = Tables.load(spark, dir, "documents")
       .select($"doc_id",
         intDiv(size(array_distinct(toks)).cast("long") * 1000L,
-          size(toks).cast("long")).as("dm"))
+          greatest(size(toks).cast("long"), lit(1L))).as("dm"))
     val scored = clusterAssign(spark, dir).join(q, Seq("doc_id"))
     // max over (dm, -doc_id) = highest score, then lowest id
     val reps = scored.groupBy($"cluster")
@@ -695,7 +696,7 @@ object DedupQueries extends QueryGroup {
     s"""WITH RECURSIVE $clusterAssignCtes,
        |q AS (SELECT doc_id,
        |  CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) * 1000
-       |    // CAST(len(${tokensSql("text")}) AS BIGINT) AS dm
+       |    // GREATEST(CAST(len(${tokensSql("text")}) AS BIGINT), 1) AS dm
        |  FROM documents),
        |sc AS (SELECT a.doc_id, a.cluster, q.dm
        |  FROM asg a JOIN q ON a.doc_id = q.doc_id),

@@ -405,9 +405,12 @@ object ScaleQueries extends QueryGroup {
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import TextQueries.{CmsD, CmsW, HashP}
+    // hash rows 64-67: clear of the token-CMS family (56-59) and the
+    // HLL h2 row (60) — per-family index reservation keeps every
+    // sketch's hash rows pairwise independent
     def bucket(j: Int, k: Column) =
-      pmod(pmod(lit(functions.VecMath.aj(60 + j)) * k +
-        lit(functions.VecMath.bj(60 + j)), lit(HashP)), lit(CmsW))
+      pmod(pmod(lit(functions.VecMath.aj(64 + j)) * k +
+        lit(functions.VecMath.bj(64 + j)), lit(HashP)), lit(CmsW))
     def cells(s: DataFrame) = s
       .select(explode(array((0 until CmsD).map(j =>
         struct(lit(j).as("row"), bucket(j, $"k").as("bucket"))): _*)).as("c"))
@@ -432,7 +435,7 @@ object ScaleQueries extends QueryGroup {
   private val joinSizeEstimateOracle: String = {
     import TextQueries.{CmsD, CmsW, HashP}
     val consts = (0 until CmsD).map(j =>
-      s"($j, ${functions.VecMath.aj(60 + j)}, ${functions.VecMath.bj(60 + j)})")
+      s"($j, ${functions.VecMath.aj(64 + j)}, ${functions.VecMath.bj(64 + j)})")
       .mkString(", ")
     def one(name: String, lsql: String, rsql: String): String =
       s"""SELECT '$name' AS join_name,

@@ -810,8 +810,11 @@ object SimilarityQueries extends QueryGroup {
     import spark.implicits._
     val bm = MapperQueries.bm25Rank(spark, dir)
     val emb = quantized(spark, dir)
+    // scalar aggregate over the one-row unique-key probe: same values,
+    // but the plan now PROVES the broadcast side is a single row (the
+    // registry audit's rule), instead of relying on key uniqueness
     val probe = emb.filter($"vec_id" === 0)
-      .select($"q".as("pq"), $"n2".as("pn2"))
+      .agg(first($"q").as("pq"), first($"n2").as("pn2"))
     bm.join(emb.select($"vec_id".as("doc_id"), $"q", $"n2"), "doc_id")
       .crossJoin(broadcast(probe))
       .select($"doc_id", $"score_milli",

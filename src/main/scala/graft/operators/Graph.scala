@@ -165,7 +165,8 @@ object Graph {
       val stepped = dist.join(msgs, dist("node") === msgs("node2"), "full")
         .select(coalesce($"node", $"node2").as("node"),
           $"dist".as("prev"),
-          least(coalesce($"dist", $"cand"), coalesce($"cand", $"dist")).as("dist"))
+          // least skips nulls, so either side may be absent
+          least($"dist", $"cand").as("dist"))
         .localCheckpoint(eager = false)
       // ONE job: improvement count doubles as the convergence test
       val nImproved = stepped

@@ -146,15 +146,20 @@ object ImageCodec {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M' ||
       le16(b, 28) != 24 || le32(b, 30) != 0) return None
     val w = le32(b, 18); val h = le32(b, 22); val off = le32(b, 10)
-    val rowSize = (w * 3 + 3) / 4 * 4
-    if (w <= 0 || h <= 0 || off < 54 || b.length < off + rowSize * h) return None
+    // Long arithmetic: hostile header dims (e.g. 65536x65536) overflow
+    // the Int products to 0 and would pass the bounds check, then crash
+    // the pixel loop — a corrupt payload must return None, not throw
+    val rowSize = (w.toLong * 3 + 3) / 4 * 4
+    if (w <= 0 || h <= 0 || off < 54 ||
+      b.length.toLong < off.toLong + rowSize * h) return None
+    val rs = rowSize.toInt // fits: rowSize * h <= b.length was checked
     val gray = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val dstRow = h - 1 - y
       var x = 0
       while (x < w) {
-        val p = off + y * rowSize + x * 3
+        val p = off + y * rs + x * 3
         val blue = u8(b, p); val green = u8(b, p + 1); val red = u8(b, p + 2)
         gray(dstRow * w + x) = (red * 299 + green * 587 + blue * 114) / 1000
         x += 1

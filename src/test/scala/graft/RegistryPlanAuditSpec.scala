@@ -39,26 +39,37 @@ import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAg
 class RegistryPlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** query name → bounded side justifying its non-equi join shape. */
+  /** query name → bounded side justifying its non-equi join shape.
+    * (The centroid-table broadcasts of v4/v5/v6/v11/v14 need no entry:
+    * their build sides are scalar collect_list aggregates, which the
+    * general rule recognizes — including through cached plans and
+    * reused exchanges.) */
   private val boundedBroadcast: Map[String, String] = Map(
     "v1_knn_brute" -> "fixed 100-query probe set (the documented brute baseline)",
-    "v4_ann_ivf" -> "probe set × nprobe-selected cell centroids (K=16)",
-    "v5_quantized_knn" -> "fixed int8 probe set",
-    "v6_kmeans" -> "K=16 centroid table per Lloyd round",
     "v8_pq_search" -> "per-query PQ lookup tables (M×K entries)",
     "v10_pq_rerank" -> "coarse-pass candidate LUTs, top-N bounded",
-    "v11_ivf_append" -> "trained centroid table on the ingest path",
-    "v14_ivf_delete" -> "centroid table on the probe path",
     "v16_nprobe_sweep" -> "widest-budget candidate set, filtered per level",
     "v13_bitext_margin" -> "per-side neighborhood-average tables (k=4)",
     "d17_embed_decontaminate" -> "benchmark vectors (corpus/37, the broadcast probe)",
-    "s19_file_skipping_eval" -> "4 range predicates × 16 per-file stat rows",
+    "s19_file_skipping_eval" -> "4 range predicates × 16 per-file stat rows")
+
+  /** The one sanctioned CartesianProduct: a pair matrix over a BOUNDED
+    * aggregate domain, where both product sides are already grouped to
+    * |sources| rows. Kept separate from the broadcast allowlist so a
+    * broadcast query regressing to a true cartesian can never pass. */
+  private val boundedProduct: Map[String, String] = Map(
     "t_source_overlap" -> "source-domain pair matrix (|sources|^2 rows)")
 
   private def scalarAggBelow(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
     case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
     case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+    // a cached build side hides its plan behind the scan — recurse into it
+    case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        if scalarAggBelow(c.relation.cachedPlan) => true
+    // a deduplicated exchange points at the original — follow it
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+        if scalarAggBelow(r.child) => true
   }.nonEmpty
 
   test("every registered query plans free of cartesians and unpartitioned windows") {
@@ -75,15 +86,28 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
             case w: WindowExec if w.partitionSpec.isEmpty =>
               Some("unpartitioned Window")
             case j: BroadcastNestedLoopJoinExec
-                if !scalarAggBelow(j.left) && !scalarAggBelow(j.right) =>
-              Some("non-scalar BroadcastNestedLoopJoin")
+                // only the BUILD (broadcast) side may justify the join:
+                // a scalar aggregate on the streamed side proves nothing
+                if !scalarAggBelow(j.buildSide match {
+                  case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+                  case _ => j.right
+                }) =>
+              val side = j.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+                case _ => j.right
+              }
+              val head = side.collect { case n => n.nodeName }.take(10).mkString(" <- ")
+              Some(s"non-scalar BroadcastNestedLoopJoin (build: $head)")
             case _ => None
           }.flatten
           hits.foreach { h =>
-            // a global window is never sanctioned; the join shapes are,
-            // for the named bounded-broadcast designs only
-            if (h != "unpartitioned Window" && boundedBroadcast.contains(q.name))
-              sanctioned += q.name
+            // a global window is never sanctioned; each join shape has
+            // its OWN named allowlist — a broadcast design regressing
+            // to a true cartesian must fail
+            val ok = (h.startsWith("non-scalar BroadcastNestedLoopJoin") &&
+              boundedBroadcast.contains(q.name)) ||
+              (h == "CartesianProduct" && boundedProduct.contains(q.name))
+            if (ok) sanctioned += q.name
             else violations += s"${q.name}: $h"
           }
         } catch { case e: Throwable =>
@@ -98,7 +122,7 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     assert(violations.isEmpty,
       s"${violations.size} plan violations:\n" + violations.mkString("\n"))
     // staleness: every allowlist entry must still earn its place
-    val stale = boundedBroadcast.keySet -- sanctioned
+    val stale = (boundedBroadcast.keySet ++ boundedProduct.keySet) -- sanctioned
     assert(stale.isEmpty,
       s"allowlist entries no longer exhibit the shape (remove them): $stale")
   }
