@@ -270,7 +270,7 @@ object DateLib {
     var t = if (time.startsWith("+")) time.substring(1) else time
     if (t.endsWith("Z")) t = t.dropRight(1)
     // unknown month/day encoded as -00: clamp to -01 (not the sign digit)
-    if (t.length > 1) t = t.charAt(0) + t.substring(1).replace("-00", "-01")
+    if (t.length > 1) t = s"${t.charAt(0)}${t.substring(1).replace("-00", "-01")}"
     val neg = t.startsWith("-")
     val body = if (neg) t.substring(1) else t
     val parts = body.split("[-T]")

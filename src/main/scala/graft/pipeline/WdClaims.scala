@@ -198,7 +198,7 @@ object WdClaims {
     var t = if (time.startsWith("+")) time.substring(1) else time
     if (t.endsWith("Z")) t = t.dropRight(1)
     if (t.length > 1 && t.substring(1).contains("-00"))
-      t = t.charAt(0) + t.substring(1).replace("-00", "-01")
+      t = s"${t.charAt(0)}${t.substring(1).replace("-00", "-01")}"
     t
   }
 

@@ -109,8 +109,11 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
       // left_anti, not except: both sides are already-distinct id sets, so
       // except's per-side dedup shuffles are wasted work (same argument as
       // the left_semi AND above; AQE broadcasts small NOT sides)
-      nots.foldLeft(anded) { case (acc, Bool("NOT", Seq(k))) =>
-        acc.join(ids(k), Seq("id"), "left_anti")
+      nots.foldLeft(anded) {
+        case (acc, Bool("NOT", Seq(k))) =>
+          acc.join(ids(k), Seq("id"), "left_anti")
+        case (_, other) => // unreachable: nots partitioned on NOT above
+          sys.error(s"NOT arm got $other")
       }
 
     case Bool("NOT", _) =>

@@ -124,7 +124,8 @@ object StreamingOps {
     if (committed.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.parquet(committed.map(id => s"$dir/batch_id=$id"): _*)
+      spark.read.parquet(
+        committed.map(id => s"$dir/batch_id=$id").toIndexedSeq: _*)
   }
 
   /** Streaming near-dup ADMISSION — the d8 incremental probe run per
