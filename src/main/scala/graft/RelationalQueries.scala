@@ -215,6 +215,79 @@ object RelationalQueries extends QueryGroup {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q2-shape snowflake rollup: revenue per (region, year) — one dim hop
+    * above q3 through region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+    * The whole dim chain (region→nation→customer) broadcasts: at 100 TB
+    * the fact table shuffles ONCE on orderkey and every dim hop is
+    * map-side — the canonical star/snowflake plan. Completes table
+    * coverage: every test table is now read by a registered query. */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val c = Tables.load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val n = Tables.load(spark, dir, "nation").select($"n_nationkey", $"n_regionkey")
+    val r = Tables.load(spark, dir, "region").select($"r_regionkey", $"r_name")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", year($"o_orderdate").cast("int").as("order_year"))
+      .agg((sum(cents($"l_extendedprice") * (lit(100L) - pct($"l_discount")))
+        .cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+  private val revenueByRegionOracle: String =
+    """SELECT r_name, CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, CAST(YEAR(o_orderdate) AS INTEGER)""".stripMargin
+
+  /** Supplier account-balance tiers per nation — the balance-banding
+    * report (integer-cents comparisons so the band edges are
+    * engine-exact); exercises s_acctbal. One bounded groupBy. */
+  def supplierTiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bal = cents($"s_acctbal")
+    Tables.load(spark, dir, "supplier")
+      .select($"s_nationkey",
+        when(bal < 0L, "debt").when(bal < 500000L, "low")
+          .otherwise("high").as("tier"), bal.as("bal"))
+      .groupBy($"s_nationkey", $"tier")
+      .agg(count(lit(1)).as("n_suppliers"), sum($"bal").as("bal_cents"))
+  }
+  private val supplierTiersOracle: String =
+    """SELECT s_nationkey,
+      |  CASE WHEN CAST(ROUND(s_acctbal*100) AS BIGINT) < 0 THEN 'debt'
+      |       WHEN CAST(ROUND(s_acctbal*100) AS BIGINT) < 500000 THEN 'low'
+      |       ELSE 'high' END AS tier,
+      |  COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM supplier GROUP BY 1, 2""".stripMargin
+
+  /** Part-catalog profile by type — count and integer-exact average
+    * retail cents per p_type (the last previously-unexercised column);
+    * avg as total//count so both engines agree bit-for-bit. */
+  def partTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        floor(sum(cents($"p_retailprice")) / count(lit(1))).cast("long")
+          .as("avg_retail_cents"))
+  }
+  private val partTypesOracle: String =
+    """SELECT p_type, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT)
+      |    // COUNT(*) AS avg_retail_cents
+      |FROM part GROUP BY p_type""".stripMargin
+
   /** J14: AS-OF join — each click matched to the SAME user's most
     * recent view at-or-before it (the temporal-enrichment join Spark
     * has no native operator for). Implemented as the merge-asof
@@ -731,6 +804,12 @@ object RelationalQueries extends QueryGroup {
     Queries.register(QueryDef("a7_ref_count", refCount, Some(
       """SELECT l_partkey, COUNT(*) AS n_refs, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_partkey""".stripMargin)))
+    Queries.register(QueryDef("q4_region_rollup", revenueByRegion,
+      Some(revenueByRegionOracle)))
+    Queries.register(QueryDef("q6_supplier_tiers", supplierTiers,
+      Some(supplierTiersOracle)))
+    Queries.register(QueryDef("q8_part_types", partTypes,
+      Some(partTypesOracle)))
     Queries.register(QueryDef("q3_revenue_nation_year", revenueByNation, Some(
       """SELECT n_name, CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,

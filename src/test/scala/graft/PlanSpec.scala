@@ -44,6 +44,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("snowflake rollup broadcasts the whole dim chain (q4)") {
+    val p = planOf("q4_region_rollup")
+    // customer, nation, region all broadcast; the fact side never
+    // shuffles for a dim hop
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dim chain not fully broadcast:\n$p")
+  }
+
   test("aggregations are partial (map-side combine before exchange)") {
     val p = planOf("q1_agg")
     // partial + final HashAggregate pair around one exchange
