@@ -49,10 +49,51 @@ object SimilarityQueries extends QueryGroup {
        |      list_reduce(list_prepend(CAST(0 AS BIGINT), [$qa[i]*$qb[i] for i in range(1, len($qa)+1)]), (x,y)->x+y)
        |      / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE))) AS BIGINT)""".stripMargin
 
+  /** Bounded per-query top-k over a corpus-scale scored table
+    * (query_id, vec_id, cos_milli) → (query_id, rank, vec_id,
+    * cos_milli), ordered (cos desc, vec_id asc). Uses operators.TopK —
+    * the window form shuffles and sorts EVERY scan row into per-query
+    * partitions that are corpus-sized at 100 TB; the aggregator's O(k)
+    * buffer discards below-floor rows BEFORE the exchange, so the
+    * shuffle is k·|queries| rows. Same output as the row_number window
+    * (oracles unchanged). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select($"query_id".cast("long"), $"vec_id".cast("long"),
+        $"cos_milli".cast("long")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, vec, cos) => operators.TopK.Entry(cos, vec) }
+      .agg(operators.TopK.TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (qid, buf) =>
+        buf.items.zipWithIndex.map { case (e, i) => (qid, i + 1L, e.id, e.v) }
+      }
+      .toDF("query_id", "rank", "vec_id", "cos_milli")
+  }
+
+  /** Ascending twin of topKPerQuery for distance-ranked scans
+    * (query_id, vec_id, <distCol>) → (query_id, rank, vec_id,
+    * <distCol>), ordered (dist asc, vec_id asc): the Entry value is
+    * negated going in and restored coming out (min-dist = max of
+    * negative; ties unaffected — id asc either way). */
+  private def topKPerQueryAsc(scored: DataFrame, k: Int,
+      distCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col(distCol).cast("long")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, vec, d) => operators.TopK.Entry(-d, vec) }
+      .agg(operators.TopK.TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (qid, buf) =>
+        buf.items.zipWithIndex.map { case (e, i) => (qid, i + 1L, e.id, -e.v) }
+      }
+      .toDF("query_id", "rank", "vec_id", distCol)
+  }
+
   /** Brute-force cosine top-k: broadcast probe set x full corpus scan,
     * per-probe top-10 by (cos desc, vec_id) — the exact baseline. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val base = quantized(spark, dir)
     val probes = base.filter($"vec_id" < NQueries)
@@ -60,10 +101,7 @@ object SimilarityQueries extends QueryGroup {
     val scored = base.join(broadcast(probes), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_milli".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
-      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+    topKPerQuery(scored, 10)
   }
   private val knnBruteOracle: String =
     s"""WITH base AS ($quantizedSql),
@@ -82,7 +120,6 @@ object SimilarityQueries extends QueryGroup {
     * (map-side), probes search only their own bucket, top-5 by cosine.
     * The IVF-style scale path: bucket size ~ corpus/2^bits. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val base = quantized(spark, dir)
     val bucketed = base.withColumn("bucket",
@@ -94,10 +131,7 @@ object SimilarityQueries extends QueryGroup {
         $"bucket" === $"pbucket" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_milli".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+    topKPerQuery(scored, 5)
   }
   private val annLshOracle: String = {
     val bits = (0 until LshBits).map { k =>
@@ -144,10 +178,7 @@ object SimilarityQueries extends QueryGroup {
         $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_milli".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+    topKPerQuery(scored, 5)
   }
   private val annMultiprobeOracle: String = {
     val bits = (0 until LshBits).map { k =>
@@ -217,10 +248,7 @@ object SimilarityQueries extends QueryGroup {
         $"list_id" === $"probe_list" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_milli".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+    topKPerQuery(scored, 5)
   }
   private val annIvfOracle: String = {
     val dot = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [v.q[i]*c.cv[i] for i in range(1, len(v.q)+1)]), (x,y)->x+y)"
@@ -410,10 +438,7 @@ object SimilarityQueries extends QueryGroup {
     val scored = deq.join(broadcast(probes), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosMilli($"pq", $"qh", $"pn2", $"n2h").as("cos_milli"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_milli".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
-      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+    topKPerQuery(scored, 10)
   }
   private val quantizedKnnOracle: String = {
     val codeI = "((q[i] - lo_a[i]) * 255) // GREATEST(hi_a[i] - lo_a[i], 1)"
@@ -775,10 +800,7 @@ object SimilarityQueries extends QueryGroup {
         $"cid" === $"probe_list" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         cosMilli($"pq", $"q", $"pn2", $"n2").as("cos_milli"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_milli".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+    topKPerQuery(scored, 5)
   }
   private val annIvfTrainedOracle: String =
     s"""WITH $kmeansCtes,
@@ -853,16 +875,8 @@ object SimilarityQueries extends QueryGroup {
     * scan is codes × broadcast per-query LUT rows — map-only + top-k,
     * the ADC scan exactly as deployed. Integer arithmetic throughout;
     * the oracle replays training, coding and the LUT scan. */
-  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val scored = pqScored(spark, dir)
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"approx_d2".asc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
-        $"approx_d2")
-  }
+  def pqSearch(spark: SparkSession, dir: String): DataFrame =
+    topKPerQueryAsc(pqScored(spark, dir), 5, "approx_d2")
 
   /** The PQ train + code + ADC scan up to (query_id, vec_id, approx_d2)
     * — shared by v8 (rank on approx) and v10 (exact re-rank). */
@@ -1001,10 +1015,9 @@ object SimilarityQueries extends QueryGroup {
   def pqRerank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val wA = Window.partitionBy($"query_id")
-      .orderBy($"approx_d2".asc, $"vec_id".asc)
-    val cand = pqScored(spark, dir)
-      .withColumn("arank", row_number().over(wA)).filter($"arank" <= RerankR)
+    // coarse pass over the corpus-scale ADC scan: bounded aggregator,
+    // not a window (the per-query partition is the corpus)
+    val cand = topKPerQueryAsc(pqScored(spark, dir), RerankR, "approx_d2")
       .select($"query_id", $"vec_id")
     // same logical plan pqScored just persisted: the CacheManager's
     // plan-matching substitutes its InMemoryRelation, no re-scan
@@ -1140,11 +1153,7 @@ object SimilarityQueries extends QueryGroup {
       .select($"query_id", $"vec_id",
         aggregate($"codes", lit(0L),
           (acc, ix) => acc + element_at($"lut", ix.cast("int"))).as("approx_d2"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"approx_d2".asc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id",
-        $"approx_d2")
+    topKPerQueryAsc(scored, 5, "approx_d2")
   }
   private val ivfPqOracle: String = {
     def dot(a: String, b: String) =
@@ -1242,10 +1251,13 @@ object SimilarityQueries extends QueryGroup {
       .persist() // one scan feeds the positive max and the negative top-k
     val pos = scored.filter($"label" === $"plabel")
       .groupBy($"query_id").agg(max($"cos_milli").as("pos_milli"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_milli".desc, $"vec_id".asc)
-    scored.filter($"label" =!= $"plabel")
-      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+    // negative top-5 via the bounded aggregator (corpus-scale scan);
+    // the label rides back in on a tiny k·|queries| join against the
+    // persisted scored table
+    topKPerQuery(scored.filter($"label" =!= $"plabel")
+        .select($"query_id", $"vec_id", $"cos_milli"), 5)
+      .join(scored.select($"query_id", $"vec_id", $"label"),
+        Seq("query_id", "vec_id"))
       .join(pos, Seq("query_id"), "left")
       .select($"query_id", $"rank", $"vec_id", $"label", $"cos_milli",
         coalesce($"pos_milli", lit(-1000L)).as("pos_milli"),
