@@ -125,14 +125,21 @@ object RelationalQueries extends QueryGroup {
   }
 
   /** W1: candidate ranking by (priority asc, length desc) per partition —
-    * top-3 documents per language by size. */
+    * top-3 documents per language by size. Bounded TopK aggregator, not
+    * a window: the per-language partition is corpus/|langs| at scale,
+    * while the aggregator ships 3 rows per (lang, partition). */
   def rankPriority(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val d = Tables.load(spark, dir, "documents")
-    val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc)
-    d.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
-      .select($"lang", $"rnk", $"doc_id", $"n_chars")
+    Tables.load(spark, dir, "documents")
+      .select($"lang", $"n_chars".cast("long"), $"doc_id".cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nc, id) => operators.TopK.Entry(nc, id) }
+      .agg(operators.TopK.TopKAgg(3).toColumn.name("top"))
+      .flatMap { case (lang, buf) =>
+        buf.items.zipWithIndex.map { case (e, i) => (lang, i + 1L, e.id, e.v) }
+      }
+      .toDF("lang", "rnk", "doc_id", "n_chars")
   }
 
   /** W2: primary-name election with computed score per group. */
@@ -575,14 +582,21 @@ object RelationalQueries extends QueryGroup {
   def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val ev = Tables.load(spark, dir, "events")
-      .select($"event_type", cents($"value").as("v_cents"), $"event_id")
-    val w = Window.partitionBy($"event_type")
-      .orderBy($"v_cents".asc, $"event_id".asc)
-    val ranked = ev.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    // histogram form: one groupBy collapses the corpus to its DISTINCT
+    // (event_type, value) pairs with counts; ranks come from a running
+    // sum over that histogram. The value at position t is the smallest
+    // value whose cumulative count reaches t — identical to ranking
+    // every row, but the window runs over the value histogram (bounded
+    // by the value domain), never over corpus-sized partitions.
+    val hist = Tables.load(spark, dir, "events")
+      .select($"event_type", cents($"value").as("v_cents"))
+      .groupBy($"event_type", $"v_cents").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"v_cents".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
     val pick = (p: Double, nm: String) =>
-      max(when($"rn" === ceil(lit(p) * $"n").cast("long"), $"v_cents"))
+      min(when($"cum" >= ceil(lit(p) * $"n").cast("long"), $"v_cents"))
         .as(nm)
     ranked.groupBy($"event_type")
       .agg(max($"n").as("n"), pick(0.5, "p50_cents"),
