@@ -1117,12 +1117,13 @@ object DedupQueries extends QueryGroup {
       .select($"doc_id").distinct()
     val clean = quality.filter($"doc_id" % 37 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // 3. exact dedup
-    val exact = clean
-      .withColumn("ck", docFingerprint(array_sort($"t")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"ck").orderBy($"doc_id")))
-      .filter($"rn" === 1)
+    // 3. exact dedup — argmin + semi-join, not a window: a boilerplate
+    // content key can hold millions of duplicates at scale, and min()
+    // combines map-side where the window would sort the whole group
+    val keyed = clean.withColumn("ck", docFingerprint(array_sort($"t")))
+    val winners = keyed.groupBy($"ck").agg(min($"doc_id").as("doc_id"))
+    val exact = keyed
+      .join(winners, Seq("ck", "doc_id"), "left_semi")
       .select($"doc_id", $"lang", $"source", size($"t").cast("long").as("n_tokens"))
       .persist() // endpoint filter (x2) + cluster join read this
     // 4. near-dup clustering over the surviving docs
