@@ -249,12 +249,16 @@ object MapperQueries extends QueryGroup {
       .select($"s_suppkey", $"s_nationkey", wkt.as("wkt"))
       .select($"s_suppkey", $"s_nationkey", $"wkt",
         kindUdf($"wkt").as("kind"), coordsUdf($"wkt").as("n_coords"))
-    val w = Window.partitionBy($"s_nationkey")
-      .orderBy(($"kind" === "POLYGON").desc, $"n_coords".desc, $"s_suppkey".asc)
-    geoms.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"s_nationkey", $"kind".as("best_kind"),
-        $"n_coords".cast("long").as("best_coords"),
-        $"s_suppkey".as("winner_suppkey"))
+    // argmax election as one max-of-struct aggregate: (polygon-first,
+    // coords desc, suppkey asc via negation) lead the struct order, the
+    // winner's payload rides in the trailing fields — map-side combine,
+    // no per-nation sort
+    geoms.groupBy($"s_nationkey")
+      .agg(max(struct(($"kind" === "POLYGON").as("p"), $"n_coords".as("nc"),
+        (-$"s_suppkey").as("ns"), $"kind".as("k"))).as("b"))
+      .select($"s_nationkey", $"b.k".as("best_kind"),
+        $"b.nc".cast("long").as("best_coords"),
+        (-$"b.ns").as("winner_suppkey"))
   }
   private val geometryMergeOracle: String =
     """WITH geoms AS (

@@ -81,15 +81,17 @@ object RelationalQueries extends QueryGroup {
       .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate")
   }
 
-  /** J2/J3: multi-match resolved by most supporting evidence (vote max). */
+  /** J2/J3: multi-match resolved by most supporting evidence (vote max).
+    * Argmax as ONE max-of-struct aggregate (votes desc, suppkey asc via
+    * negation) — combines map-side where a rank window would sort each
+    * part's whole candidate list. */
   def voteMax(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val li = Tables.load(spark, dir, "lineitem")
-    val votes = li.groupBy($"l_partkey", $"l_suppkey").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy($"l_partkey").orderBy($"n".desc, $"l_suppkey".asc)
-    votes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"l_partkey", $"l_suppkey".as("winner_suppkey"), $"n".as("votes"))
+    li.groupBy($"l_partkey", $"l_suppkey").agg(count(lit(1)).as("n"))
+      .groupBy($"l_partkey")
+      .agg(max(struct($"n", (-$"l_suppkey").as("ns"))).as("b"))
+      .select($"l_partkey", (-$"b.ns").as("winner_suppkey"), $"b.n".as("votes"))
   }
 
   /** J4/§2.7: differentFrom veto = anti-join (customers with no orders). */
