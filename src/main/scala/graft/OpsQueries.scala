@@ -67,17 +67,18 @@ object OpsQueries extends QueryGroup {
     * single event = create; newest of type error = flagged (tombstone
     * analog); else update. */
   def changeClassify(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
       .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
-    val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
-    ev.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
-      .filter($"rn" === 1)
+    // newest row + count in ONE aggregate pass: (us, event_id) both
+    // descend, so plain max-of-struct is the newest; event_id is unique
+    // so the trailing event_type never decides the order
+    ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        max(struct($"us", $"event_id", $"event_type")).as("b"))
       .select($"user_id", $"n".as("n_events"),
         when($"n" === 1, "create")
-          .when($"event_type" === "error", "flagged")
+          .when($"b.event_type" === "error", "flagged")
           .otherwise("update").as("change"))
   }
   private val changeClassifyOracle: String =
@@ -103,10 +104,12 @@ object OpsQueries extends QueryGroup {
     val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val ev = Tables.load(spark, dir, "events")
       .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"), $"ts")
-    val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+    // latest row per user as an argmax aggregate (us, event_id both
+    // desc; unique event_id keeps the payload out of the order)
     def latest(df: DataFrame) =
-      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"user_id", $"us", $"event_type")
+      df.groupBy($"user_id")
+        .agg(max(struct($"us", $"event_id", $"event_type")).as("b"))
+        .select($"user_id", $"b.us".as("us"), $"b.event_type".as("event_type"))
     val base = latest(ev.filter($"ts" < cutoff))
     val incoming = latest(ev.filter($"ts" >= cutoff))
     base.as("b").join(incoming.as("i"), Seq("user_id"), "full_outer")

@@ -71,12 +71,15 @@ object RelationalQueries extends QueryGroup {
   /** J1/W1: first-hit-wins candidate join — per customer its latest order
     * (rank by recency, unique tie-break), the reconciler's pick-one shape. */
   def firstMatch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val c = Tables.load(spark, dir, "customer")
     val o = Tables.load(spark, dir, "orders")
-    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".asc)
-    o.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    // argmax, not a rank window: (date desc, orderkey asc via negation)
+    // as one max-of-struct — map-side combine per customer
+    o.groupBy($"o_custkey")
+      .agg(max(struct($"o_orderdate", (-$"o_orderkey").as("nk"))).as("b"))
+      .select($"o_custkey", (-$"b.nk").as("o_orderkey"),
+        $"b.o_orderdate".as("o_orderdate"))
       .join(c, $"o_custkey" === $"c_custkey")
       .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate")
   }
@@ -146,14 +149,17 @@ object RelationalQueries extends QueryGroup {
 
   /** W2: primary-name election with computed score per group. */
   def nameElection(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val c = Tables.load(spark, dir, "customer")
     val score = when($"c_acctbal" >= 0, 1).otherwise(0)
-    val w = Window.partitionBy($"c_nationkey")
-      .orderBy(score.desc, length($"c_name").asc, $"c_custkey".asc)
-    c.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"c_nationkey", $"c_custkey".as("elected_custkey"), $"c_name".as("elected_name"))
+    // (score desc, name length asc, custkey asc) election as one
+    // max-of-struct aggregate; winner payload in the trailing fields
+    c.groupBy($"c_nationkey")
+      .agg(max(struct(score.as("s"), (-length($"c_name")).as("nl"),
+        (-$"c_custkey").as("nk"), $"c_custkey".as("ck"),
+        $"c_name".as("nm"))).as("b"))
+      .select($"c_nationkey", $"b.ck".as("elected_custkey"),
+        $"b.nm".as("elected_name"))
   }
 
   /** §2.7 set ops: stale-equivalence removal = EXCEPT. */
