@@ -1431,7 +1431,16 @@ object TextQueries extends QueryGroup {
     * down-weighted). Rank arithmetic: bucket = (rank-1)·3 / n, exact
     * in both engines. One shuffle by language for the rank; the
     * signal itself is map-only (lexical diversity standing in for the
-    * LM perplexity, which drops in as any scored column). */
+    * LM perplexity, which drops in as any scored column).
+    *
+    * Scale note: the per-language rank window holds corpus/|langs|
+    * rows — exact tercile-by-RANK is inherently a per-language global
+    * order (CCNet's published design ranks per shard). The at-scale
+    * relaxation is threshold-based: compute the two tercile score
+    * cutoffs from the bounded (lang, score_milli) histogram (the
+    * t_dsir/PrefixSum shape) and bucket by comparison — identical
+    * except for documents tied exactly at a cutoff. This query keeps
+    * the exact-rank semantics the oracle replays. */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
