@@ -38,6 +38,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchNames = Queries.benchNames
       .filter(n => only.forall(_.contains(n)))
+    // a typo'd or empty filter must not print a green 0.000s total
+    only.foreach { names =>
+      val unknown = names -- Queries.benchNames.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not bench-flagged: ${unknown.mkString(", ")}")
+    }
+    require(benchNames.nonEmpty, "bench filter matched no queries")
     def timeOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {

@@ -79,11 +79,16 @@ object LuxQueries extends QueryGroup {
       })
       true
     })
-    substrateCache.getOrElseUpdate((spark, dir), {
-      val e = entities(spark, dir).persist()
-      val t = triples(spark, dir).persist()
-      (e, t)
+    val (e, t) = substrateCache.getOrElseUpdate((spark, dir), {
+      (entities(spark, dir).persist(), triples(spark, dir).persist())
     })
+    // an external spark.catalog.clearCache() (Bench's per-key cache
+    // lifecycle) unpersists the blocks but leaves this memo — re-arm
+    // so later lux queries cache again instead of silently recomputing
+    // the substrate forever
+    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.persist()
+    if (t.storageLevel == org.apache.spark.storage.StorageLevel.NONE) t.persist()
+    (e, t)
   }
 
   /** Evict cached substrates and unpersist their blocks — the hook a

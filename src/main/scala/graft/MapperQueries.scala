@@ -97,10 +97,18 @@ object MapperQueries extends QueryGroup {
     * HOF filters over the token index, the pairwise-distance minimum a
     * nested transform — no explode, no positional-index shuffle; at
     * 100 TB this is a linear scan exactly like the other text ops. */
+  /** 1-based positions of `w` in token array `t` — shared by q12/q13.
+    * The size guard matters: sequence(1, 0) on an EMPTY array is the
+    * descending [1, 0] and the filter would probe element_at(t, 0),
+    * which throws; an empty doc must simply have no positions. */
+  private def posOf(t: org.apache.spark.sql.Column, w: String)
+      : org.apache.spark.sql.Column =
+    when(size(t) > 0,
+      filter(sequence(lit(1), size(t)), i => element_at(t, i) === lit(w)))
+      .otherwise(array().cast("array<int>"))
+
   def nearPos(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val posOf = (t: org.apache.spark.sql.Column, w: String) =>
-      filter(sequence(lit(1), size(t)), i => element_at(t, i) === lit(w))
     Tables.load(spark, dir, "documents")
       .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
       .select($"doc_id", posOf($"t", "merge").as("pa"), posOf($"t", "scan").as("pb"))
@@ -119,8 +127,6 @@ object MapperQueries extends QueryGroup {
     * hybrid (q11). */
   def phraseQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val posOf = (t: org.apache.spark.sql.Column, w: String) =>
-      filter(sequence(lit(1), size(t)), i => element_at(t, i) === lit(w))
     Tables.load(spark, dir, "documents")
       .select($"doc_id", TextQueries.tokensCol(lower($"text")).as("t"))
       .select($"doc_id", posOf($"t", "merge").as("pa"), posOf($"t", "group").as("pb"))

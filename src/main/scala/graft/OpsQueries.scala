@@ -281,7 +281,14 @@ object OpsQueries extends QueryGroup {
     * score is codegen'd column arithmetic; CC is the g1 operator. The
     * oracle replays ground truth directly from the fixture arithmetic —
     * a hash match proves blocking+scoring+clustering recovered exactly
-    * the planted matches and nothing else. */
+    * the planted matches and nothing else.
+    *
+    * Fixture precondition: two DIFFERENT entities collide on name AND
+    * city AND street only when their custkeys differ by a multiple of
+    * lcm(1200, 23, 97) = 2,677,200 — the planted-truth claim therefore
+    * holds for custkey domains below ~2.7M (any test sf here; ~sf 18
+    * on TPC-H scaling). Beyond that, widen the moduli with the
+    * fixture. */
   def erPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ck = $"c_custkey".cast("long")

@@ -617,7 +617,10 @@ object SimilarityQueries extends QueryGroup {
     val probes = base.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"q".as("pq"), $"n2".as("pn2"))
     val trunc = (c: Column) => slice(c, 1, TruncD)
-    val pairs = base.crossJoin(broadcast(probes))
+    // exclude the query's own vector (like every retrieval query here):
+    // the distance-0 self pair would lead BOTH rankings, making
+    // top1_match structurally true and inflating overlap@5 by one
+    val pairs = base.join(broadcast(probes), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         ($"pn2" + $"n2" -
           lit(2L) * functions.VecMath.dotCol($"q", $"pq")).as("d2_full"),
@@ -659,7 +662,7 @@ object SimilarityQueries extends QueryGroup {
        |    p.pn2 + b.n2 - 2 * ${dot("b.q", "p.pq", "len(b.q)+1")} AS d2_full,
        |    ${dot("p.pq", "p.pq", "17")} + ${dot("b.q", "b.q", "17")}
        |      - 2 * ${dot("b.q", "p.pq", "17")} AS d2_trunc
-       |  FROM base b, probes p),
+       |  FROM base b JOIN probes p ON b.vec_id <> p.query_id),
        |exact AS (
        |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY d2_full, vec_id) AS rk FROM pairs

@@ -32,9 +32,16 @@ object Tables {
       // A caller with its own non-UTC session would silently shift every
       // event timestamp — fail loudly instead.
       val tz = spark.sessionState.conf.sessionLocalTimeZone
-      require(tz == "UTC",
-        s"events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP needs " +
-          s"spark.sql.session.timeZone=UTC (got $tz) to preserve values")
+      // accept any zone id equivalent to UTC (Etc/UTC, GMT, +00:00…):
+      // the cast is value-preserving for all of them
+      val utc = try {
+        java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+          java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH)
+            .getTotalSeconds == 0
+      } catch { case _: Exception => false }
+      require(utc,
+        s"events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP needs a " +
+          s"UTC-equivalent spark.sql.session.timeZone (got $tz) to preserve values")
       df.withColumn("ts", col("ts").cast(TimestampType))
     }
     else df
