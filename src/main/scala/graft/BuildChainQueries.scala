@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed Linked-Art build chain — the reference's actual product:
@@ -77,11 +76,16 @@ object BuildChainQueries extends QueryGroup {
       // re-unions + re-distincts the full relationship substrate (the
       // single biggest cost in the chain — O(rounds × |rel|))
       .persist()
-    // the K4 name index as equivalence edges: part → min partkey per name
+    // the K4 name index as equivalence edges: part → min partkey per
+    // name — groupBy-min + join, NOT min-over-partition: a boilerplate
+    // name is a hot partition that sorts under a window, while the
+    // aggregate combines map-side (the same shape the incremental
+    // sibling below uses at :276-278)
+    val nameIdx = part.groupBy(lower($"p_name").as("nm"))
+      .agg(min($"p_partkey").cast("long").as("m"))
     val twin = part
-      .select($"p_partkey".cast("long").as("pk"),
-        min($"p_partkey").over(Window.partitionBy(lower($"p_name")))
-          .cast("long").as("m"))
+      .select($"p_partkey".cast("long").as("pk"), lower($"p_name").as("nm"))
+      .join(nameIdx, "nm")
       .filter($"pk" =!= $"m")
       .select(($"pk" * 8L + 2L).as("src"), ($"m" * 8L + 2L).as("dst"))
       .persist() // same: probed once per round by the name pass
@@ -99,6 +103,13 @@ object BuildChainQueries extends QueryGroup {
       twin.join(ns.withColumnRenamed("v", "src"), "src")
     val edges = operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
       .persist() // read three ways: eqEdges (CC), reached, final layers
+    // the fixpoint's per-round counts materialized every layer's
+    // localCheckpoint, so the loop inputs are dead the moment it
+    // returns — release them instead of pinning fresh copies per
+    // invocation in a long-lived session (the round-9 bench
+    // eviction-pressure failure mode)
+    rel.unpersist()
+    twin.unpersist()
 
     // ── stage 3: idmap CC (J7 operator) over the equivalence subset
     val eqEdges = edges.filter($"src" % 8 === 2 && $"dst" % 8 === 2)

@@ -339,6 +339,78 @@ object CurationQueries extends QueryGroup {
       |    WHEN 2 THEN 'bad' WHEN 3 THEN 'bad' ELSE 'deleted' END AS verdict
       |FROM documents""".stripMargin
 
+  /** C9: the YPM portal flagging pass (`post-build-portal.py:27-44`
+    * walk_for_refs + the main loop :96-140): every record of one source
+    * seeds at distance 0; each MERGED record's references are walked
+    * with the `equivalent`/`access_point`/`conforms_to` properties and
+    * `_`-prefixed blank nodes SKIPPED; every reached id keeps its MIN
+    * distance; and only nodes at distance ≤ 4 expand further — a record
+    * first reached at distance 5 is flagged but never walked (the
+    * reference's `if d > 4: continue`). The flagged (id, dist) set is
+    * the portal-required metadata update. Reuses `operators.Graph.bfs`
+    * (layered frontier, anti-join min-dist — per-round cost ∝ frontier).
+    *
+    * Fixture: the g2 star graph (cust 4k → order 4k+1 → part 4k+2 →
+    * supp 4k+3) plus a supplier chain (4k+3 → 4(k+1)+3) so depth
+    * actually reaches the distance-5 recording cap; each reference sits
+    * under a property elected by key mod 5 — two of the five names are
+    * walkable, the other three are the reference's skip list — and
+    * every tenth part→supplier reference is a blank node. */
+  def portalRefs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val su = Tables.load(spark, dir, "supplier")
+    val propNames = Seq("equivalent", "access_point", "member_of",
+      "part_of", "conforms_to")
+    val skip = Seq("equivalent", "access_point", "conforms_to")
+    def prop(i: Column): Column =
+      element_at(array(propNames.map(lit): _*), (i % 5 + 1).cast("int"))
+    val edges = o.select(($"o_custkey" * 4L).as("src"),
+        ($"o_orderkey" * 4L + 1L).as("dst"),
+        prop($"o_orderkey").as("prop"), lit(false).as("blank"))
+      .union(li.select(($"l_orderkey" * 4L + 1L).as("src"),
+        ($"l_partkey" * 4L + 2L).as("dst"),
+        prop($"l_orderkey" + $"l_partkey"), lit(false)))
+      .union(li.select(($"l_partkey" * 4L + 2L).as("src"),
+        ($"l_suppkey" * 4L + 3L).as("dst"),
+        prop($"l_partkey" + $"l_suppkey"), $"l_suppkey" % 10 === 0))
+      .union(su.select(($"s_suppkey" * 4L + 3L).as("src"),
+        ($"s_suppkey" * 4L + 7L).as("dst"), prop($"s_suppkey"), lit(false)))
+      .filter(!$"blank" && !$"prop".isin(skip: _*))
+      .select($"src", $"dst").distinct()
+    val seeds = Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" % 7 === 0).select(($"c_custkey" * 4L).as("node"))
+    operators.Graph.bfs(edges, seeds, maxDist = 5)
+      .select($"node", $"dist".cast("long").as("dist"))
+  }
+  private val portalRefsOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT src, dst FROM (
+      |    SELECT 4 * o_custkey AS src, 4 * o_orderkey + 1 AS dst,
+      |      o_orderkey % 5 AS p, FALSE AS blank FROM orders
+      |    UNION ALL SELECT 4 * l_orderkey + 1, 4 * l_partkey + 2,
+      |      (l_orderkey + l_partkey) % 5, FALSE FROM lineitem
+      |    UNION ALL SELECT 4 * l_partkey + 2, 4 * l_suppkey + 3,
+      |      (l_partkey + l_suppkey) % 5, l_suppkey % 10 = 0 FROM lineitem
+      |    UNION ALL SELECT 4 * s_suppkey + 3, 4 * s_suppkey + 7,
+      |      s_suppkey % 5, FALSE FROM supplier)
+      |  WHERE NOT blank
+      |    AND CASE p WHEN 0 THEN 'equivalent' WHEN 1 THEN 'access_point'
+      |      WHEN 2 THEN 'member_of' WHEN 3 THEN 'part_of'
+      |      ELSE 'conforms_to' END
+      |      NOT IN ('equivalent', 'access_point', 'conforms_to')
+      |  GROUP BY src, dst),
+      |seeds AS (SELECT 4 * c_custkey AS node FROM customer
+      |  WHERE c_custkey % 7 = 0),
+      |walk(node, dist) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON walk.node = e.src
+      |  WHERE walk.dist < 5)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY node""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("c1_pcsh_strip", pcshStrip, Some(pcshStripOracle)))
     Queries.register(QueryDef("c2_place_edge_prune", placeEdgePrune,
@@ -353,5 +425,7 @@ object CurationQueries extends QueryGroup {
     Queries.register(QueryDef("c7_curated_audit", curatedAudit,
       Some(curatedAuditOracle)))
     Queries.register(QueryDef("c8_cache_sweep", cacheSweep, Some(cacheSweepOracle)))
+    Queries.register(QueryDef("c9_portal_refs", portalRefs,
+      Some(portalRefsOracle)))
   }
 }

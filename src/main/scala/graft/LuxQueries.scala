@@ -31,7 +31,14 @@ object LuxQueries extends QueryGroup {
     val n = Tables.load(spark, dir, "nation")
       .select(concat(lit("n"), $"n_nationkey").as("id"), lit("nation").as("etype"),
         $"n_name".as("name"), lit(0L).as("num"))
-    c.union(o).union(p).union(s).union(n)
+    // documents enter the substrate with their full text as the word
+    // field — the analog of the reference's full-text index entities;
+    // every other lux query constrains etype, so the class is invisible
+    // to them, and it gives NEAR a field where token distance varies
+    val d = Tables.load(spark, dir, "documents")
+      .select(concat(lit("d"), $"doc_id").as("id"), lit("document").as("etype"),
+        $"text".as("name"), lit(0L).as("num"))
+    c.union(o).union(p).union(s).union(n).union(d)
   }
 
   /** Triple substrate: (subject, predicate, object). */
@@ -146,15 +153,26 @@ object LuxQueries extends QueryGroup {
       |  AND NOT EXISTS (SELECT 1 FROM nation
       |    WHERE n_nationkey = c_nationkey AND position('nation_0' IN lower(n_name)) > 0)""".stripMargin
 
-  /** NEAR + BOOST (id-set semantics: NEAR=AND, BOOST=its first arg —
-    * see LuxCompiler): big-order customers near their nation term. */
-  val q4 = """BOOST(NEAR(etype="customer", locatedIn(name="NATION_1"), ^placedBy(num>30000000)), name="Customer")"""
-  private val q4Oracle: String =
-    """SELECT 'c' || c_custkey AS id FROM customer
-      |WHERE EXISTS (SELECT 1 FROM nation
-      |  WHERE n_nationkey = c_nationkey AND position('nation_1' IN lower(n_name)) > 0)
-      |  AND EXISTS (SELECT 1 FROM orders
-      |    WHERE o_custkey = c_custkey AND CAST(ROUND(o_totalprice*100) AS BIGINT) > 30000000)""".stripMargin
+  /** NEAR + BOOST, POSITIONAL since round 10: word leaves sharing a
+    * text field require token proximity ≤ LuxCompiler.NearWindow (the
+    * q12 machinery wired into the compiler — a strict superset of the
+    * reference, whose cts compile raises NotImplementedError for NEAR;
+    * BOOST still contributes its first arg's membership only). The
+    * round-9 AND-fallback for non-word NEAR kids stays (spec-pinned in
+    * LuxParserSpec). */
+  val q4 = """BOOST(NEAR(etype="document", name="merge", name="scan"), name="document")"""
+  private val q4Oracle: String = {
+    val t = TextQueries.tokensSql("lower(text)")
+    val md = "list_min(flatten([[abs(i-j) for j in pb] for i in pa]))"
+    s"""WITH toks AS (SELECT 'd' || doc_id AS id, $t AS t FROM documents),
+       |pos AS (
+       |  SELECT id,
+       |    [i for i in range(1, len(t)+1) if position('merge' IN t[i]) > 0] AS pa,
+       |    [i for i in range(1, len(t)+1) if position('scan' IN t[i]) > 0] AS pb
+       |  FROM toks)
+       |SELECT id FROM pos
+       |WHERE len(pa) > 0 AND len(pb) > 0 AND $md <= 3""".stripMargin
+  }
 
   /** The JSON twin of q1 (ml_lexer JsonParser) — same oracle, and a
     * spec asserts the ASTs compile identically. ANDNOT spells the veto. */

@@ -408,8 +408,12 @@ object ScaleQueries extends QueryGroup {
     // hash rows 64-67: clear of the token-CMS family (56-59) and the
     // HLL h2 row (60) — per-family index reservation keeps every
     // sketch's hash rows pairwise independent
+    // k is pre-reduced mod HashP before the multiply: aj ≤ ~2^31 and an
+    // unreduced key beyond ~2^32 would overflow the Long product —
+    // silently wrapped by Spark, raised by DuckDB — exactly at the key
+    // domains the estimator is motivated by. aj·(HashP-1) ≤ ~2^62 fits.
     def bucket(j: Int, k: Column) =
-      pmod(pmod(lit(functions.VecMath.aj(64 + j)) * k +
+      pmod(pmod(lit(functions.VecMath.aj(64 + j)) * pmod(k, lit(HashP)) +
         lit(functions.VecMath.bj(64 + j)), lit(HashP)), lit(CmsW))
     def cells(s: DataFrame) = s
       .select(explode(array((0 until CmsD).map(j =>
@@ -445,9 +449,9 @@ object ScaleQueries extends QueryGroup {
          |    USING (k)) AS exact_n,
          |  (SELECT CAST(MIN(ip) AS BIGINT) FROM (
          |    SELECT l.j, SUM(l.n * r.n) AS ip
-         |    FROM (SELECT j, ((a*k + b) % $HashP) % $CmsW AS bucket,
+         |    FROM (SELECT j, ((a*(k % $HashP) + b) % $HashP) % $CmsW AS bucket,
          |            COUNT(*) AS n FROM ($lsql), consts GROUP BY 1, 2) l
-         |    JOIN (SELECT j, ((a*k + b) % $HashP) % $CmsW AS bucket,
+         |    JOIN (SELECT j, ((a*(k % $HashP) + b) % $HashP) % $CmsW AS bucket,
          |            COUNT(*) AS n FROM ($rsql), consts GROUP BY 1, 2) r
          |      ON l.j = r.j AND l.bucket = r.bucket
          |    GROUP BY l.j)) AS cms_n""".stripMargin

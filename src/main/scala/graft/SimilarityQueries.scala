@@ -838,8 +838,14 @@ object SimilarityQueries extends QueryGroup {
     // scalar aggregate over the one-row unique-key probe: same values,
     // but the plan now PROVES the broadcast side is a single row (the
     // registry audit's rule), instead of relying on key uniqueness
+    // the isNotNull filter restores the empty-input edge case the
+    // scalar-agg shape changed: with no vec_id==0 row the aggregate
+    // yields one all-null row, which would score every candidate with a
+    // null cosine — dropping it makes a missing probe an empty result,
+    // as the pre-aggregate projection behaved
     val probe = emb.filter($"vec_id" === 0)
       .agg(first($"q").as("pq"), first($"n2").as("pn2"))
+      .where($"pq".isNotNull)
     bm.join(emb.select($"vec_id".as("doc_id"), $"q", $"n2"), "doc_id")
       .crossJoin(broadcast(probe))
       .select($"doc_id", $"score_milli",

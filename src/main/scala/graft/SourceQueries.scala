@@ -549,6 +549,20 @@ object SourceQueries extends QueryGroup {
       |  'n' || (ck % 100) AS raw_ident
       |FROM b""".stripMargin
 
+  /** Fixture dirs live under java.io.tmpdir for the JVM's lifetime and
+    * are swept on exit — without the hook every run (and every plan-only
+    * build, e.g. the registry audit) would orphan fresh graft_evo_* /
+    * graft_snap_* trees. */
+  private def sweepOnExit(dir: String): String = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => rm(new java.io.File(dir))))
+    dir
+  }
+
   /** One evolved-layout fixture per (application, sf dir): generation 1
     * written with the v1 schema, generation 2 with an added column —
     * the s15 write-once discipline (suffixed dir, synchronized). */
@@ -561,8 +575,9 @@ object SourceQueries extends QueryGroup {
     synchronized {
       import spark.implicits._
       evoDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_evo_${evoSuffix}_${evoDirs.size}").getAbsolutePath
+        val base = sweepOnExit(
+          new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft_evo_${evoSuffix}_${evoDirs.size}").getAbsolutePath)
         val o = Tables.load(spark, dir, "orders")
         o.filter($"o_orderkey" % 2 === 0)
           .select($"o_orderkey", $"o_custkey")
@@ -589,8 +604,9 @@ object SourceQueries extends QueryGroup {
     synchronized {
       import spark.implicits._
       snapDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_snap_${snapSuffix}_${snapDirs.size}").getAbsolutePath
+        val base = sweepOnExit(
+          new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft_snap_${snapSuffix}_${snapDirs.size}").getAbsolutePath)
         val o = Tables.load(spark, dir, "orders")
           .select($"o_orderkey",
             round($"o_totalprice" * 100).cast("long").as("cents"))

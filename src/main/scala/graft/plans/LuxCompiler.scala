@@ -82,11 +82,39 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     case Bool("OR", kids) =>
       kids.map(ids).reduce(_ union _).distinct()
 
-    // NEAR: proximity only affects ranking; over relevance-free id sets
-    // it reduces to AND (the reference's own cts compile raises
-    // NotImplementedError for NEAR/BOOST, ml_lexer.py:214 — the parser
-    // accepts them, query_token_rules.py:7; documented deviation)
-    case Bool("NEAR", kids) => ids(Bool("AND", kids))
+    // NEAR: membership is AND of the kids, and word leaves that share a
+    // text field additionally require TOKEN PROXIMITY — every pair of
+    // NEAR'd words must occur within NearWindow tokens of each other in
+    // that field (q12's position-array machinery: HOF filters over the
+    // token index, min pairwise |i-j|, no explode). A strict superset
+    // of the reference, whose cts compile raises NotImplementedError
+    // for NEAR (ml_lexer.py:214) while the parser accepts it
+    // (query_token_rules.py:7); non-word kids (hops, numeric/exact
+    // leaves) contribute membership only — proximity is undefined for
+    // them, exactly as in cts where near-query composes word queries.
+    case Bool("NEAR", kids) =>
+      val wordLeaves = kids.collect {
+        case Leaf(f, "=", s, _, false)
+            if catalog.fields(f) && !catalog.exactFields(f) => (f, s)
+      }
+      val byField = wordLeaves.groupBy(_._1).filter(_._2.size >= 2)
+      byField.foldLeft(ids(Bool("AND", kids))) { case (acc, (f, ws)) =>
+        val t = graft.TextQueries.tokensCol(lower(entities.col(f)))
+        // positions keep the leaf's CONTAINS semantics: a token matching
+        // the word substring counts (size guard: an empty/null field has
+        // no positions, not a sequence(1,0) probe of element_at(t, 0))
+        def pos(w: String) = when(size(t) > 0,
+          filter(sequence(lit(1), size(t)),
+            i => instr(element_at(t, i), lit(w.toLowerCase)) > 0))
+          .otherwise(array().cast("array<int>"))
+        val prox = ws.map(_._2).combinations(2).map { case Seq(a, b) =>
+          val (pa, pb) = (pos(a), pos(b))
+          size(pa) > 0 && size(pb) > 0 &&
+            array_min(flatten(transform(pa, x =>
+              transform(pb, y => abs(x - y))))) <= LuxCompiler.NearWindow
+        }.reduce(_ && _)
+        acc.join(entities.filter(prox).select("id"), Seq("id"), "left_semi")
+      }
 
     // BOOST(matching, boosting): membership is the first argument;
     // the second only lifts relevance (same deviation note as NEAR)
@@ -136,6 +164,12 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
 
   /** JSON query form → same plan as its string twin. */
   def compileJson(query: String): DataFrame = ids(LuxQL.parseJson(query))
+}
+
+object LuxCompiler {
+  /** NEAR token window (cts near-query default distance analog; the
+    * same window q12's standalone positional NEAR uses). */
+  val NearWindow = 3
 }
 
 /** Q4: the searchConfig field catalog with `*` template expansion

@@ -125,4 +125,33 @@ class LuxParserSpec extends AnyFunSuite {
     // unknown ids return empty, not an error
     assert(c.compile("""id="zz999"""").count() === 0L)
   }
+
+  test("NEAR over shared-field word leaves is positional; over hops it is AND") {
+    val spark = TestSpark.spark
+    val (e, t) = LuxQueries.substrate(spark, TestSpark.sf)
+    val c = new graft.plans.LuxCompiler(e, t)
+    // positional: a strict subset of AND — docs with both words but
+    // farther apart than NearWindow drop out
+    val near = c.compile("""NEAR(etype="document", name="merge", name="scan")""")
+      .collect().map(_.getString(0)).toSet
+    val and = c.compile("""AND(etype="document", name="merge", name="scan")""")
+      .collect().map(_.getString(0)).toSet
+    assert(near.subsetOf(and))
+    assert(near.nonEmpty)
+    assert(near != and, "window must actually filter on the fixture")
+    // equivalence with the standalone q12 positional machinery
+    val q12 = MapperQueries.nearPos(spark, TestSpark.sf)
+      .collect().map(r => "d" + r.getLong(0)).toSet
+    assert(near === q12)
+    // the AND fallback for NEAR whose kids are not word leaves on one
+    // shared field (hops, exact/numeric leaves) — round-9 semantics
+    val nearHops = c.compile(
+      """NEAR(etype="customer", locatedIn(name="NATION_1"), ^placedBy(num>30000000))""")
+      .collect().map(_.getString(0)).toSet
+    val andHops = c.compile(
+      """AND(etype="customer", locatedIn(name="NATION_1"), ^placedBy(num>30000000))""")
+      .collect().map(_.getString(0)).toSet
+    assert(nearHops === andHops)
+    assert(nearHops.nonEmpty)
+  }
 }

@@ -49,6 +49,8 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     "v8_pq_search" -> "per-query PQ lookup tables (M×K entries)",
     "v10_pq_rerank" -> "coarse-pass candidate LUTs, top-N bounded",
     "v16_nprobe_sweep" -> "widest-budget candidate set, filtered per level",
+    "v15_mrl_truncate_eval" -> "10-probe broadcast set (persisted pairs — visible once the sweep recurses into cached plans)",
+    "v12_hard_negatives" -> "fixed NQueries probe set (v1's shape, under the persisted scored table)",
     "v13_bitext_margin" -> "per-side neighborhood-average tables (k=4)",
     "d17_embed_decontaminate" -> "benchmark vectors (corpus/37, the broadcast probe)",
     "s19_file_skipping_eval" -> "4 range predicates × 16 per-file stat rows")
@@ -59,6 +61,27 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     * broadcast query regressing to a true cartesian can never pass. */
   private val boundedProduct: Map[String, String] = Map(
     "t_source_overlap" -> "source-domain pair matrix (|sources|^2 rows)")
+
+  /** The plan plus every plan reachable through a cached relation or a
+    * reused exchange — a violation hidden under a .persist()'d subtree
+    * is just as fatal at 100×, but collectWithSubqueries alone never
+    * descends into InMemoryTableScanExec.relation.cachedPlan (round-9's
+    * sweep missed v15's persisted BNLJ exactly this way). Identity-set
+    * visited guard: reused exchanges can re-reach the same subtree. */
+  private def expand(p: SparkPlan,
+      seen: java.util.IdentityHashMap[SparkPlan, Unit] =
+        new java.util.IdentityHashMap[SparkPlan, Unit]): Seq[SparkPlan] =
+    if (seen.containsKey(p)) Nil
+    else {
+      seen.put(p, ())
+      val nested = p.collectWithSubqueries {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          c.relation.cachedPlan
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          r.child
+      }
+      p +: nested.flatMap(expand(_, seen))
+    }
 
   private def scalarAggBelow(p: SparkPlan): Boolean = p.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
@@ -81,7 +104,7 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
       for (q <- Queries.all) {
         try {
           val plan = q.fn(spark, TestSpark.sf).queryExecution.executedPlan
-          val hits = plan.collectWithSubqueries {
+          val hits = expand(plan).flatMap(_.collectWithSubqueries {
             case _: CartesianProductExec => Some("CartesianProduct")
             case w: WindowExec if w.partitionSpec.isEmpty =>
               Some("unpartitioned Window")
@@ -99,7 +122,7 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
               val head = side.collect { case n => n.nodeName }.take(10).mkString(" <- ")
               Some(s"non-scalar BroadcastNestedLoopJoin (build: $head)")
             case _ => None
-          }.flatten
+          }).flatten.distinct
           hits.foreach { h =>
             // a global window is never sanctioned; each join shape has
             // its OWN named allowlist — a broadcast design regressing
