@@ -1846,8 +1846,14 @@ object DedupQueries extends QueryGroup {
     * pairs -> valid-chunk count. Exposed for the shift-robustness spec. */
   private[graft] def cdcBase(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val bps = filter(sequence(lit(1), size($"t")), i =>
-      element_at($"h", i) % CdcD === 0)
+    // size guard (the posOf rule): sequence(1, 0) on an EMPTY doc is the
+    // DESCENDING [1, 0] and the filter would probe element_at(h, 1) on a
+    // zero-element array, killing the task — an empty doc simply has no
+    // boundaries
+    val bps = when(size($"t") > 0,
+      filter(sequence(lit(1), size($"t")), i =>
+        element_at($"h", i) % CdcD === 0))
+      .otherwise(array().cast("array<int>"))
     docs
       .select($"doc_id", $"t", transform($"t", wordHash(_)).as("h"))
       .select($"doc_id", $"t", $"h", bps.as("bps")) // attribute barriers

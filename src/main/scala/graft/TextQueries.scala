@@ -78,15 +78,17 @@ object TextQueries extends QueryGroup {
       .select($"doc_id",
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
+        // greatest(n,1): a zero-token doc reads 0 avg length instead of
+        // killing the task under ANSI (SURVEY lesson 16; the d20 pattern)
         intDiv(aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
-          * 1000L, size(toks)).as("avg_len_milli"))
+          * 1000L, greatest(size(toks), lit(1))).as("avg_len_milli"))
   }
   private val tokenCountOracle: String = {
     val t = tokensSql("text")
     s"""SELECT doc_id,
        |  CAST(len($t) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct($t)) AS BIGINT) AS n_distinct,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($t, x -> CAST(len(x) AS BIGINT))), (a,b) -> a+b) * 1000 // CAST(len($t) AS BIGINT) AS avg_len_milli
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($t, x -> CAST(len(x) AS BIGINT))), (a,b) -> a+b) * 1000 // GREATEST(CAST(len($t) AS BIGINT), 1) AS avg_len_milli
        |FROM documents""".stripMargin
   }
 
@@ -132,13 +134,16 @@ object TextQueries extends QueryGroup {
     val n = size(toks).cast("long")
     val nDist = size(array_distinct(toks)).cast("long")
     val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    // greatest(n,1): zero-token docs score 0 and fail `keep` via n >= 10
+    // instead of killing the task under ANSI (SURVEY lesson 16)
+    val ng = greatest(n, lit(1L))
     Tables.load(spark, dir, "documents")
       .select($"doc_id", n.as("n_tokens"),
-        intDiv(nDist * 1000L, n).as("distinct_milli"),
-        intDiv(nStop * 1000L, n).as("stop_milli"),
-        intDiv($"n_chars", n).as("chars_per_token"),
-        (n >= 10L && intDiv(nDist * 1000L, n) >= 100L &&
-          intDiv(nStop * 1000L, n) <= 500L).as("keep"))
+        intDiv(nDist * 1000L, ng).as("distinct_milli"),
+        intDiv(nStop * 1000L, ng).as("stop_milli"),
+        intDiv($"n_chars", ng).as("chars_per_token"),
+        (n >= 10L && intDiv(nDist * 1000L, ng) >= 100L &&
+          intDiv(nStop * 1000L, ng) <= 500L).as("keep"))
   }
   private val qualityOracle: String = {
     val t = tokensSql("text")
@@ -150,10 +155,11 @@ object TextQueries extends QueryGroup {
        |    CAST(len(list_filter($t, x -> list_contains($stop, x))) AS BIGINT) AS ns
        |  FROM documents)
        |SELECT doc_id, n AS n_tokens,
-       |  nd * 1000 // n AS distinct_milli,
-       |  ns * 1000 // n AS stop_milli,
-       |  n_chars // n AS chars_per_token,
-       |  (n >= 10 AND nd * 1000 // n >= 100 AND ns * 1000 // n <= 500) AS keep
+       |  nd * 1000 // GREATEST(n, 1) AS distinct_milli,
+       |  ns * 1000 // GREATEST(n, 1) AS stop_milli,
+       |  n_chars // GREATEST(n, 1) AS chars_per_token,
+       |  (n >= 10 AND nd * 1000 // GREATEST(n, 1) >= 100
+       |    AND ns * 1000 // GREATEST(n, 1) <= 500) AS keep
        |FROM m""".stripMargin
   }
 
