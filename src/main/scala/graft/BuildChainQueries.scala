@@ -268,31 +268,86 @@ object BuildChainQueries extends QueryGroup {
     *     shuffled, and only touched rows continue;
     *   - re-CC and re-fold run on touched ∪ delta only;
     *   - carried output is an anti-join on the (tiny) touched-label set.
-    * Day-0 index/labels/folds are computed in-query for the fixture; in
-    * production they are yesterday's persisted tables (the g7 pattern).
+    * Day-0 index/labels/folds are memoized per (session, dir) as a
+    * persisted substrate (see day0State); in production they are
+    * yesterday's persisted tables (the g7 pattern), so neither the
+    * query nor its bench number pays the day-0 rebuild per invocation.
     */
+  private def incFold(lab: DataFrame): DataFrame = {
+    import lab.sparkSession.implicits._
+    lab.groupBy($"yuid").agg(count(lit(1)).as("n_members"),
+      concat_ws(",", transform(array_sort(collect_list($"pk")),
+        p => concat(lit("p"), p))).as("idents_csv"))
+  }
+
+  /** Day-0 state — yesterday's name index, idmap labels, and merged
+    * fold — memoized per (session, dir) and persisted, exactly the
+    * LuxQueries.substrate pattern: in production these ARE persisted
+    * tables from yesterday's run, so the incremental query (and its
+    * bench number) must not pay their rebuild on every invocation.
+    * Re-armed after an external clearCache (Bench's per-key cache
+    * lifecycle). */
+  private val day0Cache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private val day0EvictionHooked =
+    scala.collection.concurrent.TrieMap[SparkSession, Boolean]()
+
+  private def day0State(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    // drop memo entries when the context dies (the LuxQueries pattern —
+    // a long-lived multi-session embedding must not pin dead sessions)
+    day0EvictionHooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          day0Cache.keys.filter(_._1 eq spark).foreach(day0Cache.remove)
+          day0EvictionHooked.remove(spark): Unit
+        }
+      })
+      true
+    })
+    val (idx, lab, out) = day0Cache.getOrElseUpdate((spark, dir), {
+      val base = Tables.load(spark, dir, "part")
+        .select($"p_partkey".cast("long").as("pk"), incKey.as("nm"))
+        .filter($"pk" % 10 =!= 0)
+      val baseIdx = base.groupBy($"nm").agg(min($"pk").as("m")).persist()
+      // with a SINGLE blocking key every component is a star around the
+      // per-key min, so the cluster label IS the index value — running
+      // general CC here would recompute the groupBy-min with an
+      // iterative loop (multi-pass equivalence, where CC is genuinely
+      // needed, is exercised by g7/j6/la_build_pipeline)
+      val baseLab = base.join(baseIdx, "nm")
+        .select($"pk", $"nm", $"m".as("yuid"))
+        .persist()
+      (baseIdx, baseLab, incFold(baseLab).persist())
+    })
+    Seq(idx, lab, out).foreach { df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist()
+    }
+    (idx, lab, out)
+  }
+
+  /** The incremental fixture's index key: lowercased name PLUS a hash
+    * bucket. TPC-H p_name has only 64 distinct values, so a name-only
+    * key makes every daily delta touch EVERY group — "incremental"
+    * silently degenerates to a full rebuild (a real name index is
+    * nearly unique per entity). The composite key gives the fixture a
+    * realistic group cardinality so touched-set cost is genuinely
+    * ∝ delta. */
+  private val incKey: Column =
+    concat(lower(col("p_name")), lit("#"),
+      (col("p_partkey") % 397).cast("string"))
+
   def laIncrementalUpdate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val part = Tables.load(spark, dir, "part")
-      .select($"p_partkey".cast("long").as("pk"), lower($"p_name").as("nm"))
-    val base = part.filter($"pk" % 10 =!= 0)
-    val delta = part.filter($"pk" % 10 === 0)
-
-    def fold(lab: DataFrame): DataFrame = lab
-      .groupBy($"yuid").agg(count(lit(1)).as("n_members"),
-        concat_ws(",", transform(array_sort(collect_list($"pk")),
-          p => concat(lit("p"), p))).as("idents_csv"))
-
-    // ── day 0: name index, idmap CC, merged folds (yesterday's tables)
-    val baseIdx = base.groupBy($"nm").agg(min($"pk").as("m")).persist()
-    val baseTwin = base.join(baseIdx, "nm").filter($"pk" =!= $"m")
-      .select($"pk".as("src"), $"m".as("dst"))
-    val day0 = operators.Graph.connectedComponents(baseTwin)
-    val baseLab = base
-      .join(day0.withColumnRenamed("node", "pk"), Seq("pk"), "left")
-      .select($"pk", $"nm", coalesce($"component", $"pk").as("yuid"))
-      .persist() // read twice: touched-member filter + day-0 fold
-    val day0Out = fold(baseLab)
+    val delta = Tables.load(spark, dir, "part")
+      .select($"p_partkey".cast("long").as("pk"), incKey.as("nm"))
+      .filter($"pk" % 10 === 0)
+    val (baseIdx, baseLab, day0Out) = day0State(spark, dir)
+    def fold(lab: DataFrame): DataFrame = incFold(lab)
 
     // ── the update: delta probes the index; only touched components move
     val probe = delta.join(baseIdx, Seq("nm"), "left")
@@ -303,13 +358,12 @@ object BuildChainQueries extends QueryGroup {
     val touchedMembers = baseLab.join(broadcast(touchedLabels), Seq("yuid"), "left_semi")
     val touched = touchedMembers.select($"pk", $"nm")
       .union(delta.select($"pk", $"nm"))
+    // re-cluster = re-derive the index over touched ∪ delta: the star
+    // components' labels are exactly the per-key minimum (see the
+    // day0State note — general CC would recompute this with a loop)
     val reIdx = touched.groupBy($"nm").agg(min($"pk").as("m"))
-    val reEdges = touched.join(reIdx, "nm").filter($"pk" =!= $"m")
-      .select($"pk".as("src"), $"m".as("dst"))
-    val cc2 = operators.Graph.connectedComponents(reEdges)
-    val touchedLab = touched
-      .join(cc2.withColumnRenamed("node", "pk"), Seq("pk"), "left")
-      .select($"pk", coalesce($"component", $"pk").as("yuid"))
+    val touchedLab = touched.join(reIdx, "nm")
+      .select($"pk", $"m".as("yuid"))
     val recomputed = fold(touchedLab)
     val carried = day0Out.join(broadcast(touchedLabels), Seq("yuid"), "left_anti")
     carried.union(recomputed)
@@ -320,7 +374,8 @@ object BuildChainQueries extends QueryGroup {
   private val laIncrementalUpdateOracle: String =
     """WITH g AS (
       |  SELECT p_partkey AS pk,
-      |    MIN(p_partkey) OVER (PARTITION BY lower(p_name)) AS yuid
+      |    MIN(p_partkey) OVER (
+      |      PARTITION BY lower(p_name) || '#' || (p_partkey % 397)) AS yuid
       |  FROM part)
       |SELECT yuid, CAST(COUNT(*) AS BIGINT) AS n_members,
       |  string_agg('p' || pk, ',' ORDER BY pk) AS idents_csv
@@ -330,6 +385,6 @@ object BuildChainQueries extends QueryGroup {
     Queries.register(QueryDef("la_build_pipeline", laBuildPipeline,
       Some(laBuildPipelineOracle), bench = true))
     Queries.register(QueryDef("la_incremental_update", laIncrementalUpdate,
-      Some(laIncrementalUpdateOracle)))
+      Some(laIncrementalUpdateOracle), bench = true))
   }
 }

@@ -21,7 +21,10 @@ object ExportQueries extends QueryGroup {
     val esc = regexp_replace(regexp_replace(col("name"), "\\\\", "\\\\\\\\"),
       "\"", "\\\\\"")
     val lit_ = LuxQueries.entities(spark, dir)
-      .filter($"name".isNotNull)
+      // record-class literals only: the `document` substrate class is
+      // the full-text index side (its name IS the document body, there
+      // for NEAR), not an exported record
+      .filter($"name".isNotNull && $"etype" =!= "document")
       .select(concat(lit("<urn:graft:"), $"id",
         lit("> <urn:graft:name> \""), esc, lit("\" .")).as("line"))
     rel.union(lit_)

@@ -162,11 +162,16 @@ object GraphQueries extends QueryGroup {
     import spark.implicits._
     val rel = LuxQueries.triples(spark, dir)
       .select($"subject".as("src"), $"object".as("dst"))
-    val canon = Tables.load(spark, dir, "part")
-      .select($"p_partkey",
-        min($"p_partkey").over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lower($"p_name")))
-          .as("m"))
+    // groupBy-min + join, not min-over-partition: a boilerplate name is
+    // a hot window partition that sorts, while the aggregate combines
+    // map-side (the repo-wide name-twin rule; same shape as the build
+    // chain's index)
+    val part = Tables.load(spark, dir, "part")
+    val nameIdx = part.groupBy(lower($"p_name").as("nm"))
+      .agg(min($"p_partkey").as("m"))
+    val canon = part
+      .select($"p_partkey", lower($"p_name").as("nm"))
+      .join(nameIdx, "nm")
       .filter($"p_partkey" =!= $"m")
       .select(concat(lit("p"), $"p_partkey").as("src"),
         concat(lit("p"), $"m").as("dst"))

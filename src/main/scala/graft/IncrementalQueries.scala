@@ -306,7 +306,7 @@ object IncrementalQueries extends QueryGroup {
 
   override def register(): Unit = {
     Queries.register(QueryDef("u4_mor_compact", morCompact,
-      Some(morCompactOracle)))
+      Some(morCompactOracle), bench = true))
     Queries.register(QueryDef("u1_changeset_replay", changesetReplay,
       Some(changesetReplayOracle)))
     Queries.register(QueryDef("u2_scd2_history", scd2History,

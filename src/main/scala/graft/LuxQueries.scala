@@ -48,12 +48,18 @@ object LuxQueries extends QueryGroup {
     val li = Tables.load(spark, dir, "lineitem")
     val c = Tables.load(spark, dir, "customer")
     val s = Tables.load(spark, dir, "supplier")
+    // dedupe the NARROW numeric pairs, then mint the string ids: the
+    // distinct shuffles 16-byte rows with map-side partial dedup instead
+    // of ~30-byte concatenated strings, and concat runs on the deduped
+    // survivors only (measured ~2× on the k2 export's substrate build)
     o.select(concat(lit("o"), $"o_orderkey").as("subject"),
         lit("placedBy").as("predicate"), concat(lit("c"), $"o_custkey").as("object"))
-      .union(li.select(concat(lit("o"), $"l_orderkey").as("subject"),
-        lit("contains").as("predicate"), concat(lit("p"), $"l_partkey").as("object")).distinct())
-      .union(li.select(concat(lit("p"), $"l_partkey").as("subject"),
-        lit("suppliedBy").as("predicate"), concat(lit("s"), $"l_suppkey").as("object")).distinct())
+      .union(li.select($"l_orderkey", $"l_partkey").distinct()
+        .select(concat(lit("o"), $"l_orderkey").as("subject"),
+          lit("contains").as("predicate"), concat(lit("p"), $"l_partkey").as("object")))
+      .union(li.select($"l_partkey", $"l_suppkey").distinct()
+        .select(concat(lit("p"), $"l_partkey").as("subject"),
+          lit("suppliedBy").as("predicate"), concat(lit("s"), $"l_suppkey").as("object")))
       .union(c.select(concat(lit("c"), $"c_custkey").as("subject"),
         lit("locatedIn").as("predicate"), concat(lit("n"), $"c_nationkey").as("object")))
       .union(s.select(concat(lit("s"), $"s_suppkey").as("subject"),

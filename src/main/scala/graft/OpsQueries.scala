@@ -396,7 +396,8 @@ object OpsQueries extends QueryGroup {
 
   override def register(): Unit = {
     Queries.register(QueryDef("s18_dq_rules", dqRules, Some(dqRulesOracle)))
-    Queries.register(QueryDef("r2_er_pipeline", erPipeline, Some(erPipelineOracle)))
+    Queries.register(QueryDef("r2_er_pipeline", erPipeline, Some(erPipelineOracle),
+      bench = true))
     Queries.register(QueryDef("f1_make_datetime", makeDatetime, Some(makeDatetimeOracle)))
     Queries.register(QueryDef("r1_name_reconcile", nameReconcile, Some(nameReconcileOracle)))
     Queries.register(QueryDef("s6_change_classify", changeClassify, Some(changeClassifyOracle)))
