@@ -205,44 +205,66 @@ object Sqlite {
 
   /** Write a single-table database: sqlite_master on page 1, the table's
     * leaves from page 2, one interior root if more than one leaf. */
+  /** One interior page over `children` = (childPageNo, maxRowid): the
+    * last child becomes the rightmost pointer, the rest get key cells. */
+  private def interiorPage(children: Seq[(Int, Long)]): Array[Byte] = {
+    val page = new Array[Byte](PageSize)
+    page(0) = 5
+    val n = children.length - 1
+    page(3) = (n >> 8).toByte; page(4) = (n & 0xff).toByte
+    val right = children.last._1
+    page(8) = (right >> 24).toByte; page(9) = (right >> 16).toByte
+    page(10) = (right >> 8).toByte; page(11) = right.toByte
+    var content = PageSize
+    for (i <- (0 until n).reverse) {
+      val (child, maxRow) = children(i)
+      val cell = Array[Byte]((child >> 24).toByte, (child >> 16).toByte,
+        (child >> 8).toByte, child.toByte) ++ varintBytes(maxRow)
+      content -= cell.length
+      System.arraycopy(cell, 0, page, content, cell.length)
+      page(12 + 2 * i) = (content >> 8).toByte
+      page(12 + 2 * i + 1) = (content & 0xff).toByte
+    }
+    page(5) = (content >> 8).toByte; page(6) = (content & 0xff).toByte
+    page
+  }
+
+  /** Conservative interior fanout: 200 children = 199 cells × ≤13 bytes
+    * + 398 pointer bytes + 12 header ≈ 3 KB, comfortably inside a page.
+    * A single root tops out around ~300 leaves, which a 10× fixture
+    * corpus exceeds — the reader has always recursed through interior
+    * levels, only the writer was single-level. */
+  private val InteriorFanout = 200
+
   def writeDb(file: java.io.File, table: String, createSql: String,
       rows: Seq[Seq[Any]]): Unit = {
     val cells = rows.zipWithIndex.map { case (r, i) =>
       (i + 1L, leafCell(i + 1L, record(r)))
     }
     val leaves = leafPages(cells)
-    val rootPage = if (leaves.length == 1) 2 else 2 + leaves.length
+
+    // interior levels bottom-up until one root remains; pages are
+    // appended after the leaves in build order, so page numbers are
+    // assigned level by level
+    val interiors = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var level: Seq[(Int, Long)] =
+      leaves.indices.map(i => (2 + i, leaves(i)._2))
+    var next = 2 + leaves.length
+    while (level.length > 1) {
+      val groups = level.grouped(InteriorFanout).toSeq
+      groups.foreach(g => interiors += interiorPage(g))
+      level = groups.zipWithIndex.map { case (g, i) => (next + i, g.last._2) }
+      next += groups.length
+    }
+    val rootPage = level.head._1
+
     val masterRow: Seq[Any] =
       Seq("table", table, table, rootPage.toLong, createSql)
     val masterPages = leafPages(Seq((1L, leafCell(1L, record(masterRow)))),
       headerRoom = 100)
     require(masterPages.length == 1, "sqlite_master must fit page 1")
 
-    val interior: Option[Array[Byte]] =
-      if (leaves.length == 1) None
-      else {
-        val page = new Array[Byte](PageSize)
-        page(0) = 5
-        val n = leaves.length - 1 // last leaf is the rightmost pointer
-        page(3) = (n >> 8).toByte; page(4) = (n & 0xff).toByte
-        val right = 2 + leaves.length - 1
-        page(8) = (right >> 24).toByte; page(9) = (right >> 16).toByte
-        page(10) = (right >> 8).toByte; page(11) = right.toByte
-        var content = PageSize
-        for (i <- (0 until n).reverse) {
-          val child = 2 + i
-          val cell = Array[Byte]((child >> 24).toByte, (child >> 16).toByte,
-            (child >> 8).toByte, child.toByte) ++ varintBytes(leaves(i)._2)
-          content -= cell.length
-          System.arraycopy(cell, 0, page, content, cell.length)
-          page(12 + 2 * i) = (content >> 8).toByte
-          page(12 + 2 * i + 1) = (content & 0xff).toByte
-        }
-        page(5) = (content >> 8).toByte; page(6) = (content & 0xff).toByte
-        Some(page)
-      }
-
-    val nPages = 1 + leaves.length + interior.size
+    val nPages = 1 + leaves.length + interiors.length
     val header = new Array[Byte](100)
     System.arraycopy("SQLite format 3".getBytes(UTF_8), 0, header, 0, 15)
     header(16) = (PageSize >> 8).toByte; header(17) = (PageSize & 0xff).toByte
@@ -261,7 +283,7 @@ object Sqlite {
       out.write(header)
       out.write(masterPages.head._1)
       leaves.foreach(p => out.write(p._1))
-      interior.foreach(out.write)
+      interiors.foreach(out.write)
     } finally out.close()
   }
 }

@@ -39,6 +39,19 @@ class SqliteSpec extends AnyFunSuite {
     assert(got.toSet === rows.toSet)
   }
 
+  test("writer builds MULTI-LEVEL interior trees when one root cannot hold the leaves") {
+    // round-10 regression (found by the sf1 stress sweep): the writer
+    // was single-interior-level, so >~300 leaves overflowed the root's
+    // pointer array (Index 4762 out of bounds). ~38 rows/page × 30000
+    // rows ≈ 790 leaves → two interior levels with fanout 200.
+    val rows = (0 until 30000).map(i =>
+      Seq[Any](s"id$i", s"""{"wof:name": "${"y" * 60}$i"}"""))
+    val got = roundtrip(rows)
+    assert(got.length === 30000)
+    assert(got.take(3) === rows.take(3))
+    assert(got.toSet === rows.toSet)
+  }
+
   test("overflow-sized payloads are rejected at write AND at read") {
     // writer side: a payload needing an overflow chain must not be
     // silently truncated into the file
