@@ -98,14 +98,17 @@ object MapperQueries extends QueryGroup {
     * nested transform — no explode, no positional-index shuffle; at
     * 100 TB this is a linear scan exactly like the other text ops. */
   /** 1-based positions of `w` in token array `t` — shared by q12/q13.
-    * The size guard matters: sequence(1, 0) on an EMPTY array is the
-    * descending [1, 0] and the filter would probe element_at(t, 0),
-    * which throws; an empty doc must simply have no positions. */
-  private def posOf(t: org.apache.spark.sql.Column, w: String)
+    * One transform-with-index pass, never element_at probes over
+    * sequence(1, n): optimizer rules re-inline the tokenize expression
+    * into each probe (no common-subexpression guard on pushdown), which
+    * turned this scan O(tokens²)·O(split) at stress scale — 170 s over
+    * a 250k-doc corpus vs seconds for this form (the LuxCompiler NEAR
+    * lesson). An empty/null doc simply yields no positions, which also
+    * retires the old sequence(1, 0) descending-range hazard. */
+  private[graft] def posOf(t: org.apache.spark.sql.Column, w: String)
       : org.apache.spark.sql.Column =
-    when(size(t) > 0,
-      filter(sequence(lit(1), size(t)), i => element_at(t, i) === lit(w)))
-      .otherwise(array().cast("array<int>"))
+    filter(transform(t, (tok, i) =>
+      when(tok === lit(w), i + 1).otherwise(-1)), x => x > 0)
 
   def nearPos(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
