@@ -1091,10 +1091,13 @@ object DedupQueries extends QueryGroup {
     * t_corpus_card funnel report (per-stage survivor counts). */
   private final case class CorpusStages(input: DataFrame, quality: DataFrame,
       clean: DataFrame, exact: DataFrame, canonical: DataFrame,
-      sampled: DataFrame, packed: DataFrame)
+      sampled: DataFrame, packedF: () => DataFrame) {
+    // thunked: the packing prefix sum runs eager partition-total jobs,
+    // which the card query (stages 0-5 only) must not pay for
+    def packed: DataFrame = packedF()
+  }
 
   private def corpusStages(spark: SparkSession, dir: String): CorpusStages = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val stop = TextQueries.stopwords
     val docs = Tables.load(spark, dir, "documents")
@@ -1145,15 +1148,17 @@ object DedupQueries extends QueryGroup {
       case (acc, (l, r)) => acc.when($"lang" === l, r)
     }.otherwise(25L)
     val sampled = canonical.filter(u < rate)
-    // 6. pack the kept stream into training windows
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = sampled
-      .withColumn("start_tok", sum($"n_tokens").over(w) - $"n_tokens")
+    // 6. pack the kept stream into training windows — NOT a per-source
+    // window (a source is not structurally bounded; one huge source
+    // would sort on a single reducer): range-partitioned global prefix
+    // sum under (source, doc_id) minus the per-source start offset
+    def packed = operators.PrefixSum
+      .withGroupedRunningSum(sampled, "n_tokens", "run_tok", "source", $"doc_id")
+      .withColumn("start_tok", $"run_tok" - $"n_tokens")
       .select($"doc_id", $"source", $"lang", $"n_tokens",
         intDiv($"start_tok", lit(TextQueries.ChunkTokens)).as("bin"),
         ($"start_tok" % TextQueries.ChunkTokens).as("offset"))
-    CorpusStages(docs, quality, clean, exact, canonical, sampled, packed)
+    CorpusStages(docs, quality, clean, exact, canonical, sampled, () => packed)
   }
 
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame =

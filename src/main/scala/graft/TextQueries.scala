@@ -586,18 +586,21 @@ object TextQueries extends QueryGroup {
     * order and chunk the token stream into fixed training windows —
     * every doc gets its (bin, offset) in the packed stream plus a flag
     * for crossing a window boundary. The standard concat-and-chunk
-    * packing step before LLM training, expressed as one prefix-sum
-    * window per source — at 100 TB each source/shard packs
-    * independently (the window key), so the stage parallelizes by
-    * shard and shuffles each row once. */
+    * packing step before LLM training.
+    *
+    * NOT a per-source window: a source is not structurally bounded (one
+    * Common-Crawl-sized source at 100 TB would sort on a single
+    * reducer), so the per-source running sum is the range-partitioned
+    * global prefix sum under the (source, doc_id) total order minus a
+    * per-source start offset — [[operators.PrefixSum.withGroupedRunningSum]],
+    * where a huge source spans many partitions. */
   def packChunks(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(spark, dir, "documents")
+    val base = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source", size(tokensCol($"text")).cast("long").as("n"))
-      .withColumn("start_tok", sum($"n").over(w) - $"n")
+    operators.PrefixSum
+      .withGroupedRunningSum(base, "n", "run_tok", "source", $"doc_id")
+      .withColumn("start_tok", $"run_tok" - $"n")
       .select($"doc_id", $"source", $"n".as("n_tokens"), $"start_tok",
         intDiv($"start_tok", lit(ChunkTokens)).as("bin"),
         ($"start_tok" % ChunkTokens).as("offset"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{col, min}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed inclusive running sum (prefix sum) under a total order.
@@ -27,7 +28,11 @@ import org.apache.spark.sql.types.LongType
 object PrefixSum {
 
   /** Returns `df` plus `sumCol`, the inclusive running sum of
-    * `valueCol` (LongType) under `order` (a total order). */
+    * `valueCol` (LongType) under `order` (a total order). NULL values
+    * contribute 0 — the same ignore-nulls semantics as a window SUM,
+    * except that the running sum itself is 0 (not NULL) before the
+    * first non-null value; callers that subtract the (null) value back
+    * out see identical results either way. */
   def withRunningSum(df: DataFrame, valueCol: String, sumCol: String,
       order: Column*): DataFrame = {
     val spark = df.sparkSession
@@ -35,17 +40,49 @@ object PrefixSum {
     val sorted = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
     val idx = sorted.schema.fieldIndex(valueCol)
+    def v(r: Row): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
     val rdd = sorted.rdd
     val totals = rdd.mapPartitions(
-      it => Iterator.single(it.foldLeft(0L)(_ + _.getLong(idx))),
+      it => Iterator.single(it.foldLeft(0L)(_ + v(_))),
       preservesPartitioning = true).collect()
     val offsets = totals.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(sumCol, LongType, nullable = false)
     val out = rdd.mapPartitionsWithIndex { case (pi, it) =>
       var acc = offsets(pi)
-      it.map { r => acc += r.getLong(idx); Row.fromSeq(r.toSeq :+ acc) }
+      it.map { r => acc += v(r); Row.fromSeq(r.toSeq :+ acc) }
     }
     spark.createDataFrame(out, schema)
+  }
+
+  /** Per-group inclusive running sum WITHOUT a per-group window.
+    *
+    * Semantically `SUM(v) OVER (PARTITION BY group ORDER BY order ROWS
+    * UNBOUNDED PRECEDING)` — but a window partitioned on an unbounded
+    * key (a data source, a tenant) sorts each group's entire row set on
+    * one reducer, which is a scale-killer when a single group holds a
+    * Common-Crawl-sized share of a 100 TB corpus. The scalable shape
+    * composes two primitives that each distribute:
+    *
+    *   1. the GLOBAL running sum under the (group, order...) total
+    *      order — range-partitioned two-pass ([[withRunningSum]]), so a
+    *      huge group spans many partitions instead of landing on one;
+    *   2. each group's start offset — `min(run - v)` per group, an
+    *      ordinary map-side-combining aggregate — joined back and
+    *      subtracted.
+    *
+    * `order` must make (group, order...) a total order, `valueCol`
+    * LongType (same contracts as [[withRunningSum]]). */
+  def withGroupedRunningSum(df: DataFrame, valueCol: String,
+      sumCol: String, groupCol: String, order: Column*): DataFrame = {
+    val run = "__psum_run"
+    val off = "__psum_off"
+    val withRun =
+      withRunningSum(df, valueCol, run, (col(groupCol) +: order): _*)
+    val offsets = withRun.groupBy(col(groupCol))
+      .agg(min(col(run) - col(valueCol)).as(off))
+    withRun.join(offsets, groupCol)
+      .withColumn(sumCol, col(run) - col(off))
+      .drop(run, off)
   }
 
   /** Returns `df` plus `maxCol`, the inclusive running MAX of
