@@ -308,7 +308,13 @@ object BuildChainQueries extends QueryGroup {
       })
       true
     })
-    val (idx, lab, out) = day0Cache.getOrElseUpdate((spark, dir), {
+    // synchronized: TrieMap.getOrElseUpdate evaluates the builder
+    // non-atomically — two concurrent first calls would both build and
+    // persist, and the loser's persisted day-0 frames would leak in the
+    // block-manager cache for the application lifetime (same discipline
+    // as the SourceQueries fixture memos)
+    val (idx, lab, out) = day0Cache.synchronized {
+      day0Cache.getOrElseUpdate((spark, dir), {
       val base = Tables.load(spark, dir, "part")
         .select($"p_partkey".cast("long").as("pk"), incKey.as("nm"))
         .filter($"pk" % 10 =!= 0)
@@ -322,7 +328,8 @@ object BuildChainQueries extends QueryGroup {
         .select($"pk", $"nm", $"m".as("yuid"))
         .persist()
       (baseIdx, baseLab, incFold(baseLab).persist())
-    })
+      })
+    }
     Seq(idx, lab, out).foreach { df =>
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         df.persist()

@@ -41,7 +41,17 @@ object StressSweep {
       val r = try Await.result(fut, timeoutSecs.seconds)
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
+          // AndFutureJobs: plain cancelJobGroup kills only currently
+          // running jobs — an iterative query (fixpoint loops) would
+          // keep submitting follow-on jobs from the zombie future and
+          // skew the timing/clearCache of subsequent entries. Then
+          // wait (bounded) for the future to actually drain before the
+          // next query starts.
+          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+          try Await.ready(fut, 60.seconds)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            println(s"[sweep] ${q.name}: zombie future did not drain in 60s")
+          }
           timedOut ::= q.name
           s"TIMEOUT >${timeoutSecs}s (if a pair-lister: output is quadratic " +
             "in dup-clique size by contract; compose after exact dedup)"

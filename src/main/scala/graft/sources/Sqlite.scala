@@ -251,7 +251,18 @@ object Sqlite {
       leaves.indices.map(i => (2 + i, leaves(i)._2))
     var next = 2 + leaves.length
     while (level.length > 1) {
-      val groups = level.grouped(InteriorFanout).toSeq
+      val raw = level.grouped(InteriorFanout).toSeq
+      // a trailing group of 1 child would make an interior page with
+      // zero cells (rightmost pointer only) — legal for our reader but
+      // a degenerate b-tree shape external SQLite tooling may flag;
+      // rebalance the final Fanout+1-child run into two halves (each
+      // >= 2 children, so every interior page carries >= 1 cell)
+      val groups =
+        if (raw.length > 1 && raw.last.length < 2) {
+          val merged = raw(raw.length - 2) ++ raw.last
+          val firstHalf = (merged.length + 1) / 2
+          raw.dropRight(2) :+ merged.take(firstHalf) :+ merged.drop(firstHalf)
+        } else raw
       groups.foreach(g => interiors += interiorPage(g))
       level = groups.zipWithIndex.map { case (g, i) => (next + i, g.last._2) }
       next += groups.length

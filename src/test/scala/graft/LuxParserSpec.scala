@@ -139,10 +139,17 @@ class LuxParserSpec extends AnyFunSuite {
     assert(near.subsetOf(and))
     assert(near.nonEmpty)
     assert(near != and, "window must actually filter on the fixture")
-    // equivalence with the standalone q12 positional machinery
+    // containment vs the standalone q12 positional machinery — NOT
+    // equality: the compiler's word semantics is substring-in-token
+    // (consistent with its contains leaf), q12's is exact token
+    // equality. Exact positional matches are structurally a subset of
+    // contains ones (positions ⊆, membership ⊆), and equality would
+    // hold only while no fixture token strictly contains a NEAR'd word
+    // (e.g. a future doc with "merged"/"scanner" breaks it).
     val q12 = MapperQueries.nearPos(spark, TestSpark.sf)
       .collect().map(r => "d" + r.getLong(0)).toSet
-    assert(near === q12)
+    assert(q12.subsetOf(near))
+    assert(q12.nonEmpty)
     // the AND fallback for NEAR whose kids are not word leaves on one
     // shared field (hops, exact/numeric leaves) — round-9 semantics
     val nearHops = c.compile(
