@@ -199,6 +199,41 @@ object LuxQueries extends QueryGroup {
       |  AND NOT EXISTS (SELECT 1 FROM nation
       |    WHERE n_nationkey = c_nationkey AND position('nation_0' IN lower(n_name)) > 0)""".stripMargin
 
+  /** Wildcarded word leaf (cts `wildcarded` option, cts.py:2 —
+    * activated by `*`/`?` in the term, MarkLogic's automatic wildcard
+    * detection): whole tokens of the text field match the anchored
+    * glob. `w?dg*` exercises both wildcard chars against the part
+    * vocabulary ("red widget" → token "widget"). */
+  val q8 = """AND(etype="part", name="w?dg*")"""
+  private val q8Oracle: String = {
+    val t = TextQueries.tokensSql("lower(p_name)")
+    s"""SELECT 'p' || p_partkey AS id FROM part
+       |WHERE len(list_filter($t, t -> regexp_full_match(t, 'w.dg.*'))) > 0""".stripMargin
+  }
+
+  /** Stemmed word leaf (cts `stemmed` option via the JSON form's
+    * `_stemmed` param, ml_lexer.py:391-392): token-level equality on
+    * the light-stem fold — "merges" folds to "merg" and matches
+    * documents containing "merge"/"merged"/"merging", none of which
+    * the plain contains leaf would find. The oracle re-derives the
+    * identical three-stage fold (plural → verbal → final-e) in SQL. */
+  val q10StemJson: String =
+    """{"AND": [{"etype": "document"}, {"name": "merges", "_stemmed": true}]}"""
+  private val q10StemOracle: String = {
+    val t = TextQueries.tokensSql("lower(text)")
+    // the same three-stage fold as LuxCompiler.stemTerm/stemCol,
+    // re-derived in SQL; stem('merges') = 'merg'
+    def stemSql(x: String): String = {
+      val p = s"(CASE WHEN $x LIKE '%ies' AND len($x) > 4 THEN substr($x, 1, len($x)-3) || 'y' " +
+        s"WHEN $x LIKE '%s' AND $x NOT LIKE '%ss' AND len($x) > 3 THEN substr($x, 1, len($x)-1) ELSE $x END)"
+      val v = s"(CASE WHEN $p LIKE '%ing' AND len($p) > 5 THEN substr($p, 1, len($p)-3) " +
+        s"WHEN $p LIKE '%ed' AND len($p) > 4 THEN substr($p, 1, len($p)-2) ELSE $p END)"
+      s"(CASE WHEN $v LIKE '%e' AND len($v) > 3 THEN substr($v, 1, len($v)-1) ELSE $v END)"
+    }
+    s"""SELECT 'd' || doc_id AS id FROM documents
+       |WHERE len(list_filter($t, t -> ${stemSql("t")} = 'merg')) > 0""".stripMargin
+  }
+
   private def runJson(query: String)(spark: SparkSession, dir: String): DataFrame = {
     val (e, t) = substrate(spark, dir)
     new LuxCompiler(e, t).compileJson(query)
@@ -211,5 +246,8 @@ object LuxQueries extends QueryGroup {
     Queries.register(QueryDef("lux_q4_near", run(q4), Some(q4Oracle)))
     Queries.register(QueryDef("lux_q6_json", runJson(q6Json), Some(q6Oracle)))
     Queries.register(QueryDef("lux_q7_id", run(q7), Some(q7Oracle)))
+    Queries.register(QueryDef("lux_q8_wildcard", run(q8), Some(q8Oracle)))
+    Queries.register(QueryDef("lux_q10_stemmed", runJson(q10StemJson),
+      Some(q10StemOracle)))
   }
 }

@@ -53,23 +53,23 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     // catalog (every class has it) and completes a bare identifier to
     // the data-namespace IRI before the exact lookup — our namespace
     // twin is the urn:graft: prefix the N-Triples export uses
-    case Leaf("id", "=", str, _, false) =>
+    case Leaf("id", "=", str, _, false, _) =>
       val v = if (str.startsWith("urn:graft:")) str.stripPrefix("urn:graft:")
         else str
       entities.filter(col("id") === v).select("id")
-    case Leaf(field, _, _, _, _) if !catalog.fields(field) =>
+    case Leaf(field, _, _, _, _, _) if !catalog.fields(field) =>
       sys.error(s"unknown field '$field' (catalog: ${catalog.fields.toSeq.sorted.mkString(",")})")
     case Rel(pred, _) if !catalog.predicates(pred) =>
       sys.error(s"unknown relationship '$pred'")
     case InvRel(pred, _) if !catalog.predicates(pred) =>
       sys.error(s"unknown relationship '^$pred'")
-    case Leaf(field, op, str, num, isNum) =>
+    case Leaf(field, op, str, num, isNum, stemmed) =>
       // catalog membership already checked above; any catalog field is a
       // column of the entity substrate (facet booleans are numeric)
       val col = entities.col(field)
       val pred = (op, isNum) match {
         case ("=", false) if catalog.exactFields(field) => col === str
-        case ("=", false) => instr(lower(col), str.toLowerCase) > 0
+        case ("=", false) => LuxCompiler.wordPredicate(col, str, stemmed)
         case ("=", true) => col === num
         case ("<", true) => col < num
         case (">", true) => col > num
@@ -93,9 +93,14 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     // leaves) contribute membership only — proximity is undefined for
     // them, exactly as in cts where near-query composes word queries.
     case Bool("NEAR", kids) =>
+      // only PLAIN word leaves join the positional machinery —
+      // wildcarded/stemmed words contribute membership (via the AND
+      // base, where wordPredicate honors their options) but not
+      // proximity, the same composition rule as non-word kids
       val wordLeaves = kids.collect {
-        case Leaf(f, "=", s, _, false)
-            if catalog.fields(f) && !catalog.exactFields(f) => (f, s)
+        case Leaf(f, "=", s, _, false, false)
+            if catalog.fields(f) && !catalog.exactFields(f) &&
+              !LuxCompiler.isWildcard(s) => (f, s)
       }
       val byField = wordLeaves.groupBy(_._1).filter(_._2.size >= 2)
       byField.foldLeft(ids(Bool("AND", kids))) { case (acc, (f, ws)) =>
@@ -183,6 +188,78 @@ object LuxCompiler {
   /** NEAR token window (cts near-query default distance analog; the
     * same window q12's standalone positional NEAR uses). */
   val NearWindow = 3
+
+  import org.apache.spark.sql.Column
+
+  /** True if the term uses the cts `wildcarded` option — detected from
+    * the term itself (`*`/`?` present), matching MarkLogic's automatic
+    * wildcard detection rather than an explicit option flag. */
+  def isWildcard(term: String): Boolean =
+    term.exists(c => c == '*' || c == '?')
+
+  /** Glob → anchored regex: `*` = any run, `?` = one char, everything
+    * else literal (regex metachars escaped). The same pattern string is
+    * valid for Spark RLIKE (Java regex) and DuckDB regexp_full_match
+    * (RE2) — the subset used here is common to both. */
+  def globToRegex(term: String): String =
+    term.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\^$.|+()[]{}".contains(c) => "\\" + c
+      case c => c.toString
+    }
+
+  /** Light plural/verbal suffix fold — the cts `stemmed` option's
+    * index-time approximation (documented deviation from Porter-class
+    * stemming per SURVEY §7.4.5). Three stages: plural (ies→y, s-drop),
+    * verbal (ing/ed-drop), final-e drop (so merging/merged/merges and
+    * merge all fold to "merg"). [[stemCol]] (token side) and
+    * [[stemTerm]] (query side) implement IDENTICAL rules; the DuckDB
+    * oracles re-derive the same chain in SQL. Input must be lowercase. */
+  def stemTerm(s: String): String = {
+    val p =
+      if (s.endsWith("ies") && s.length > 4) s.dropRight(3) + "y"
+      else if (s.endsWith("s") && !s.endsWith("ss") && s.length > 3) s.dropRight(1)
+      else s
+    val v =
+      if (p.endsWith("ing") && p.length > 5) p.dropRight(3)
+      else if (p.endsWith("ed") && p.length > 4) p.dropRight(2)
+      else p
+    if (v.endsWith("e") && v.length > 3) v.dropRight(1) else v
+  }
+
+  /** Column twin of [[stemTerm]] — same three stages, token input must
+    * be lowercase. */
+  def stemCol(t: Column): Column = {
+    def pluralFold(x: Column): Column =
+      when(x.endsWith("ies") && length(x) > 4,
+        concat(x.substr(lit(1), length(x) - 3), lit("y")))
+        .when(x.endsWith("s") && !x.endsWith("ss") && length(x) > 3,
+          x.substr(lit(1), length(x) - 1))
+        .otherwise(x)
+    def verbalFold(x: Column): Column =
+      when(x.endsWith("ing") && length(x) > 5, x.substr(lit(1), length(x) - 3))
+        .when(x.endsWith("ed") && length(x) > 4, x.substr(lit(1), length(x) - 2))
+        .otherwise(x)
+    def eFold(x: Column): Column =
+      when(x.endsWith("e") && length(x) > 3, x.substr(lit(1), length(x) - 1))
+        .otherwise(x)
+    eFold(verbalFold(pluralFold(t)))
+  }
+
+  /** Word-leaf predicate over a text field, honoring the cts options:
+    * wildcarded terms match whole tokens against the anchored glob,
+    * stemmed terms match on the light-stem fold, plain terms keep the
+    * engine's contains semantics (substring of the field, SURVEY
+    * §7.4.5). One pass over a single tokenize per row — never
+    * element_at probes (the HOF-CSE pitfall NEAR documents). */
+  def wordPredicate(field: Column, term: String, stemmed: Boolean): Column = {
+    val w = term.toLowerCase
+    val toks = graft.TextQueries.tokensCol(lower(field))
+    if (isWildcard(w)) exists(toks, t => t.rlike("^" + globToRegex(w) + "$"))
+    else if (stemmed) exists(toks, t => stemCol(t) === lit(stemTerm(w)))
+    else instr(lower(field), w) > 0
+  }
 }
 
 /** Q4: the searchConfig field catalog with `*` template expansion

@@ -31,8 +31,13 @@ object LuxQL {
   val jsonBooleans: Set[String] = Set("AND", "OR", "NEAR", "ANDNOT", "BOOST")
 
   sealed trait Ast
+  /** `stemmed`: the cts word-query `stemmed` option, carried by the
+    * JSON form's `_stemmed` param (ml_lexer.py:391-392; option list
+    * cts.py:2). Wildcards need no flag — a `*`/`?` in the term
+    * activates the `wildcarded` option, matching MarkLogic's
+    * automatic wildcard detection. */
   final case class Leaf(field: String, op: String, str: String, num: Long,
-      isNum: Boolean) extends Ast
+      isNum: Boolean, stemmed: Boolean = false) extends Ast
   final case class Bool(op: String, kids: Seq[Ast]) extends Ast
   final case class Rel(pred: String, sub: Ast) extends Ast
   final case class InvRel(pred: String, sub: Ast) extends Ast
@@ -147,6 +152,9 @@ object LuxQL {
         val (field, value) = main.head
         val comp = params.collectFirst { case ("_comp", JString(c)) => c }
           .getOrElse("=")
+        val stemmed = params.collectFirst {
+          case ("_stemmed", JBool(b)) => b
+        }.getOrElse(false)
         value match {
           case JArray(items) =>
             require(jsonBooleans(field), s"unknown Boolean $field")
@@ -160,7 +168,7 @@ object LuxQL {
             else Rel(field, fromJson(o))
           case JString(sv) =>
             require(comp == "=", s"string field $field only supports =")
-            Leaf(field, "=", sv, 0L, isNum = false)
+            Leaf(field, "=", sv, 0L, isNum = false, stemmed = stemmed)
           case JInt(n) => Leaf(field, comp, null, n.toLong, isNum = true)
           case JLong(n) => Leaf(field, comp, null, n, isNum = true)
           case JDouble(d) => Leaf(field, comp, null, d.toLong, isNum = true)

@@ -77,6 +77,63 @@ class LuxParserSpec extends AnyFunSuite {
       Leaf("name", "=", "x", 0L, isNum = false))
   }
 
+  test("word-query options: _stemmed param and wildcard detection") {
+    import graft.plans.LuxCompiler
+    // JSON _stemmed param (ml_lexer.py:391-392) lands on the leaf
+    assert(LuxQL.parseJson("""{"name": "scans", "_stemmed": true}""") ===
+      Leaf("name", "=", "scans", 0L, isNum = false, stemmed = true))
+    assert(LuxQL.parseJson("""{"name": "scans", "_stemmed": false}""") ===
+      Leaf("name", "=", "scans", 0L, isNum = false))
+    // wildcarded is detected from the term, never a flag
+    assert(LuxCompiler.isWildcard("wid*"))
+    assert(LuxCompiler.isWildcard("w?dget"))
+    assert(!LuxCompiler.isWildcard("widget"))
+    // glob translation escapes regex metachars, maps only */?
+    assert(LuxCompiler.globToRegex("w?dg*") === "w.dg.*")
+    assert(LuxCompiler.globToRegex("a.b*") === "a\\.b.*")
+    // the three-stage light stem fold (plural -> verbal -> final e)
+    assert(LuxCompiler.stemTerm("merges") === "merg")
+    assert(LuxCompiler.stemTerm("merge") === "merg")
+    assert(LuxCompiler.stemTerm("merged") === "merg")
+    assert(LuxCompiler.stemTerm("merging") === "merg")
+    assert(LuxCompiler.stemTerm("queries") === "query")
+    assert(LuxCompiler.stemTerm("query") === "query")
+    assert(LuxCompiler.stemTerm("class") === "class") // ss guard
+    assert(LuxCompiler.stemTerm("as") === "as")       // length guard
+  }
+
+  test("wildcard and stemmed leaves compile against the substrate") {
+    val spark = TestSpark.spark
+    val (e, t) = LuxQueries.substrate(spark, TestSpark.sf)
+    val c = new graft.plans.LuxCompiler(e, t)
+    // wildcard matches whole tokens: w?dg* finds widget parts, and is a
+    // subset of the contains leaf for the stem "widg"
+    val wild = c.compile("""AND(etype="part", name="w?dg*")""")
+      .collect().map(_.getString(0)).toSet
+    val contains = c.compile("""AND(etype="part", name="widg")""")
+      .collect().map(_.getString(0)).toSet
+    assert(wild.nonEmpty)
+    assert(wild.subsetOf(contains))
+    // plain terms keep contains semantics: "idge" (substring of widget)
+    // matches — but a wildcarded term is token-anchored, so ^idge.*$
+    // matches no whole token
+    assert(c.compile("""AND(etype="part", name="idge")""").count() > 0)
+    assert(c.compile("""AND(etype="part", name="idge*")""").count() === 0L)
+    // stemmed "merges" reaches documents containing "merge" that the
+    // plain contains leaf for "merges" cannot see
+    val stemmed = c.compileJson(
+      """{"AND": [{"etype": "document"}, {"name": "merges", "_stemmed": true}]}""")
+      .collect().map(_.getString(0)).toSet
+    val plain = c.compileJson(
+      """{"AND": [{"etype": "document"}, {"name": "merges"}]}""")
+      .collect().map(_.getString(0)).toSet
+    val containsMerge = c.compile("""AND(etype="document", name="merge")""")
+      .collect().map(_.getString(0)).toSet
+    assert(stemmed.nonEmpty)
+    assert(plain.isEmpty, "fixture has no literal 'merges' (else pick a new term)")
+    assert(containsMerge.subsetOf(stemmed))
+  }
+
   test("catalog * template expansion (ml_lexer.py:274-298)") {
     import graft.plans.LuxSearchConfig
     val cats = LuxSearchConfig.expand(LuxSearchConfig.default)
