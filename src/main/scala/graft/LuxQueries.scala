@@ -234,6 +234,40 @@ object LuxQueries extends QueryGroup {
        |WHERE len(list_filter($t, t -> ${stemSql("t")} = 'merg')) > 0""".stripMargin
   }
 
+  /** BOOST as RELEVANCE (cts boostQuery, cts.py:58-61): membership is
+    * the first argument (docs containing "table"); the word-leaf
+    * boosting argument lifts relevance via the integer BM25 term score
+    * over the member set (LuxCompiler.ranked — flat 1000 baseline +
+    * q10_bm25's exact formula). Closes the last query-language
+    * deviation: BOOST results are ordered, not a bare id set. */
+  val q9 = """BOOST(AND(etype="document", name="table"), name="merge")"""
+  private val q9Oracle: String = {
+    val t = TextQueries.tokensSql("lower(text)")
+    s"""WITH cand AS (
+       |  SELECT 'd' || doc_id AS id, $t AS t FROM documents
+       |  WHERE position('table' IN lower(text)) > 0),
+       |m AS (
+       |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf
+       |  FROM cand),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    GREATEST(CAST(SUM(dl) AS BIGINT) * 1000 // COUNT(*), 1) AS avgdl_milli,
+       |    CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+       |  FROM m)
+       |SELECT id,
+       |  1000 + CASE WHEN tf > 0
+       |    THEN ((((n_docs - df + 1) * 1000) // (df + 1)) * tf * 2200)
+       |      // (tf * 1000 + ((1200 * (1000 - 750 + ((750 * dl * 1000) // avgdl_milli))) // 1000))
+       |    ELSE 0 END AS score_milli
+       |FROM m, stats""".stripMargin
+  }
+
+  private def runRanked(query: String)(spark: SparkSession, dir: String): DataFrame = {
+    val (e, t) = substrate(spark, dir)
+    new LuxCompiler(e, t).compileRanked(query)
+  }
+
   private def runJson(query: String)(spark: SparkSession, dir: String): DataFrame = {
     val (e, t) = substrate(spark, dir)
     new LuxCompiler(e, t).compileJson(query)
@@ -247,6 +281,7 @@ object LuxQueries extends QueryGroup {
     Queries.register(QueryDef("lux_q6_json", runJson(q6Json), Some(q6Oracle)))
     Queries.register(QueryDef("lux_q7_id", run(q7), Some(q7Oracle)))
     Queries.register(QueryDef("lux_q8_wildcard", run(q8), Some(q8Oracle)))
+    Queries.register(QueryDef("lux_q9_boost", runRanked(q9), Some(q9Oracle)))
     Queries.register(QueryDef("lux_q10_stemmed", runJson(q10StemJson),
       Some(q10StemOracle)))
   }

@@ -182,6 +182,82 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
 
   /** JSON query form → same plan as its string twin. */
   def compileJson(query: String): DataFrame = ids(LuxQL.parseJson(query))
+
+  /** The RELEVANCE surface: (id, score_milli), ordered best-first.
+    *
+    * BOOST(main, boosting) per cts boostQuery (cts.py:58-61):
+    * membership is `main`'s id set, unchanged; `boosting` only lifts
+    * relevance. Every member scores a flat 1000 baseline. When the
+    * boosting argument is built entirely of plain word leaves (alone or
+    * under AND/OR), each term adds the integer BM25 score (k1=1.2,
+    * b=0.75 in milli units, rational idf — the exact q10_bm25 formula)
+    * computed over the MEMBER set: corpus stats (N, avgdl, per-term df)
+    * are one tiny aggregate broadcast back, so scoring is scan + map —
+    * no wide shuffle, the q10 scale shape. Any other boosting argument
+    * (hops, ranges, wildcards) falls back to a flat +1000 membership
+    * lift, documented. Non-BOOST queries rank every member equal. */
+  def ranked(q: Ast): DataFrame = q match {
+    case Bool("BOOST", Seq(main, boost)) =>
+      val cand = ids(main)
+      val terms = boostTerms(boost)
+      if (terms.nonEmpty) {
+        val withName = cand
+          .join(entities.select(col("id"), col("name")), Seq("id"), "left")
+        val toks =
+          graft.TextQueries.tokensCol(lower(coalesce(col("name"), lit(""))))
+        val tfCols = terms.indices.map(i =>
+          size(filter(toks, x => x === lit(terms(i)))).cast("long").as(s"tf_$i"))
+        val m = withName.select(
+          col("id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+        val statCols =
+          graft.TextQueries.intDiv(sum(col("dl")) * 1000L, count(lit(1)))
+            .as("avgdl_milli") +:
+            terms.indices.map(i =>
+              sum(when(col(s"tf_$i") > 0L, 1L).otherwise(0L)).as(s"df_$i"))
+        val stats = m.agg(count(lit(1)).as("n_docs"), statCols: _*)
+        val k1 = 1200L
+        val b = 750L
+        val lift = terms.indices.map { i =>
+          val tf = col(s"tf_$i"); val df = col(s"df_$i")
+          val idf = graft.TextQueries.intDiv(
+            (col("n_docs") - df + 1L) * 1000L, df + 1L)
+          // greatest(avgdl,1): a member set of all-empty name fields
+          // must not divide by zero
+          val lenNorm = lit(1000L) - b + graft.TextQueries.intDiv(
+            lit(b) * col("dl") * 1000L, greatest(col("avgdl_milli"), lit(1L)))
+          val denom =
+            tf * 1000L + graft.TextQueries.intDiv(lit(k1) * lenNorm, lit(1000L))
+          when(tf > 0L,
+            graft.TextQueries.intDiv(idf * tf * (1000L + k1), denom))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        m.crossJoin(broadcast(stats))
+          .select(col("id"), (lit(1000L) + lift).as("score_milli"))
+          .orderBy(col("score_milli").desc, col("id"))
+      } else {
+        val lifted = ids(boost).withColumn("lift", lit(1000L))
+        cand.join(lifted, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1000L) + coalesce(col("lift"), lit(0L))).as("score_milli"))
+          .orderBy(col("score_milli").desc, col("id"))
+      }
+    case other => ids(other).withColumn("score_milli", lit(1000L))
+  }
+
+  def compileRanked(query: String): DataFrame = ranked(LuxQL.parse(query))
+
+  /** The scoring-term bag of a boosting argument: non-empty only when
+    * the whole subtree is plain word leaves (alone or under AND/OR) —
+    * anything else opts the BOOST into the flat membership lift. */
+  private def boostTerms(q: Ast): Seq[String] = q match {
+    case Leaf(f, "=", s, _, false, false)
+        if catalog.fields(f) && !catalog.exactFields(f) &&
+          !LuxCompiler.isWildcard(s) => Seq(s.toLowerCase)
+    case Bool(op, kids) if op == "AND" || op == "OR" =>
+      val sub = kids.map(boostTerms)
+      if (sub.forall(_.nonEmpty)) sub.flatten.distinct else Seq.empty
+    case _ => Seq.empty
+  }
 }
 
 object LuxCompiler {

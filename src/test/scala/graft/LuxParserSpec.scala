@@ -134,6 +134,32 @@ class LuxParserSpec extends AnyFunSuite {
     assert(containsMerge.subsetOf(stemmed))
   }
 
+  test("BOOST ranks: word-leaf boost lifts via BM25, other boosts flat") {
+    val spark = TestSpark.spark
+    val (e, t) = LuxQueries.substrate(spark, TestSpark.sf)
+    val c = new graft.plans.LuxCompiler(e, t)
+    val q = """BOOST(AND(etype="document", name="table"), name="merge")"""
+    val ranked = c.compileRanked(q).collect()
+    // membership identical to the un-ranked BOOST compile (first arg)
+    val members = c.compile(q).collect().map(_.getString(0)).toSet
+    assert(ranked.map(_.getString(0)).toSet === members)
+    // best-first ordering, flat 1000 floor, and a genuine lift
+    val scores = ranked.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(scores.forall(_ >= 1000L))
+    assert(scores.exists(_ > 1000L), "no doc got boosted — fixture drift?")
+    assert(scores.exists(_ == 1000L), "every doc boosted — term too common")
+    // lifted docs are exactly the boost subquery's matches
+    val boosted = c.compile("""AND(etype="document", name="merge")""")
+      .collect().map(_.getString(0)).toSet
+    assert(ranked.filter(_.getLong(1) > 1000L).map(_.getString(0)).toSet
+      === boosted.intersect(members))
+    // non-word boosting argument: flat +1000 membership lift
+    val flat = c.compileRanked(
+      """BOOST(etype="customer", locatedIn(name="NATION_3"))""").collect()
+    assert(flat.map(_.getLong(1)).toSet === Set(1000L, 2000L))
+  }
+
   test("catalog * template expansion (ml_lexer.py:274-298)") {
     import graft.plans.LuxSearchConfig
     val cats = LuxSearchConfig.expand(LuxSearchConfig.default)
