@@ -528,10 +528,14 @@ object DedupQueries extends QueryGroup {
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // null/empty/zero-norm guard: same drop-at-ingest rule as
+    // SimilarityQueries.quantized (n2 is the cosine divisor below)
     val base = Tables.load(spark, dir, "embeddings")
+      .filter($"embedding".isNotNull && size($"embedding") > 0)
       .select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
       .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
+      .filter($"n2" > 0L)
       .persist() // signature fan-out + both verify joins read this
     val cand = embCandidates(base)
       .localCheckpoint() // barrier before verify (see minhashLsh)
@@ -557,10 +561,11 @@ object DedupQueries extends QueryGroup {
     s"""WITH base AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |n AS (SELECT vec_id, label, q,
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |n AS (SELECT vec_id, label, q, n2 FROM (SELECT vec_id, label, q,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i]*q[i] for i in range(1, len(q)+1)]), (a,b)->a+b) AS n2
-       |  FROM base),
+       |  FROM base) WHERE n2 > 0),
        |sigs AS (SELECT vec_id, label, CAST($bits AS BIGINT) AS sig FROM n),
        |bandrows AS ($bandRows),
        |cand AS (
@@ -866,10 +871,14 @@ object DedupQueries extends QueryGroup {
     * bench id via lexicographic struct max. */
   def embedDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // null/empty/zero-norm guard: same drop-at-ingest rule as
+    // SimilarityQueries.quantized (n2 is the cosine divisor below)
     val base = Tables.load(spark, dir, "embeddings")
+      .filter($"embedding".isNotNull && size($"embedding") > 0)
       .select($"vec_id",
         transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
       .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
+      .filter($"n2" > 0L)
     val bench = base.filter($"vec_id" % 37 === 0)
       .select($"vec_id".as("bench_id"), $"q".as("qb"), $"n2".as("n2b"))
     base.filter($"vec_id" % 37 =!= 0)
@@ -892,10 +901,11 @@ object DedupQueries extends QueryGroup {
     s"""WITH q0 AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |n AS (SELECT vec_id, q,
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |n AS (SELECT vec_id, q, n2 FROM (SELECT vec_id, q,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i]*q[i] for i in range(1, len(q)+1)]), (a,b)->a+b) AS n2
-       |  FROM q0),
+       |  FROM q0) WHERE n2 > 0),
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS bench_id,
        |    $cosPairSql

@@ -24,21 +24,35 @@ object SimilarityQueries extends QueryGroup {
   private val NQueries = 10 // probe set: vec_id < 10
   private val LshBits = 8
 
-  /** Milli-quantized integer vector + its squared norm. */
+  /** Milli-quantized integer vector + its squared norm.
+    *
+    * Degenerate-vector guard (the DegenerateEmbeddingsSpec contract):
+    * a null/empty embedding (failed encoder output) or a zero vector
+    * (norm 0 ⇒ cosine undefined, and the divisor of every cosine) never
+    * enters the index — the production drop-at-ingest rule, mirrored in
+    * the oracle SQL. Truncated-dimension vectors stay in the index, but
+    * any score against a different dimension is NULL (the dot keeps
+    * zip_with's null-on-mismatch semantics) and does not rank — the
+    * typed top-k boundaries drop null scores. */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
+      .filter($"embedding".isNotNull && size($"embedding") > 0)
       .select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
       .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
+      .filter($"n2" > 0L)
   }
   private[graft] val quantizedSql: String =
-    s"""SELECT vec_id, label,
+    s"""SELECT * FROM (
+       |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding]),
        |      (a,b)->a+b) AS n2
-       |  FROM embeddings""".stripMargin
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0)
+       |  WHERE n2 > 0""".stripMargin
 
   private[graft] def cosMilli(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
     floor(lit(1000d) *
@@ -61,7 +75,12 @@ object SimilarityQueries extends QueryGroup {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.select($"query_id".cast("long"), $"vec_id".cast("long"),
-        $"cos_milli".cast("long")).as[(Long, Long, Long)]
+        $"cos_milli".cast("long"))
+      // a NULL score (dimension-mismatched pair: the dot keeps
+      // zip_with's null-on-mismatch semantics) is incomparable and
+      // simply does not rank — drop before the non-nullable encoder
+      .filter($"cos_milli".isNotNull)
+      .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, vec, cos) => operators.TopK.Entry(cos, vec) }
       .agg(operators.TopK.TopKAgg(k).toColumn.name("top"))
@@ -81,7 +100,11 @@ object SimilarityQueries extends QueryGroup {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.select(col("query_id").cast("long"), col("vec_id").cast("long"),
-        col(distCol).cast("long")).as[(Long, Long, Long)]
+        col(distCol).cast("long"))
+      // same null-score drop as topKPerQuery: incomparable pairs
+      // (dimension mismatch) do not rank
+      .filter(col(distCol).isNotNull)
+      .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, vec, d) => operators.TopK.Entry(-d, vec) }
       .agg(operators.TopK.TopKAgg(k).toColumn.name("top"))
