@@ -55,6 +55,27 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     "d17_embed_decontaminate" -> "benchmark vectors (corpus/37, the broadcast probe)",
     "s19_file_skipping_eval" -> "4 range predicates × 16 per-file stat rows")
 
+  /** Rule 17b as a test, not prose: a window may only PARTITION BY keys
+    * whose per-key row count is structurally bounded — a document's
+    * positions, one probe's candidate list, an enumerated value domain.
+    * Key names are matched at the plan level (the window's partition
+    * attributes); a WindowExec carrying any key outside this list fails
+    * the sweep. The packing prefix sums (t_pack_chunks and the corpus
+    * pipeline's packing stage) were the conversion this rule forced:
+    * `source` is NOT here because one Common-Crawl-sized source would
+    * sort on a single reducer. Staleness is enforced like the join
+    * allowlists: every named key must still appear under some window. */
+  private val boundedWindowKeys: Map[String, String] = Map(
+    "doc_id" -> "per-document positions/spans, bounded by doc length",
+    "user_id" -> "per-user session events (the sessionization idiom)",
+    "window_start" -> "per time-window aggregation slice",
+    "event_type" -> "enumerated event-type domain",
+    "lang" -> "enumerated language domain",
+    "query_id" -> "fixed probe set (NQueries), candidates pre-bounded",
+    "nprobe" -> "parameter-sweep domain (a handful of budget levels)",
+    "en_id" -> "per-vector k-bounded candidate neighborhood (bitext)",
+    "xx_id" -> "per-vector k-bounded candidate neighborhood (bitext)")
+
   /** The one sanctioned CartesianProduct: a pair matrix over a BOUNDED
     * aggregate domain, where both product sides are already grouped to
     * |sources| rows. Kept separate from the broadcast allowlist so a
@@ -98,6 +119,7 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
   test("every registered query plans free of cartesians and unpartitioned windows") {
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     val sanctioned = scala.collection.mutable.Set[String]()
+    val windowKeysSeen = scala.collection.mutable.Set[String]()
     val old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -108,6 +130,15 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
             case _: CartesianProductExec => Some("CartesianProduct")
             case w: WindowExec if w.partitionSpec.isEmpty =>
               Some("unpartitioned Window")
+            case w: WindowExec =>
+              val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+              windowKeysSeen ++= keys.filter(boundedWindowKeys.contains)
+              val unbounded = keys.filterNot(boundedWindowKeys.contains)
+              if (unbounded.nonEmpty)
+                Some(s"Window over unbounded partition key(s) " +
+                  s"${unbounded.toSeq.sorted.mkString(",")} " +
+                  "(add to boundedWindowKeys ONLY with a structural bound)")
+              else None
             case j: BroadcastNestedLoopJoinExec
                 // only the BUILD (broadcast) side may justify the join:
                 // a scalar aggregate on the streamed side proves nothing
@@ -148,5 +179,8 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     val stale = (boundedBroadcast.keySet ++ boundedProduct.keySet) -- sanctioned
     assert(stale.isEmpty,
       s"allowlist entries no longer exhibit the shape (remove them): $stale")
+    val staleKeys = boundedWindowKeys.keySet -- windowKeysSeen
+    assert(staleKeys.isEmpty,
+      s"bounded window keys no longer under any window (remove them): $staleKeys")
   }
 }
