@@ -79,12 +79,29 @@ object Bench {
       case (k, Right(v)) => "\"" + k + f"""\":$v%.3f"""
       case (k, Left(_))  => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
+    // isolated best-of: single recordings on a shared sandbox are noisy
+    // at the ±10% level round-over-round comparison needs (r10's
+    // recorded-vs-quiet gap was 27.4 vs 24.1 s). After the sweep — JVM
+    // fully warm, no sweep neighbors — re-time the 5 heaviest keys once
+    // more and report min(recorded, post-run pass) alongside the
+    // recorded numbers, so a reader can separate plan regressions from
+    // environment noise without re-running by hand.
+    val isolated = results.collect { case (k, Right(v)) => (k, v) }
+      .sortBy(-_._2).take(5).map { case (k, rec) =>
+        try fns(k)(spark, sfDir).count()
+        catch { case _: Throwable => () } // warmup; failure already loud above
+        val best = timeOnce(k).fold(_ => rec, v => math.min(rec, v))
+        spark.catalog.clearCache()
+        k -> best
+      }
+    val iso = isolated.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) =>
       "\"" + (k + ": " + e).replace("\\", "\\\\").replace("\"", "'") + "\"" }
     val total = if (errs.nonEmpty) -1.0
       else results.collect { case (_, Right(v)) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"isolated_best":$iso$errField,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
