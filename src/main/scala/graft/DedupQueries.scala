@@ -387,6 +387,46 @@ object DedupQueries extends QueryGroup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
   }
 
+  /** Per-doc CANDIDATE-LOAD diagnostic — the bounded-output twin shared
+    * by d4b (bigram shingles) and d13b (winnow fingerprints). The full
+    * pair listings (d4/d13) are contract-quadratic against a duplicate
+    * clique: a shared prefix token held by k docs costs k² pairs. This
+    * twin MEASURES that cost instead of paying it: per doc, the largest
+    * prefix-posting bucket it sits in (max_bucket = its worst-case
+    * partner count through one token) and the summed bucket sizes
+    * (cand_bound = the upper bound of its d4 candidate pairs). One
+    * shuffle on the token key + one per-doc aggregate — linear at any
+    * clique size, so the sf1 sweep asserts the cost shape with these
+    * while the listings stay contract-quadratic by design. */
+  private def candidateLoadOf(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val prefLen = ($"len" - intDiv($"len" + 1L, lit(2L)) + 1L).cast("int")
+    val inv = base.select($"doc_id",
+      explode(slice($"sid", lit(1), prefLen)).as("tok"))
+    val counts = inv.groupBy($"tok").agg(count(lit(1)).as("n"))
+    inv.join(counts, "tok")
+      .groupBy($"doc_id")
+      .agg(max($"n" - 1L).as("max_bucket"), sum($"n" - 1L).as("cand_bound"))
+  }
+
+  def ngramDegree(spark: SparkSession, dir: String): DataFrame =
+    candidateLoadOf(ngramBase(spark, dir))
+  def winnowDegree(spark: SparkSession, dir: String): DataFrame =
+    candidateLoadOf(winnowBase(spark, dir))
+
+  /** Candidate-load oracle over a given nz CTE chain: replays the
+    * prefix slice, the posting counts, and the per-doc aggregation. */
+  private def candidateLoadOracleFrom(nzCtes: String): String =
+    s"""WITH $nzCtes,
+       |inv AS (
+       |  SELECT doc_id,
+       |    unnest(sid[1 : len(sid) - (len(sid)+1)//2 + 1]) AS tok
+       |  FROM nz),
+       |counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM inv GROUP BY tok)
+       |SELECT doc_id, MAX(n - 1) AS max_bucket,
+       |  CAST(SUM(n - 1) AS BIGINT) AS cand_bound
+       |FROM inv JOIN counts USING (tok) GROUP BY doc_id""".stripMargin
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = 500L
@@ -401,17 +441,22 @@ object DedupQueries extends QueryGroup {
           size(array_union($"sid_a", $"sid_b")).cast("long")).as("jacc_milli"))
       .filter($"jacc_milli" >= t)
   }
-  /** The oracle is the UNBLOCKED all-pairs join: prefix filtering is
-    * exact, so the Spark plan must reproduce it bit-for-bit. */
-  private val ngramJaccardOracle: String =
-    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+  /** The bigram-shingle nz CTE chain shared by the d4 oracle and the
+    * d4b degree twin's oracle. */
+  private val ngramNzCtes: String =
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
        |base AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(t) >= 2 THEN list_distinct([ (h[i]*131 + h[i+1]) % $P for i in range(1, len(t)) ])
+       |    CASE WHEN len(t) >= 2 THEN list_sort(list_distinct([ (h[i]*131 + h[i+1]) % $P for i in range(1, len(t)) ]))
        |         ELSE CAST([] AS BIGINT[]) END AS sid
        |  FROM th),
-       |nz AS (SELECT * FROM base WHERE len(sid) > 0)
+       |nz AS (SELECT * FROM base WHERE len(sid) > 0)""".stripMargin
+
+  /** The oracle is the UNBLOCKED all-pairs join: prefix filtering is
+    * exact, so the Spark plan must reproduce it bit-for-bit. */
+  private val ngramJaccardOracle: String =
+    s"""WITH $ngramNzCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) AS jacc_milli
@@ -430,9 +475,27 @@ object DedupQueries extends QueryGroup {
     * BandCap drop. Run at sample scale (truth is quadratic by nature);
     * the measured recall transfers to the production thresholds.
     * Output: one row of integer-exact counts + milli rates. */
-  def lshRecallEval(spark: SparkSession, dir: String): DataFrame = {
+  def lshRecallEval(spark: SparkSession, dir: String): DataFrame =
+    lshRecallEvalImpl(spark, dir, None)
+
+  /** D19b: the SAMPLED twin — both truth and prediction restricted to
+    * the deterministic doc sample `doc_id % 37 = 1` (~2.7%). The full
+    * eval's truth pass is contract-quadratic in a duplicate clique;
+    * the sample bounds it at (clique/37)² while measuring the same
+    * recall (LSH banding is id-blind, so the sample is unbiased), which
+    * lets the sf1 stress sweep assert d19's cost shape instead of
+    * timing it out. */
+  def lshRecallSample(spark: SparkSession, dir: String): DataFrame =
+    lshRecallEvalImpl(spark, dir, Some(RecallSampleMod))
+
+  private[graft] val RecallSampleMod = 37L
+
+  private def lshRecallEvalImpl(spark: SparkSession, dir: String,
+      sampleMod: Option[Long]): DataFrame = {
     import spark.implicits._
-    val base = shingleTable(spark, dir)
+    val sampled = sampleMod.foldLeft(shingleTable(spark, dir))(
+      (t, m) => t.filter($"doc_id" % m === 1L))
+    val base = sampled
       .filter(size($"sid") > 0)
       .select($"doc_id", array_sort($"sid").as("sid"))
       .withColumn("len", size($"sid").cast("long"))
@@ -444,7 +507,8 @@ object DedupQueries extends QueryGroup {
       .filter(intDiv(size(array_intersect($"sid_a", $"sid_b")).cast("long") * 1000L,
         size(array_union($"sid_a", $"sid_b")).cast("long")) >= 800L)
       .select($"doc_a", $"doc_b", lit(1L).as("t"))
-    val pred = minhashLsh(spark, dir)
+    val pred = sampleMod.foldLeft(minhashLsh(spark, dir))(
+        (p, m) => p.filter($"doc_a" % m === 1L && $"doc_b" % m === 1L))
       .select($"doc_a", $"doc_b", lit(1L).as("p"))
     pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
@@ -460,14 +524,22 @@ object DedupQueries extends QueryGroup {
   /** Truth = unblocked all-pairs >= 800 over the SAME shingle ids the
     * LSH pipeline hashes (the `base` CTE); prediction = the d2 pairs
     * CTE verbatim. */
-  private val lshRecallEvalOracle: String =
+  private val lshRecallEvalOracle: String = lshRecallOracleImpl(None)
+  private val lshRecallSampleOracle: String =
+    lshRecallOracleImpl(Some(RecallSampleMod))
+
+  private def lshRecallOracleImpl(sampleMod: Option[Long]): String = {
+    val predW = sampleMod.map(m =>
+      s" WHERE doc_a % $m = 1 AND doc_b % $m = 1").getOrElse("")
+    val truthW = sampleMod.map(m =>
+      s"\n    AND a.doc_id % $m = 1 AND b.doc_id % $m = 1").getOrElse("")
     s"""WITH $minhashPairsCtes,
-       |pred AS (SELECT doc_a, doc_b FROM pairs),
+       |pred AS (SELECT doc_a, doc_b FROM pairs$predW),
        |truth AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM base a JOIN base b ON a.doc_id < b.doc_id
        |  WHERE CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
-       |      // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 800),
+       |      // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) >= 800$truthW),
        |m AS (
        |  SELECT
        |    (SELECT COUNT(*) FROM pred WHERE EXISTS (SELECT 1 FROM truth t
@@ -481,6 +553,7 @@ object DedupQueries extends QueryGroup {
        |  CAST(tp * 1000 // GREATEST(tp + fp, 1) AS BIGINT) AS precision_milli,
        |  CAST(tp * 1000 // GREATEST(tp + fn, 1) AS BIGINT) AS recall_milli
        |FROM m""".stripMargin
+  }
 
   /** Number of hyperplanes / bands for the embedding near-dup blocking.
     * 16 planes in 4 bands of 4 bits: a (label, band, 4-bit value) bucket
@@ -1498,6 +1571,8 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d2_minhash_lsh", minhashLsh, Some(minhashOracle), bench = true))
     Queries.register(QueryDef("d3_simhash", simhash, Some(simhashOracle)))
     Queries.register(QueryDef("d4_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)))
+    Queries.register(QueryDef("d4b_ngram_degree", ngramDegree,
+      Some(candidateLoadOracleFrom(ngramNzCtes))))
     Queries.register(QueryDef("d5_embedding_neardup", embeddingNearDup, Some(embeddingNearDupOracle), bench = true))
     Queries.register(QueryDef("d6_dedup_clusters", dedupClusters, Some(dedupClustersOracle)))
     Queries.register(QueryDef("d7_decontaminate", decontaminate, Some(decontaminateOracle)))
@@ -1512,12 +1587,16 @@ object DedupQueries extends QueryGroup {
     Queries.register(QueryDef("d8_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)))
     Queries.register(QueryDef("d19_lsh_recall_eval", lshRecallEval,
       Some(lshRecallEvalOracle)))
+    Queries.register(QueryDef("d19b_lsh_recall_sample", lshRecallSample,
+      Some(lshRecallSampleOracle)))
     Queries.register(QueryDef("d9_semantic_prune", semanticPrune, Some(semanticPruneOracle)))
     Queries.register(QueryDef("d10_span_dedup", spanDedup, Some(spanDedupOracle)))
     Queries.register(QueryDef("d18_substring_dedup", substringDedup,
       Some(substringDedupOracle), bench = true))
     Queries.register(QueryDef("d11_containment", containment, Some(containmentOracle)))
     Queries.register(QueryDef("d13_winnow_dedup", winnowDedup, Some(winnowOracle)))
+    Queries.register(QueryDef("d13b_winnow_degree", winnowDegree,
+      Some(candidateLoadOracleFrom(winnowNzCtes))))
     Queries.register(QueryDef("d14_cdc_dedup", cdcDedup, Some(cdcDedupOracle)))
     Queries.register(QueryDef("d15_soft_dedup", softDedup, Some(softDedupOracle)))
     Queries.register(QueryDef("d16_bloom_prefilter", bloomPrefilter,
@@ -1747,10 +1826,12 @@ object DedupQueries extends QueryGroup {
   /** All-pairs oracle (prefix filtering is exact, cf. ngramJaccardOracle);
     * the winnow selection replays bit-for-bit in DuckDB list
     * comprehensions (rightmost-min via list_max over matching offsets). */
-  private val winnowOracle: String = {
+  /** The winnow-fingerprint nz CTE chain shared by the d13 oracle and
+    * the d13b degree twin's oracle. */
+  private val winnowNzCtes: String = {
     val W = WinnowW
     val wl = s"least($W, len(kg)-j+1)"
-    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |th AS (SELECT doc_id, t, $tokenHashesSql AS h FROM toks),
        |kgs AS (
        |  SELECT doc_id,
@@ -1764,7 +1845,11 @@ object DedupQueries extends QueryGroup {
        |        for j in range(1, greatest(len(kg)-$W+1, 1)+1) ]))
        |      ELSE CAST([] AS BIGINT[]) END AS sid
        |  FROM kgs),
-       |nz AS (SELECT * FROM base WHERE len(sid) > 0)
+       |nz AS (SELECT * FROM base WHERE len(sid) > 0)""".stripMargin
+  }
+
+  private val winnowOracle: String = {
+    s"""WITH $winnowNzCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sid, b.sid)) AS BIGINT) * 1000
        |    // CAST(len(list_distinct(list_concat(a.sid, b.sid))) AS BIGINT) AS jacc_milli

@@ -522,6 +522,44 @@ object RelationalQueries extends QueryGroup {
       |FROM c a JOIN c b ON a.k < b.k
       |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
 
+  /** J17b: per-name CANDIDATE-LOAD diagnostic — the bounded-output twin
+    * of j17 (same pattern as d4b): the variant join is
+    * contract-quadratic when one name is duplicated k times (all k
+    * share every variant → k² candidate pairs), so this twin MEASURES
+    * the load instead of paying it — per key, the largest
+    * deletion-variant bucket it sits in and the summed bucket sizes
+    * (its candidate-pair bound). One shuffle on the variant key + one
+    * per-key aggregate, linear at any duplication factor. */
+  def fuzzyDegree(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"), $"c_name".as("name"))
+    val vars = c.withColumn("v", explode(expr(
+      """array_union(array(name),
+        |  transform(sequence(1, length(name)),
+        |    i -> concat(substr(name, 1, i-1), substr(name, i+1, 1000))))"""
+        .stripMargin)))
+      .select($"k", $"v")
+    val counts = vars.groupBy($"v").agg(count(lit(1)).as("n"))
+    vars.join(counts, "v")
+      .groupBy($"k")
+      .agg(max($"n" - 1L).as("max_bucket"), sum($"n" - 1L).as("cand_bound"))
+  }
+  private val fuzzyDegreeOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+      |  FROM customer),
+      |vars AS (
+      |  SELECT k, unnest(list_distinct(list_prepend(name,
+      |    [substr(name, 1, i-1) || substr(name, i+1, 1000)
+      |     for i in range(1, len(name)+1)]))) AS v
+      |  FROM c),
+      |counts AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM vars GROUP BY v)
+      |SELECT k, MAX(n - 1) AS max_bucket,
+      |  CAST(SUM(n - 1) AS BIGINT) AS cand_bound
+      |FROM vars JOIN counts USING (v) GROUP BY k""".stripMargin
+
   /** W11: event-type transition matrix — per-user bigram counts of
     * consecutive event types in timestamp order (the Markov structure
     * of the clickstream; feeds next-event prediction and funnel
@@ -745,6 +783,8 @@ object RelationalQueries extends QueryGroup {
     Queries.register(QueryDef("t_equidepth_hist", equidepthHist, Some(equidepthOracle)))
     Queries.register(QueryDef("w11_event_transitions", eventTransitions, Some(transitionsOracle)))
     Queries.register(QueryDef("j17_fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)))
+    Queries.register(QueryDef("j17b_fuzzy_degree", fuzzyDegree,
+      Some(fuzzyDegreeOracle)))
     Queries.register(QueryDef("w10_cohort_retention", cohortRetention, Some(cohortOracle)))
     Queries.register(QueryDef("a9_exact_quantiles", exactQuantiles, Some(exactQuantilesOracle)))
     Queries.register(QueryDef("q1_agg", q1Agg, Some(q1AggOracle), bench = true))

@@ -82,9 +82,11 @@ object SourceQueries extends QueryGroup {
     * replays pattern → mean → bits → bands arithmetically, so the
     * decode path is pinned end to end: any byte-layout bug in the
     * encoder/decoder shifts a luma and breaks the hash compare. */
-  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** The encode→decode→aHash band table shared by m1v and its m1vb
+    * degree twin. */
+  private def imageBands(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bands = Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .select($"doc_id".cast("long")).as[Long].map { id =>
         val gray = Array.tabulate(64) { k =>
           (((id % 50) * 37 + k.toLong * k * 11 +
@@ -96,6 +98,11 @@ object SourceQueries extends QueryGroup {
         val b = sources.ImageCodec.aHashBands(luma)
         (id, b(0), b(1), b(2), b(3))
       }.toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = imageBands(spark, dir)
       .persist() // both sides of the band self-join
     val e = bands.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
       posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("j", "v")))
@@ -111,13 +118,15 @@ object SourceQueries extends QueryGroup {
       .distinct()
       .filter($"hamming" <= 3L)
   }
-  private val imageNearDupOracle: String = {
+  /** The aHash band CTE chain (g → hm → bands → e) shared by the m1v
+    * oracle and the m1vb degree twin's oracle. */
+  private val imageBandCtes: String = {
     def bandSql(j: Int): String =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    [CASE WHEN v[${16 * j} + i + 1] >= mean
          |       THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
          |     for i in range(0, 16)]), (a,b)->a+b)""".stripMargin
-    s"""WITH g AS (
+    s"""g AS (
        |  SELECT doc_id,
        |    [CAST(((doc_id % 50) * 37 + k*k*11 +
        |       CASE WHEN k = doc_id % 64 THEN 128 ELSE 0 END) % 256 AS BIGINT)
@@ -136,7 +145,11 @@ object SourceQueries extends QueryGroup {
        |  SELECT doc_id, 0 AS j, b0 AS bv, b0, b1, b2, b3 FROM bands
        |  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM bands
        |  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM bands
-       |  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM bands),
+       |  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM bands)""".stripMargin
+  }
+
+  private val imageNearDupOracle: String = {
+    s"""WITH $imageBandCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
@@ -146,6 +159,31 @@ object SourceQueries extends QueryGroup {
        |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
+
+  /** M1vb: per-image CANDIDATE-LOAD diagnostic — the bounded-output
+    * twin of m1v (d4b's pattern on the aHash band space): the band
+    * self-join is contract-quadratic when near-identical images flood
+    * a band bucket, so this twin measures each image's candidate load —
+    * the largest band bucket it sits in and the summed bucket sizes
+    * (its pair bound). One shuffle on the (band, value) key + one
+    * per-image aggregate, linear at any clique size. */
+  def imageDegree(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = imageBands(spark, dir)
+      .select($"doc_id",
+        posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("j", "v")))
+    val counts = e.groupBy($"j", $"v").agg(count(lit(1)).as("n"))
+    e.join(counts, Seq("j", "v"))
+      .groupBy($"doc_id")
+      .agg(max($"n" - 1L).as("max_bucket"), sum($"n" - 1L).as("cand_bound"))
+  }
+  private val imageDegreeOracle: String =
+    s"""WITH $imageBandCtes,
+       |counts AS (SELECT j, bv, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM e GROUP BY 1, 2)
+       |SELECT doc_id, MAX(n - 1) AS max_bucket,
+       |  CAST(SUM(n - 1) AS BIGINT) AS cand_bound
+       |FROM e JOIN counts USING (j, bv) GROUP BY doc_id""".stripMargin
 
   /** The non-image fallback path: documents' UTF-8 text bytes through
     * the same pipeline — unknown format, 0×0, checksum still exact. */
@@ -696,6 +734,8 @@ object SourceQueries extends QueryGroup {
     Queries.register(QueryDef("m1g_frame_sample", mediaFrames, Some(mediaFramesOracle)))
     Queries.register(QueryDef("m1b_media_fallback", mediaFallback, Some(mediaFallbackOracle)))
     Queries.register(QueryDef("m1v_image_neardup", imageNearDup, Some(imageNearDupOracle)))
+    Queries.register(QueryDef("m1vb_image_degree", imageDegree,
+      Some(imageDegreeOracle)))
     Queries.register(QueryDef("s7_pmh_walk", pmhWalk, Some(pmhWalkOracle)))
     Queries.register(QueryDef("s4_archive_load", archiveLoad, Some(archiveLoadOracle)))
     Queries.register(QueryDef("s2_zip_load", zipLoad, Some(zipLoadOracle)))

@@ -203,6 +203,39 @@ object StreamQueries extends QueryGroup {
   /** Cutoff between the two id-ordered micro-batches of st8. */
   private[graft] val NeardupCut = 250L
 
+  /** ST8b: per-arriving-doc PROBE-LOAD diagnostic — the bounded-output
+    * twin of st8 (d4b's candidate-load pattern applied to streaming
+    * admission): st8's index probe is contract-quadratic when a
+    * duplicate clique floods a band bucket, so this twin measures each
+    * stream doc's probe cost against the maintained corpus index — the
+    * summed sizes of the index buckets its bands hit (probe_load) and
+    * the largest such bucket (max_bucket). One shuffle on the band key
+    * + one per-doc aggregate, linear at any clique size. */
+  def streamProbeLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val sids = DedupQueries.shingleTableOf(docs)
+      .filter(size($"sid") > 0).persist() // corpus index + stream probes
+    val idx = DedupQueries.bandIndex(sids.filter($"doc_id" % 3 =!= 0))
+      .groupBy($"band_idx", $"band_hash").agg(count(lit(1)).as("n"))
+    DedupQueries.bandIndex(sids.filter($"doc_id" % 3 === 0))
+      .join(idx, Seq("band_idx", "band_hash"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(coalesce($"n", lit(0L))).as("probe_load"),
+        max(coalesce($"n", lit(0L))).as("max_bucket"))
+  }
+  private val streamProbeLoadOracle: String =
+    s"""WITH ${DedupQueries.minhashPairsCtes},
+       |cidx AS (
+       |  SELECT band_idx, band_hash, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM bandrows0 WHERE doc_id % 3 <> 0 GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS probe_load,
+       |  CAST(MAX(COALESCE(n, 0)) AS BIGINT) AS max_bucket
+       |FROM (SELECT doc_id, band_idx, band_hash FROM bandrows0
+       |      WHERE doc_id % 3 = 0) p
+       |LEFT JOIN cidx USING (band_idx, band_hash)
+       |GROUP BY doc_id""".stripMargin
+
   /** ST8: streaming near-dup ADMISSION replayed in batch form — the
     * documents with doc_id % 3 = 0 arrive as two id-ordered
     * micro-batches (below/above id 250) and each probes the monotone
@@ -375,6 +408,8 @@ object StreamQueries extends QueryGroup {
       Some(intervalJoinOracle)))
     Queries.register(QueryDef("st8_stream_neardup", streamNeardup,
       Some(streamNeardupOracle)))
+    Queries.register(QueryDef("st8b_stream_probe_load", streamProbeLoad,
+      Some(streamProbeLoadOracle)))
     Queries.register(QueryDef("st7_stream_topk", streamTopk, Some(streamTopkOracle)))
     Queries.register(QueryDef("st1_tumbling_window", tumbling, Some(tumblingOracle), bench = true))
     Queries.register(QueryDef("st2_sliding_window", sliding, Some(slidingOracle)))
