@@ -73,6 +73,12 @@ object DedupQueries extends QueryGroup {
     * regime decisions are made on a localCheckpointed tiny count table
     * feeding broadcasts. Returns distinct `<`-ordered pairs as columns
     * `{id}_a`/`{id}_b` plus `{c}_a`/`{c}_b` for every `carry` column. */
+  /** Cumulative count of band buckets dropped by BandCap in this JVM —
+    * StressSweep snapshots it per query, so guard engagement lands in
+    * the STRESS artifact as a number, not just a log line. */
+  private[graft] val guardDropCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def guardedBandPairs(bandRows: DataFrame, keys: Seq[String],
       idCol: String, carry: Seq[String] = Nil): DataFrame = {
     val counts = bandRows.groupBy(keys.map(col): _*)
@@ -83,9 +89,11 @@ object DedupQueries extends QueryGroup {
     // no-silent-caps: the checkpoint above already materialized counts,
     // so surfacing how many buckets the cap drops costs one tiny scan
     val nHot = hot.count()
-    if (nHot > 0)
+    if (nHot > 0) {
+      guardDropCount.addAndGet(nHot)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"guardedBandPairs: dropping $nHot band buckets larger than $BandCap docs")
+    }
     val big = counts.filter(col("n") <= BandCap).select(keys.map(col): _*)
     val capped = bandRows.join(broadcast(hot), keys, "left_anti")
     val smallRows = capped.join(broadcast(big), keys, "left_anti")

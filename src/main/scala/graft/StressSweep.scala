@@ -17,28 +17,57 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * duplicate-clique size BY CONTRACT, so against a corpus with a
   * 100k-duplicate clique their answer itself is petabyte-shaped — the
   * pipeline composes them after exact dedup (t_corpus_pipeline's stage
-  * order), which collapses the clique. A timeout is reported loudly
-  * (never silently skipped) with that contract note.
+  * order), which collapses the clique, and each has a bounded-output
+  * `*b` twin in the registry that measures its cost instead of paying
+  * it. A timeout is reported loudly (never silently skipped) with that
+  * contract note.
   *
-  * Usage: runMain graft.StressSweep [sfDir] [timeoutSecs]
+  * ARTIFACT: with a third argument the sweep persists machine-readable
+  * results (per-key seconds, status + contract note, guardedBandPairs
+  * drop counts) so rounds can diff scaling the way BENCH_r*.json diffs
+  * wall-times; with a fourth argument (a prior artifact, e.g. an sf0.1
+  * run) each key also carries `ratio` = this run's seconds over the
+  * baseline's.
+  *
+  * Usage: runMain graft.StressSweep [sfDir] [timeoutSecs] [outJson [baselineJson]]
   */
 object StressSweep {
+  final private case class Res(secs: Double, status: String, note: String,
+      guardDrops: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_stress/sf1")
     val timeoutSecs = args.lift(1).map(_.toLong).getOrElse(300L)
+    val outJson = args.lift(2)
+    val baseline: Map[String, Double] = args.lift(3).map { p =>
+      import org.json4s._
+      val root = jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      (root \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (name, q: JObject) => (q \ "secs") match {
+            case JDouble(s) => Some(name -> s)
+            case JInt(s) => Some(name -> s.toDouble)
+            case _ => None
+          }
+        }.flatten.toMap
+        case _ => Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
     val spark = Sessions.create("graft-stress-sweep",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     var failed = List.empty[String]
     var timedOut = List.empty[String]
-    val timings = Queries.all.map { q =>
+    val results: Seq[(String, Res)] = Queries.all.map { q =>
       val t0 = System.nanoTime()
+      val drops0 = DedupQueries.guardDropCount.get()
       val group = s"sweep-${q.name}"
       val fut = Future {
         spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
         try { q.fn(spark, sfDir).foreach(_ => ()); "ok" }
         finally spark.sparkContext.clearJobGroup()
       }
-      val r = try Await.result(fut, timeoutSecs.seconds)
+      val (status, note) = try { (Await.result(fut, timeoutSecs.seconds), "") }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           // AndFutureJobs: plain cancelJobGroup kills only currently
@@ -53,23 +82,49 @@ object StressSweep {
             println(s"[sweep] ${q.name}: zombie future did not drain in 60s")
           }
           timedOut ::= q.name
-          s"TIMEOUT >${timeoutSecs}s (if a pair-lister: output is quadratic " +
-            "in dup-clique size by contract; compose after exact dedup)"
+          ("timeout", s">${timeoutSecs}s; if a pair-lister: output is " +
+            "quadratic in dup-clique size by contract — compose after " +
+            "exact dedup, or read its bounded *b twin")
         case e: Throwable =>
           failed ::= q.name
-          "FAIL " + String.valueOf(e.getMessage).linesIterator.next().take(120)
+          ("fail",
+            String.valueOf(e.getMessage).linesIterator.next().take(120))
       }
       spark.catalog.clearCache()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[sweep] ${q.name}%-28s $secs%7.2f s  $r")
-      q.name -> secs
+      val drops = DedupQueries.guardDropCount.get() - drops0
+      val extra = (if (drops > 0) s"  [guard drops: $drops]" else "") +
+        (if (note.nonEmpty) s"  $note" else "")
+      println(f"[sweep] ${q.name}%-28s $secs%7.2f s  $status$extra")
+      q.name -> Res(secs, status, note, drops)
     }
-    val total = timings.map(_._2).sum
-    val slowest = timings.sortBy(-_._2).take(10)
-      .map { case (n, s) => f"$n=$s%.1f" }.mkString(", ")
-    println(f"[sweep] TOTAL ${timings.size} queries $total%.1f s; slowest: $slowest")
+    val total = results.map(_._2.secs).sum
+    val slowest = results.sortBy(-_._2.secs).take(10)
+      .map { case (n, r) => f"$n=${r.secs}%.1f" }.mkString(", ")
+    println(f"[sweep] TOTAL ${results.size} queries $total%.1f s; slowest: $slowest")
     if (timedOut.nonEmpty)
       println(s"[sweep] TIMED OUT (reported, not silent): ${timedOut.reverse.mkString(", ")}")
+    outJson.foreach { path =>
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val rows = results.map { case (name, r) =>
+        val ratio = baseline.get(name).filter(_ > 0)
+          .map(b => f""","ratio":${r.secs / b}%.2f""").getOrElse("")
+        val note = if (r.note.nonEmpty) s""","note":${q(r.note)}""" else ""
+        val drops = if (r.guardDrops > 0) s""","guard_drops":${r.guardDrops}""" else ""
+        s"""${q(name)}:{"secs":${f"${r.secs}%.3f"},"status":${q(r.status)}$ratio$drops$note}"""
+      }.mkString(",")
+      val doc = s"""{"sf_dir":${q(sfDir)},"timeout_secs":$timeoutSecs,""" +
+        s""""n_queries":${results.size},"total_secs":${f"$total%.1f"},""" +
+        s""""n_timeout":${timedOut.size},"n_fail":${failed.size},""" +
+        s""""queries":{$rows}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)
+      println(s"[sweep] artifact written: $path")
+    }
     if (failed.nonEmpty) {
       println(s"[sweep] FAILED: ${failed.reverse.mkString(", ")}")
       spark.stop(); sys.exit(1)
