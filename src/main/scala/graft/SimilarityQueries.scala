@@ -1342,7 +1342,6 @@ object SimilarityQueries extends QueryGroup {
     * rerank is a per-candidate map + two k-NN aggregations on the
     * candidate table — no cross product anywhere. */
   def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val K = 4
     val langOf = Tables.load(spark, dir, "documents")
@@ -1351,26 +1350,61 @@ object SimilarityQueries extends QueryGroup {
       .join(langOf, $"vec_id" === $"doc_id").drop("doc_id")
     val en = base.filter($"lang" === "en")
       .select($"vec_id".as("en_id"), $"q".as("eq"), $"n2".as("en2"))
+      .persist() // three map-only cross passes re-read it
     val xx = base.filter($"lang" =!= "en")
       .select($"vec_id".as("xx_id"), $"q".as("xq"), $"n2".as("xn2"))
-    val scored = en.join(broadcast(xx))
+      .persist() // broadcast side of every pass
+    // the cross is REGENERATED per pass (def, not val+persist): a
+    // quadratic intermediate must never be a cache resident at 100 TB,
+    // and each regeneration is a map-only broadcast join — no shuffle
+    def scored = en.join(broadcast(xx))
       .select($"en_id", $"xx_id",
         cosMilli($"eq", $"xq", $"en2", $"xn2").as("cos_milli"))
-    val wx = Window.partitionBy($"en_id").orderBy($"cos_milli".desc, $"xx_id".asc)
-    val wy = Window.partitionBy($"xx_id").orderBy($"cos_milli".desc, $"en_id".asc)
-    val sx = scored.withColumn("r", row_number().over(wx)).filter($"r" <= K)
-      .groupBy($"en_id").agg(sum($"cos_milli").as("sx"))
-    val sy = scored.withColumn("r", row_number().over(wy)).filter($"r" <= K)
-      .groupBy($"xx_id").agg(sum($"cos_milli").as("sy"))
-    val margins = scored.join(sx, "en_id").join(sy, "xx_id")
-      .filter($"sx" + $"sy" > 0)
-      .withColumn("margin_milli",
-        floor(lit(1000d * 2 * K) * $"cos_milli".cast("double") /
-          ($"sx" + $"sy").cast("double")).cast("long"))
-    val wbest = Window.partitionBy($"en_id")
-      .orderBy($"margin_milli".desc, $"xx_id".asc)
-    margins.withColumn("rb", row_number().over(wbest)).filter($"rb" === 1)
-      .select($"en_id", $"xx_id", $"cos_milli", $"margin_milli")
+    // sum of each side's top-K neighbor cosines via the bounded TopK
+    // aggregator. The previous window form shuffled and SORTED the
+    // entire cross product into per-id partitions — a |xx|-sized
+    // partition per en vector, the unbounded-window shape the plan
+    // audit bans elsewhere; the aggregator ships <= K rows per id per
+    // partition. (A single fused pass emitting both directions through
+    // one typed aggregation was measured SLOWER — 293 s vs 180 s at the
+    // sf1 stress scale — because doubling the rows through the typed
+    // encoder costs more than a second codegen'd cross; the cosine
+    // evaluations are the irreducible cost of the exact brute margin
+    // contract, and the ANN family (v2/v4) is the sub-brute path.)
+    // Null scores (dimension-mismatched pairs) do not rank, as in
+    // topKPerQuery.
+    def topkSum(df: DataFrame, key: String, other: String, out: String): DataFrame =
+      df.select(col(key).cast("long"), col(other).cast("long"),
+          col("cos_milli").cast("long"))
+        .filter(col("cos_milli").isNotNull)
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, o, c) => operators.TopK.Entry(c, o) }
+        .agg(operators.TopK.TopKAgg(K).toColumn.name("top"))
+        .map { case (id, buf) => (id, buf.items.map(_.v).sum) }
+        .toDF(key, out)
+    val sx = topkSum(scored, "en_id", "xx_id", "sx")
+    val sy = topkSum(scored, "xx_id", "en_id", "sy")
+    // margin pass: sx rides the en (streamed) side via a linear join,
+    // sy rides the broadcast xx side; best partner per en via
+    // max-of-struct (margin desc, xx asc) — map-side combining, so only
+    // |en| rows shuffle instead of the whole cross product
+    val enS = en.join(sx, "en_id")
+    val xxS = xx.join(broadcast(sy), "xx_id")
+    enS.join(broadcast(xxS))
+      .select($"en_id", $"xx_id", $"sx", $"sy",
+        cosMilli($"eq", $"xq", $"en2", $"xn2").as("cos_milli"))
+      .filter($"cos_milli".isNotNull && $"sx" + $"sy" > 0)
+      .select($"en_id",
+        struct(
+          floor(lit(1000d * 2 * K) * $"cos_milli".cast("double") /
+            ($"sx" + $"sy").cast("double")).cast("long").as("margin_milli"),
+          (-$"xx_id").as("neg_xx"),
+          $"cos_milli").as("sc"))
+      .groupBy($"en_id")
+      .agg(max($"sc").as("m"))
+      .select($"en_id", (-$"m.neg_xx").as("xx_id"),
+        $"m.cos_milli".as("cos_milli"), $"m.margin_milli".as("margin_milli"))
   }
   private val bitextMarginOracle: String =
     s"""WITH base AS ($quantizedSql),

@@ -56,9 +56,18 @@ object StressSweep {
     }.getOrElse(Map.empty)
     val spark = Sessions.create("graft-stress-sweep",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // local-iteration filter (comma-separated); the driver never sets
+    // it, so recorded sweeps always cover the full registry
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
     var timedOut = List.empty[String]
-    val results: Seq[(String, Res)] = Queries.all.map { q =>
+    val sweepSet = Queries.all.filter(q => only.forall(_.contains(q.name)))
+    only.foreach { names =>
+      val unknown = names -- Queries.all.map(_.name).toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_SWEEP_ONLY unknown: ${unknown.mkString(",")}")
+    }
+    val results: Seq[(String, Res)] = sweepSet.map { q =>
       val t0 = System.nanoTime()
       val drops0 = DedupQueries.guardDropCount.get()
       val group = s"sweep-${q.name}"

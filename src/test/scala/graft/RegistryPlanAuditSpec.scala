@@ -51,7 +51,7 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     "v16_nprobe_sweep" -> "widest-budget candidate set, filtered per level",
     "v15_mrl_truncate_eval" -> "10-probe broadcast set (persisted pairs — visible once the sweep recurses into cached plans)",
     "v12_hard_negatives" -> "fixed NQueries probe set (v1's shape, under the persisted scored table)",
-    "v13_bitext_margin" -> "per-side neighborhood-average tables (k=4)",
+    "v13_bitext_margin" -> "the non-pivot (xx) side broadcast for the map-only margin cross; per-id state is TopK-bounded",
     "d17_embed_decontaminate" -> "benchmark vectors (corpus/37, the broadcast probe)",
     "s19_file_skipping_eval" -> "4 range predicates × 16 per-file stat rows")
 
@@ -72,9 +72,7 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     "event_type" -> "enumerated event-type domain",
     "lang" -> "enumerated language domain",
     "query_id" -> "fixed probe set (NQueries), candidates pre-bounded",
-    "nprobe" -> "parameter-sweep domain (a handful of budget levels)",
-    "en_id" -> "per-vector k-bounded candidate neighborhood (bitext)",
-    "xx_id" -> "per-vector k-bounded candidate neighborhood (bitext)")
+    "nprobe" -> "parameter-sweep domain (a handful of budget levels)")
 
   /** The one sanctioned CartesianProduct: a pair matrix over a BOUNDED
     * aggregate domain, where both product sides are already grouped to
