@@ -206,7 +206,9 @@ object LuxQueries extends QueryGroup {
     * vocabulary ("red widget" → token "widget"). */
   val q8 = """AND(etype="part", name="w?dg*")"""
   private val q8Oracle: String = {
-    val t = TextQueries.tokensSql("lower(p_name)")
+    // WordFold (diacritic+punctuation fold) mirrored before tokenizing
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(p_name)"))
     s"""SELECT 'p' || p_partkey AS id FROM part
        |WHERE len(list_filter($t, t -> regexp_full_match(t, 'w.dg.*'))) > 0""".stripMargin
   }
@@ -220,7 +222,9 @@ object LuxQueries extends QueryGroup {
   val q10StemJson: String =
     """{"AND": [{"etype": "document"}, {"name": "merges", "_stemmed": true}]}"""
   private val q10StemOracle: String = {
-    val t = TextQueries.tokensSql("lower(text)")
+    // WordFold (diacritic+punctuation fold) mirrored before tokenizing
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(text)"))
     // the same three-stage fold as LuxCompiler.stemTerm/stemCol,
     // re-derived in SQL; stem('merges') = 'merg'
     def stemSql(x: String): String = {

@@ -29,6 +29,7 @@ object Sessions {
     graft.functions.PolyHash.register(spark)
     graft.functions.UriCanon.register(spark)
     graft.functions.VecMath.register(spark)
+    graft.functions.WordFold.register(spark)
     spark
   }
 }

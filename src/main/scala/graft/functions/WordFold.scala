@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The cts word-query normalization fold — the `diacritic-insensitive,
+  * punctuation-insensitive` members of the reference's default word
+  * option list (`pipeline/storage/marklogic/cts.py:2`): NFD-decompose
+  * and drop combining marks, then drop every char that is not a
+  * letter, digit, or whitespace (whitespace survives so a whole FIELD
+  * can be folded before tokenization without merging across token
+  * boundaries). Applied to both the query term and the indexed tokens
+  * on the token-level match paths (wildcard, stemmed), so
+  * "Naïve-Bayes" and "naive bayes" meet at the same folded tokens.
+  *
+  * DuckDB twin (oracle side):
+  * `regexp_replace(strip_accents(x), '[^\pL\pN\s]', '', 'g')` — both
+  * folds are NFD-based and agree on the Latin ranges the data carries.
+  * Codegen: one static JVM call per row (the UriCanon shape). */
+object WordFold {
+  def fold(s: String): String = {
+    if (s == null) return null
+    val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val b = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK &&
+          (Character.isLetterOrDigit(c) || Character.isWhitespace(c)))
+        b.append(c)
+      i += 1
+    }
+    b.toString
+  }
+
+  /** Column wrapper over the native expression. */
+  def foldCol(c: Column): Column = call_function("word_fold", c)
+
+  /** Register as SQL function `word_fold` on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_fold", args => WordFoldExpr(args.head), "built-in")
+
+  /** The oracle-side twin of [[fold]]. */
+  def foldSql(x: String): String =
+    s"regexp_replace(strip_accents($x), '[^\\pL\\pN\\s]', '', 'g')"
+}
+
+/** Native codegen'd expression: one static call per row. */
+final case class WordFoldExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_fold requires STRING input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      WordFold.fold(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.WordFold.fold($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): WordFoldExpr =
+    copy(child = newChild)
+}

@@ -323,17 +323,33 @@ object LuxCompiler {
     eFold(verbalFold(pluralFold(t)))
   }
 
+  /** Fold a wildcarded term's literal chars through WordFold while
+    * keeping the wildcard metachars themselves. */
+  def foldWildTerm(w: String): String =
+    w.flatMap(c =>
+      if (c == '*' || c == '?') c.toString
+      else graft.functions.WordFold.fold(c.toString))
+
   /** Word-leaf predicate over a text field, honoring the cts options:
     * wildcarded terms match whole tokens against the anchored glob,
-    * stemmed terms match on the light-stem fold, plain terms keep the
-    * engine's contains semantics (substring of the field, SURVEY
-    * §7.4.5). One pass over a single tokenize per row — never
-    * element_at probes (the HOF-CSE pitfall NEAR documents). */
+    * stemmed terms match on the light-stem fold — both token-level
+    * paths first run the WordFold normalization (diacritic- and
+    * punctuation-insensitive, the remaining members of cts.py:2's
+    * default option list) over tokens AND term, so "Naïve-Bayes"
+    * meets "naive*". Plain terms keep the engine's contains semantics
+    * (substring of the raw lowercased field, SURVEY §7.4.5 — the one
+    * documented word deviation left). One pass over a single tokenize
+    * per row — never element_at probes (the HOF-CSE pitfall NEAR
+    * documents). */
   def wordPredicate(field: Column, term: String, stemmed: Boolean): Column = {
     val w = term.toLowerCase
-    val toks = graft.TextQueries.tokensCol(lower(field))
-    if (isWildcard(w)) exists(toks, t => t.rlike("^" + globToRegex(w) + "$"))
-    else if (stemmed) exists(toks, t => stemCol(t) === lit(stemTerm(w)))
+    def folded = graft.TextQueries.tokensCol(
+      graft.functions.WordFold.foldCol(lower(field)))
+    if (isWildcard(w))
+      exists(folded, t => t.rlike("^" + globToRegex(foldWildTerm(w)) + "$"))
+    else if (stemmed)
+      exists(folded, t =>
+        stemCol(t) === lit(stemTerm(graft.functions.WordFold.fold(w))))
     else instr(lower(field), w) > 0
   }
 }

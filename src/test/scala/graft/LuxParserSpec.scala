@@ -160,6 +160,37 @@ class LuxParserSpec extends AnyFunSuite {
     assert(flat.map(_.getLong(1)).toSet === Set(1000L, 2000L))
   }
 
+  test("wildcard/stemmed paths fold diacritics and punctuation (cts.py:2)") {
+    import graft.plans.LuxCompiler
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // fold unit behavior: NFD accent strip + punct drop, whitespace kept
+    assert(graft.functions.WordFold.fold("Naïve-Bayes") === "NaiveBayes")
+    assert(graft.functions.WordFold.fold("café au lait!") === "cafe au lait")
+    assert(LuxCompiler.foldWildTerm("naïve*") === "naive*")
+    // the fixture carries no accents/punct in word fields, so the fold
+    // is exercised against literal entities here
+    val e = Seq(
+      ("x1", "part", "Naïve-Bayes primer", 0L),
+      ("x2", "part", "naive bayes", 0L),
+      ("x3", "part", "plain widget", 0L))
+      .toDF("id", "etype", "name", "num")
+    val t = Seq.empty[(String, String, String)]
+      .toDF("subject", "predicate", "object")
+    val c = new LuxCompiler(e, t)
+    // "Naïve-Bayes" folds to one token "naivebayes"; "naive*" matches
+    // both it and x2's exact "naive" token
+    val wild = c.compile("""AND(etype="part", name="naive*")""")
+      .collect().map(_.getString(0)).toSet
+    assert(wild === Set("x1", "x2"))
+    // stemmed equality is on the folded token: "bayes" stems to "bay",
+    // matching x2's token but not x1's fused "naivebayes"
+    val stemmed = c.compileJson(
+      """{"AND": [{"etype": "part"}, {"name": "bayes", "_stemmed": true}]}""")
+      .collect().map(_.getString(0)).toSet
+    assert(stemmed === Set("x2"))
+  }
+
   test("catalog * template expansion (ml_lexer.py:274-298)") {
     import graft.plans.LuxSearchConfig
     val cats = LuxSearchConfig.expand(LuxSearchConfig.default)
