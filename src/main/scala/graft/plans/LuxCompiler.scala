@@ -246,6 +246,10 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
 
   def compileRanked(query: String): DataFrame = ranked(LuxQL.parse(query))
 
+  /** JSON query form → the same ranked plan as its string twin. */
+  def compileRankedJson(query: String): DataFrame =
+    ranked(LuxQL.parseJson(query))
+
   /** The scoring-term bag of a boosting argument: non-empty only when
     * the whole subtree is plain word leaves (alone or under AND/OR) —
     * anything else opts the BOOST into the flat membership lift. */

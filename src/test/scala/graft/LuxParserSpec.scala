@@ -158,6 +158,13 @@ class LuxParserSpec extends AnyFunSuite {
     val flat = c.compileRanked(
       """BOOST(etype="customer", locatedIn(name="NATION_3"))""").collect()
     assert(flat.map(_.getLong(1)).toSet === Set(1000L, 2000L))
+    // JSON twin of the ranked surface compiles to the same result
+    val jsonRanked = c.compileRankedJson(
+      """{"BOOST": [
+        |  {"AND": [{"etype": "document"}, {"name": "table"}]},
+        |  {"name": "merge"}]}""".stripMargin).collect()
+    assert(jsonRanked.map(r => (r.getString(0), r.getLong(1))).toSet ===
+      ranked.map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
   test("wildcard/stemmed paths fold diacritics and punctuation (cts.py:2)") {
