@@ -501,9 +501,12 @@ object DedupQueries extends QueryGroup {
   private def lshRecallEvalImpl(spark: SparkSession, dir: String,
       sampleMod: Option[Long]): DataFrame = {
     import spark.implicits._
-    val sampled = sampleMod.foldLeft(shingleTable(spark, dir))(
+    // the doc_id sample predicate pushes to the scan; the size(sid)
+    // re-inline below this cache is paid once over sample-scale rows
+    // (an extra raw-array cache layer measured SLOWER than the
+    // re-evaluation it avoided — 22 s vs 13 s at sf1)
+    val base = sampleMod.foldLeft(shingleTable(spark, dir))(
       (t, m) => t.filter($"doc_id" % m === 1L))
-    val base = sampled
       .filter(size($"sid") > 0)
       .select($"doc_id", array_sort($"sid").as("sid"))
       .withColumn("len", size($"sid").cast("long"))
@@ -1735,7 +1738,10 @@ object DedupQueries extends QueryGroup {
     * have missed. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = shingleTable(spark, dir).filter(size($"sid") > 0).persist()
+    // persist BEFORE filtering (minhashLsh discipline): size(sid) below
+    // the cache re-inlines the shingle HOF chain into the predicate
+    val sidTbl = shingleTable(spark, dir).persist()
+    val base = sidTbl.filter(size($"sid") > 0)
     val bandRows = bandIndex(base).persist()
     val cand = guardedBandPairs(bandRows, Seq("band_idx", "band_hash"), "doc_id")
       .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"))
