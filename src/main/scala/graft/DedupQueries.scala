@@ -1069,7 +1069,11 @@ object DedupQueries extends QueryGroup {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    val srcShingle = shingleTableOf(docs)
+    // cache barrier below the join (minhashLsh discipline): without it
+    // the join/generate rewrites re-inline the shingle HOF chain and
+    // the explode re-evaluates it — measured 21 s -> 5 s at sf0.1
+    val sidTbl = shingleTableOf(docs).persist()
+    val srcShingle = sidTbl
       .join(docs.select($"doc_id", $"source"), "doc_id")
       .select($"source", explode($"sid").as("s"))
       .distinct()
