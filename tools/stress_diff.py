@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Diff two StressSweep artifacts (STRESS_r{N}.json) the way BENCH
+wall-times are diffed round-over-round. Usage:
+    python3 tools/stress_diff.py <old.json> <new.json> [--ratio-jump 1.5]
+Reports, in order of severity:
+  * status regressions (ok -> timeout/fail) and recoveries,
+  * super-linear ratio jumps: keys whose sf1/sf0.1 ratio grew by more
+    than --ratio-jump x between rounds (the scaling-shape signal; raw
+    seconds on this sandbox carry ~1.7x session noise, ratios divide
+    it out because both passes of one artifact share a session),
+  * keys added / removed,
+  * the ten largest absolute second deltas (informational).
+Exit code 1 iff a status regression or a ratio jump is found, so the
+round driver can gate on it.
+"""
+import json, sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d["queries"]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    jump = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--ratio-jump"):
+            jump = float(a.split("=", 1)[1]) if "=" in a else jump
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    old, new = load(args[0]), load(args[1])
+
+    bad = False
+    regressed = [k for k in old.keys() & new.keys()
+                 if old[k]["status"] == "ok" and new[k]["status"] != "ok"]
+    recovered = [k for k in old.keys() & new.keys()
+                 if old[k]["status"] != "ok" and new[k]["status"] == "ok"]
+    if regressed:
+        bad = True
+        print("STATUS REGRESSIONS (ok -> %s):" % ",".join(
+            sorted({new[k]['status'] for k in regressed})))
+        for k in sorted(regressed):
+            print("  %-30s %7.1fs -> %7.1fs %s" % (
+                k, old[k]["secs"], new[k]["secs"], new[k]["status"]))
+    if recovered:
+        print("recovered (non-ok -> ok): " + ", ".join(sorted(recovered)))
+
+    jumps = []
+    for k in old.keys() & new.keys():
+        ro, rn = old[k].get("ratio"), new[k].get("ratio")
+        if new[k]["status"] != "ok":
+            continue  # a timeout's secs are capped, so its ratio is floor-noise
+        if ro and rn and ro > 0 and rn / ro > jump and rn > 10:
+            jumps.append((rn / ro, k, ro, rn))
+    if jumps:
+        bad = True
+        print("SUPER-LINEAR RATIO JUMPS (> %.2fx growth, new ratio > 10):" % jump)
+        for g, k, ro, rn in sorted(jumps, reverse=True):
+            print("  %-30s ratio %6.1f -> %6.1f  (%.2fx)" % (k, ro, rn, g))
+
+    added = sorted(new.keys() - old.keys())
+    removed = sorted(old.keys() - new.keys())
+    if added:
+        print("added:   " + ", ".join(added))
+    if removed:
+        print("removed: " + ", ".join(removed))
+
+    deltas = sorted(
+        ((new[k]["secs"] - old[k]["secs"], k) for k in old.keys() & new.keys()),
+        key=lambda t: -abs(t[0]))[:10]
+    print("largest second deltas (informational; sandbox noise ~1.7x):")
+    for d, k in deltas:
+        print("  %-30s %+7.1fs  (%.1f -> %.1f)" % (
+            k, d, old[k]["secs"], new[k]["secs"]))
+
+    n_ok = sum(1 for v in new.values() if v["status"] == "ok")
+    print("summary: %d keys, %d ok, %d regressions, %d ratio jumps"
+          % (len(new), n_ok, len(regressed), len(jumps)))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
