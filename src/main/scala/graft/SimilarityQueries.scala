@@ -1322,6 +1322,27 @@ object SimilarityQueries extends QueryGroup {
        |FROM neg n LEFT JOIN pos ON pos.query_id = n.query_id
        |WHERE n.rank <= 5""".stripMargin
 
+  /** Sum of each key's top-k `cos_milli` values over a scored pair
+    * table (key, other, cos_milli) — the k-NN "level" of the margin
+    * criterion. Bounded TopK aggregator, so per-key state is O(k) and
+    * only <= k rows per key per partition reach the exchange; null
+    * scores (dimension-mismatched pairs) do not rank, as in
+    * topKPerQuery. */
+  private def topKSum(df: DataFrame, key: String, other: String,
+      out: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(key).cast("long"), col(other).cast("long"),
+        col("cos_milli").cast("long"))
+      .filter(col("cos_milli").isNotNull)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, o, c) => operators.TopK.Entry(c, o) }
+      .agg(operators.TopK.TopKAgg(k).toColumn.name("top"))
+      .map { case (id, buf) => (id, buf.items.map(_.v).sum) }
+      .toDF(key, out)
+  }
+
   /** V13: margin-based parallel-pair (bitext) mining — for every
     * English document, the best foreign-language partner by MARGIN
     * score: cosine relative to the mean of both endpoints' k-NN
@@ -1373,18 +1394,8 @@ object SimilarityQueries extends QueryGroup {
     // contract, and the ANN family (v2/v4) is the sub-brute path.)
     // Null scores (dimension-mismatched pairs) do not rank, as in
     // topKPerQuery.
-    def topkSum(df: DataFrame, key: String, other: String, out: String): DataFrame =
-      df.select(col(key).cast("long"), col(other).cast("long"),
-          col("cos_milli").cast("long"))
-        .filter(col("cos_milli").isNotNull)
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .mapValues { case (_, o, c) => operators.TopK.Entry(c, o) }
-        .agg(operators.TopK.TopKAgg(K).toColumn.name("top"))
-        .map { case (id, buf) => (id, buf.items.map(_.v).sum) }
-        .toDF(key, out)
-    val sx = topkSum(scored, "en_id", "xx_id", "sx")
-    val sy = topkSum(scored, "xx_id", "en_id", "sy")
+    val sx = topKSum(scored, "en_id", "xx_id", "sx", K)
+    val sy = topKSum(scored, "xx_id", "en_id", "sy", K)
     // margin pass: sx rides the en (streamed) side via a linear join,
     // sy rides the broadcast xx side; best partner per en via
     // max-of-struct (margin desc, xx asc) — map-side combining, so only
@@ -1432,9 +1443,91 @@ object SimilarityQueries extends QueryGroup {
        |    (PARTITION BY en_id ORDER BY margin_milli DESC, xx_id) AS rb FROM m)
        |WHERE rb = 1""".stripMargin
 
+  /** V13b: bitext margin over ANN candidates — the sub-brute production
+    * path v13's contract names, as a measured, oracle-gated query.
+    * Candidate pairs come from the v2 LSH bucket join (same 8-bit
+    * random-hyperplane signature); the k-NN level sums and the margin
+    * rerank run over the candidate table only, exactly the
+    * neighbor-list form of the margin criterion (Artetxe & Schwenk 2019
+    * score over each side's retrieved k-NN, not the full cross). Nothing
+    * here is quadratic: the bucket join shuffles (bucket, vec) rows and
+    * each bucket holds ~|corpus|/2^bits vectors, so at 100 TB cost is
+    * sum of per-bucket products, not |en|x|xx|. Approximation contract
+    * (documented deviation from the exact v13): a pair is visible only
+    * if the two vectors share a bucket, and each side's k-NN level is
+    * its candidate-list level — both inherent to ANN-based mining. The
+    * candidate table is persisted (three passes read it); unlike v13's
+    * cross it is bucket-bounded, so it MAY be a cache resident. */
+  def bitextAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 4
+    val langOf = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang")
+    val base = quantized(spark, dir)
+      .join(langOf, $"vec_id" === $"doc_id").drop("doc_id")
+      .withColumn("bucket",
+        functions.VecMath.sigCol($"q", LshBits, offset = 16))
+    val en = base.filter($"lang" === "en")
+      .select($"bucket", $"vec_id".as("en_id"), $"q".as("eq"), $"n2".as("en2"))
+    val xx = base.filter($"lang" =!= "en")
+      .select($"bucket", $"vec_id".as("xx_id"), $"q".as("xq"), $"n2".as("xn2"))
+    val scored = en.join(xx, "bucket")
+      .select($"en_id", $"xx_id",
+        cosMilli($"eq", $"xq", $"en2", $"xn2").as("cos_milli"))
+      .filter($"cos_milli".isNotNull)
+      .persist()
+    val sx = topKSum(scored, "en_id", "xx_id", "sx", K)
+    val sy = topKSum(scored, "xx_id", "en_id", "sy", K)
+    scored.join(sx, "en_id").join(sy, "xx_id")
+      .filter($"sx" + $"sy" > 0)
+      .select($"en_id",
+        struct(
+          floor(lit(1000d * 2 * K) * $"cos_milli".cast("double") /
+            ($"sx" + $"sy").cast("double")).cast("long").as("margin_milli"),
+          (-$"xx_id").as("neg_xx"),
+          $"cos_milli").as("sc"))
+      .groupBy($"en_id")
+      .agg(max($"sc").as("m"))
+      .select($"en_id", (-$"m.neg_xx").as("xx_id"),
+        $"m.cos_milli".as("cos_milli"), $"m.margin_milli".as("margin_milli"))
+  }
+  private val bitextAnnOracle: String = {
+    val bits = (0 until LshBits).map { k =>
+      val s = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i] * (((${aj(k + 16)}*i+${bj(k + 16)}) % $P) % 2 * 2 - 1) for i in range(1, len(q)+1)]), (a,b)->a+b)"
+      s"(CASE WHEN $s > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS ($quantizedSql),
+       |bucketed AS (SELECT vec_id, q, n2, CAST($bits AS BIGINT) AS bucket FROM base),
+       |en AS (SELECT bucket, b.vec_id AS en_id, q AS eq, n2 AS en2
+       |  FROM bucketed b JOIN documents d ON b.vec_id = d.doc_id WHERE d.lang = 'en'),
+       |xx AS (SELECT bucket, b.vec_id AS xx_id, q AS xq, n2 AS xn2
+       |  FROM bucketed b JOIN documents d ON b.vec_id = d.doc_id WHERE d.lang <> 'en'),
+       |scored AS (SELECT * FROM (SELECT en_id, xx_id,
+       |    ${cosMilliSql("eq", "xq", "en2", "xn2")} AS cos_milli
+       |  FROM en JOIN xx USING (bucket)) WHERE cos_milli IS NOT NULL),
+       |sx AS (SELECT en_id, CAST(SUM(cos_milli) AS BIGINT) AS sx FROM (
+       |    SELECT en_id, cos_milli, ROW_NUMBER() OVER
+       |      (PARTITION BY en_id ORDER BY cos_milli DESC, xx_id) AS r
+       |    FROM scored) WHERE r <= 4 GROUP BY en_id),
+       |sy AS (SELECT xx_id, CAST(SUM(cos_milli) AS BIGINT) AS sy FROM (
+       |    SELECT xx_id, cos_milli, ROW_NUMBER() OVER
+       |      (PARTITION BY xx_id ORDER BY cos_milli DESC, en_id) AS r
+       |    FROM scored) WHERE r <= 4 GROUP BY xx_id),
+       |m AS (SELECT s.en_id, s.xx_id, cos_milli,
+       |    CAST(floor(8000.0 * cos_milli / (sx + sy)) AS BIGINT) AS margin_milli
+       |  FROM scored s JOIN sx USING (en_id) JOIN sy USING (xx_id)
+       |  WHERE sx + sy > 0)
+       |SELECT en_id, xx_id, cos_milli, margin_milli FROM (
+       |  SELECT m.*, ROW_NUMBER() OVER
+       |    (PARTITION BY en_id ORDER BY margin_milli DESC, xx_id) AS rb FROM m)
+       |WHERE rb = 1""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("v13_bitext_margin", bitextMargin,
       Some(bitextMarginOracle)))
+    Queries.register(QueryDef("v13b_bitext_ann", bitextAnn,
+      Some(bitextAnnOracle)))
     Queries.register(QueryDef("v12_hard_negatives", hardNegatives,
       Some(hardNegativesOracle)))
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle), bench = true))

@@ -45,8 +45,8 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     "v1_knn_brute", "v2_ann_lsh", "v3_ann_multiprobe", "v4_ann_ivf",
     "v5_quantized_knn", "v6_kmeans", "v7_ann_ivf_trained", "v8_pq_search",
     "v9_ivf_pq", "v10_pq_rerank", "v11_ivf_append", "v12_hard_negatives",
-    "v13_bitext_margin", "v14_ivf_delete", "v15_mrl_truncate_eval",
-    "v16_nprobe_sweep",
+    "v13_bitext_margin", "v13b_bitext_ann", "v14_ivf_delete",
+    "v15_mrl_truncate_eval", "v16_nprobe_sweep",
     "d5_embedding_neardup", "d9_semantic_prune", "d17_embed_decontaminate")
 
   test("the ANN/embedding battery survives degenerate vectors") {
