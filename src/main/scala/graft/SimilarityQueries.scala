@@ -1523,11 +1523,95 @@ object SimilarityQueries extends QueryGroup {
        |WHERE rb = 1""".stripMargin
   }
 
+  /** V17: recall eval for the bitext ANN path — the d19 move applied to
+    * v13b: on the deterministic en_id % 37 = 1 sample (unbiased: the
+    * hyperplane signature is id-blind), compute each sampled English
+    * vector's EXACT best-cosine partner by brute scan, and report how
+    * many of those truth partners share an LSH bucket with their en —
+    * i.e. are visible to v13b's candidate generator at all. One output
+    * row: n_sampled, n_recovered, recall_milli — plus the multiprobe
+    * column pair (truth partner within Hamming distance 1 of the en
+    * bucket, i.e. visible to v3's flip-one-hyperplane probing), so the
+    * eval prices the recall-widening knob before anyone turns it. Cost
+    * is brute/37 (the sampled side is broadcast), so the eval completes
+    * at any corpus size where the sample fits a broadcast — and the
+    * sweep can assert the ANN path's QUALITY, not just its speed. */
+  def bitextRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langOf = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang")
+    val base = quantized(spark, dir)
+      .join(langOf, $"vec_id" === $"doc_id").drop("doc_id")
+      .withColumn("bucket",
+        functions.VecMath.sigCol($"q", LshBits, offset = 16))
+    val en = base.filter($"lang" === "en" && $"vec_id" % 37 === 1)
+      .select($"vec_id".as("en_id"), $"bucket".as("eb"),
+        $"q".as("eq"), $"n2".as("en2"))
+    val xx = base.filter($"lang" =!= "en")
+      .select($"vec_id".as("xx_id"), $"bucket".as("xb"),
+        $"q".as("xq"), $"n2".as("xn2"))
+    // truth: exact argmax-cosine partner per sampled en (cos desc,
+    // xx asc — the same total order as every top-k in this file),
+    // carrying both endpoints' buckets through the max-of-struct
+    xx.join(broadcast(en))
+      .select($"en_id", $"eb",
+        struct(
+          cosMilli($"eq", $"xq", $"en2", $"xn2").as("cos_milli"),
+          (-$"xx_id").as("neg_xx"),
+          $"xb").as("sc"))
+      .filter($"sc.cos_milli".isNotNull)
+      .groupBy($"en_id", $"eb")
+      .agg(max($"sc").as("m"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when($"m.xb" === $"eb", 1L).otherwise(0L)).as("n_recovered"),
+        sum(when(bit_count($"m.xb".bitwiseXOR($"eb")) <= 1, 1L)
+          .otherwise(0L)).as("n_recovered_mp"))
+      .select($"n_sampled", $"n_recovered",
+        floor(lit(1000d) * $"n_recovered".cast("double") /
+          greatest($"n_sampled", lit(1L)).cast("double"))
+          .cast("long").as("recall_milli"),
+        $"n_recovered_mp",
+        floor(lit(1000d) * $"n_recovered_mp".cast("double") /
+          greatest($"n_sampled", lit(1L)).cast("double"))
+          .cast("long").as("recall_mp_milli"))
+  }
+  private val bitextRecallOracle: String = {
+    val bits = (0 until LshBits).map { k =>
+      val s = s"list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i] * (((${aj(k + 16)}*i+${bj(k + 16)}) % $P) % 2 * 2 - 1) for i in range(1, len(q)+1)]), (a,b)->a+b)"
+      s"(CASE WHEN $s > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS ($quantizedSql),
+       |bucketed AS (SELECT vec_id, q, n2, CAST($bits AS BIGINT) AS bucket FROM base),
+       |en AS (SELECT b.vec_id AS en_id, bucket AS eb, q AS eq, n2 AS en2
+       |  FROM bucketed b JOIN documents d ON b.vec_id = d.doc_id
+       |  WHERE d.lang = 'en' AND b.vec_id % 37 = 1),
+       |xx AS (SELECT b.vec_id AS xx_id, bucket AS xb, q AS xq, n2 AS xn2
+       |  FROM bucketed b JOIN documents d ON b.vec_id = d.doc_id WHERE d.lang <> 'en'),
+       |scored AS (SELECT * FROM (SELECT en_id, eb, xx_id, xb,
+       |    ${cosMilliSql("eq", "xq", "en2", "xn2")} AS cos_milli
+       |  FROM en, xx) WHERE cos_milli IS NOT NULL),
+       |truth AS (SELECT en_id, eb, xb FROM (
+       |  SELECT en_id, eb, xb, ROW_NUMBER() OVER
+       |    (PARTITION BY en_id ORDER BY cos_milli DESC, xx_id) AS r
+       |  FROM scored) WHERE r = 1)
+       |SELECT COUNT(*) AS n_sampled,
+       |  CAST(SUM(CASE WHEN xb = eb THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+       |  CAST(floor(1000.0 * SUM(CASE WHEN xb = eb THEN 1 ELSE 0 END)
+       |    / greatest(COUNT(*), 1)) AS BIGINT) AS recall_milli,
+       |  CAST(SUM(CASE WHEN bit_count(xor(xb, eb)) <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_recovered_mp,
+       |  CAST(floor(1000.0 * SUM(CASE WHEN bit_count(xor(xb, eb)) <= 1 THEN 1 ELSE 0 END)
+       |    / greatest(COUNT(*), 1)) AS BIGINT) AS recall_mp_milli
+       |FROM truth""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("v13_bitext_margin", bitextMargin,
       Some(bitextMarginOracle)))
     Queries.register(QueryDef("v13b_bitext_ann", bitextAnn,
       Some(bitextAnnOracle)))
+    Queries.register(QueryDef("v17_bitext_recall", bitextRecall,
+      Some(bitextRecallOracle)))
     Queries.register(QueryDef("v12_hard_negatives", hardNegatives,
       Some(hardNegativesOracle)))
     Queries.register(QueryDef("v9_ivf_pq", ivfPq, Some(ivfPqOracle), bench = true))

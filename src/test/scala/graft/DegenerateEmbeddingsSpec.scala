@@ -46,7 +46,7 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     "v5_quantized_knn", "v6_kmeans", "v7_ann_ivf_trained", "v8_pq_search",
     "v9_ivf_pq", "v10_pq_rerank", "v11_ivf_append", "v12_hard_negatives",
     "v13_bitext_margin", "v13b_bitext_ann", "v14_ivf_delete",
-    "v15_mrl_truncate_eval", "v16_nprobe_sweep",
+    "v15_mrl_truncate_eval", "v16_nprobe_sweep", "v17_bitext_recall",
     "d5_embedding_neardup", "d9_semantic_prune", "d17_embed_decontaminate")
 
   test("the ANN/embedding battery survives degenerate vectors") {

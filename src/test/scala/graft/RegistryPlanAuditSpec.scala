@@ -53,6 +53,7 @@ class RegistryPlanAuditSpec extends AnyFunSuite {
     "v12_hard_negatives" -> "fixed NQueries probe set (v1's shape, under the persisted scored table)",
     "v13_bitext_margin" -> "the non-pivot (xx) side broadcast for the map-only margin cross; per-id state is TopK-bounded",
     "d17_embed_decontaminate" -> "benchmark vectors (corpus/37, the broadcast probe)",
+    "v17_bitext_recall" -> "en_id % 37 = 1 sampled probe set broadcast for the truth scan (d19b's sampling move)",
     "s19_file_skipping_eval" -> "4 range predicates × 16 per-file stat rows")
 
   /** Rule 17b as a test, not prose: a window may only PARTITION BY keys
