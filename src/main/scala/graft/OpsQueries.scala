@@ -341,7 +341,8 @@ object OpsQueries extends QueryGroup {
     * data genuinely fails several of them. */
   def dqRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val k = regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")
+    val k = nullif(regexp_extract($"props", "\"k\": (\\d+)", 1), lit(""))
+      .cast("long")
     val rules: Seq[(String, Column)] = Seq(
       "value_not_null" -> $"value".isNull,
       "value_nonneg" -> ($"value" < 0d),

@@ -10,8 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries extends QueryGroup {
 
-  /** Exact money arithmetic: double dollars -> integer cents (BIGINT). */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Exact money arithmetic: double dollars -> integer cents (BIGINT).
+    * A non-finite measure (NaN/Inf from a broken producer — certain at
+    * 100 TB) or one whose cents overflow a long is treated as ABSENT
+    * (null): it drops out of sums/mins like a null measure instead of
+    * killing the job with an ANSI CAST_OVERFLOW (the degenerate-events
+    * sweep's finding). Clean inputs are bit-identical to round*100. */
+  private[graft] def cents(c: Column): Column =
+    round(when(isnan(c) || abs(c) > 9.0e15, lit(null).cast("double"))
+      .otherwise(c) * 100).cast("long")
   /** double 0.xx rate -> integer percent. */
   private def pct(c: Column): Column = round(c * 100).cast("long")
 

@@ -22,7 +22,7 @@ object StreamQueries extends QueryGroup {
     Tables.load(spark, dir, "events")
       .groupBy(window($"ts", "1 day").as("w"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
-        sum(round($"value" * 100).cast("long")).cast("long").as("value_cents"))
+        sum(RelationalQueries.cents($"value")).cast("long").as("value_cents"))
       .select($"w.start".as("window_start"), $"event_type", $"n_events", $"value_cents")
   }
   private val tumblingOracle: String =
@@ -39,7 +39,8 @@ object StreamQueries extends QueryGroup {
     * StreamingSpec harness runs it over a MemoryStream. */
   def streamDq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val k = regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")
+    val k = nullif(regexp_extract($"props", "\"k\": (\\d+)", 1), lit(""))
+      .cast("long")
     Tables.load(spark, dir, "events")
       .groupBy(window($"ts", "1 day").as("w"))
       .agg(count(lit(1)).as("n_rows"),
@@ -369,6 +370,10 @@ object StreamQueries extends QueryGroup {
   def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
+      // an event with no event-time cannot participate in a watermark
+      // audit (at ingest it goes to the dead-letter path); without the
+      // filter a null ts kills the running-max encoder
+      .filter($"ts".isNotNull)
       .select($"event_id", unix_micros($"ts").as("us"))
       .withColumn("arr_us",
         $"us" + (($"event_id" * 2654435761L) % 600L - 300L) * 1000000L)
@@ -390,7 +395,7 @@ object StreamQueries extends QueryGroup {
       |  SELECT event_id, epoch_us(ts) AS us,
       |    epoch_us(ts) + ((event_id * 2654435761) % 600 - 300) * 1000000
       |      AS arr_us
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |rm AS (
       |  SELECT us, MAX(us) OVER (ORDER BY arr_us, event_id
       |    ROWS UNBOUNDED PRECEDING) AS wm_us FROM a)
