@@ -612,12 +612,13 @@ object DedupQueries extends QueryGroup {
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // null/empty/zero-norm guard: same drop-at-ingest rule as
-    // SimilarityQueries.quantized (n2 is the cosine divisor below)
+    // null/empty/zero-norm/non-finite guard: same drop-at-ingest rule
+    // as SimilarityQueries.quantized (n2 is the cosine divisor below)
     val base = Tables.load(spark, dir, "embeddings")
-      .filter($"embedding".isNotNull && size($"embedding") > 0)
+      .filter($"embedding".isNotNull && size($"embedding") > 0 &&
+        SimilarityQueries.finiteVec($"embedding"))
       .select($"vec_id", $"label",
-        transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
+        transform($"embedding", x => SimilarityQueries.quantElem(x)).as("q"))
       .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
       .filter($"n2" > 0L)
       .persist() // signature fan-out + both verify joins read this
@@ -646,7 +647,8 @@ object DedupQueries extends QueryGroup {
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
        |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+       |    AND ${SimilarityQueries.finiteVecSql("embedding")}),
        |n AS (SELECT vec_id, label, q, n2 FROM (SELECT vec_id, label, q,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i]*q[i] for i in range(1, len(q)+1)]), (a,b)->a+b) AS n2
        |  FROM base) WHERE n2 > 0),
@@ -955,12 +957,13 @@ object DedupQueries extends QueryGroup {
     * bench id via lexicographic struct max. */
   def embedDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // null/empty/zero-norm guard: same drop-at-ingest rule as
-    // SimilarityQueries.quantized (n2 is the cosine divisor below)
+    // null/empty/zero-norm/non-finite guard: same drop-at-ingest rule
+    // as SimilarityQueries.quantized (n2 is the cosine divisor below)
     val base = Tables.load(spark, dir, "embeddings")
-      .filter($"embedding".isNotNull && size($"embedding") > 0)
+      .filter($"embedding".isNotNull && size($"embedding") > 0 &&
+        SimilarityQueries.finiteVec($"embedding"))
       .select($"vec_id",
-        transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
+        transform($"embedding", x => SimilarityQueries.quantElem(x)).as("q"))
       .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
       .filter($"n2" > 0L)
     val bench = base.filter($"vec_id" % 37 === 0)
@@ -986,7 +989,8 @@ object DedupQueries extends QueryGroup {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
        |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+       |    AND ${SimilarityQueries.finiteVecSql("embedding")}),
        |n AS (SELECT vec_id, q, n2 FROM (SELECT vec_id, q,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), [q[i]*q[i] for i in range(1, len(q)+1)]), (a,b)->a+b) AS n2
        |  FROM q0) WHERE n2 > 0),

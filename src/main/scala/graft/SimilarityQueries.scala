@@ -34,12 +34,37 @@ object SimilarityQueries extends QueryGroup {
     * any score against a different dimension is NULL (the dot keeps
     * zip_with's null-on-mismatch semantics) and does not rank — the
     * typed top-k boundaries drop null scores. */
+  /** Element-level ingest guard: a vector containing a non-finite or
+    * absurd-magnitude element (|x| > 1e4; unit-normed embeddings never
+    * approach it, and it keeps every squared milli-quant sum far from
+    * long overflow at any realistic dimension) is a failed encoder
+    * output — dropped at ingest like the zero-norm case, because NaN
+    * survives every length/norm check and only explodes inside the
+    * ANSI quantization cast. Mirrored exactly in [[finiteVecSql]]. */
+  private[graft] def finiteVec(c: Column): Column =
+    !exists(c, x =>
+      isnan(x.cast("double")) || abs(x.cast("double")) > lit(1e4))
+  private[graft] def finiteVecSql(col: String): String =
+    s"len(list_filter($col, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e4)) = 0"
+  /** Milli-quantize one element, non-finite-safe: the ingest filter
+    * above DROPS non-finite vectors, but Catalyst is free to merge and
+    * reorder the filter conjuncts with the quantizing projection, so
+    * the cast itself must never see the NaN — a guarded element maps to
+    * null (making n2 null, which the n2 > 0 filter then drops). On
+    * finite inputs this is bit-identical to round(x*1000). */
+  private[graft] def quantElem(x: Column): Column = {
+    val d = x.cast("double")
+    round(when(isnan(d) || abs(d) > lit(1e4), lit(null).cast("double"))
+      .otherwise(d) * 1000d).cast("long")
+  }
+
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
-      .filter($"embedding".isNotNull && size($"embedding") > 0)
+      .filter($"embedding".isNotNull && size($"embedding") > 0 &&
+        finiteVec($"embedding"))
       .select($"vec_id", $"label",
-        transform($"embedding", x => round(x.cast("double") * 1000d).cast("long")).as("q"))
+        transform($"embedding", x => quantElem(x)).as("q"))
       .withColumn("n2", functions.VecMath.dotCol($"q", $"q"))
       .filter($"n2" > 0L)
   }
@@ -51,7 +76,8 @@ object SimilarityQueries extends QueryGroup {
        |      [CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) for x in embedding]),
        |      (a,b)->a+b) AS n2
        |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) > 0)
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+       |    AND ${finiteVecSql("embedding")})
        |  WHERE n2 > 0""".stripMargin
 
   private[graft] def cosMilli(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =

@@ -28,7 +28,13 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
       (900002L, Array.fill(dim)(0.25f), 1),      // all-equal vector
       (900003L, Array.fill(8)(0.1f), 2),         // truncated dimension
       (900004L, Array.empty[Float], 3),          // empty array
-      (900005L, null.asInstanceOf[Array[Float]], 4)) // null embedding
+      (900005L, null.asInstanceOf[Array[Float]], 4), // null embedding
+      // non-finite ELEMENTS (a failed encoder emits these too): a NaN
+      // or Inf survives every length check and only explodes in the
+      // milli-quantization cast — must be dropped at ingest
+      (900006L, Array.tabulate(dim)(i => if (i == 7) Float.NaN else 0.1f), 5),
+      (900007L, Array.tabulate(dim)(i =>
+        if (i == 3) Float.PositiveInfinity else 0.1f), 6))
       .toDF("vec_id", "embedding", "label")
     Tables.load(spark, TestSpark.sf, "embeddings")
       .filter($"vec_id" =!= 9L) // replaced by the degenerate probe
