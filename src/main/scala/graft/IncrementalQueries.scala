@@ -186,10 +186,10 @@ object IncrementalQueries extends QueryGroup {
     import spark.implicits._
     val a = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".cast("long").as("k"),
-        round($"o_totalprice" * 100).cast("long").as("va"))
+        RelationalQueries.cents($"o_totalprice").as("va"))
     val base = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".cast("long").as("k"),
-        round($"o_totalprice" * 100).cast("long").as("v"))
+        RelationalQueries.cents($"o_totalprice").as("v"))
     val b = base.filter($"k" % 13 =!= 0)
       .select($"k",
         when($"k" % 7 === 0, $"v" + 500L).otherwise($"v").as("vb"))
@@ -243,7 +243,7 @@ object IncrementalQueries extends QueryGroup {
     val base = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".cast("long").as("k"),
         ($"o_orderkey" % 16).cast("long").as("grp"),
-        round($"o_totalprice" * 100).cast("long").as("pc"))
+        RelationalQueries.cents($"o_totalprice").as("pc"))
       .persist() // log derivation + merge + group stats all read this
     val log =
       base.filter($"k" % 3 === 0)

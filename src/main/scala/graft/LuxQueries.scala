@@ -17,11 +17,11 @@ object LuxQueries extends QueryGroup {
     import spark.implicits._
     val c = Tables.load(spark, dir, "customer")
       .select(concat(lit("c"), $"c_custkey").as("id"), lit("customer").as("etype"),
-        $"c_name".as("name"), round($"c_acctbal" * 100).cast("long").as("num"))
+        $"c_name".as("name"), RelationalQueries.cents($"c_acctbal").as("num"))
     val o = Tables.load(spark, dir, "orders")
       .select(concat(lit("o"), $"o_orderkey").as("id"), lit("order").as("etype"),
         lit(null).cast("string").as("name"),
-        round($"o_totalprice" * 100).cast("long").as("num"))
+        RelationalQueries.cents($"o_totalprice").as("num"))
     val p = Tables.load(spark, dir, "part")
       .select(concat(lit("p"), $"p_partkey").as("id"), lit("part").as("etype"),
         $"p_name".as("name"), $"p_size".cast("long").as("num"))
