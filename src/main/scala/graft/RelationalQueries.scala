@@ -19,8 +19,11 @@ object RelationalQueries extends QueryGroup {
   private[graft] def cents(c: Column): Column =
     round(when(isnan(c) || abs(c) > 9.0e15, lit(null).cast("double"))
       .otherwise(c) * 100).cast("long")
-  /** double 0.xx rate -> integer percent. */
-  private def pct(c: Column): Column = round(c * 100).cast("long")
+  /** double 0.xx rate -> integer percent; same absent-on-non-finite
+    * contract as [[cents]]. */
+  private def pct(c: Column): Column =
+    round(when(isnan(c) || abs(c) > 9.0e15, lit(null).cast("double"))
+      .otherwise(c) * 100).cast("long")
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
