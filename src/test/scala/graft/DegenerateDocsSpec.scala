@@ -56,7 +56,13 @@ class DegenerateDocsSpec extends AnyFunSuite {
     "d14_cdc_dedup", "d15_soft_dedup", "d16_bloom_prefilter",
     "d17_embed_decontaminate", "d18_substring_dedup", "d19_lsh_recall_eval",
     "d20_quality_canonical",
-    "q5_word_query", "q10_bm25", "q12_near_pos", "q13_phrase_query")
+    "q5_word_query", "q10_bm25", "q12_near_pos", "q13_phrase_query",
+    // the LuxQL family: documents enter its record substrate as full-text
+    // word sources, so the compiled leaves must survive degenerate docs
+    "lux_q1_hop_range", "lux_q2_or_word", "lux_q3_andnot", "lux_q4_near",
+    "lux_q5_facet", "lux_q6_json", "lux_q7_id", "lux_q8_wildcard",
+    "lux_q9_boost", "lux_q10_stemmed",
+    "q9_similar_docs", "q9b_similar_full", "q11_hybrid")
 
   test("the text/dedup battery survives degenerate documents") {
     val byName = Queries.all.map(q => q.name -> q).toMap
