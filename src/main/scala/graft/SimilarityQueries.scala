@@ -482,6 +482,12 @@ object SimilarityQueries extends QueryGroup {
         lo(i) + floor(element_at($"c", i) * rng(i).cast("double") / 255d).cast("long")))
       .select($"vec_id", $"qh",
         functions.VecMath.dotCol($"qh", $"qh").as("n2h"))
+      // cache barrier (the t_source_overlap/d11 lesson): without a
+      // materialization point the optimizer re-inlines the two
+      // dequantization HOFs into the probe join's output, running them
+      // once per (probe, vec) PAIR instead of once per vector — a
+      // NQueries-fold recompute that cost 10x wall-clock at sf1
+      .persist()
     val probes = deq.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"qh".as("pq"), $"n2h".as("pn2"))
     val scored = deq.join(broadcast(probes), $"vec_id" =!= $"query_id")
