@@ -774,7 +774,10 @@ object DedupQueries extends QueryGroup {
       .select($"doc_id",
         intDiv(size(array_distinct(toks)).cast("long") * 1000L,
           greatest(size(toks).cast("long"), lit(1L))).as("dm"))
-    val scored = clusterAssign(spark, dir).join(q, Seq("doc_id"))
+    // cache barrier: the election aggregate AND the final join both
+    // read this; without it the documents scan + the token-diversity
+    // HOFs run twice (the v5/t_source_overlap lesson)
+    val scored = clusterAssign(spark, dir).join(q, Seq("doc_id")).persist()
     // max over (dm, -doc_id) = highest score, then lowest id
     val reps = scored.groupBy($"cluster")
       .agg(max(struct($"dm", (-$"doc_id").as("nid"))).as("best"))
