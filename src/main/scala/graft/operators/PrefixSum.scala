@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.{col, min}
+import org.apache.spark.sql.functions.{col, min_by, struct, when}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed inclusive running sum (prefix sum) under a total order.
@@ -66,11 +66,17 @@ object PrefixSum {
     *   1. the GLOBAL running sum under the (group, order...) total
     *      order — range-partitioned two-pass ([[withRunningSum]]), so a
     *      huge group spans many partitions instead of landing on one;
-    *   2. each group's start offset — `min(run - v)` per group, an
-    *      ordinary map-side-combining aggregate — joined back and
-    *      subtracted.
+    *   2. each group's start offset — the ordered-FIRST non-null row's
+    *      `run - v` per group (`min_by` keyed on the order columns, an
+    *      ordinary map-side-combining aggregate) — joined back and
+    *      subtracted. min_by, not `min(run - v)`: the min is only the
+    *      start offset when running sums are monotone (non-negative
+    *      values); the first row's is the start offset under ANY sign.
     *
-    * `order` must make (group, order...) a total order, `valueCol`
+    * `order` must make (group, order...) a total order and — unlike
+    * [[withRunningSum]] — must be PLAIN ascending key columns, not
+    * `.asc`/`.desc` SortOrders: the same columns key the min_by struct,
+    * and a SortOrder is unevaluable inside a struct. `valueCol`
     * LongType (same contracts as [[withRunningSum]]). */
   def withGroupedRunningSum(df: DataFrame, valueCol: String,
       sumCol: String, groupCol: String, order: Column*): DataFrame = {
@@ -78,8 +84,12 @@ object PrefixSum {
     val off = "__psum_off"
     val withRun =
       withRunningSum(df, valueCol, run, (col(groupCol) +: order): _*)
+    // null-v rows are skipped (their run - v is unknowable); the first
+    // NON-NULL row's run - v equals the group start because nulls
+    // contributed 0 to the running sum before it
     val offsets = withRun.groupBy(col(groupCol))
-      .agg(min(col(run) - col(valueCol)).as(off))
+      .agg(min_by(col(run) - col(valueCol),
+        when(col(valueCol).isNotNull, struct(order: _*))).as(off))
     withRun.join(offsets, groupCol)
       .withColumn(sumCol, col(run) - col(off))
       .drop(run, off)

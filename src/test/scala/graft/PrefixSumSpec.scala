@@ -39,6 +39,27 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("grouped running sum equals the per-group window, negatives and nulls included") {
+    // negatives break the old min(run - v) offset derivation (the
+    // running sum is no longer monotone within a group); nulls must
+    // contribute 0 but never become the offset anchor
+    val rows = (1 to 4000).map { i =>
+      val v: java.lang.Long =
+        if (i % 29 == 0) null
+        else java.lang.Long.valueOf((i % 11).toLong - 4L) // mixed sign
+      (i.toLong, s"src${i % 7}", v)
+    }
+    val df = rows.toDF("id", "grp", "v")
+    val got = PrefixSum.withGroupedRunningSum(df, "v", "cum", "grp", $"id")
+      .select($"id", $"cum").as[(Long, Option[Long])].collect().toMap
+    val want = rows.groupBy(_._2).values.flatMap { g =>
+      g.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, _, v)) =>
+        (id, acc + (if (v == null) 0L else v.longValue))
+      }.drop(1)
+    }.map { case (id, c) => (id, Some(c)) }.toMap
+    assert(got === want)
+  }
+
   test("no window operator and no single-partition stage in the plan") {
     val df = spark.range(0, 20000, 1, 17)
       .select($"id", pmod($"id" * 2654435761L, lit(1000003L)).as("key"),
