@@ -788,12 +788,9 @@ object SourceQueries extends QueryGroup {
       StructField("wof:name", org.apache.spark.sql.types.StringType),
       StructField("wof:placetype", org.apache.spark.sql.types.StringType)))
     val wofUrl = udf((id: String) => graft.pipeline.WdClaims.wofUrl(id))
-    spark.read.format("binaryFile")
-      .load(new java.io.File(base, "wof.db").getAbsolutePath)
-      .select($"content")
-      .as[Array[Byte]]
-      .flatMap(db => sources.Sqlite.scanTable(db, "geojson").map(r =>
-        (r(0).asInstanceOf[String], r(1).asInstanceOf[String])))
+    sources.Sqlite.loadTable(spark,
+        new java.io.File(base, "wof.db").getAbsolutePath, "geojson")(r =>
+        (r(0).asInstanceOf[String], r(1).asInstanceOf[String]))
       .toDF("ident", "body")
       .select($"ident", wofUrl($"ident").as("url"),
         from_json($"body", schema).as("data"))

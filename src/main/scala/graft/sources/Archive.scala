@@ -53,30 +53,58 @@ object Archive {
     * an executor, a ZipInputStream walk yields (ident, body) per .json
     * entry, and the same skip/parse rules as loadDir apply. At 100 TB a
     * dump is thousands of zips — the parallelism is per-archive, which
-    * is exactly how the reference shards its dump files. */
+    * is exactly how the reference shards its dump files — and a CORRUPT
+    * archive is a certainty: the walk salvages every entry streamed
+    * before the corruption point and quarantines the rest (counted in
+    * [[Quarantine]] "zip_archives", warned executor-side) instead of
+    * letting the ZipException kill the task and with it the load. */
   def loadZips(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
       cachedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    val corrupt = Quarantine.counter(spark, "zip_archives")
     val entries = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.zip").load(path)
-      .select($"content").as[Array[Byte]]
-      .flatMap { bytes =>
-        val zin = new java.util.zip.ZipInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val out = Seq.newBuilder[(String, String)]
-        var e = zin.getNextEntry
-        while (e != null) {
-          if (e.getName.endsWith(".json") && e.getName.contains("/")) {
-            val body = new String(zin.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            val ident = e.getName.split("/").takeRight(3).mkString("/")
-            out += ((ident, body))
-          }
-          e = zin.getNextEntry
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        // ZipInputStream treats a stream that does not OPEN with a
+        // local-entry signature as "no more entries" and returns null —
+        // a wholly-garbage archive would silently yield zero rows. Every
+        // zip structure starts with "PK" (entry, or end-of-central-dir
+        // for a legitimately empty archive); anything else is corrupt
+        // and must be counted, not skipped.
+        if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != 'K') {
+          corrupt.add(1L)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"loadZips: $p is not a zip archive (no PK magic); quarantined")
+          Seq.empty[(String, String)]
+        } else {
+          val zin = new java.util.zip.ZipInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = Seq.newBuilder[(String, String)]
+          try {
+            var e = zin.getNextEntry
+            while (e != null) {
+              if (e.getName.endsWith(".json") && e.getName.contains("/")) {
+                val body = new String(zin.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                val ident = e.getName.split("/").takeRight(3).mkString("/")
+                out += ((ident, body))
+              }
+              e = zin.getNextEntry
+            }
+          } catch {
+            // IOException covers ZipException/EOFException on mangled
+            // structure; IllegalArgumentException is getNextEntry on a
+            // malformed (non-UTF-8) entry name
+            case ex @ (_: java.io.IOException | _: IllegalArgumentException) =>
+              corrupt.add(1L)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"loadZips: corrupt archive $p quarantined " +
+                  s"(salvaged entries kept): $ex")
+          } finally zin.close()
+          out.result()
         }
-        zin.close()
-        out.result()
       }.toDF("ident", "body")
       .filter(length($"body") >= 30) // deleted-record skip, as loadDir
     val fresh = cachedIds match {

@@ -146,12 +146,15 @@ object ImageCodec {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M' ||
       le16(b, 28) != 24 || le32(b, 30) != 0) return None
     val w = le32(b, 18); val h = le32(b, 22); val off = le32(b, 10)
-    // Long arithmetic: hostile header dims (e.g. 65536x65536) overflow
-    // the Int products to 0 and would pass the bounds check, then crash
-    // the pixel loop — a corrupt payload must return None, not throw
+    // Long arithmetic + DIVISION: hostile header dims overflow the Int
+    // products (65536x65536 -> 0) and even the Long product
+    // (Int.MaxValue² * 3 > Long.MaxValue, wrapping negative and passing
+    // a `<` check) — rows-that-fit = (len - off) / rowSize cannot
+    // overflow, so compare against that. A corrupt payload must return
+    // None, not throw.
     val rowSize = (w.toLong * 3 + 3) / 4 * 4
     if (w <= 0 || h <= 0 || off < 54 ||
-      b.length.toLong < off.toLong + rowSize * h) return None
+      (b.length.toLong - off) / rowSize < h.toLong) return None
     val rs = rowSize.toInt // fits: rowSize * h <= b.length was checked
     val gray = new Array[Int](w * h)
     var y = 0

@@ -96,35 +96,51 @@ object Sqlite {
 
   /** Walk a table b-tree from `page`, yielding (rowid, values). */
   def walkTable(db: Array[Byte], pageSize: Int, page: Int): Seq[(Long, Seq[Any])] = {
-    val base = (page - 1) * pageSize
-    val hdr = base + (if (page == 1) 100 else 0)
-    val ptype = db(hdr) & 0xff
-    val ncells = u16(db, hdr + 3)
-    ptype match {
-      case 13 => // leaf table page
-        // max inline payload for a table leaf: usableSize - 35 (file
-        // format §B-tree Pages); a longer payload spills to overflow
-        // pages, which this reader does not follow — fail loudly
-        // instead of decoding the inline prefix + 4-byte page pointer
-        // as record bytes.
-        val usable = pageSize - (db(20) & 0xff) // minus reserved region
-        val maxLocal = usable - 35
-        (0 until ncells).map { i =>
-          val off = base + u16(db, hdr + 8 + 2 * i)
-          val (plen, c1) = varint(db, off)
-          if (plen > maxLocal) sys.error(
-            s"record payload $plen exceeds max inline $maxLocal " +
-              "(overflow-page chains unsupported)")
-          val (rowid, c2) = varint(db, off + c1)
-          (rowid, parseRecord(db, off + c1 + c2))
-        }
-      case 5 => // interior table page: children + rightmost pointer
-        val children = (0 until ncells).map { i =>
-          u32(db, base + u16(db, hdr + 12 + 2 * i))
-        } :+ u32(db, hdr + 8)
-        children.flatMap(walkTable(db, pageSize, _))
-      case other => sys.error(s"unsupported b-tree page type $other")
+    // explicit-stack pre-order DFS (first child lands on top of the
+    // stack) = the natural b-tree row order. Not recursion: on a CORRUPT
+    // db an
+    // interior page can point into a cycle or an arbitrarily long
+    // chain, and the resulting StackOverflowError is a
+    // VirtualMachineError that would sail past the loader's NonFatal
+    // quarantine — the visited guard turns it into a catchable error
+    val visited = scala.collection.mutable.HashSet.empty[Int]
+    val out = Seq.newBuilder[(Long, Seq[Any])]
+    var stack: List[Int] = List(page)
+    while (stack.nonEmpty) {
+      val p = stack.head
+      stack = stack.tail
+      if (!visited.add(p)) sys.error(s"b-tree page cycle at page $p")
+      val base = (p - 1) * pageSize
+      val hdr = base + (if (p == 1) 100 else 0)
+      val ptype = db(hdr) & 0xff
+      val ncells = u16(db, hdr + 3)
+      ptype match {
+        case 13 => // leaf table page
+          // max inline payload for a table leaf: usableSize - 35 (file
+          // format §B-tree Pages); a longer payload spills to overflow
+          // pages, which this reader does not follow — fail loudly
+          // instead of decoding the inline prefix + 4-byte page pointer
+          // as record bytes.
+          val usable = pageSize - (db(20) & 0xff) // minus reserved region
+          val maxLocal = usable - 35
+          out ++= (0 until ncells).map { i =>
+            val off = base + u16(db, hdr + 8 + 2 * i)
+            val (plen, c1) = varint(db, off)
+            if (plen > maxLocal) sys.error(
+              s"record payload $plen exceeds max inline $maxLocal " +
+                "(overflow-page chains unsupported)")
+            val (rowid, c2) = varint(db, off + c1)
+            (rowid, parseRecord(db, off + c1 + c2))
+          }
+        case 5 => // interior table page: children + rightmost pointer
+          val children = (0 until ncells).map { i =>
+            u32(db, base + u16(db, hdr + 12 + 2 * i))
+          } :+ u32(db, hdr + 8)
+          stack = children.toList ::: stack // first child on top
+        case other => sys.error(s"unsupported b-tree page type $other")
+      }
     }
+    out.result()
   }
 
   /** Scan a whole table by name: sqlite_master (root page 1) gives the
@@ -138,6 +154,36 @@ object Sqlite {
       .find(r => r.head == "table" && r(1) == table)
       .map(r => walkTable(db, pageSize, r(3).asInstanceOf[Long].toInt).map(_._2))
       .getOrElse(Nil)
+  }
+
+  /** Distributed scan of `table` across every SQLite file `path`
+    * matches — one file per task via binaryFile, parsed executor-side
+    * by [[scanTable]]. A corrupt database (mangled header, truncated or
+    * cyclic b-tree, a record `rowMapper` rejects) quarantines the whole
+    * FILE — counted in [[Quarantine]] "sqlite_dbs", warned with the
+    * path — instead of killing the task: one bad dump in a sharded
+    * 100 TB load must cost its own rows, never the job. `rowMapper`
+    * runs inside the quarantine boundary, so type/arity corruption in
+    * decoded records is caught too. */
+  def loadTable[T](spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String)(rowMapper: Seq[Any] => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    import spark.implicits._
+    val corrupt = Quarantine.counter(spark, "sqlite_dbs")
+    spark.read.format("binaryFile").load(path)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, db) =>
+        try scanTable(db, table).map(rowMapper)
+        catch {
+          case scala.util.control.NonFatal(ex) =>
+            corrupt.add(1L)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"loadTable($table): corrupt sqlite db $p quarantined: $ex")
+            Nil
+        }
+      }
   }
 
   // ------------------------------------------------------------ writer

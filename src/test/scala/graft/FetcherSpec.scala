@@ -56,4 +56,41 @@ class FetcherSpec extends AnyFunSuite {
       .select($"ident", $"data.id").as[(String, Long)].collect().toMap
     assert(out == Map("t/a/1.json" -> 1L))
   }
+
+  test("zip loader: corrupt archives quarantine, salvaging streamed entries") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipq_spec").toFile
+    dir.deleteOnExit()
+    def zipBytes(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zout = new java.util.zip.ZipOutputStream(bos)
+      for ((n, b) <- entries) {
+        zout.putNextEntry(new java.util.zip.ZipEntry(n))
+        zout.write(b.getBytes("UTF-8")); zout.closeEntry()
+      }
+      zout.close()
+      bos.toByteArray
+    }
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    val pad = "x" * 40
+    put("good.zip", zipBytes("t/a/1.json" -> s"""{"id": 1, "pad": "$pad"}"""))
+    // truncated archive: entry 3 streams whole before the cut; entry 4's
+    // deflate stream (incompressible body, ~240+ bytes) is cut mid-data
+    val r = new scala.util.Random(7)
+    val bigPad = Array.fill(400)(('a' + r.nextInt(26)).toChar).mkString
+    val full = zipBytes(
+      "t/a/3.json" -> s"""{"id": 3, "pad": "$pad"}""",
+      "t/a/4.json" -> s"""{"id": 4, "pad": "$bigPad"}""")
+    put("trunc.zip", full.take(full.length - 200))
+    put("garbage.zip",
+      "this is not a zip archive at all, not even a little".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val before = graft.sources.Quarantine.value(spark, "zip_archives")
+    val out = Archive.loadZips(spark, dir.getAbsolutePath, schema)
+      .select($"ident", $"data.id").as[(String, Long)].collect().toMap
+    assert(out == Map("t/a/1.json" -> 1L, "t/a/3.json" -> 3L))
+    assert(graft.sources.Quarantine.value(spark, "zip_archives") - before === 2L)
+  }
 }

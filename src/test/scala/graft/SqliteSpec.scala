@@ -101,4 +101,43 @@ class SqliteSpec extends AnyFunSuite {
     assert(Sqlite.scanTable(bytes, "t") ===
       Seq(Seq[Any](42L, "a"), Seq[Any](-7L, "b")))
   }
+
+  test("a cyclic interior page errors instead of overflowing the stack") {
+    // a corrupt db can make an interior page point into a cycle; the
+    // walk must raise a catchable error (a StackOverflowError would
+    // sail past the loader's NonFatal quarantine)
+    val db = new Array[Byte](4096 * 2)
+    val hdr = 4096 // page 2
+    db(hdr) = 5 // interior table page, ncells 0
+    db(hdr + 11) = 2 // rightmost pointer -> page 2 (itself)
+    val e = intercept[RuntimeException](Sqlite.walkTable(db, 4096, 2))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("loadTable quarantines corrupt dbs and keeps the healthy ones") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlite_q").toFile
+    dir.deleteOnExit()
+    val rows = (0 until 20).map(i => Seq[Any](s"id$i", s"body-$i"))
+    val ddl = "CREATE TABLE geojson (id TEXT, body TEXT)"
+    Sqlite.writeDb(new java.io.File(dir, "good.db"), "geojson", ddl, rows)
+    // corrupt 1: valid file header, page 1's b-tree header mangled
+    // (page type 0x5a is no b-tree page — the walk must error, and the
+    // loader must quarantine, not die)
+    val badFile = new java.io.File(dir, "mangled.db")
+    Sqlite.writeDb(badFile, "geojson", ddl, rows)
+    val bytes = java.nio.file.Files.readAllBytes(badFile.toPath)
+    java.util.Arrays.fill(bytes, 100, bytes.length, 0x5a.toByte)
+    java.nio.file.Files.write(badFile.toPath, bytes)
+    // corrupt 2: truncated mid-page-1
+    java.nio.file.Files.write(new java.io.File(dir, "trunc.db").toPath,
+      bytes.take(60))
+    val before = graft.sources.Quarantine.value(spark, "sqlite_dbs")
+    val got = Sqlite.loadTable(spark, dir.getAbsolutePath, "geojson")(r =>
+        (r(0).asInstanceOf[String], r(1).asInstanceOf[String]))
+      .collect().toMap
+    assert(got === rows.map(r => r(0).toString -> r(1).toString).toMap)
+    assert(graft.sources.Quarantine.value(spark, "sqlite_dbs") - before === 2L)
+  }
 }
