@@ -44,6 +44,7 @@ object AsStream {
     val out = Seq.newBuilder[Harvested]
     val seen = scala.collection.mutable.HashSet[String]()
     val deleted = scala.collection.mutable.HashSet[String]()
+    val visitedPages = scala.collection.mutable.HashSet[String]()
     var pageId = src.lastPage
     var stopped = false
     while (pageId.isDefined && !stopped) {
@@ -77,9 +78,13 @@ object AsStream {
           }
         }
       }
-      // prev == self is the reference's infinite-loop guard
+      // prev == self is the reference's infinite-loop guard; the
+      // visited set extends it to cycles of EVERY length (A -> B -> A
+      // from a corrupt feed would loop the driver forever), matching
+      // Pmh's resumption-token guard
+      visitedPages += pageId.get
       pageId = if (stopped) None
-        else prev.filterNot(pageId.contains)
+        else prev.filterNot(visitedPages.contains)
     }
     out.result()
   }

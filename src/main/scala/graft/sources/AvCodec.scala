@@ -36,13 +36,20 @@ object AvCodec {
   private def wav(b: Array[Byte]): Option[AvInfo] = {
     if (b.length < 36 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
       return None
-    var i = 12 // chunk scan: fmt need not be the first chunk
+    // Long cursor + sign check: a hostile chunk size with the high bit
+    // set is negative under le32 (e.g. -8 makes the advance ZERO — an
+    // infinite loop hanging the task, worse than a throw), and an Int
+    // cursor could wrap past 2^31 on a large legitimate size. Corrupt
+    // sizing must return None, totally.
+    var i = 12L // chunk scan: fmt need not be the first chunk
     while (i + 8 <= b.length) {
-      val id = ascii(b, i, 4)
-      val size = le32(b, i + 4)
+      val at = i.toInt // fits: i + 8 <= b.length <= Int.MaxValue
+      val id = ascii(b, at, 4)
+      val size = le32(b, at + 4)
       if (id == "fmt " && i + 24 <= b.length)
-        return Some(AvInfo("wav", le32(b, i + 12), le16(b, i + 10), null))
-      i += 8 + size + (size & 1) // chunks are word-aligned
+        return Some(AvInfo("wav", le32(b, at + 12), le16(b, at + 10), null))
+      if (size < 0) return None
+      i += 8L + size + (size & 1) // chunks are word-aligned
     }
     None
   }

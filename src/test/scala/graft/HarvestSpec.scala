@@ -137,4 +137,21 @@ class HarvestSpec extends AnyFunSuite {
       harvestFrom = Some("T5"))
     assert(out == Seq(AsStream.Harvested("update", "a", "T1"))) // b too new
   }
+
+  test("AS walk: a prev cycle of length > 1 (A -> B -> A) stops the walk") {
+    // the reference only guards prev == self; a corrupt feed whose prev
+    // links cycle through more than one page would loop the driver
+    // forever without the visited-page set (same guard as Pmh tokens)
+    val ns = "http://n/"
+    val cycle = new AsStream.PageSource {
+      def lastPage = Some("A")
+      def page(id: String) = id match {
+        case "A" => (Seq(AsItem("update", s"${ns}a", "T5")), Some("B"))
+        case "B" => (Seq(AsItem("update", s"${ns}b", "T4")), Some("A"))
+        case other => fail(s"unexpected page $other")
+      }
+    }
+    val out = AsStream.crawl(cycle, ns, "T0")
+    assert(out.map(_.ident) == Seq("a", "b")) // both pages once, then stop
+  }
 }
