@@ -88,6 +88,14 @@ object Sqlite {
           val s = new String(b, d, n, UTF_8); d += n; s
         case blob if blob >= 12 && blob % 2 == 0 =>
           val n = ((blob - 12) / 2).toInt
+          // bounds BEFORE the copy: copyOfRange does not throw on
+          // to > length — it zero-pads, so a corrupt serial type
+          // claiming gigabytes would silently ALLOCATE them, and the
+          // resulting OutOfMemoryError is not a catchable quarantine
+          // error, it is JVM death (the text case is safe: the String
+          // constructor bounds-checks before allocating)
+          if (n < 0 || n > b.length - d) sys.error(
+            s"blob length $n exceeds remaining payload ${b.length - d}")
           val arr = java.util.Arrays.copyOfRange(b, d, d + n); d += n; arr
         case other => sys.error(s"unsupported serial type $other")
       }
