@@ -35,6 +35,26 @@ object StressSweep {
   final private case class Res(secs: Double, status: String, note: String,
       guardDrops: Long)
 
+  /** Keys whose sf1/sf0.1 ratio is super-linear BY CONTRACT — the note
+    * rides the artifact so a round-over-round ratio diff reads the why
+    * without re-deriving it (a ratio ≈ 10 is plain linear compute at
+    * 10× data; only ratios well past 10 need a reason). */
+  private val contractNotes: Map[String, String] = Map(
+    "v13_bitext_margin" -> ("exact all-pairs margin baseline (the " +
+      "oracle-checkable brute, v1-style): cost is |en|x|xx| by contract; " +
+      "v13b is the LSH-candidate production path"),
+    "v17_bitext_recall" -> ("recall eval against the exact all-pairs " +
+      "truth — inherits v13's quadratic contract on the truth side"),
+    "d5_embedding_neardup" -> ("output grows with genuine near-dup " +
+      "pairs (874 -> 177k on the clique corpus) — output-bound, not a " +
+      "scaling defect"),
+    "d9_semantic_prune" -> ("per-cell self-join is sum(m_c^2) with the " +
+      "fixture's FIXED K; deployment grows K ~ sqrt(N) to keep cells " +
+      "constant-sized (SemDeDup shape)"),
+    "d17_embed_decontaminate" -> ("corpus x benchmark product: the " +
+      "fixture scales BOTH sides 10x; production holds the benchmark " +
+      "side fixed, making the scan linear"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_stress/sf1")
     val timeoutSecs = args.lift(1).map(_.toLong).getOrElse(300L)
@@ -76,7 +96,10 @@ object StressSweep {
         try { q.fn(spark, sfDir).foreach(_ => ()); "ok" }
         finally spark.sparkContext.clearJobGroup()
       }
-      val (status, note) = try { (Await.result(fut, timeoutSecs.seconds), "") }
+      val (status, note) = try {
+        (Await.result(fut, timeoutSecs.seconds),
+          contractNotes.getOrElse(q.name, ""))
+      }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           // AndFutureJobs: plain cancelJobGroup kills only currently
