@@ -47,6 +47,24 @@ object Archive {
     fresh.withColumn("data", from_json($"body", schema))
   }
 
+  /** Drain `in` up to `cap` bytes; past the cap, throw (an IOException,
+    * so the loadZips quarantine absorbs it). readAllBytes would let a
+    * zip bomb — a deflate stream expanding 1000× — allocate unbounded
+    * heap, and the resulting OutOfMemoryError is JVM death, not a
+    * catchable per-archive error. */
+  private def readCapped(in: java.io.InputStream, cap: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n > 0) {
+      bos.write(buf, 0, n)
+      if (bos.size > cap) throw new java.io.IOException(
+        s"zip entry exceeds $cap decompressed bytes (zip-bomb guard)")
+      n = in.read(buf)
+    }
+    bos.toByteArray
+  }
+
   /** S2: zip-of-JSON loader — the dump-shaped cousin of loadDir
     * (reference: the zipfile walks in the per-source loaders). Each zip
     * is one task's unit of work: `binaryFile` ships the archive bytes to
@@ -57,10 +75,13 @@ object Archive {
     * archive is a certainty: the walk salvages every entry streamed
     * before the corruption point and quarantines the rest (counted in
     * [[Quarantine]] "zip_archives", warned executor-side) instead of
-    * letting the ZipException kill the task and with it the load. */
+    * letting the ZipException kill the task and with it the load.
+    * `maxEntryBytes` bounds one entry's decompressed size (zip-bomb
+    * guard; an over-cap entry quarantines its archive the same way). */
   def loadZips(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
-      cachedIds: Option[DataFrame] = None): DataFrame = {
+      cachedIds: Option[DataFrame] = None,
+      maxEntryBytes: Int = 1 << 28): DataFrame = {
     import spark.implicits._
     val corrupt = Quarantine.counter(spark, "zip_archives")
     val entries = spark.read.format("binaryFile")
@@ -86,7 +107,7 @@ object Archive {
             var e = zin.getNextEntry
             while (e != null) {
               if (e.getName.endsWith(".json") && e.getName.contains("/")) {
-                val body = new String(zin.readAllBytes(),
+                val body = new String(readCapped(zin, maxEntryBytes),
                   java.nio.charset.StandardCharsets.UTF_8)
                 val ident = e.getName.split("/").takeRight(3).mkString("/")
                 out += ((ident, body))

@@ -93,4 +93,30 @@ class FetcherSpec extends AnyFunSuite {
     assert(out == Map("t/a/1.json" -> 1L, "t/a/3.json" -> 3L))
     assert(graft.sources.Quarantine.value(spark, "zip_archives") - before === 2L)
   }
+
+  test("zip loader: a bomb entry quarantines its archive at the byte cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipb_spec").toFile
+    dir.deleteOnExit()
+    val pad = "x" * 40
+    def entry(zout: java.util.zip.ZipOutputStream, n: String, b: Array[Byte]): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(n)); zout.write(b); zout.closeEntry()
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    // entry 5 streams whole before the bomb; entry 6 is 1 MB of zeros
+    // (compresses ~1000x — the readAllBytes shape would inflate it all)
+    entry(zout, "t/a/5.json", s"""{"id": 5, "pad": "$pad"}""".getBytes("UTF-8"))
+    entry(zout, "t/a/6.json", new Array[Byte](1 << 20))
+    zout.close()
+    java.nio.file.Files.write(new java.io.File(dir, "bomb.zip").toPath, bos.toByteArray)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val before = graft.sources.Quarantine.value(spark, "zip_archives")
+    val out = Archive.loadZips(spark, dir.getAbsolutePath, schema,
+        maxEntryBytes = 64 * 1024)
+      .select($"ident", $"data.id").as[(String, Long)].collect().toMap
+    assert(out == Map("t/a/5.json" -> 5L)) // salvaged; bomb archive counted
+    assert(graft.sources.Quarantine.value(spark, "zip_archives") - before === 1L)
+  }
 }
