@@ -13,8 +13,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   * b-tree pages; www.sqlite.org/fileformat2.html): enough to scan a
   * whole table — which is exactly what a bulk loader wants; the
   * reference's per-id point reads exist because it processes records one
-  * at a time. Limitations (documented): overflow-page chains are
-  * detected and rejected (payload vs max-inline check in `walkTable`),
+  * at a time. Overflow-page chains are supported on both sides (real WOF
+  * geojson bodies routinely exceed one page). Limitations (documented):
   * no freeblock reuse, no WAL — dump files are written once and scanned.
   *
   * Scale shape: a sqlite dump is a single non-splittable file (the
@@ -124,21 +124,45 @@ object Sqlite {
       val ncells = u16(db, hdr + 3)
       ptype match {
         case 13 => // leaf table page
-          // max inline payload for a table leaf: usableSize - 35 (file
-          // format §B-tree Pages); a longer payload spills to overflow
-          // pages, which this reader does not follow — fail loudly
-          // instead of decoding the inline prefix + 4-byte page pointer
-          // as record bytes.
+          // payload split per the file format (§B-tree Pages): up to
+          // maxLocal = usable - 35 is inline; a longer payload keeps
+          // local = minLocal + (P - minLocal) % (usable - 4) bytes
+          // (clamped back to minLocal if that lands past maxLocal)
+          // inline, then a 4-byte pointer to an overflow-page chain —
+          // each chain page = 4-byte next pointer + payload bytes
           val usable = pageSize - (db(20) & 0xff) // minus reserved region
           val maxLocal = usable - 35
+          val minLocal = (usable - 12) * 32 / 255 - 23
           out ++= (0 until ncells).map { i =>
             val off = base + u16(db, hdr + 8 + 2 * i)
             val (plen, c1) = varint(db, off)
-            if (plen > maxLocal) sys.error(
-              s"record payload $plen exceeds max inline $maxLocal " +
-                "(overflow-page chains unsupported)")
             val (rowid, c2) = varint(db, off + c1)
-            (rowid, parseRecord(db, off + c1 + c2))
+            val start = off + c1 + c2
+            if (plen <= maxLocal) (rowid, parseRecord(db, start))
+            else {
+              // a chain cannot hold more than the file does — bound the
+              // assembly buffer BEFORE allocating (corrupt plen would
+              // otherwise allocate unbounded, and OOM is JVM death)
+              if (plen > db.length) sys.error(
+                s"overflow payload $plen exceeds file size ${db.length}")
+              val k = minLocal + ((plen - minLocal) % (usable - 4)).toInt
+              val local = if (k <= maxLocal) k else minLocal
+              val payload = new Array[Byte](plen.toInt)
+              System.arraycopy(db, start, payload, 0, local)
+              var filled = local
+              var ovfl = u32(db, start + local)
+              val chain = scala.collection.mutable.HashSet.empty[Int]
+              while (filled < plen) {
+                if (ovfl <= 0 || !chain.add(ovfl)) sys.error(
+                  s"bad overflow chain at page $ovfl (cycle or early end)")
+                val pb = (ovfl - 1) * pageSize
+                val take = math.min(usable - 4, plen.toInt - filled)
+                System.arraycopy(db, pb + 4, payload, filled, take)
+                filled += take
+                ovfl = u32(db, pb)
+              }
+              (rowid, parseRecord(payload, 0))
+            }
           }
         case 5 => // interior table page: children + rightmost pointer
           val children = (0 until ncells).map { i =>
@@ -213,10 +237,44 @@ object Sqlite {
   }
 
   private def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] = {
-    // the reader rejects overflow payloads; never write one
     require(payload.length <= PageSize - 35,
-      s"payload ${payload.length} would need an overflow chain")
+      s"payload ${payload.length} needs an overflow chain (use cellWithOverflow)")
     varintBytes(payload.length) ++ varintBytes(rowid) ++ payload
+  }
+
+  /** Leaf cell for `payload`, spilling past max-inline into an
+    * overflow-page chain appended to `ovfl` (page numbers assigned from
+    * `ovflBase + ovfl.size`; each page = 4-byte next pointer, 0 on the
+    * last, then payload bytes). The split mirrors the reader: local =
+    * minLocal + (P - minLocal) % (usable - 4), clamped to minLocal. */
+  private def cellWithOverflow(rowid: Long, payload: Array[Byte],
+      ovflBase: Int,
+      ovfl: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Array[Byte] = {
+    val usable = PageSize
+    val maxLocal = usable - 35
+    if (payload.length <= maxLocal) leafCell(rowid, payload)
+    else {
+      val minLocal = (usable - 12) * 32 / 255 - 23
+      val k = minLocal + (payload.length - minLocal) % (usable - 4)
+      val local = if (k <= maxLocal) k else minLocal
+      val first = ovflBase + ovfl.length
+      var pos = local
+      var pageNo = first
+      while (pos < payload.length) {
+        val page = new Array[Byte](PageSize)
+        val take = math.min(usable - 4, payload.length - pos)
+        val next = if (pos + take < payload.length) pageNo + 1 else 0
+        page(0) = (next >> 24).toByte; page(1) = (next >> 16).toByte
+        page(2) = (next >> 8).toByte; page(3) = next.toByte
+        System.arraycopy(payload, pos, page, 4, take)
+        ovfl += page
+        pos += take
+        pageNo += 1
+      }
+      varintBytes(payload.length) ++ varintBytes(rowid) ++
+        payload.take(local) ++ Array[Byte]((first >> 24).toByte,
+          (first >> 16).toByte, (first >> 8).toByte, first.toByte)
+    }
   }
 
   /** Pack cells into leaf-table pages; returns pages + each page's max
@@ -292,36 +350,47 @@ object Sqlite {
 
   def writeDb(file: java.io.File, table: String, createSql: String,
       rows: Seq[Seq[Any]]): Unit = {
-    val cells = rows.zipWithIndex.map { case (r, i) =>
-      (i + 1L, leafCell(i + 1L, record(r)))
+    // overflow pages live AFTER the b-tree pages, but their page
+    // numbers are needed inside leaf cells — two passes resolve the
+    // circularity: cell SIZES (and so the page layout) do not depend on
+    // pointer VALUES, so pass 1 with a dummy base yields the b-tree
+    // page count, pass 2 builds the real pointers against it
+    def build(ovflBase: Int): (Seq[(Array[Byte], Long)], Seq[Array[Byte]],
+        Seq[Array[Byte]], Int) = {
+      val ovfl = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val cells = rows.zipWithIndex.map { case (r, i) =>
+        (i + 1L, cellWithOverflow(i + 1L, record(r), ovflBase, ovfl))
+      }
+      val leaves = leafPages(cells)
+      // interior levels bottom-up until one root remains; pages are
+      // appended after the leaves in build order, so page numbers are
+      // assigned level by level
+      val interiors = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var level: Seq[(Int, Long)] =
+        leaves.indices.map(i => (2 + i, leaves(i)._2))
+      var next = 2 + leaves.length
+      while (level.length > 1) {
+        val raw = level.grouped(InteriorFanout).toSeq
+        // a trailing group of 1 child would make an interior page with
+        // zero cells (rightmost pointer only) — legal for our reader but
+        // a degenerate b-tree shape external SQLite tooling may flag;
+        // rebalance the final Fanout+1-child run into two halves (each
+        // >= 2 children, so every interior page carries >= 1 cell)
+        val groups =
+          if (raw.length > 1 && raw.last.length < 2) {
+            val merged = raw(raw.length - 2) ++ raw.last
+            val firstHalf = (merged.length + 1) / 2
+            raw.dropRight(2) :+ merged.take(firstHalf) :+ merged.drop(firstHalf)
+          } else raw
+        groups.foreach(g => interiors += interiorPage(g))
+        level = groups.zipWithIndex.map { case (g, i) => (next + i, g.last._2) }
+        next += groups.length
+      }
+      (leaves, interiors.toSeq, ovfl.toSeq, level.head._1)
     }
-    val leaves = leafPages(cells)
-
-    // interior levels bottom-up until one root remains; pages are
-    // appended after the leaves in build order, so page numbers are
-    // assigned level by level
-    val interiors = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var level: Seq[(Int, Long)] =
-      leaves.indices.map(i => (2 + i, leaves(i)._2))
-    var next = 2 + leaves.length
-    while (level.length > 1) {
-      val raw = level.grouped(InteriorFanout).toSeq
-      // a trailing group of 1 child would make an interior page with
-      // zero cells (rightmost pointer only) — legal for our reader but
-      // a degenerate b-tree shape external SQLite tooling may flag;
-      // rebalance the final Fanout+1-child run into two halves (each
-      // >= 2 children, so every interior page carries >= 1 cell)
-      val groups =
-        if (raw.length > 1 && raw.last.length < 2) {
-          val merged = raw(raw.length - 2) ++ raw.last
-          val firstHalf = (merged.length + 1) / 2
-          raw.dropRight(2) :+ merged.take(firstHalf) :+ merged.drop(firstHalf)
-        } else raw
-      groups.foreach(g => interiors += interiorPage(g))
-      level = groups.zipWithIndex.map { case (g, i) => (next + i, g.last._2) }
-      next += groups.length
-    }
-    val rootPage = level.head._1
+    val (l0, i0, _, _) = build(0)
+    val (leaves, interiors, overflow, rootPage) =
+      build(1 + l0.length + i0.length + 1) // first page past the b-tree
 
     val masterRow: Seq[Any] =
       Seq("table", table, table, rootPage.toLong, createSql)
@@ -329,7 +398,7 @@ object Sqlite {
       headerRoom = 100)
     require(masterPages.length == 1, "sqlite_master must fit page 1")
 
-    val nPages = 1 + leaves.length + interiors.length
+    val nPages = 1 + leaves.length + interiors.length + overflow.length
     val header = new Array[Byte](100)
     System.arraycopy("SQLite format 3".getBytes(UTF_8), 0, header, 0, 15)
     header(16) = (PageSize >> 8).toByte; header(17) = (PageSize & 0xff).toByte
@@ -349,6 +418,7 @@ object Sqlite {
       out.write(masterPages.head._1)
       leaves.foreach(p => out.write(p._1))
       interiors.foreach(out.write)
+      overflow.foreach(out.write)
     } finally out.close()
   }
 }

@@ -52,32 +52,45 @@ class SqliteSpec extends AnyFunSuite {
     assert(got.toSet === rows.toSet)
   }
 
-  test("overflow-sized payloads are rejected at write AND at read") {
-    // writer side: a payload needing an overflow chain must not be
-    // silently truncated into the file
-    val big = "x" * Sqlite.PageSize // record > pageSize - 35
+  test("overflow payloads roundtrip (real WOF geojson bodies exceed a page)") {
+    // bodies from just-over-inline to many chain pages, mixed with
+    // small rows so inline and spilled cells coexist on the leaves;
+    // deterministic content so a mis-stitched chain cannot pass
+    def body(i: Int, n: Int): String =
+      (0 until n).map(j => ('a' + (i * 31 + j * 7) % 26).toChar).mkString
+    val sizes = Seq(10, 4062, 5000, 9000, 40000, 12, 100000, 4061)
+    val rows = sizes.zipWithIndex.map { case (n, i) =>
+      Seq[Any](i.toLong, body(i, n))
+    }
     val f = java.io.File.createTempFile("graft_sqlite3", ".db")
     f.deleteOnExit()
-    val e = intercept[IllegalArgumentException] {
-      Sqlite.writeDb(f, "t", "CREATE TABLE t (v TEXT)", Seq(Seq[Any](big)))
-    }
-    assert(e.getMessage.contains("overflow"))
+    Sqlite.writeDb(f, "t", "CREATE TABLE t (k INTEGER, v TEXT)", rows)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val got = Sqlite.scanTable(bytes, "t")
+    assert(got.map(_.head) === rows.map(_.head))
+    assert(got.map(_(1)) === rows.map(_(1))) // full bodies, chain order
+  }
 
-    // reader side: a cell claiming a payload past max-inline must error,
-    // not decode the inline prefix + the 4-byte overflow pointer as
-    // record bytes. Synthesize a leaf page whose single cell claims a
-    // 5000-byte payload (> 4096 - 35).
-    val pageSize = 4096
-    val db = new Array[Byte](pageSize * 2)
-    db(pageSize) = 13 // page 2: table leaf
-    db(pageSize + 3) = 0; db(pageSize + 4) = 1 // one cell
-    db(pageSize + 8) = 1; db(pageSize + 9) = 0 // cell offset 0x100
-    val vb = Sqlite.varintBytes(5000L)
-    System.arraycopy(vb, 0, db, pageSize + 0x100, vb.length)
-    val e2 = intercept[RuntimeException] {
-      Sqlite.walkTable(db, pageSize, 2)
-    }
-    assert(e2.getMessage.contains("overflow"))
+  test("a corrupt overflow chain errors catchably (cycle and early end)") {
+    val f = java.io.File.createTempFile("graft_sqlite4", ".db")
+    f.deleteOnExit()
+    Sqlite.writeDb(f, "t", "CREATE TABLE t (v TEXT)",
+      Seq(Seq[Any]("y" * 9000))) // needs a 2+ page chain
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // the chain's first page is the first page after the b-tree (page 3:
+    // 1 master + 1 leaf); point its next pointer back at itself
+    val firstOvfl = 2 * Sqlite.PageSize
+    val orig = bytes.clone()
+    bytes(firstOvfl) = 0; bytes(firstOvfl + 1) = 0
+    bytes(firstOvfl + 2) = 0; bytes(firstOvfl + 3) = 3 // self-cycle
+    val e = intercept[RuntimeException](Sqlite.scanTable(bytes, "t"))
+    assert(e.getMessage.contains("overflow chain"))
+    // early end: next pointer 0 while payload still unfilled
+    val cut = orig.clone()
+    cut(firstOvfl) = 0; cut(firstOvfl + 1) = 0
+    cut(firstOvfl + 2) = 0; cut(firstOvfl + 3) = 0
+    val e2 = intercept[RuntimeException](Sqlite.scanTable(cut, "t"))
+    assert(e2.getMessage.contains("overflow chain"))
   }
 
   test("page-size sentinel 1 decodes as 65536") {
