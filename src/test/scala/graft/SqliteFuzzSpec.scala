@@ -21,10 +21,16 @@ class SqliteFuzzSpec extends AnyFunSuite {
       case scala.util.control.NonFatal(_) => () // quarantine-able
     }
 
-  // multi-page db: enough rows to force interior pages
+  // multi-page db: enough rows to force interior pages, plus two
+  // overflow-chained bodies so truncation/mutation also hits the
+  // chain-stitch path (visited set, plen bound, next-pointer walk)
   private lazy val validDb: Array[Byte] = {
     val f = java.nio.file.Files.createTempFile("graft_sqlite_fuzz", ".db")
-    val rows = (0 until 2000).map(i => Seq[Any](i.toLong, s"body-$i-${"x" * 50}"))
+    val rows = (0 until 2000).map {
+      case i if i == 700 => Seq[Any](i.toLong, "o" * 9000)
+      case i if i == 1400 => Seq[Any](i.toLong, "p" * 40000)
+      case i => Seq[Any](i.toLong, s"body-$i-${"x" * 50}")
+    }
     Sqlite.writeDb(f.toFile, "t", "CREATE TABLE t (id INTEGER, body TEXT)", rows)
     val b = java.nio.file.Files.readAllBytes(f)
     java.nio.file.Files.delete(f)
