@@ -751,7 +751,11 @@ object SourceQueries extends QueryGroup {
     * bodies parsed with an explicit schema, plus the chunked network
     * URL each record would fall back to (`:17-31`, `WdClaims.wofUrl`).
     * Even keys get 8-digit ids, odd keys 9-digit — exercising the
-    * remainder-tail chunk. */
+    * remainder-tail chunk. Every 97th body carries an 8 KB pad field
+    * (real WOF geojson routinely exceeds a page), so the fixture's db
+    * contains genuine overflow-page chains and the oracle gate
+    * exercises the chain-stitching read path — the pad is outside the
+    * extraction schema, so the oracle SQL is unchanged. */
   def wofLoad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.load(spark, dir, "customer").count()
@@ -759,17 +763,20 @@ object SourceQueries extends QueryGroup {
     // hashCode — equal-rowcount sf dirs must not collide; and publish
     // the db with write-temp + atomic rename so a concurrent driver
     // either sees the marker with a complete db or regenerates.
+    // (wof2: fixture format version — bumped for the overflow pads so
+    // stale memo dirs from earlier rounds regenerate)
     val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_wof_${safeDir}_$n")
+      s"graft_wof2_${safeDir}_$n")
     val marker = new java.io.File(base, "_DONE")
     if (!marker.exists()) {
       base.mkdirs()
       val rows = (0L until n).map { ck =>
         val id = if (ck % 2 == 0) 10000000L + ck else 100000000L + ck
         val pt = Seq("locality", "region", "country")((ck % 3).toInt)
+        val pad = if (ck % 97 == 0) s""", "pad": "${"w" * 8000}"""" else ""
         Seq(id.toString,
-          s"""{"wof:name": "p${ck % 60}", "wof:placetype": "$pt"}""": Any)
+          s"""{"wof:name": "p${ck % 60}", "wof:placetype": "$pt"$pad}""": Any)
       }
       val tmpDb = java.io.File.createTempFile("wof", ".db.tmp", base)
       sources.Sqlite.writeDb(tmpDb, "geojson",
