@@ -426,26 +426,40 @@ object SourceQueries extends QueryGroup {
       |FROM b""".stripMargin
 
   /** M1 audio/video: the A/V sibling of m1_binary_meta — per customer
-    * key a synthetic-but-valid WAV/MP4-ftyp/OGG container header (fields
-    * derived from the key) travels as binary through the typed map
-    * stage; AvCodec parses the actual bytes back. The oracle replays
-    * the field formulas. Same 100 TB shape as m1: map-only, binary
-    * column + typed metadata, partition-parallel. */
+    * key a synthetic-but-valid WAV/MP4/OGG container (fields derived
+    * from the key) travels as binary through the typed map stage;
+    * AvCodec parses the actual bytes back: WAV rate/channels AND
+    * duration from the data chunk over the byte rate, MP4 brand AND —
+    * on the video-shaped half — width/height from the moov/trak/tkhd
+    * box walk plus duration from mvhd (the other half stays bare-ftyp,
+    * keeping the headers-only path exercised). The oracle replays the
+    * field formulas. Same 100 TB shape as m1: map-only, binary column +
+    * typed metadata, partition-parallel. */
   def avMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "customer")
       .select($"c_custkey".cast("long")).as[Long].map { ck =>
         val bytes = (ck % 3) match {
-          case 0 => sources.AvCodec.synthWav(
-            8000 * (1 + (ck % 5)).toInt, (ck % 2 + 1).toInt, 16)
-          case 1 => sources.AvCodec.synthMp4(
-            Seq("isom", "mp42", "avc1")((ck % 9 / 3).toInt))
+          case 0 =>
+            val rate = 8000 * (1 + (ck % 5)).toInt
+            val ch = (ck % 2 + 1).toInt
+            // byteRate = rate*ch*2 is divisible by 40, so dataBytes =
+            // byteRate/40*(1+ck%5) makes duration EXACTLY 25*(1+ck%5) ms
+            sources.AvCodec.synthWav(rate, ch, 16,
+              dataBytes = rate * ch * 2 / 40 * (1 + (ck % 5)).toInt)
+          case 1 =>
+            val brand = Seq("isom", "mp42", "avc1")((ck % 9 / 3).toInt)
+            if (ck % 6 == 1) sources.AvCodec.synthMp4Video(brand,
+              160 + 16 * (ck % 20).toInt, 90 + 9 * (ck % 20).toInt,
+              500L * (1 + ck % 8))
+            else sources.AvCodec.synthMp4(brand)
           case _ => sources.AvCodec.synthOgg((ck % 100000).toInt)
         }
         val info = sources.AvCodec.parse(bytes).get
         (ck, info.container, info.sampleRate.toLong, info.channels.toLong,
-          info.brand)
-      }.toDF("media_id", "container", "sample_rate", "channels", "brand")
+          info.brand, info.width.toLong, info.height.toLong, info.durationMs)
+      }.toDF("media_id", "container", "sample_rate", "channels", "brand",
+        "width", "height", "duration_ms")
   }
   private val avMetaOracle: String =
     """SELECT c_custkey AS media_id,
@@ -457,7 +471,14 @@ object SourceQueries extends QueryGroup {
       |  CASE WHEN c_custkey % 3 = 1 THEN
       |    CASE c_custkey % 9 // 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END
       |  WHEN c_custkey % 3 = 2 THEN CAST(c_custkey % 100000 AS VARCHAR)
-      |  END AS brand
+      |  END AS brand,
+      |  CAST(CASE WHEN c_custkey % 6 = 1
+      |    THEN 160 + 16 * (c_custkey % 20) ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN c_custkey % 6 = 1
+      |    THEN 90 + 9 * (c_custkey % 20) ELSE 0 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 25 * (1 + c_custkey % 5)
+      |    WHEN c_custkey % 6 = 1 THEN 500 * (1 + c_custkey % 8)
+      |    ELSE 0 END AS BIGINT) AS duration_ms
       |FROM customer""".stripMargin
 
   /** S5: the DNB dump loader quirks (`sources/libraries/dnb/loader.py`):

@@ -29,6 +29,23 @@ class AvCodecSpec extends AnyFunSuite {
         === Some(AvInfo("mp4", 0, 0, brand)))
   }
 
+  test("mp4 video: dims from moov/trak/tkhd, duration from mvhd") {
+    assert(AvCodec.parse(AvCodec.synthMp4Video("mp42", 640, 360, 2500L))
+      === Some(AvInfo("mp4", 0, 0, "mp42", 640, 360, 2500L)))
+    // a bare ftyp (no moov) keeps zeros — headers-only is still valid
+    assert(AvCodec.parse(AvCodec.synthMp4("isom"))
+      === Some(AvInfo("mp4", 0, 0, "isom", 0, 0, 0L)))
+  }
+
+  test("wav duration: data-chunk bytes over the fmt byte rate") {
+    // byteRate = 8000*1*2 = 16000; 1200 data bytes -> 75 ms exactly
+    assert(AvCodec.parse(AvCodec.synthWav(8000, 1, 16, dataBytes = 1200))
+      === Some(AvInfo("wav", 8000, 1, null, 0, 0, 75L)))
+    // empty data chunk -> duration 0 (the legacy 44-byte shape)
+    assert(AvCodec.parse(AvCodec.synthWav(8000, 1, 16))
+      === Some(AvInfo("wav", 8000, 1, null)))
+  }
+
   test("ogg bitstream serial") {
     assert(AvCodec.parse(AvCodec.synthOgg(31337))
       === Some(AvInfo("ogg", 0, 0, "31337")))
