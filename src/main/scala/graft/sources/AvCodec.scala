@@ -49,22 +49,28 @@ object AvCodec {
     var i = 12L // chunk scan: fmt need not be the first chunk
     var fmt: Option[(Int, Int, Int)] = None // (rate, channels, byteRate)
     var dataSize = -1L
-    while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
-      val at = i.toInt // fits: i + 8 <= b.length <= Int.MaxValue
-      val id = ascii(b, at, 4)
-      val size = le32(b, at + 4)
-      if (id == "fmt " && i + 24 <= b.length)
-        fmt = Some((le32(b, at + 12), le16(b, at + 10), le32(b, at + 16)))
-      else if (id == "data" && size >= 0)
-        dataSize = size.toLong
-      if (size < 0) return fmt.map { case (r, c, _) => AvInfo("wav", r, c, null) }
-      i += 8L + size + (size & 1) // chunks are word-aligned
-    }
-    fmt.map { case (rate, ch, byteRate) =>
+    def finish: Option[AvInfo] = fmt.map { case (rate, ch, byteRate) =>
       val durMs =
         if (dataSize > 0 && byteRate > 0) dataSize * 1000L / byteRate else 0L
       AvInfo("wav", rate, ch, null, durationMs = durMs)
     }
+    while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val at = i.toInt // fits: i + 8 <= b.length <= Int.MaxValue
+      val id = ascii(b, at, 4)
+      val size = le32(b, at + 4)
+      // the fmt fields are only real if the chunk DECLARES them:
+      // size >= 16 (PCM fmt body) — a truncated fmt chunk must not
+      // read the next chunk's bytes as a sample rate
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length)
+        fmt = Some((le32(b, at + 12), le16(b, at + 10), le32(b, at + 16)))
+      else if (id == "data" && size >= 0)
+        dataSize = size.toLong
+      // corrupt-sized tail: keep everything the well-formed prefix
+      // established (fmt AND any data-chunk duration), drop the rest
+      if (size < 0) return finish
+      i += 8L + size + (size & 1) // chunks are word-aligned
+    }
+    finish
   }
 
   private def be32(b: Array[Byte], i: Int): Int =

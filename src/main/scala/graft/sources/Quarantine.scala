@@ -21,9 +21,13 @@ object Quarantine {
   /** The driver-created counter for `name`, memoized per context so
     * repeated loads share one total. Synchronized: getOrElseUpdate's
     * builder is not atomic and a losing duplicate accumulator would
-    * silently swallow its tasks' counts. */
+    * silently swallow its tasks' counts. Entries for stopped contexts
+    * are evicted on access — without that, a driver cycling sessions
+    * would pin every dead SparkContext (and its accumulators) for the
+    * JVM lifetime. */
   def counter(spark: SparkSession, name: String): LongAccumulator =
     counters.synchronized {
+      counters.filterInPlace { case ((sc, _), _) => !sc.isStopped }
       counters.getOrElseUpdate((spark.sparkContext, name),
         spark.sparkContext.longAccumulator(s"graft.quarantine.$name"))
     }

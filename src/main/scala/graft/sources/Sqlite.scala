@@ -84,19 +84,24 @@ object Sqlite {
         case 8 => 0L
         case 9 => 1L
         case txt if txt >= 13 && txt % 2 == 1 =>
-          val n = ((txt - 13) / 2).toInt
-          val s = new String(b, d, n, UTF_8); d += n; s
+          // LONG length, bounds-checked BEFORE .toInt: a corrupt serial
+          // type near 2^33 would otherwise truncate to a small positive
+          // Int, pass every check, and silently misalign the decode
+          val n = (txt - 13) / 2
+          if (n > b.length - d) sys.error(
+            s"text length $n exceeds remaining payload ${b.length - d}")
+          val s = new String(b, d, n.toInt, UTF_8); d += n.toInt; s
         case blob if blob >= 12 && blob % 2 == 0 =>
-          val n = ((blob - 12) / 2).toInt
-          // bounds BEFORE the copy: copyOfRange does not throw on
-          // to > length — it zero-pads, so a corrupt serial type
-          // claiming gigabytes would silently ALLOCATE them, and the
-          // resulting OutOfMemoryError is not a catchable quarantine
-          // error, it is JVM death (the text case is safe: the String
-          // constructor bounds-checks before allocating)
-          if (n < 0 || n > b.length - d) sys.error(
+          // same Long discipline; ALSO bounds BEFORE the copy:
+          // copyOfRange does not throw on to > length — it zero-pads,
+          // so a corrupt length claiming gigabytes would silently
+          // ALLOCATE them, and the resulting OutOfMemoryError is not a
+          // catchable quarantine error, it is JVM death
+          val n = (blob - 12) / 2
+          if (n > b.length - d) sys.error(
             s"blob length $n exceeds remaining payload ${b.length - d}")
-          val arr = java.util.Arrays.copyOfRange(b, d, d + n); d += n; arr
+          val arr = java.util.Arrays.copyOfRange(b, d, d + n.toInt)
+          d += n.toInt; arr
         case other => sys.error(s"unsupported serial type $other")
       }
     }
@@ -152,9 +157,13 @@ object Sqlite {
               var filled = local
               var ovfl = u32(db, start + local)
               val chain = scala.collection.mutable.HashSet.empty[Int]
+              val nPages = db.length / pageSize
               while (filled < plen) {
-                if (ovfl <= 0 || !chain.add(ovfl)) sys.error(
-                  s"bad overflow chain at page $ovfl (cycle or early end)")
+                // the page bound also keeps (ovfl-1)*pageSize from
+                // wrapping Int back into range on a hostile pointer
+                if (ovfl <= 0 || ovfl > nPages || !chain.add(ovfl)) sys.error(
+                  s"bad overflow chain at page $ovfl (cycle, early end, " +
+                    s"or past the $nPages-page file)")
                 val pb = (ovfl - 1) * pageSize
                 val take = math.min(usable - 4, plen.toInt - filled)
                 System.arraycopy(db, pb + 4, payload, filled, take)

@@ -51,6 +51,35 @@ class AvCodecSpec extends AnyFunSuite {
       === Some(AvInfo("ogg", 0, 0, "31337")))
   }
 
+  test("a truncated fmt chunk never reads neighbor bytes as a sample rate") {
+    // fmt declaring size 4 (< the 16-byte PCM body): the bytes at +12
+    // belong to the NEXT chunk and must not surface as metadata
+    def le32b(v: Int) =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val bad = "RIFF".getBytes ++ le32b(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(4) ++ le32b(0) ++
+      AvCodec.synthWav(8000, 1, 16).drop(12)
+    // the real fmt chunk later in the stream still parses
+    assert(AvCodec.parse(bad) === Some(AvInfo("wav", 8000, 1, null)))
+    // with NO real fmt chunk at all, the truncated one yields None
+    val onlyBad = "RIFF".getBytes ++ le32b(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(4) ++ le32b(0)
+    assert(AvCodec.parse(onlyBad) === None)
+  }
+
+  test("a corrupt-sized tail keeps the prefix's duration, not just fmt") {
+    // data chunk BEFORE fmt, then a negative-size junk chunk: the early
+    // return must carry the already-parsed data-chunk duration
+    def le32b(v: Int) =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val dataFirst = "RIFF".getBytes ++ le32b(36) ++ "WAVE".getBytes ++
+      "data".getBytes ++ le32b(1200) ++ new Array[Byte](1200) ++
+      AvCodec.synthWav(8000, 1, 16).drop(12).dropRight(8) ++ // fmt only
+      "junk".getBytes ++ le32b(-8)
+    assert(AvCodec.parse(dataFirst)
+      === Some(AvInfo("wav", 8000, 1, null, 0, 0, 75L)))
+  }
+
   test("garbage and truncated inputs are rejected, not mis-parsed") {
     assert(AvCodec.parse("not a container at all".getBytes) === None)
     assert(AvCodec.parse(AvCodec.synthWav(8000, 1, 16).take(20)) === None)

@@ -49,6 +49,20 @@ class SqliteFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("blob length"))
   }
 
+  test("serial-type lengths past 2^32 error instead of truncating to Int") {
+    // (t - 13) / 2 near 2^32 + 5 truncates to Int 5, which would PASS
+    // the bounds check and silently misalign every following column —
+    // the length math must stay Long until after the bound
+    for ((base, kind) <- Seq((13L, "text"), (12L, "blob"))) {
+      val t = base + 2L * ((1L << 32) + 5L)
+      val tb = Sqlite.varintBytes(t)
+      val payload = Array[Byte]((1 + tb.length).toByte) ++ tb ++
+        new Array[Byte](16)
+      val e = intercept[RuntimeException](Sqlite.parseRecord(payload, 0))
+      assert(e.getMessage.contains(s"$kind length"), s"$kind: $e")
+    }
+  }
+
   test("random byte soup never kills the JVM") {
     val r = new scala.util.Random(0x5D17E)
     for (i <- 0 until 1000) {

@@ -91,6 +91,13 @@ class SqliteSpec extends AnyFunSuite {
     cut(firstOvfl + 2) = 0; cut(firstOvfl + 3) = 0
     val e2 = intercept[RuntimeException](Sqlite.scanTable(cut, "t"))
     assert(e2.getMessage.contains("overflow chain"))
+    // past-the-file pointer (0x00100001 pages): (ovfl-1)*pageSize would
+    // wrap an Int multiply back into range — the page bound must reject
+    val far = orig.clone()
+    far(firstOvfl) = 0; far(firstOvfl + 1) = 0x10
+    far(firstOvfl + 2) = 0; far(firstOvfl + 3) = 1
+    val e3 = intercept[RuntimeException](Sqlite.scanTable(far, "t"))
+    assert(e3.getMessage.contains("overflow chain"))
   }
 
   test("page-size sentinel 1 decodes as 65536") {
