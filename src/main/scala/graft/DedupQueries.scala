@@ -379,14 +379,20 @@ object DedupQueries extends QueryGroup {
       .withColumn("len", size($"sid").cast("long"))
   }
 
+  /** Prefix length for the J >= 0.5 prefix filter: len - ceil(len/2)
+    * + 1. ONE definition shared by the pair lister (ngramCandidates)
+    * and the candidate-load twins (candidateLoadOf) — the twins exist
+    * to measure the lister's cost, so a tuned threshold must move both
+    * or the sweep asserts a shape the production query no longer has. */
+  private def j05PrefixLen: org.apache.spark.sql.Column =
+    (col("len") - intDiv(col("len") + 1L, lit(2L)) + 1L).cast("int")
+
   /** Candidate stage (pre-barrier), exposed for plan-shape tests. */
   private[graft] def ngramCandidates(base: DataFrame): DataFrame = {
     import base.sparkSession.implicits._
     val t = 500L // Jaccard threshold, milli
-    // prefix length for J>=0.5: len - ceil(len/2) + 1
-    val prefLen = ($"len" - intDiv($"len" + 1L, lit(2L)) + 1L).cast("int")
     val inv = base.select($"doc_id", $"len",
-      explode(slice($"sid", lit(1), prefLen)).as("tok"))
+      explode(slice($"sid", lit(1), j05PrefixLen)).as("tok"))
     // J >= t implies t*max(|a|,|b|) <= |a∩b| <= min(|a|,|b|)
     val lenOk = least($"a.len", $"b.len") * 1000L >=
       greatest($"a.len", $"b.len") * t
@@ -408,9 +414,8 @@ object DedupQueries extends QueryGroup {
     * while the listings stay contract-quadratic by design. */
   private def candidateLoadOf(base: DataFrame): DataFrame = {
     import base.sparkSession.implicits._
-    val prefLen = ($"len" - intDiv($"len" + 1L, lit(2L)) + 1L).cast("int")
     val inv = base.select($"doc_id",
-      explode(slice($"sid", lit(1), prefLen)).as("tok"))
+      explode(slice($"sid", lit(1), j05PrefixLen)).as("tok"))
     val counts = inv.groupBy($"tok").agg(count(lit(1)).as("n"))
     inv.join(counts, "tok")
       .groupBy($"doc_id")

@@ -169,9 +169,13 @@ object SourceQueries extends QueryGroup {
     * per-image aggregate, linear at any clique size. */
   def imageDegree(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persist: the bands table (a per-row image encode→decode→aHash
+    // pipeline) feeds BOTH the bucket counts and the join probe — the
+    // same cache-barrier discipline as imageNearDup and st8b
     val e = imageBands(spark, dir)
       .select($"doc_id",
         posexplode(array($"b0", $"b1", $"b2", $"b3")).as(Seq("j", "v")))
+      .persist()
     val counts = e.groupBy($"j", $"v").agg(count(lit(1)).as("n"))
     e.join(counts, Seq("j", "v"))
       .groupBy($"doc_id")

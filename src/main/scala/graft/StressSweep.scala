@@ -33,7 +33,7 @@ import scala.concurrent.ExecutionContext.Implicits.global
   */
 object StressSweep {
   final private case class Res(secs: Double, status: String, note: String,
-      guardDrops: Long)
+      guardDrops: Long, dropsTainted: Boolean = false)
 
   /** Keys whose sf1/sf0.1 ratio is super-linear BY CONTRACT — the note
     * rides the artifact so a round-over-round ratio diff reads the why
@@ -82,12 +82,18 @@ object StressSweep {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
     var timedOut = List.empty[String]
+    // zombie futures: timed-out queries whose future did not drain in
+    // its 60 s window keep mutating the process-global guardDropCount —
+    // while any is live, later keys' drop deltas are flagged tainted
+    // instead of silently misattributed
+    var zombies = List.empty[Future[String]]
     val sweepSet = Queries.all.filter(q => only.forall(_.contains(q.name)))
     only.foreach { names =>
       val unknown = names -- Queries.all.map(_.name).toSet
       require(unknown.isEmpty, s"SPARK_GRAFT_SWEEP_ONLY unknown: ${unknown.mkString(",")}")
     }
     val results: Seq[(String, Res)] = sweepSet.map { q =>
+      zombies = zombies.filterNot(_.isCompleted)
       val t0 = System.nanoTime()
       val drops0 = DedupQueries.guardDropCount.get()
       val group = s"sweep-${q.name}"
@@ -112,6 +118,7 @@ object StressSweep {
           try Await.ready(fut, 60.seconds)
           catch { case _: java.util.concurrent.TimeoutException =>
             println(s"[sweep] ${q.name}: zombie future did not drain in 60s")
+            zombies ::= fut
           }
           timedOut ::= q.name
           ("timeout", s">${timeoutSecs}s; if a pair-lister: output is " +
@@ -125,10 +132,13 @@ object StressSweep {
       spark.catalog.clearCache()
       val secs = (System.nanoTime() - t0) / 1e9
       val drops = DedupQueries.guardDropCount.get() - drops0
-      val extra = (if (drops > 0) s"  [guard drops: $drops]" else "") +
+      val tainted = drops > 0 && zombies.exists(!_.isCompleted)
+      val extra = (if (drops > 0) s"  [guard drops: $drops" +
+          (if (tainted) ", TAINTED by a live zombie future]" else "]")
+        else "") +
         (if (note.nonEmpty) s"  $note" else "")
       println(f"[sweep] ${q.name}%-28s $secs%7.2f s  $status$extra")
-      q.name -> Res(secs, status, note, drops)
+      q.name -> Res(secs, status, note, drops, tainted)
     }
     val total = results.map(_._2.secs).sum
     val slowest = results.sortBy(-_._2.secs).take(10)
@@ -148,7 +158,8 @@ object StressSweep {
           .map(b => f""","ratio":${r.secs / b}%.2f""").getOrElse("")
         val note = if (r.note.nonEmpty) s""","note":${q(r.note)}""" else ""
         val drops = if (r.guardDrops > 0) s""","guard_drops":${r.guardDrops}""" else ""
-        s"""${q(name)}:{"secs":${f"${r.secs}%.3f"},"status":${q(r.status)}$ratio$drops$note}"""
+        val taint = if (r.dropsTainted) s""","drops_tainted":true""" else ""
+        s"""${q(name)}:{"secs":${f"${r.secs}%.3f"},"status":${q(r.status)}$ratio$drops$taint$note}"""
       }.mkString(",")
       val doc = s"""{"sf_dir":${q(sfDir)},"timeout_secs":$timeoutSecs,""" +
         s""""n_queries":${results.size},"total_secs":${f"$total%.1f"},""" +

@@ -87,12 +87,16 @@ object PrefixSum {
     // null-v rows are skipped (their run - v is unknowable); the first
     // NON-NULL row's run - v equals the group start because nulls
     // contributed 0 to the running sum before it
-    val offsets = withRun.groupBy(col(groupCol))
+    val grp = "__psum_grp"
+    val offsets = withRun.groupBy(col(groupCol).as(grp))
       .agg(min_by(col(run) - col(valueCol),
         when(col(valueCol).isNotNull, struct(order: _*))).as(off))
-    withRun.join(offsets, groupCol)
+    // null-SAFE join: a window PARTITION BY treats NULL keys as one
+    // ordinary partition, so this must too — a plain equi-join would
+    // silently DROP every null-group row (null = null is not true)
+    withRun.join(offsets, col(groupCol) <=> col(grp))
       .withColumn(sumCol, col(run) - col(off))
-      .drop(run, off)
+      .drop(run, off, grp)
   }
 
   /** Returns `df` plus `maxCol`, the inclusive running MAX of

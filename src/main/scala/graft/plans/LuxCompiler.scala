@@ -254,8 +254,13 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     * the whole subtree is plain word leaves (alone or under AND/OR) —
     * anything else opts the BOOST into the flat membership lift. */
   private def boostTerms(q: Ast): Seq[String] = q match {
+    // f == "name" EXPLICITLY: the ranked() scorer computes tf/df/dl
+    // over the entities.name token index, so only name-field terms may
+    // reach the BM25 path — a second word field added to the catalog
+    // must take the flat-boost fallback, not be scored against the
+    // wrong column
     case Leaf(f, "=", s, _, false, false)
-        if catalog.fields(f) && !catalog.exactFields(f) &&
+        if f == "name" && catalog.fields(f) && !catalog.exactFields(f) &&
           !LuxCompiler.isWildcard(s) => Seq(s.toLowerCase)
     case Bool(op, kids) if op == "AND" || op == "OR" =>
       val sub = kids.map(boostTerms)

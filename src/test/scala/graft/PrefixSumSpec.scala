@@ -41,17 +41,22 @@ class PrefixSumSpec extends AnyFunSuite {
 
   test("grouped running sum equals the per-group window, negatives and nulls included") {
     // negatives break the old min(run - v) offset derivation (the
-    // running sum is no longer monotone within a group); nulls must
-    // contribute 0 but never become the offset anchor
+    // running sum is no longer monotone within a group); null VALUES
+    // must contribute 0 but never become the offset anchor; null GROUP
+    // keys form one ordinary partition (window semantics) — a plain
+    // equi-join on the group column would silently drop them
     val rows = (1 to 4000).map { i =>
       val v: java.lang.Long =
         if (i % 29 == 0) null
         else java.lang.Long.valueOf((i % 11).toLong - 4L) // mixed sign
-      (i.toLong, s"src${i % 7}", v)
+      val g = if (i % 13 == 0) null else s"src${i % 7}"
+      (i.toLong, g, v)
     }
     val df = rows.toDF("id", "grp", "v")
-    val got = PrefixSum.withGroupedRunningSum(df, "v", "cum", "grp", $"id")
-      .select($"id", $"cum").as[(Long, Option[Long])].collect().toMap
+    val out = PrefixSum.withGroupedRunningSum(df, "v", "cum", "grp", $"id")
+      .select($"id", $"cum").as[(Long, Option[Long])].collect()
+    assert(out.length === rows.length) // null-group rows NOT dropped
+    val got = out.toMap
     val want = rows.groupBy(_._2).values.flatMap { g =>
       g.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, _, v)) =>
         (id, acc + (if (v == null) 0L else v.longValue))

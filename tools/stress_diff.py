@@ -23,11 +23,21 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    jump = 1.5
-    for a in sys.argv[1:]:
+    # accept both --ratio-jump=1.5 and the documented space-separated
+    # form --ratio-jump 1.5 (whose value must not leak into positionals)
+    argv, args, jump = sys.argv[1:], [], 1.5
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--ratio-jump"):
-            jump = float(a.split("=", 1)[1]) if "=" in a else jump
+            if "=" in a:
+                jump = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                jump = float(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 2
