@@ -75,8 +75,12 @@ object Bench {
         spark.catalog.clearCache()
         r
       }
+    // JSON demands '.' decimal separators; f"" uses the JVM default
+    // locale, which on comma-separator locales would emit invalid JSON
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map {
-      case (k, Right(v)) => "\"" + k + f"""\":$v%.3f"""
+      case (k, Right(v)) => "\"" + k + "\":" + num3(v)
       case (k, Left(_))  => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
     // isolated best-of: single recordings on a shared sandbox are noisy
@@ -94,14 +98,14 @@ object Bench {
         spark.catalog.clearCache()
         k -> best
       }
-    val iso = isolated.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) =>
       "\"" + (k + ": " + e).replace("\\", "\\\\").replace("\"", "'") + "\"" }
     val total = if (errs.nonEmpty) -1.0
       else results.collect { case (_, Right(v)) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"isolated_best":$iso$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"isolated_best":$iso$errField,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

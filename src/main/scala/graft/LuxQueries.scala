@@ -121,13 +121,24 @@ object LuxQueries extends QueryGroup {
     new LuxCompiler(e, t).compile(query)
   }
 
+  /** Oracle-side twin of the compiler's tokenized word leaf: whole
+    * folded-token equality (the cts.py:2 default option list — case,
+    * diacritic and punctuation insensitive, tokenized). `term` is folded
+    * engine-side before splicing so both derivations share one fold. */
+  private def tokenHitSql(expr: String, term: String): String = {
+    val folded = graft.functions.WordFold.fold(term.toLowerCase)
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql(s"lower($expr)"))
+    s"len(list_filter($t, t -> t = '$folded')) > 0"
+  }
+
   /** Q7 hop + Q8 inverse hop + range leaf: customers in a NATION_3-named
     * nation having an order over $300k. */
   val q1 = """AND(etype="customer", locatedIn(name="NATION_3"), ^placedBy(AND(etype="order", num>30000000)))"""
   private val q1Oracle: String =
-    """SELECT 'c' || c_custkey AS id FROM customer
+    s"""SELECT 'c' || c_custkey AS id FROM customer
       |WHERE EXISTS (SELECT 1 FROM nation
-      |  WHERE n_nationkey = c_nationkey AND position('nation_3' IN lower(n_name)) > 0)
+      |  WHERE n_nationkey = c_nationkey AND ${tokenHitSql("n_name", "NATION_3")})
       |  AND EXISTS (SELECT 1 FROM orders
       |    WHERE o_custkey = c_custkey AND CAST(ROUND(o_totalprice*100) AS BIGINT) > 30000000)""".stripMargin
 
@@ -141,23 +152,25 @@ object LuxQueries extends QueryGroup {
       |UNION ALL SELECT 'o' || o_orderkey FROM orders WHERE o_custkey = 3""".stripMargin
 
   /** OR of word-match + relationship branch: big widget parts, or parts
-    * supplied out of a NATION_1*-named nation. */
+    * supplied out of the NATION_1-named nation (tokenized match — the
+    * folded token 'nation1' equals only NATION_1, not NATION_10..19 the
+    * old substring approximation also caught). */
   val q2 = """OR(AND(etype="part", name="widget", num>40), AND(etype="part", suppliedBy(locatedIn(name="NATION_1"))))"""
   private val q2Oracle: String =
-    """SELECT 'p' || p_partkey AS id FROM part
-      |WHERE (position('widget' IN lower(p_name)) > 0 AND p_size > 40)
+    s"""SELECT 'p' || p_partkey AS id FROM part
+      |WHERE (${tokenHitSql("p_name", "widget")} AND p_size > 40)
       |   OR EXISTS (SELECT 1 FROM lineitem, supplier, nation
       |        WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey
       |          AND n_nationkey = s_nationkey
-      |          AND position('nation_1' IN lower(n_name)) > 0)""".stripMargin
+      |          AND ${tokenHitSql("n_name", "NATION_1")})""".stripMargin
 
   /** andNot: customers with at least one order, excluding NATION_0*. */
   val q3 = """AND(etype="customer", ^placedBy(etype="order"), NOT(locatedIn(name="NATION_0")))"""
   private val q3Oracle: String =
-    """SELECT 'c' || c_custkey AS id FROM customer
+    s"""SELECT 'c' || c_custkey AS id FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |  AND NOT EXISTS (SELECT 1 FROM nation
-      |    WHERE n_nationkey = c_nationkey AND position('nation_0' IN lower(n_name)) > 0)""".stripMargin
+      |    WHERE n_nationkey = c_nationkey AND ${tokenHitSql("n_name", "NATION_0")})""".stripMargin
 
   /** NEAR + BOOST, POSITIONAL since round 10: word leaves sharing a
     * text field require token proximity ≤ LuxCompiler.NearWindow (the
@@ -168,13 +181,17 @@ object LuxQueries extends QueryGroup {
     * LuxParserSpec). */
   val q4 = """BOOST(NEAR(etype="document", name="merge", name="scan"), name="document")"""
   private val q4Oracle: String = {
-    val t = TextQueries.tokensSql("lower(text)")
+    // the same WordFold token index as the engine's NEAR — positions are
+    // whole-folded-token EQUALITY hits (tokenized word semantics; the
+    // old substring-in-token approximation retired with it)
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(text)"))
     val md = "list_min(flatten([[abs(i-j) for j in pb] for i in pa]))"
     s"""WITH toks AS (SELECT 'd' || doc_id AS id, $t AS t FROM documents),
        |pos AS (
        |  SELECT id,
-       |    [i for i in range(1, len(t)+1) if position('merge' IN t[i]) > 0] AS pa,
-       |    [i for i in range(1, len(t)+1) if position('scan' IN t[i]) > 0] AS pb
+       |    [i for i in range(1, len(t)+1) if t[i] = 'merge'] AS pa,
+       |    [i for i in range(1, len(t)+1) if t[i] = 'scan'] AS pb
        |  FROM toks)
        |SELECT id FROM pos
        |WHERE len(pa) > 0 AND len(pb) > 0 AND $md <= 3""".stripMargin
@@ -191,13 +208,13 @@ object LuxQueries extends QueryGroup {
       |                           {"num": 30000000, "_comp": ">"}]}}]},
       |  {"locatedIn": {"name": "NATION_0"}}]}""".stripMargin
   private val q6Oracle: String =
-    """SELECT 'c' || c_custkey AS id FROM customer
+    s"""SELECT 'c' || c_custkey AS id FROM customer
       |WHERE EXISTS (SELECT 1 FROM nation
-      |  WHERE n_nationkey = c_nationkey AND position('nation_3' IN lower(n_name)) > 0)
+      |  WHERE n_nationkey = c_nationkey AND ${tokenHitSql("n_name", "NATION_3")})
       |  AND EXISTS (SELECT 1 FROM orders
       |    WHERE o_custkey = c_custkey AND CAST(ROUND(o_totalprice*100) AS BIGINT) > 30000000)
       |  AND NOT EXISTS (SELECT 1 FROM nation
-      |    WHERE n_nationkey = c_nationkey AND position('nation_0' IN lower(n_name)) > 0)""".stripMargin
+      |    WHERE n_nationkey = c_nationkey AND ${tokenHitSql("n_name", "NATION_0")})""".stripMargin
 
   /** Wildcarded word leaf (cts `wildcarded` option, cts.py:2 —
     * activated by `*`/`?` in the term, MarkLogic's automatic wildcard
@@ -246,10 +263,14 @@ object LuxQueries extends QueryGroup {
     * deviation: BOOST results are ordered, not a bare id set. */
   val q9 = """BOOST(AND(etype="document", name="table"), name="merge")"""
   private val q9Oracle: String = {
-    val t = TextQueries.tokensSql("lower(text)")
+    // folded token index end to end: membership (token 'table') and the
+    // BM25 tf/df/dl counts all run over the same WordFold tokens the
+    // engine's tokenized word leaf and ranked() scorer use
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(text)"))
     s"""WITH cand AS (
        |  SELECT 'd' || doc_id AS id, $t AS t FROM documents
-       |  WHERE position('table' IN lower(text)) > 0),
+       |  WHERE list_contains($t, 'table')),
        |m AS (
        |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
        |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf

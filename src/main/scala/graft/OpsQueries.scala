@@ -257,7 +257,10 @@ object OpsQueries extends QueryGroup {
       |  ON (d.lang = s.lang OR d.source = s.source
       |      OR EXISTS (SELECT 1 FROM kw_top k
       |                 WHERE k.seed_id = s.seed_id
-      |                   AND position(k.word IN lower(d.text)) > 0))
+      |                   AND list_contains(""".stripMargin +
+    TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(d.text)")) +
+    """, k.word)))
       | AND d.born > s.born - s.bd AND d.born < s.born + s.bd
       | AND d.died > s.died - s.dd AND d.died < s.died + s.dd""".stripMargin
 

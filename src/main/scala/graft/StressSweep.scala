@@ -147,6 +147,10 @@ object StressSweep {
     if (timedOut.nonEmpty)
       println(s"[sweep] TIMED OUT (reported, not silent): ${timedOut.reverse.mkString(", ")}")
     outJson.foreach { path =>
+      // JSON demands '.' decimal separators; f"" uses the JVM default
+      // locale, which on comma-separator locales would emit invalid JSON
+      def num(fmt: String, v: Double): String =
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
       def q(s: String): String = "\"" + s.flatMap {
         case '"'  => "\\\""
         case '\\' => "\\\\"
@@ -155,14 +159,14 @@ object StressSweep {
       } + "\""
       val rows = results.map { case (name, r) =>
         val ratio = baseline.get(name).filter(_ > 0)
-          .map(b => f""","ratio":${r.secs / b}%.2f""").getOrElse("")
+          .map(b => s""","ratio":${num("%.2f", r.secs / b)}""").getOrElse("")
         val note = if (r.note.nonEmpty) s""","note":${q(r.note)}""" else ""
         val drops = if (r.guardDrops > 0) s""","guard_drops":${r.guardDrops}""" else ""
         val taint = if (r.dropsTainted) s""","drops_tainted":true""" else ""
-        s"""${q(name)}:{"secs":${f"${r.secs}%.3f"},"status":${q(r.status)}$ratio$drops$taint$note}"""
+        s"""${q(name)}:{"secs":${num("%.3f", r.secs)},"status":${q(r.status)}$ratio$drops$taint$note}"""
       }.mkString(",")
       val doc = s"""{"sf_dir":${q(sfDir)},"timeout_secs":$timeoutSecs,""" +
-        s""""n_queries":${results.size},"total_secs":${f"$total%.1f"},""" +
+        s""""n_queries":${results.size},"total_secs":${num("%.1f", total)},""" +
         s""""n_timeout":${timedOut.size},"n_fail":${failed.size},""" +
         s""""queries":{$rows}}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)

@@ -30,12 +30,16 @@ object WordFold {
     val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
     val b = new java.lang.StringBuilder(nfd.length)
     var i = 0
+    // iterate CODE POINTS, not UTF-16 chars: supplementary-plane
+    // letters are surrogate pairs, and the per-char classifier would
+    // drop both halves while the oracle's RE2 \pL keeps the letter —
+    // an engine/oracle divergence for any non-BMP text
     while (i < nfd.length) {
-      val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK &&
-          (Character.isLetterOrDigit(c) || Character.isWhitespace(c)))
-        b.append(c)
-      i += 1
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK &&
+          (Character.isLetterOrDigit(cp) || Character.isWhitespace(cp)))
+        b.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     b.toString
   }

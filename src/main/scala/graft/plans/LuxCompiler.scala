@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *   entities(id, etype, name, num)   — per-entity attributes
   *   triples(subject, predicate, object) — relationship substrate
   *
-  * Mapping: leaf string = case-insensitive contains (the word-query
-  * approximation, deviation documented per SURVEY §7.4.5); leaf number =
-  * range compare; AND/OR = intersect/union of id sets; NOT inside AND =
-  * andNot (except); Rel = semi-join subject<-object; InvRel = reversed.
+  * Mapping: leaf string = TOKENIZED word match (case-, diacritic- and
+  * punctuation-insensitive whole-token equality after WordFold — the
+  * cts word-query default option list, cts.py:2; `_contains` escapes
+  * to raw substring); leaf number = range compare; AND/OR =
+  * intersect/union of id sets; NOT inside AND = andNot (except);
+  * Rel = semi-join subject<-object; InvRel = reversed.
   *
   * Scale: every hop is a semi-join on the hash-partitioned triple table;
   * sub-results are id sets (narrow). AQE converts small sub-results to
@@ -53,23 +55,24 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     // catalog (every class has it) and completes a bare identifier to
     // the data-namespace IRI before the exact lookup — our namespace
     // twin is the urn:graft: prefix the N-Triples export uses
-    case Leaf("id", "=", str, _, false, _) =>
+    case Leaf("id", "=", str, _, false, _, _) =>
       val v = if (str.startsWith("urn:graft:")) str.stripPrefix("urn:graft:")
         else str
       entities.filter(col("id") === v).select("id")
-    case Leaf(field, _, _, _, _, _) if !catalog.fields(field) =>
+    case Leaf(field, _, _, _, _, _, _) if !catalog.fields(field) =>
       sys.error(s"unknown field '$field' (catalog: ${catalog.fields.toSeq.sorted.mkString(",")})")
     case Rel(pred, _) if !catalog.predicates(pred) =>
       sys.error(s"unknown relationship '$pred'")
     case InvRel(pred, _) if !catalog.predicates(pred) =>
       sys.error(s"unknown relationship '^$pred'")
-    case Leaf(field, op, str, num, isNum, stemmed) =>
+    case Leaf(field, op, str, num, isNum, stemmed, contains) =>
       // catalog membership already checked above; any catalog field is a
       // column of the entity substrate (facet booleans are numeric)
       val col = entities.col(field)
       val pred = (op, isNum) match {
         case ("=", false) if catalog.exactFields(field) => col === str
-        case ("=", false) => LuxCompiler.wordPredicate(col, str, stemmed)
+        case ("=", false) =>
+          LuxCompiler.wordPredicate(col, str, stemmed, contains)
         case ("=", true) => col === num
         case ("<", true) => col < num
         case (">", true) => col > num
@@ -94,37 +97,46 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     // them, exactly as in cts where near-query composes word queries.
     case Bool("NEAR", kids) =>
       // only PLAIN word leaves join the positional machinery —
-      // wildcarded/stemmed words contribute membership (via the AND
-      // base, where wordPredicate honors their options) but not
+      // wildcarded/stemmed/_contains words contribute membership (via
+      // the AND base, where wordPredicate honors their options) but not
       // proximity, the same composition rule as non-word kids
       val wordLeaves = kids.collect {
-        case Leaf(f, "=", s, _, false, false)
+        case Leaf(f, "=", s, _, false, false, false)
             if catalog.fields(f) && !catalog.exactFields(f) &&
               !LuxCompiler.isWildcard(s) => (f, s)
       }
       val byField = wordLeaves.groupBy(_._1).filter(_._2.size >= 2)
       byField.foldLeft(ids(Bool("AND", kids))) { case (acc, (f, ws)) =>
-        val t = graft.TextQueries.tokensCol(lower(entities.col(f)))
+        // the same WordFold token index as the plain word leaf, so NEAR
+        // proximity and leaf membership agree token-for-token (the q12
+        // positional machinery over the cts-folded tokens)
+        val fieldFolded = graft.functions.WordFold.foldCol(lower(entities.col(f)))
+        val t = graft.TextQueries.tokensCol(fieldFolded)
         // positions via transform-WITH-INDEX, never element_at probes
         // over sequence(1, n): filter pushdown re-inlines any tokenize
         // expression into each probe (it has no common-subexpression
         // guard), which turns the position scan O(tokens²)·O(split) —
         // measured 130 s over a 250k-doc stress corpus vs ~2 s for this
         // one-pass form. Each token is visited once; an empty/null field
-        // simply yields no positions. CONTAINS leaf semantics kept
-        // (a token matching the word substring counts).
+        // simply yields no positions. Tokenized leaf semantics: a token
+        // counts when it EQUALS the folded word (cts.py:2 word query).
         def pos(w: String) = filter(
           transform(t, (tok, i) =>
-            when(instr(tok, lit(w.toLowerCase)) > 0, i + 1).otherwise(-1)),
+            when(tok === lit(graft.functions.WordFold.fold(w.toLowerCase)),
+              i + 1).otherwise(-1)),
           x => x > 0)
-        // cheap CONTAINS pre-gate first: codegen And short-circuits per
-        // row, so the positional arithmetic below only runs on rows that
-        // contain every NEAR'd word — without this, predicate pushdown
-        // re-inlines the token array into each element_at probe and the
-        // position scan goes O(tokens²)·O(split) over the whole corpus
-        // (measured 140 s → 2 s at the 2M-entity stress scale)
+        // cheap substring pre-gate first (token equality implies the
+        // folded word appears in the folded field, so this never drops a
+        // match): codegen And short-circuits per row, so the positional
+        // arithmetic below only runs on rows that contain every NEAR'd
+        // word — without this, predicate pushdown re-inlines the token
+        // array into each element_at probe and the position scan goes
+        // O(tokens²)·O(split) over the whole corpus (measured 140 s →
+        // 2 s at the 2M-entity stress scale)
         val present = ws.map(w =>
-          instr(lower(entities.col(f)), w._2.toLowerCase) > 0).reduce(_ && _)
+          instr(fieldFolded,
+            graft.functions.WordFold.fold(w._2.toLowerCase)) > 0)
+          .reduce(_ && _)
         val prox = ws.map(_._2).combinations(2).map { case Seq(a, b) =>
           val (pa, pb) = (pos(a), pos(b))
           size(pa) > 0 && size(pb) > 0 &&
@@ -203,8 +215,8 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
       if (terms.nonEmpty) {
         val withName = cand
           .join(entities.select(col("id"), col("name")), Seq("id"), "left")
-        val toks =
-          graft.TextQueries.tokensCol(lower(coalesce(col("name"), lit(""))))
+        val toks = graft.TextQueries.tokensCol(
+          graft.functions.WordFold.foldCol(lower(coalesce(col("name"), lit("")))))
         val tfCols = terms.indices.map(i =>
           size(filter(toks, x => x === lit(terms(i)))).cast("long").as(s"tf_$i"))
         val m = withName.select(
@@ -259,9 +271,12 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     // reach the BM25 path — a second word field added to the catalog
     // must take the flat-boost fallback, not be scored against the
     // wrong column
-    case Leaf(f, "=", s, _, false, false)
+    case Leaf(f, "=", s, _, false, false, false)
         if f == "name" && catalog.fields(f) && !catalog.exactFields(f) &&
-          !LuxCompiler.isWildcard(s) => Seq(s.toLowerCase)
+          !LuxCompiler.isWildcard(s) =>
+      // the scorer counts tf over the FOLDED token index, so the term
+      // takes the same fold (tokenized word semantics end to end)
+      Seq(graft.functions.WordFold.fold(s.toLowerCase))
     case Bool(op, kids) if op == "AND" || op == "OR" =>
       val sub = kids.map(boostTerms)
       if (sub.forall(_.nonEmpty)) sub.flatten.distinct else Seq.empty
@@ -339,27 +354,31 @@ object LuxCompiler {
       if (c == '*' || c == '?') c.toString
       else graft.functions.WordFold.fold(c.toString))
 
-  /** Word-leaf predicate over a text field, honoring the cts options:
-    * wildcarded terms match whole tokens against the anchored glob,
-    * stemmed terms match on the light-stem fold — both token-level
-    * paths first run the WordFold normalization (diacritic- and
-    * punctuation-insensitive, the remaining members of cts.py:2's
-    * default option list) over tokens AND term, so "Naïve-Bayes"
-    * meets "naive*". Plain terms keep the engine's contains semantics
-    * (substring of the raw lowercased field, SURVEY §7.4.5 — the one
-    * documented word deviation left). One pass over a single tokenize
-    * per row — never element_at probes (the HOF-CSE pitfall NEAR
+  /** Word-leaf predicate over a text field — the cts word-query default
+    * option list (cts.py:2: case-insensitive, diacritic-insensitive,
+    * punctuation-insensitive, TOKENIZED): every path lowercases and
+    * runs the WordFold normalization over tokens AND term, so
+    * "Naïve-Bayes" meets "naive bayes" at the same folded tokens.
+    * Plain terms match whole folded tokens by equality; wildcarded
+    * terms match whole tokens against the anchored glob; stemmed terms
+    * match on the stem fold. `contains = true` (the JSON `_contains`
+    * param — an engine extension) escapes back to raw substring match
+    * of the lowercased field. One pass over a single tokenize per
+    * row — never element_at probes (the HOF-CSE pitfall NEAR
     * documents). */
-  def wordPredicate(field: Column, term: String, stemmed: Boolean): Column = {
+  def wordPredicate(field: Column, term: String, stemmed: Boolean,
+      contains: Boolean = false): Column = {
     val w = term.toLowerCase
     def folded = graft.TextQueries.tokensCol(
       graft.functions.WordFold.foldCol(lower(field)))
-    if (isWildcard(w))
+    if (contains) instr(lower(field), w) > 0
+    else if (isWildcard(w))
       exists(folded, t => t.rlike("^" + globToRegex(foldWildTerm(w)) + "$"))
     else if (stemmed)
       exists(folded, t =>
         stemCol(t) === lit(stemTerm(graft.functions.WordFold.fold(w))))
-    else instr(lower(field), w) > 0
+    else
+      array_contains(folded, graft.functions.WordFold.fold(w))
   }
 }
 

@@ -35,9 +35,13 @@ object LuxQL {
     * JSON form's `_stemmed` param (ml_lexer.py:391-392; option list
     * cts.py:2). Wildcards need no flag — a `*`/`?` in the term
     * activates the `wildcarded` option, matching MarkLogic's
-    * automatic wildcard detection. */
+    * automatic wildcard detection. `contains`: the `_contains` param —
+    * an engine extension escaping the cts tokenized default back to
+    * raw substring match (useful for id fragments / partial codes the
+    * tokenizer would split differently). */
   final case class Leaf(field: String, op: String, str: String, num: Long,
-      isNum: Boolean, stemmed: Boolean = false) extends Ast
+      isNum: Boolean, stemmed: Boolean = false,
+      contains: Boolean = false) extends Ast
   final case class Bool(op: String, kids: Seq[Ast]) extends Ast
   final case class Rel(pred: String, sub: Ast) extends Ast
   final case class InvRel(pred: String, sub: Ast) extends Ast
@@ -155,6 +159,9 @@ object LuxQL {
         val stemmed = params.collectFirst {
           case ("_stemmed", JBool(b)) => b
         }.getOrElse(false)
+        val contains = params.collectFirst {
+          case ("_contains", JBool(b)) => b
+        }.getOrElse(false)
         value match {
           case JArray(items) =>
             require(jsonBooleans(field), s"unknown Boolean $field")
@@ -168,7 +175,8 @@ object LuxQL {
             else Rel(field, fromJson(o))
           case JString(sv) =>
             require(comp == "=", s"string field $field only supports =")
-            Leaf(field, "=", sv, 0L, isNum = false, stemmed = stemmed)
+            Leaf(field, "=", sv, 0L, isNum = false, stemmed = stemmed,
+              contains = contains)
           case JInt(n) => Leaf(field, comp, null, n.toLong, isNum = true)
           case JLong(n) => Leaf(field, comp, null, n, isNum = true)
           case JDouble(d) => Leaf(field, comp, null, d.toLong, isNum = true)

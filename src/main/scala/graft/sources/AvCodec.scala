@@ -64,7 +64,11 @@ object AvCodec {
       if (id == "fmt " && size >= 16 && i + 24 <= b.length)
         fmt = Some((le32(b, at + 12), le16(b, at + 10), le32(b, at + 16)))
       else if (id == "data" && size >= 0)
-        dataSize = size.toLong
+        // clamp to bytes actually present: a truncated file (common in
+        // dump corpora) must report the duration of the samples it
+        // HOLDS, not the full declared duration — same totality
+        // discipline as the corrupt-sized cursor below
+        dataSize = math.min(size.toLong, math.max(0L, b.length - (i + 8L)))
       // corrupt-sized tail: keep everything the well-formed prefix
       // established (fmt AND any data-chunk duration), drop the rest
       if (size < 0) return finish

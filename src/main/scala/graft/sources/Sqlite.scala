@@ -118,10 +118,18 @@ object Sqlite {
     // quarantine — the visited guard turns it into a catchable error
     val visited = scala.collection.mutable.HashSet.empty[Int]
     val out = Seq.newBuilder[(Long, Seq[Any])]
+    val nPagesTotal = db.length / pageSize
     var stack: List[Int] = List(page)
     while (stack.nonEmpty) {
       val p = stack.head
       stack = stack.tail
+      // bound EVERY page before touching it (root included): a hostile
+      // interior-page child pointer like 0x00100002 would wrap
+      // (p-1)*pageSize past Int range back onto an in-range offset the
+      // visited set (which stores the unwrapped number) does not
+      // recognize — silently re-emitting that page's rows as duplicates
+      if (p <= 0 || p > nPagesTotal) sys.error(
+        s"b-tree page $p outside the $nPagesTotal-page file")
       if (!visited.add(p)) sys.error(s"b-tree page cycle at page $p")
       val base = (p - 1) * pageSize
       val hdr = base + (if (p == 1) 100 else 0)

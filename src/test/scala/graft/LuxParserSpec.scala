@@ -84,6 +84,9 @@ class LuxParserSpec extends AnyFunSuite {
       Leaf("name", "=", "scans", 0L, isNum = false, stemmed = true))
     assert(LuxQL.parseJson("""{"name": "scans", "_stemmed": false}""") ===
       Leaf("name", "=", "scans", 0L, isNum = false))
+    // _contains escape hatch (engine extension): raw substring match
+    assert(LuxQL.parseJson("""{"name": "idge", "_contains": true}""") ===
+      Leaf("name", "=", "idge", 0L, isNum = false, contains = true))
     // wildcarded is detected from the term, never a flag
     assert(LuxCompiler.isWildcard("wid*"))
     assert(LuxCompiler.isWildcard("w?dget"))
@@ -107,18 +110,26 @@ class LuxParserSpec extends AnyFunSuite {
     val (e, t) = LuxQueries.substrate(spark, TestSpark.sf)
     val c = new graft.plans.LuxCompiler(e, t)
     // wildcard matches whole tokens: w?dg* finds widget parts, and is a
-    // subset of the contains leaf for the stem "widg"
+    // subset of the _contains escape hatch for the stem "widg"
     val wild = c.compile("""AND(etype="part", name="w?dg*")""")
       .collect().map(_.getString(0)).toSet
-    val contains = c.compile("""AND(etype="part", name="widg")""")
+    val contains = c.compileJson(
+      """{"AND": [{"etype": "part"}, {"name": "widg", "_contains": true}]}""")
       .collect().map(_.getString(0)).toSet
     assert(wild.nonEmpty)
     assert(wild.subsetOf(contains))
-    // plain terms keep contains semantics: "idge" (substring of widget)
-    // matches — but a wildcarded term is token-anchored, so ^idge.*$
-    // matches no whole token
-    assert(c.compile("""AND(etype="part", name="idge")""").count() > 0)
+    // plain terms are TOKENIZED (cts.py:2 default): "idge" (substring
+    // of widget, never a whole token) matches nothing — only the
+    // _contains escape hatch reaches substring semantics; the
+    // token-anchored wildcard ^idge.*$ matches no whole token either
+    assert(c.compile("""AND(etype="part", name="idge")""").count() === 0L)
+    assert(c.compileJson(
+      """{"AND": [{"etype": "part"}, {"name": "idge", "_contains": true}]}""")
+      .count() > 0)
     assert(c.compile("""AND(etype="part", name="idge*")""").count() === 0L)
+    // a plain whole-token term matches, and equals its _contains twin
+    // on this fixture (clean single-word tokens)
+    assert(c.compile("""AND(etype="part", name="widget")""").count() > 0)
     // stemmed "merges" reaches documents containing "merge" that the
     // plain contains leaf for "merges" cannot see
     val stemmed = c.compileJson(
@@ -196,6 +207,15 @@ class LuxParserSpec extends AnyFunSuite {
       """{"AND": [{"etype": "part"}, {"name": "bayes", "_stemmed": true}]}""")
       .collect().map(_.getString(0)).toSet
     assert(stemmed === Set("x2"))
+    // PLAIN terms fold too (tokenized default): "Naïve-Bayes" is one
+    // folded token "naivebayes", so the punctuated query term matches
+    // x1 exactly, and bare "naive" matches only x2's whole token
+    val plainFused = c.compile("""AND(etype="part", name="Naïve-Bayes")""")
+      .collect().map(_.getString(0)).toSet
+    assert(plainFused === Set("x1"))
+    val plainNaive = c.compile("""AND(etype="part", name="naive")""")
+      .collect().map(_.getString(0)).toSet
+    assert(plainNaive === Set("x2"))
   }
 
   test("catalog * template expansion (ml_lexer.py:274-298)") {
@@ -260,16 +280,14 @@ class LuxParserSpec extends AnyFunSuite {
     assert(near.subsetOf(and))
     assert(near.nonEmpty)
     assert(near != and, "window must actually filter on the fixture")
-    // containment vs the standalone q12 positional machinery — NOT
-    // equality: the compiler's word semantics is substring-in-token
-    // (consistent with its contains leaf), q12's is exact token
-    // equality. Exact positional matches are structurally a subset of
-    // contains ones (positions ⊆, membership ⊆), and equality would
-    // hold only while no fixture token strictly contains a NEAR'd word
-    // (e.g. a future doc with "merged"/"scanner" breaks it).
+    // EQUALITY with the standalone q12 positional machinery: both are
+    // exact whole-token matches now that the compiler's word leaves are
+    // tokenized (q12 tokenizes raw lowercase, the compiler WordFold-
+    // folds first — identical on this clean fixture, and the fold only
+    // ever ADDS matches on punctuated text, e.g. a token "merge,").
     val q12 = MapperQueries.nearPos(spark, TestSpark.sf)
       .collect().map(r => "d" + r.getLong(0)).toSet
-    assert(q12.subsetOf(near))
+    assert(q12 === near)
     assert(q12.nonEmpty)
     // the AND fallback for NEAR whose kids are not word leaves on one
     // shared field (hops, exact/numeric leaves) — round-9 semantics
