@@ -1,13 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Source-format operators (SURVEY §2.1/§2.3): schema'd JSON extraction
   * from string columns (the record-envelope `data` pattern, S1/S3) and
-  * the multimodal binary decode stage (documented stub decoder, real
-  * partition-parallel plumbing). */
+  * the multimodal binary stages — real header decode, real pixel
+  * resample/features, real WAV frame windows — over partition-parallel
+  * plumbing. */
 object SourceQueries extends QueryGroup {
 
   /** S3/M1: parse an embedded JSON column with an explicit schema
@@ -223,66 +224,133 @@ object SourceQueries extends QueryGroup {
        |  CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height
        |FROM m""".stripMargin
 
-  /** M1 resize stage over the synthetic images: aspect-preserving fit
-    * into 256×256 — output geometry is oracle-replayed from the key
-    * arithmetic; the stubbed resample checksum stays out of the
-    * contract (spec-tested instead). */
+  /** Real-pixel image fixture for the resize/feature stages: one 24bpp
+    * BMP per customer, dims 5..16 × 4..12 (some smaller than the 8-box
+    * so the identity branch is exercised too), luma pattern arithmetic
+    * in (key, cell) — the same replayable-pattern discipline as m1v. */
+  private def synthPixelMedia(spark: SparkSession,
+      dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long")).as[Long].map { ck =>
+        val w = (5 + ck % 12).toInt
+        val h = (4 + ck % 9).toInt
+        val gray = Array.tabulate(w * h)(k =>
+          (((ck % 50) * 37 + k.toLong * k * 11) % 256L).toInt)
+        (ck, sources.ImageCodec.encodeBmp24(w, h, gray))
+      }
+  }
+  /** The fixture's (w, h, luma array) as oracle CTEs `m` → `g`. */
+  private val pixelMediaCte: String =
+    """m AS (SELECT c_custkey AS ck,
+      |    CAST(5 + c_custkey % 12 AS BIGINT) AS w,
+      |    CAST(4 + c_custkey % 9 AS BIGINT) AS h
+      |  FROM customer),
+      |g AS (SELECT ck, w, h,
+      |  [CAST(((ck % 50) * 37 + k*k*11) % 256 AS BIGINT)
+      |   for k in range(0, w*h)] AS v
+      |  FROM m)""".stripMargin
+
+  /** M1 resize stage, REAL end to end: decodeBmp24 parses the actual
+    * pixel bytes back, fitBox computes the aspect-preserving 8×8-box
+    * geometry, and the integer box-filter resample produces the resized
+    * luma — digested as (sum, polynomial hash) so the oracle replays
+    * every output pixel arithmetically. Images already inside the box
+    * pass through as identity (same kernel, 1×1 boxes). */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    sources.Multimodal.decodeAll(synthMedia(spark, dir))
-      .map(sources.Multimodal.resizePlan(256))
-      .select($"mediaId".as("media_id"), $"format",
+    synthPixelMedia(spark, dir)
+      .map { case (id, bytes) => sources.Multimodal.resizeImage(8)(id, bytes) }
+      .select($"mediaId".as("media_id"),
         $"width".cast("long").as("width"), $"height".cast("long").as("height"),
-        $"targetW".cast("long").as("tw"), $"targetH".cast("long").as("th"))
+        $"targetW".cast("long").as("tw"), $"targetH".cast("long").as("th"),
+        $"resizedSum".as("resized_sum"), $"resizedHash".as("resized_hash"))
   }
   private val mediaResizeOracle: String =
-    """WITH m AS (
-      |  SELECT c_custkey AS media_id,
-      |    CASE c_custkey % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-      |      WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
-      |    CAST(c_custkey % 640 + 1 AS BIGINT) AS width,
-      |    CAST(c_custkey % 480 + 1 AS BIGINT) AS height
-      |  FROM customer)
-      |SELECT media_id, format, width, height,
-      |  CASE WHEN width >= height THEN 256
-      |    ELSE GREATEST(1, width * 256 // height) END AS tw,
-      |  CASE WHEN width >= height THEN GREATEST(1, height * 256 // width)
-      |    ELSE 256 END AS th
-      |FROM m""".stripMargin
+    s"""WITH $pixelMediaCte,
+       |geo AS (SELECT ck, w, h, v,
+       |  CASE WHEN w < 8 AND h < 8 THEN w
+       |    WHEN w >= h THEN 8 ELSE GREATEST(1, w*8//h) END AS tw,
+       |  CASE WHEN w < 8 AND h < 8 THEN h
+       |    WHEN w >= h THEN GREATEST(1, h*8//w) ELSE 8 END AS th
+       |  FROM g),
+       |r AS (SELECT ck, w, h, tw, th,
+       |  [ list_reduce(flatten(
+       |      [[v[sy*w + sx + 1]
+       |        for sx in range((idx%tw)*w//tw, (idx%tw+1)*w//tw)]
+       |       for sy in range((idx//tw)*h//th, (idx//tw+1)*h//th)]),
+       |      (a,b)->a+b)
+       |    // ( ((idx%tw+1)*w//tw - (idx%tw)*w//tw)
+       |       * ((idx//tw+1)*h//th - (idx//tw)*h//th) )
+       |    for idx in range(0, tw*th) ] AS rv
+       |  FROM geo)
+       |SELECT ck AS media_id, w AS width, h AS height, tw, th,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), rv), (a,b)->a+b)
+       |    AS resized_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), rv),
+       |    (a,b)->(a*31+b)%2147483647) AS resized_hash
+       |FROM r""".stripMargin
 
-  /** M1 feature-extract stage over the text-as-payload path: the fake
-    * encoder's milli features are an LCG of the byte checksum, which
-    * the oracle replays from the UTF-8 expansion. */
+  /** M1 feature-extract stage, REAL: 8-bin luma histogram + total
+    * gradient energy over the decoded pixels — brightness distribution
+    * and edge content as exactly integer-replayable features (the
+    * deterministic stand-in an ML encoder would replace, same
+    * fixed-width numeric schema). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    sources.Multimodal.documentsAsMedia(Tables.load(spark, dir, "documents"))
-      .map(sources.Multimodal.featureExtract)
-      .select($"mediaId".as("media_id"), $"f0", $"f1", $"f2", $"f3")
+    synthPixelMedia(spark, dir)
+      .map { case (id, bytes) => sources.Multimodal.imageFeatures(id, bytes) }
+      .select($"mediaId".as("media_id"), $"h0", $"h1", $"h2", $"h3",
+        $"h4", $"h5", $"h6", $"h7", $"gradEnergy".as("grad_energy"))
   }
-  private val mediaFeaturesOracle: String =
-    s"""WITH m AS ($mediaChecksumCte)
-       |SELECT media_id,
-       |  ((checksum + 0 * 2654435761) % 2147483647) % 2001 - 1000 AS f0,
-       |  ((checksum + 1 * 2654435761) % 2147483647) % 2001 - 1000 AS f1,
-       |  ((checksum + 2 * 2654435761) % 2147483647) % 2001 - 1000 AS f2,
-       |  ((checksum + 3 * 2654435761) % 2147483647) % 2001 - 1000 AS f3
-       |FROM m""".stripMargin
+  private val mediaFeaturesOracle: String = {
+    val bins = (0 to 7).map(j =>
+      s"CAST(len(list_filter(v, x -> x // 32 = $j)) AS BIGINT) AS h$j")
+      .mkString(",\n       |  ")
+    s"""WITH $pixelMediaCte
+       |SELECT ck AS media_id,
+       |  $bins,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(
+       |    [[abs(v[y*w + x + 2] - v[y*w + x + 1]) for x in range(0, w-1)]
+       |     for y in range(0, h)])), (a,b)->a+b)
+       |  + list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(
+       |    [[abs(v[(y+1)*w + x + 1] - v[y*w + x + 1]) for x in range(0, w)]
+       |     for y in range(0, h-1)])), (a,b)->a+b) AS grad_energy
+       |FROM g""".stripMargin
+  }
 
-  /** M1 frame-sample stage: every 4th nominal frame (1 per 64 payload
-    * bytes) — the one-to-many video sampling shape, per-frame hash
-    * replayed from the checksum. */
+  /** M1 frame-sample stage, REAL: synthetic WAVs with arithmetic sample
+    * bytes; frames are 64-byte windows of the ACTUAL data chunk, every
+    * 4th emitted with the polynomial hash of its real payload bytes —
+    * the one-to-many media sampling shape over decoded content. */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    sources.Multimodal.documentsAsMedia(Tables.load(spark, dir, "documents"))
-      .flatMap(sources.Multimodal.frameSample(4))
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey".cast("long")).as[Long].map { ck =>
+        val n = (192 + ck % 513).toInt
+        val wav = sources.AvCodec.synthWav(8000, 1, 8, n)
+        var i = 0
+        while (i < n) { // real sample bytes in the data chunk
+          wav(44 + i) = ((ck * 31 + i.toLong * 7) % 256L).toByte
+          i += 1
+        }
+        (ck, wav)
+      }
+      .flatMap { case (id, bytes) =>
+        sources.Multimodal.frameSample(4)(id, bytes) }
       .select($"mediaId".as("media_id"), $"frameIdx".as("frame_idx"),
         $"frameHash".as("frame_hash"))
   }
   private val mediaFramesOracle: String =
-    s"""WITH m AS ($mediaChecksumCte)
-       |SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
-       |  (checksum * 31 + t.i) % 2147483647 AS frame_hash
-       |FROM m, UNNEST(range(0, n_bytes // 64 + 1, 4)) AS t(i)""".stripMargin
+    """WITH m AS (SELECT c_custkey AS ck,
+      |    CAST(192 + c_custkey % 513 AS BIGINT) AS n
+      |  FROM customer)
+      |SELECT ck AS media_id, CAST(t.i AS BIGINT) AS frame_idx,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [ (ck*31 + j*7) % 256
+      |      for j in range(t.i*64, LEAST((t.i+1)*64, n)) ]),
+      |    (a,b)->(a*31+b)%2147483647) AS frame_hash
+      |FROM m, UNNEST(range(0, (n + 63) // 64, 4)) AS t(i)""".stripMargin
 
   /** S7: the PMH paged harvest over a deterministic fake feed (pages of
     * 100, newest-first datestamps derived from the customer keys),

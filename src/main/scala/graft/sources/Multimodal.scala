@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * run per-partition so codec init amortizes across a partition (the
   * Spark analog of batched pandas UDFs).
   *
-  * The decode step is REAL since round 4: ImageCodec parses PNG/JPEG/
-  * GIF/BMP container headers to (format, width, height) — no codec
-  * libraries needed. Payloads that aren't images (or are truncated)
-  * take the documented fallback: format "unknown", 0×0, checksum and
-  * size still computed. Full pixel decode would slot into the same
-  * mapPartitions stage.
+  * The decode step is REAL since round 4 (ImageCodec header parse for
+  * PNG/JPEG/GIF/BMP), and since round 12 the downstream kernels are
+  * real too: box-filter resample + luma-histogram/gradient features
+  * over ImageCodec.decodeBmp24 pixels, WAV frame windows hashed from
+  * actual payload bytes. Payloads that don't decode take the
+  * documented total fallback (zero row / no rows) — one corrupt
+  * payload costs its rows, never the job.
   */
 object Multimodal {
 
@@ -50,47 +51,149 @@ object Multimodal {
       .as[(Long, Array[Byte])])
   }
 
-  final case class ResizedMeta(mediaId: Long, format: String,
-      width: Int, height: Int, targetW: Int, targetH: Int,
-      resampleChecksum: Long)
+  /** Aspect-preserving fit of (w, h) into a target×target box —
+    * integer geometry, never below 1 px a side. */
+  def fitBox(target: Int, w: Int, h: Int): (Int, Int) =
+    if (w <= 0 || h <= 0) (0, 0)
+    else if (w >= h) (target, math.max(1, h * target / w))
+    else (math.max(1, w * target / h), target)
 
-  /** Resize stage: aspect-preserving fit into a target×target box —
-    * the geometry is real integer math; the pixel resample itself is
-    * the stubbed step, stood in by a deterministic checksum mix so the
-    * stage stays total and testable. Non-decodable payloads (0×0)
-    * pass through untouched. */
-  def resizePlan(target: Int)(m: MediaMeta): ResizedMeta = {
-    val (tw, th) =
-      if (m.width <= 0 || m.height <= 0) (0, 0)
-      else if (m.width >= m.height)
-        (target, math.max(1, m.height * target / m.width))
-      else (math.max(1, m.width * target / m.height), target)
-    ResizedMeta(m.mediaId, m.format, m.width, m.height, tw, th,
-      (m.checksum * 131 + tw.toLong * 31 + th) % 2147483647L)
+  /** REAL integer box-filter resample (downscale): destination pixel
+    * (x, y) is the floor-average of the source box
+    * [x·w/tw, (x+1)·w/tw) × [y·h/th, (y+1)·h/th) — the classic area
+    * average with integer bounds, so every engine that replays the
+    * arithmetic (the DuckDB oracle does) lands on identical pixels.
+    * Requires tw <= w and th <= h (boxes are then never empty). */
+  def resizeBox(w: Int, h: Int, tw: Int, th: Int,
+      gray: Array[Int]): Array[Int] = {
+    require(tw >= 1 && th >= 1 && tw <= w && th <= h,
+      s"box resample needs 1 <= ($tw, $th) <= ($w, $h)")
+    require(gray.length == w * h, s"expected ${w * h} px, got ${gray.length}")
+    Array.tabulate(tw * th) { idx =>
+      val x = idx % tw; val y = idx / tw
+      val x0 = x * w / tw; val x1 = (x + 1) * w / tw
+      val y0 = y * h / th; val y1 = (y + 1) * h / th
+      var s = 0; var n = 0
+      var sy = y0
+      while (sy < y1) {
+        var sx = x0
+        while (sx < x1) { s += gray(sy * w + sx); n += 1; sx += 1 }
+        sy += 1
+      }
+      s / n
+    }
   }
 
-  final case class MediaFeatures(mediaId: Long,
-      f0: Long, f1: Long, f2: Long, f3: Long)
-
-  /** Feature-extract stage (model stub): k-th milli-quantized feature
-    * is a deterministic LCG of the payload checksum. A real encoder
-    * slots into the same mapPartitions stage with this exact schema
-    * (fixed-width numeric features per media id). */
-  def featureExtract(m: MediaMeta): MediaFeatures = {
-    def f(k: Int): Long =
-      ((m.checksum + k.toLong * 2654435761L) % 2147483647L) % 2001L - 1000L
-    MediaFeatures(m.mediaId, f(0), f(1), f(2), f(3))
+  private def polyFold(xs: Array[Int]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < xs.length) { h = (h * 31 + xs(i)) % 2147483647L; i += 1 }
+    h
   }
+
+  final case class ResizedImage(mediaId: Long, width: Int, height: Int,
+      targetW: Int, targetH: Int, resizedSum: Long, resizedHash: Long)
+
+  /** Resize stage over a REAL decoded image: aspect-preserving fit into
+    * a target×target box, then the box-filter resample over the actual
+    * decoded luma pixels; the output carries the resampled image as an
+    * exact integer digest (sum + polynomial hash over the row-major
+    * pixels). Non-decodable payloads take the total fallback (all
+    * zero) — one corrupt image costs its row, never the job. */
+  def resizeImage(target: Int)(id: Long, bytes: Array[Byte]): ResizedImage =
+    ImageCodec.decodeBmp24(bytes) match {
+      case Some((w, h, gray)) if w >= target || h >= target =>
+        val (tw, th) = fitBox(target, w, h)
+        val rv = resizeBox(w, h, tw, th, gray)
+        ResizedImage(id, w, h, tw, th, rv.map(_.toLong).sum, polyFold(rv))
+      case Some((w, h, gray)) =>
+        // already inside the box: identity resample (real pixels out)
+        ResizedImage(id, w, h, w, h, gray.map(_.toLong).sum, polyFold(gray))
+      case None => ResizedImage(id, 0, 0, 0, 0, 0L, 0L)
+    }
+
+  final case class MediaFeatures(mediaId: Long, h0: Long, h1: Long,
+      h2: Long, h3: Long, h4: Long, h5: Long, h6: Long, h7: Long,
+      gradEnergy: Long)
+
+  /** REAL feature extract over decoded luma pixels: the 8-bin luma
+    * histogram (bin = v/32) plus total gradient energy (sum of
+    * |horizontal| + |vertical| neighbor deltas) — a compact, exactly
+    * integer-replayable descriptor of brightness distribution and
+    * edge content (the deterministic stand-in an ML encoder would
+    * replace, with the same fixed-width numeric schema). Non-decodable
+    * payloads → all-zero row (total). */
+  def imageFeatures(id: Long, bytes: Array[Byte]): MediaFeatures =
+    ImageCodec.decodeBmp24(bytes) match {
+      case Some((w, h, gray)) =>
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < gray.length) {
+          hist(math.min(7, math.max(0, gray(i) / 32))) += 1L; i += 1
+        }
+        var grad = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = gray(y * w + x)
+            if (x + 1 < w) grad += math.abs(gray(y * w + x + 1) - v)
+            if (y + 1 < h) grad += math.abs(gray((y + 1) * w + x) - v)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(id, hist(0), hist(1), hist(2), hist(3), hist(4),
+          hist(5), hist(6), hist(7), grad)
+      case None =>
+        MediaFeatures(id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    }
 
   final case class Frame(mediaId: Long, frameIdx: Long, frameHash: Long)
 
-  /** Frame-sample stage: every `every`-th of the payload's nominal
-    * frames (one per 64 bytes — a real demuxer replaces the count);
-    * the one-to-many flatMap shape of video sampling, with a
-    * deterministic per-frame hash standing in for the decoded frame. */
-  def frameSample(every: Int)(m: MediaMeta): Iterator[Frame] = {
-    val nFrames = m.nBytes / 64 + 1
-    (0L until nFrames by every.toLong).iterator
-      .map(i => Frame(m.mediaId, i, (m.checksum * 31 + i) % 2147483647L))
+  /** REAL frame sampling over a WAV payload: the data chunk's samples
+    * split into fixed `frameBytes` windows (the audio analog of video
+    * frames); every `every`-th window is emitted with the polynomial
+    * hash of its ACTUAL payload bytes — the one-to-many flatMap shape
+    * of media sampling, over real decoded content. Non-WAV or corrupt
+    * payloads yield no frames (total). */
+  def frameSample(every: Int, frameBytes: Int = 64)(
+      id: Long, bytes: Array[Byte]): Iterator[Frame] = {
+    val dataRange = wavDataRange(bytes)
+    dataRange match {
+      case None => Iterator.empty
+      case Some((start, len)) =>
+        val nFrames = (len + frameBytes - 1) / frameBytes
+        (0L until nFrames.toLong by every.toLong).iterator.map { i =>
+          val from = start + i.toInt * frameBytes
+          val to = math.min(from + frameBytes, start + len)
+          var h = 0L
+          var j = from
+          while (j < to) { h = (h * 31 + (bytes(j) & 0xff)) % 2147483647L; j += 1 }
+          Frame(id, i, h)
+        }
+    }
+  }
+
+  /** (content start, length) of a WAV file's data chunk, clamped to the
+    * bytes actually present — the same chunk-scan totality discipline
+    * as AvCodec.parse. None when the payload is not a scannable WAV. */
+  private[sources] def wavDataRange(b: Array[Byte]): Option[(Int, Int)] = {
+    def ascii(i: Int, n: Int) =
+      new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      return None
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = (b(at + 4) & 0xff) | ((b(at + 5) & 0xff) << 8) |
+        ((b(at + 6) & 0xff) << 16) | ((b(at + 7) & 0xff) << 24)
+      if (size < 0) return None
+      if (ascii(at, 4) == "data")
+        return Some((at + 8, math.min(size.toLong,
+          math.max(0L, b.length - (i + 8L))).toInt))
+      i += 8L + size + (size & 1)
+    }
+    None
   }
 }

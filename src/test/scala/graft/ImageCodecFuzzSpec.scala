@@ -17,10 +17,10 @@ class ImageCodecFuzzSpec extends AnyFunSuite {
     try {
       ImageCodec.parse(b)
       ImageCodec.decodeBmp24(b)
-      val m = Multimodal.decode(1L, b)
-      Multimodal.resizePlan(224)(m)
-      Multimodal.featureExtract(m)
-      Multimodal.frameSample(4)(m).take(8).foreach(_ => ())
+      Multimodal.decode(1L, b)
+      Multimodal.resizeImage(224)(1L, b)
+      Multimodal.imageFeatures(1L, b)
+      Multimodal.frameSample(4)(1L, b).take(8).foreach(_ => ())
     } catch {
       case e: org.scalatest.exceptions.TestFailedException => throw e
       case e: Throwable =>
@@ -75,7 +75,7 @@ class ImageCodecFuzzSpec extends AnyFunSuite {
     // dims near/over Int range: parse may report them verbatim (or as
     // negative under two's complement) but nothing may throw or
     // allocate pixel buffers — decodeBmp24's long-arithmetic bounds
-    // check and resizePlan's <=0 guard are the lines of defense
+    // check and resizeImage's None fallback are the lines of defense
     val hostiles = Seq(
       "png-max" -> ImageCodec.synthPng(Int.MaxValue, Int.MaxValue),
       "png-wrap" -> ImageCodec.synthPng(0x80000000, 0x80000001),

@@ -162,58 +162,105 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("resizePlan fits the box, preserves orientation, never upsizes past target") {
-    import graft.sources.Multimodal
+  test("resizeImage fits the box, and the box resample averages real pixels") {
+    import graft.sources.{ImageCodec, Multimodal}
     val r = rnd
-    for (_ <- 0 until 300) {
-      val m = Multimodal.MediaMeta(1L, 10L, math.abs(r.nextLong()) % 2147483647L,
-        "png", r.nextInt(4000) + 1, r.nextInt(4000) + 1)
-      val t = r.nextInt(500) + 1
-      val z = Multimodal.resizePlan(t)(m)
-      assert(z.targetW <= t && z.targetH <= t)
-      assert(z.targetW >= 1 && z.targetH >= 1)
-      assert(math.max(z.targetW, z.targetH) === t) // long edge hits the box
-      assert((m.width >= m.height) === (z.targetW >= z.targetH) ||
-        z.targetW == z.targetH)
-      assert(z.resampleChecksum >= 0L && z.resampleChecksum < 2147483647L)
-    }
-    // non-decodable payloads pass through as 0x0
-    val bad = Multimodal.resizePlan(256)(
-      Multimodal.MediaMeta(2L, 5L, 7L, "unknown", 0, 0))
-    assert(bad.targetW === 0 && bad.targetH === 0)
-  }
-
-  test("frameSample covers frame 0, steps evenly, and bounds by payload size") {
-    import graft.sources.Multimodal
-    val r = rnd
-    for (_ <- 0 until 300) {
-      val nBytes = math.abs(r.nextLong()) % 100000
-      val every = r.nextInt(10) + 1
-      val m = Multimodal.MediaMeta(3L, nBytes, 99L, "mp4", 0, 0)
-      val frames = Multimodal.frameSample(every)(m).toVector
-      val nFrames = nBytes / 64 + 1
-      assert(frames.head.frameIdx === 0L)
-      assert(frames.size === (nFrames + every - 1) / every)
-      frames.sliding(2).foreach {
-        case Vector(a, b) => assert(b.frameIdx - a.frameIdx === every.toLong)
-        case _ =>
+    for (_ <- 0 until 200) {
+      val w = r.nextInt(40) + 1
+      val h = r.nextInt(40) + 1
+      val gray = Array.fill(w * h)(r.nextInt(256))
+      val bytes = ImageCodec.encodeBmp24(w, h, gray)
+      val t = r.nextInt(20) + 1
+      val z = Multimodal.resizeImage(t)(1L, bytes)
+      assert(z.width === w && z.height === h)
+      if (w >= t || h >= t) {
+        assert(z.targetW <= t && z.targetH <= t)
+        assert(z.targetW >= 1 && z.targetH >= 1)
+        assert(math.max(z.targetW, z.targetH) === t) // long edge hits box
+        assert((w >= h) === (z.targetW >= z.targetH) || z.targetW == z.targetH)
+        // resample invariants: every output pixel is an average of
+        // source pixels, so the digest stays within the source range
+        val rv = Multimodal.resizeBox(w, h, z.targetW, z.targetH, gray)
+        assert(rv.forall(v => v >= gray.min && v <= gray.max))
+        assert(z.resizedSum === rv.map(_.toLong).sum)
+      } else { // already inside the box: identity, exact pixels
+        assert(z.targetW === w && z.targetH === h)
+        assert(z.resizedSum === gray.map(_.toLong).sum)
       }
-      assert(frames.last.frameIdx < nFrames)
+      // constant image resamples to the same constant at any geometry
+      val flat = Array.fill(w * h)(137)
+      val zf = Multimodal.resizeImage(t)(2L, ImageCodec.encodeBmp24(w, h, flat))
+      assert(zf.resizedSum === 137L * zf.targetW * zf.targetH)
     }
+    // non-decodable payloads take the total zero fallback
+    val bad = Multimodal.resizeImage(256)(2L, Array[Byte](1, 2, 3))
+    assert(bad.targetW === 0 && bad.targetH === 0 && bad.resizedHash === 0L)
+    // identity-geometry resample returns the source exactly
+    val g = Array.tabulate(12)(i => i * 17 % 256)
+    assert(Multimodal.resizeBox(4, 3, 4, 3, g).sameElements(g))
   }
 
-  test("featureExtract is deterministic with milli features in [-1000, 1000]") {
-    import graft.sources.Multimodal
+  test("frameSample windows the real WAV data chunk and hashes its bytes") {
+    import graft.sources.{AvCodec, Multimodal}
     val r = rnd
-    for (_ <- 0 until 300) {
-      val m = Multimodal.MediaMeta(4L, 10L, math.abs(r.nextLong()) % 2147483647L,
-        "png", 1, 1)
-      val f1 = Multimodal.featureExtract(m)
-      val f2 = Multimodal.featureExtract(m)
-      assert(f1 === f2)
-      Seq(f1.f0, f1.f1, f1.f2, f1.f3).foreach(x =>
-        assert(x >= -1000L && x <= 1000L, s"feature $x out of range"))
+    for (_ <- 0 until 200) {
+      val n = r.nextInt(2000)
+      val every = r.nextInt(10) + 1
+      val wav = AvCodec.synthWav(8000, 1, 8, n)
+      for (i <- 0 until n) wav(44 + i) = r.nextInt(256).toByte
+      val frames = Multimodal.frameSample(every)(3L, wav).toVector
+      val nFrames = (n + 63) / 64
+      assert(frames.size === (nFrames + every - 1) / every)
+      if (frames.nonEmpty) {
+        assert(frames.head.frameIdx === 0L)
+        assert(frames.last.frameIdx < nFrames)
+        frames.sliding(2).foreach {
+          case Vector(a, b) => assert(b.frameIdx - a.frameIdx === every.toLong)
+          case _ =>
+        }
+        // the hash is over the ACTUAL payload bytes: brute-force replay
+        val f0 = frames.head
+        var hh = 0L
+        for (j <- 44 until math.min(44 + 64, 44 + n))
+          hh = (hh * 31 + (wav(j) & 0xff)) % 2147483647L
+        assert(f0.frameHash === hh)
+      }
+      // truncated payload: frames window only the bytes present
+      if (n > 100) {
+        val cut = wav.take(44 + 70) // 2 partial frames survive
+        assert(Multimodal.frameSample(1)(3L, cut).size === 2)
+      }
     }
+    // non-WAV payloads yield no frames, totally
+    assert(Multimodal.frameSample(4)(3L, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("imageFeatures histogram counts every pixel; gradient matches brute force") {
+    import graft.sources.{ImageCodec, Multimodal}
+    val r = rnd
+    for (_ <- 0 until 200) {
+      val w = r.nextInt(20) + 1
+      val h = r.nextInt(20) + 1
+      val gray = Array.fill(w * h)(r.nextInt(256))
+      val f = Multimodal.imageFeatures(5L, ImageCodec.encodeBmp24(w, h, gray))
+      val hist = Seq(f.h0, f.h1, f.h2, f.h3, f.h4, f.h5, f.h6, f.h7)
+      assert(hist.sum === w.toLong * h) // every pixel lands in one bin
+      for (j <- 0 to 7)
+        assert(hist(j) === gray.count(_ / 32 == j).toLong)
+      var grad = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        if (x + 1 < w) grad += math.abs(gray(y * w + x + 1) - gray(y * w + x))
+        if (y + 1 < h) grad += math.abs(gray((y + 1) * w + x) - gray(y * w + x))
+      }
+      assert(f.gradEnergy === grad)
+    }
+    // constant image: all pixels one bin, zero gradient energy
+    val flat = Multimodal.imageFeatures(6L,
+      ImageCodec.encodeBmp24(5, 5, Array.fill(25)(64)))
+    assert(flat.h2 === 25L && flat.gradEnergy === 0L)
+    // non-decodable payload: the all-zero total fallback
+    val bad = Multimodal.imageFeatures(7L, Array[Byte](9, 9))
+    assert(bad.gradEnergy === 0L && bad.h0 === 0L)
   }
 
   test("yearOf inverts ISO year formatting incl. BCE") {
