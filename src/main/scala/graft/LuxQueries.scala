@@ -232,27 +232,30 @@ object LuxQueries extends QueryGroup {
 
   /** Stemmed word leaf (cts `stemmed` option via the JSON form's
     * `_stemmed` param, ml_lexer.py:391-392): token-level equality on
-    * the light-stem fold — "merges" folds to "merg" and matches
-    * documents containing "merge"/"merged"/"merging", none of which
-    * the plain contains leaf would find. The oracle re-derives the
-    * identical three-stage fold (plural → verbal → final-e) in SQL. */
+    * the classic PORTER stem (functions/Porter.scala) — "merges" stems
+    * to "merg" and matches documents containing "merge"/"merged"/
+    * "merging", none of which the plain tokenized leaf would find. The
+    * oracle re-derives the full Porter step chain in SQL (CTE stages
+    * interpreting the same rule tables), stemming the query term
+    * through the SAME chain via a -1-keyed seed row — so both the
+    * token stems AND the term stem are derived independently of the
+    * engine. */
   val q10StemJson: String =
     """{"AND": [{"etype": "document"}, {"name": "merges", "_stemmed": true}]}"""
   private val q10StemOracle: String = {
     // WordFold (diacritic+punctuation fold) mirrored before tokenizing
     val t = TextQueries.tokensSql(
       graft.functions.WordFold.foldSql("lower(text)"))
-    // the same three-stage fold as LuxCompiler.stemTerm/stemCol,
-    // re-derived in SQL; stem('merges') = 'merg'
-    def stemSql(x: String): String = {
-      val p = s"(CASE WHEN $x LIKE '%ies' AND len($x) > 4 THEN substr($x, 1, len($x)-3) || 'y' " +
-        s"WHEN $x LIKE '%s' AND $x NOT LIKE '%ss' AND len($x) > 3 THEN substr($x, 1, len($x)-1) ELSE $x END)"
-      val v = s"(CASE WHEN $p LIKE '%ing' AND len($p) > 5 THEN substr($p, 1, len($p)-3) " +
-        s"WHEN $p LIKE '%ed' AND len($p) > 4 THEN substr($p, 1, len($p)-2) ELSE $p END)"
-      s"(CASE WHEN $v LIKE '%e' AND len($v) > 3 THEN substr($v, 1, len($v)-1) ELSE $v END)"
-    }
-    s"""SELECT 'd' || doc_id AS id FROM documents
-       |WHERE len(list_filter($t, t -> ${stemSql("t")} = 'merg')) > 0""".stripMargin
+    val seed = graft.functions.WordFold.fold("merges")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($t) AS t FROM documents
+       |  UNION ALL SELECT -1, '$seed'),
+       |dtoks AS (SELECT DISTINCT doc_id, t FROM toks),
+       |${graft.functions.Porter.sqlCtes("dtoks", "doc_id", "q10")}
+       |SELECT DISTINCT 'd' || doc_id AS id
+       |FROM q10_out
+       |WHERE doc_id >= 0
+       |  AND stem IN (SELECT stem FROM q10_out WHERE doc_id = -1)""".stripMargin
   }
 
   /** BOOST as RELEVANCE (cts boostQuery, cts.py:58-61): membership is
@@ -288,6 +291,40 @@ object LuxQueries extends QueryGroup {
        |FROM m, stats""".stripMargin
   }
 
+  /** The Porter DIFFERENTIAL: every distinct document token crossed
+    * with a suffix matrix chosen to reach every algorithm step (plural,
+    * eed/ed/ing + cleanup, y→i, the step-2/3 maps, step-4 deletions,
+    * final-e, -ll), stemmed by the JVM `porter_stem` on the engine side
+    * and by the full SQL CTE chain (Porter.sqlCtes — the same rule
+    * tables, independently interpreted) on the oracle side. Any
+    * divergence between the two derivations fails this row's hash. */
+  private val porterSuffixes = Seq("", "s", "es", "ies", "ed", "eed",
+    "ing", "y", "ational", "izer", "iveness", "ousli", "fulness",
+    "biliti", "alism", "icate", "ement", "ance", "ion", "e", "ll")
+
+  def porterDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextQueries.tokensCol(
+        graft.functions.WordFold.foldCol(lower(col("text"))))).as("base"))
+      .distinct()
+    toks.select(explode(array(porterSuffixes.map(s =>
+        concat($"base", lit(s))): _*)).as("token"))
+      .distinct()
+      .select($"token", call_function("porter_stem", $"token").as("stem"))
+  }
+  private val porterDiffOracle: String = {
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(text)"))
+    val sufList = porterSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT DISTINCT unnest($t) AS b FROM documents),
+       |words AS (SELECT DISTINCT 0 AS k, b || s.suf AS t
+       |  FROM base, (SELECT unnest($sufList) AS suf) s),
+       |${graft.functions.Porter.sqlCtes("words", "k", "pd")}
+       |SELECT t AS token, stem FROM pd_out""".stripMargin
+  }
+
   private def runRanked(query: String)(spark: SparkSession, dir: String): DataFrame = {
     val (e, t) = substrate(spark, dir)
     new LuxCompiler(e, t).compileRanked(query)
@@ -309,5 +346,7 @@ object LuxQueries extends QueryGroup {
     Queries.register(QueryDef("lux_q9_boost", runRanked(q9), Some(q9Oracle)))
     Queries.register(QueryDef("lux_q10_stemmed", runJson(q10StemJson),
       Some(q10StemOracle)))
+    Queries.register(QueryDef("lux_q11_porter_diff", porterDiff,
+      Some(porterDiffOracle)))
   }
 }

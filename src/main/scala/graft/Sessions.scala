@@ -30,6 +30,7 @@ object Sessions {
     graft.functions.UriCanon.register(spark)
     graft.functions.VecMath.register(spark)
     graft.functions.WordFold.register(spark)
+    graft.functions.Porter.register(spark)
     spark
   }
 }

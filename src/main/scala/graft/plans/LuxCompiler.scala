@@ -309,13 +309,13 @@ object LuxCompiler {
       case c => c.toString
     }
 
-  /** Light plural/verbal suffix fold — the cts `stemmed` option's
-    * index-time approximation (documented deviation from Porter-class
-    * stemming per SURVEY §7.4.5). Three stages: plural (ies→y, s-drop),
-    * verbal (ing/ed-drop), final-e drop (so merging/merged/merges and
-    * merge all fold to "merg"). [[stemCol]] (token side) and
-    * [[stemTerm]] (query side) implement IDENTICAL rules; the DuckDB
-    * oracles re-derive the same chain in SQL. Input must be lowercase. */
+  /** Light plural/verbal suffix fold — the DOCUMENTED FALLBACK stemmer
+    * (the production path is classic Porter, `functions/Porter.scala`,
+    * which the stemmed word leaf uses since round 12). Three stages:
+    * plural (ies→y, s-drop), verbal (ing/ed-drop), final-e drop (so
+    * merging/merged/merges and merge all fold to "merg"). [[stemCol]]
+    * (token side) and [[stemTerm]] (query side) implement IDENTICAL
+    * rules. Input must be lowercase. */
   def stemTerm(s: String): String = {
     val p =
       if (s.endsWith("ies") && s.length > 4) s.dropRight(3) + "y"
@@ -375,8 +375,11 @@ object LuxCompiler {
     else if (isWildcard(w))
       exists(folded, t => t.rlike("^" + globToRegex(foldWildTerm(w)) + "$"))
     else if (stemmed)
+      // classic Porter on both sides (functions/Porter.scala); the
+      // light three-stage fold below stays as the documented fallback
       exists(folded, t =>
-        stemCol(t) === lit(stemTerm(graft.functions.WordFold.fold(w))))
+        call_function("porter_stem", t) ===
+          lit(graft.functions.Porter.stem(graft.functions.WordFold.fold(w))))
     else
       array_contains(folded, graft.functions.WordFold.fold(w))
   }
