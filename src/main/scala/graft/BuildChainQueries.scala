@@ -71,10 +71,12 @@ object BuildChainQueries extends QueryGroup {
       .union(li.select(($"l_partkey" * 8L + 2L).as("src"), ($"l_suppkey" * 8L + 3L).as("dst")))
       .union(cust.select(($"c_custkey" * 8L).as("src"), ($"c_nationkey" * 8L + 4L).as("dst")))
       .union(supp.select(($"s_suppkey" * 8L + 3L).as("src"), ($"s_nationkey" * 8L + 4L).as("dst")))
-      .distinct()
-      // probed once per fixpoint round: without the persist every round
-      // re-unions + re-distincts the full relationship substrate (the
-      // single biggest cost in the chain — O(rounds × |rel|))
+      // NO distinct: the fixpoint dedups each round's newEdges itself,
+      // so pre-distincting the substrate costs two full 6M-row shuffles
+      // (sf1) for nothing — the raw union persists map-only. Probed
+      // once per fixpoint round: without the persist every round
+      // re-scans the parquet inputs (the single biggest cost in the
+      // chain — O(rounds × |rel|)).
       .persist()
     // the K4 name index as equivalence edges: part → min partkey per
     // name — groupBy-min + join, NOT min-over-partition: a boilerplate
@@ -97,10 +99,13 @@ object BuildChainQueries extends QueryGroup {
     // frontierFixpoint contract — per-round cost ∝ frontier fan-out
     def nodesOf(e: DataFrame) =
       e.select($"src".as("v")).union(e.select($"dst".as("v"))).distinct()
+    // the frontier is BROADCAST: bounded by one round's fan-out, and
+    // checkpointed (no size estimate), so Spark would otherwise
+    // sort-merge — shuffling the full substrate every round
     val crawl = (ns: DataFrame) =>
-      rel.join(ns.withColumnRenamed("v", "src"), "src")
+      rel.join(broadcast(ns.withColumnRenamed("v", "src")), "src")
     val namePass = (ns: DataFrame) =>
-      twin.join(ns.withColumnRenamed("v", "src"), "src")
+      twin.join(broadcast(ns.withColumnRenamed("v", "src")), "src")
     val edges = operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
       .persist() // read three ways: eqEdges (CC), reached, final layers
     // the fixpoint's per-round counts materialized every layer's

@@ -160,8 +160,30 @@ object GraphQueries extends QueryGroup {
     * count) reaches the driver — g1's convergence discipline. */
   def reconcileFixpoint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rel = LuxQueries.triples(spark, dir)
-      .select($"subject".as("src"), $"object".as("dst"))
+    // RAW edge unions — no distinct — PERSISTED: the fixpoint dedups
+    // each round's newEdges itself, so pre-distincting the full
+    // relationship substrate (LuxQueries.triples' two 6M-row shuffles
+    // at sf1) is pure waste here; but the probe substrate IS touched
+    // once per round, so it must live in memory, not be re-scanned
+    // from parquet each round (SURVEY lesson 17: persist every
+    // closed-over expander input). Build = map-only scan, zero
+    // shuffle. (Round-11 re-built triples WITH the distincts per
+    // round: 32.9 s at sf1; unpersisted raw unions: 24 s; this: ~14 s.)
+    val o = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val cu = Tables.load(spark, dir, "customer")
+    val su = Tables.load(spark, dir, "supplier")
+    val rel = o.select(concat(lit("o"), $"o_orderkey").as("src"),
+        concat(lit("c"), $"o_custkey").as("dst"))
+      .union(li.select(concat(lit("o"), $"l_orderkey").as("src"),
+        concat(lit("p"), $"l_partkey").as("dst")))
+      .union(li.select(concat(lit("p"), $"l_partkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst")))
+      .union(cu.select(concat(lit("c"), $"c_custkey").as("src"),
+        concat(lit("n"), $"c_nationkey").as("dst")))
+      .union(su.select(concat(lit("s"), $"s_suppkey").as("src"),
+        concat(lit("n"), $"s_nationkey").as("dst")))
+      .persist()
     // groupBy-min + join, not min-over-partition: a boilerplate name is
     // a hot window partition that sorts, while the aggregate combines
     // map-side (the repo-wide name-twin rule; same shape as the build
@@ -175,16 +197,27 @@ object GraphQueries extends QueryGroup {
       .filter($"p_partkey" =!= $"m")
       .select(concat(lit("p"), $"p_partkey").as("src"),
         concat(lit("p"), $"m").as("dst"))
+      .persist()
     // node-anchored expanders (src ∈ input nodes) — the
-    // frontierFixpoint contract; per-round cost ∝ frontier fan-out
+    // frontierFixpoint contract; per-round cost ∝ frontier fan-out.
+    // The frontier is BROADCAST: it is bounded by one round's fan-out
+    // (checkpointed, so Spark has no size estimate and would otherwise
+    // sort-merge — shuffling the full relationship table every round),
+    // turning each round into a map-side probe of the persisted rel.
     val crawl = (ns: DataFrame) =>
-      rel.join(ns.withColumnRenamed("v", "src"), "src")
+      rel.join(broadcast(ns.withColumnRenamed("v", "src")), "src")
     val namePass = (ns: DataFrame) =>
-      canon.join(ns.withColumnRenamed("v", "src"), "src")
+      canon.join(broadcast(ns.withColumnRenamed("v", "src")), "src")
     val seed = Tables.load(spark, dir, "orders").filter($"o_custkey" <= 5)
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("o"), $"o_orderkey").as("dst"))
-    operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
+    val edges = operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
+    // every layer is localCheckpoint-materialized by the per-round
+    // counts, so the loop inputs are dead the moment it returns —
+    // release them instead of pinning fresh copies per invocation
+    rel.unpersist()
+    canon.unpersist()
+    edges
   }
   private val reconcileFixpointOracle: String =
     """WITH RECURSIVE g AS (
