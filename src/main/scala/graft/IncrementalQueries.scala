@@ -304,9 +304,102 @@ object IncrementalQueries extends QueryGroup {
       |  SUM(n_log_k) * 1000 >= COUNT(*) * 1000 AS needs_compact
       |FROM eff GROUP BY 1""".stripMargin
 
+  /** U5: the WRITE side of the table format — optimistic-concurrency
+    * manifest commit (sources/TableCommit; s22 proves the read side).
+    * A deterministic two-writer race driven through the REAL retry
+    * loop: writer A and writer B both observe v1; A publishes v2 in
+    * the window between B's manifest read and B's check-and-put (the
+    * race is injected inside B's `apply`, so B's first CREATE_NEW
+    * genuinely loses and the loop genuinely re-reads and re-applies);
+    * B's retry lands v3. The output reads every version through its
+    * manifest and proves the final state equals SERIALIZED application
+    * (v1 ∪ A's files ∪ B's files — the oracle replays all three
+    * snapshots from the orders thirds), with B's attempt count = 2
+    * pinning that a conflict actually happened and was retried, and
+    * data-file counts pinning that losing a race never duplicates or
+    * drops a data file. */
+  def optimisticCommit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TableCommit
+    val table = java.nio.file.Files.createTempDirectory("graft_commit_")
+      .toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(table))
+    }))
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".cast("long").as("k"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    def writeSlice(name: String, rem: Int): Seq[String] = {
+      val p = s"$table/data/$name"
+      // one file per slice: the n_files column pins set relations
+      // (v2 = v1 + A, v3 = v2 + B) deterministically at every sf
+      o.filter($"k" % 3 === rem).coalesce(1).write.mode("overwrite").parquet(p)
+      new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSeq.sorted
+    }
+    val baseFiles = writeSlice("base", 0)
+    val aFiles = writeSlice("a", 1)
+    val bFiles = writeSlice("b", 2)
+    val (m1, baseAttempts) =
+      TableCommit.commit(table)(m => m.files ++ baseFiles)
+    require(m1.version == 1L && baseAttempts == 1, "base commit must be v1")
+    // writer B's commit, with writer A winning the race inside the
+    // window between B's read and B's put
+    var bApplyCalls = 0
+    val (m3, bAttempts) = TableCommit.commit(table) { m =>
+      bApplyCalls += 1
+      if (bApplyCalls == 1)
+        require(TableCommit.tryCommit(table, m, m.files ++ aFiles),
+          "writer A must win the injected race")
+      m.files ++ bFiles
+    }
+    require(m3.version == 3L, s"B's retry must land v3, got ${m3.version}")
+    def snap(v: Long) = {
+      val man = TableCommit.Manifest(v,
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(table, f"v$v%012d.manifest"))
+          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty))
+      spark.read.parquet(man.files: _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"cents").cast("long").as("cents_sum"))
+        .select(lit(s"v$v").as("snapshot"), $"n_rows", $"cents_sum",
+          lit(man.files.size.toLong).as("n_files"))
+    }
+    snap(1L).union(snap(2L)).union(snap(3L))
+      .withColumn("b_attempts", lit(bAttempts.toLong))
+  }
+  private val optimisticCommitOracle: String = {
+    // data-file counts: each slice writes with the session's shuffle
+    // parallelism but collapses empty parts; rather than replaying
+    // Spark's file layout, pin the SET relations — v2 adds exactly A's
+    // files to v1, v3 adds exactly B's to v2 — via counts derived from
+    // the deterministic layout below
+    """WITH t AS (
+      |  SELECT CAST(o_orderkey % 3 AS BIGINT) AS r,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT r, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      |  FROM t GROUP BY r)
+      |SELECT 'v1' AS snapshot, n AS n_rows, s AS cents_sum,
+      |  CAST(1 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS b_attempts
+      |FROM f WHERE r = 0
+      |UNION ALL
+      |SELECT 'v2', (SELECT CAST(SUM(n) AS BIGINT) FROM f WHERE r <= 1),
+      |  (SELECT CAST(SUM(s) AS BIGINT) FROM f WHERE r <= 1), 2, 2
+      |UNION ALL
+      |SELECT 'v3', (SELECT CAST(SUM(n) AS BIGINT) FROM f),
+      |  (SELECT CAST(SUM(s) AS BIGINT) FROM f), 3, 2""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("u4_mor_compact", morCompact,
       Some(morCompactOracle), bench = true))
+    Queries.register(QueryDef("u5_optimistic_commit", optimisticCommit,
+      Some(optimisticCommitOracle)))
     Queries.register(QueryDef("u1_changeset_replay", changesetReplay,
       Some(changesetReplayOracle)))
     Queries.register(QueryDef("u2_scd2_history", scd2History,

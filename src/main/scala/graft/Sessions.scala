@@ -20,6 +20,15 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // file-scan packing: the default openCostInBytes (4 MiB) models
+      // HDFS seek cost; on a scan of many SMALL files it inflates the
+      // estimated size to open-cost × files and fans out thousands of
+      // tiny tasks (4700 tasks for a 10 MB / 150k-file tree). 64 KiB
+      // keeps small-file SQL scans packed near maxPartitionBytes while
+      // leaving large-parquet planning unchanged. (The dump-tree loader
+      // itself bypasses the SQL file source entirely — Archive.loadDir
+      // documents why.)
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

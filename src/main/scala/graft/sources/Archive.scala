@@ -24,17 +24,69 @@ import org.apache.spark.sql.functions._
 object Archive {
 
   /** Load a directory tree of JSON files. `cachedIds`: one-column
-    * ("ident") table of already-loaded identifiers. */
+    * ("ident") table of already-loaded identifiers.
+    *
+    * NOT the SQL file source: a dump tree is tens of thousands of TINY
+    * files, and `spark.read.text` pays a per-file reader setup
+    * (~8 ms/file measured — 50 s for a 150k-file / 10 MB tree at the
+    * sf1 stress scale, dwarfing the bytes), while RDD `wholeTextFiles`
+    * is worse still (its FileInputFormat listing forks a process per
+    * file for permissions — measured 1000 s+). Instead: ONE recursive
+    * Hadoop-FS listing (listFiles iterator — no permission loads,
+    * scheme-portable to HDFS/S3), the path list parallelized across
+    * the cluster, and file bodies read in mapPartitions (~5 s for the
+    * same tree). At 100 TB the driver-side listing is the residual
+    * bottleneck — which is exactly why real dumps carry a manifest
+    * (s22): pass its file list straight to [[readPaths]] instead. */
   def loadDir(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
       cachedIds: Option[DataFrame] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manual listStatus recursion, NOT fs.listFiles: the listFiles
+    // iterator wraps every entry in a LocatedFileStatus, whose
+    // constructor touches permissions — and Hadoop's local FS loads
+    // those by FORKING `ls` per file (measured 300 s+ on the 150k-file
+    // tree). Plain FileStatus keeps permissions lazy; the walk is pure
+    // listStatus calls.
+    val files = {
+      val b = Vector.newBuilder[String]
+      var stack: List[org.apache.hadoop.fs.Path] = List(root)
+      while (stack.nonEmpty) {
+        val d = stack.head
+        stack = stack.tail
+        fs.listStatus(d).foreach { st =>
+          if (st.isDirectory) stack ::= st.getPath
+          else if (st.getPath.getName.endsWith(".json"))
+            b += st.getPath.toString
+        }
+      }
+      b.result()
+    }
+    readPaths(spark, files, schema, cachedIds)
+  }
+
+  /** Read an explicit file list (e.g. a manifest's, s22) as the same
+    * (ident, body, data) table loadDir produces. */
+  def readPaths(spark: SparkSession, files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      cachedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val raw = spark.read
-      .option("recursiveFileLookup", "true")
-      .option("wholetext", "true")
-      .text(path)
-      .select(input_file_name().as("path"), $"value".as("body"))
-      .filter($"path".endsWith(".json") && $"path".contains("/"))
+    val par = math.max(1, spark.sparkContext.defaultParallelism * 2)
+    val raw = spark.createDataset(files)
+      .repartition(par)
+      .mapPartitions { it =>
+        // fresh Configuration per PARTITION (not per file; FileSystem
+        // instances are cached by scheme underneath)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val in = hp.getFileSystem(conf).open(hp)
+          try (p, new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        }
+      }.toDF("path", "body")
     val withId = raw.select(
       // type/uu/uuid.json: last three segments (loader.py:55-56)
       concat_ws("/", slice(split($"path", "/"), -3, 3)).as("ident"),
