@@ -89,23 +89,33 @@ object LuxQL {
   }
 
   // ------------------------------------------------------------ parser
+
+  /** Max nesting depth for both parsers. A recursive-descent parser
+    * with no bound dies of StackOverflowError on `"AND(" * 50000` — a
+    * VirtualMachineError that sails past any NonFatal handler and
+    * kills the task; untrusted query strings must instead fail with a
+    * catchable parse error. 200 is far beyond any legitimate query. */
+  val MaxDepth = 200
+
   def parse(s: String): Ast = {
     val toks = tokenize(s)
-    val (ast, rest) = parseQuery(toks)
+    val (ast, rest) = parseQuery(toks, 0)
     require(rest.isEmpty, s"trailing tokens: $rest")
     ast
   }
 
-  private def parseQuery(t: Seq[Tok]): (Ast, Seq[Tok]) = t match {
+  private def parseQuery(t: Seq[Tok], depth: Int): (Ast, Seq[Tok]) = {
+    if (depth > MaxDepth) sys.error(s"query nesting exceeds $MaxDepth")
+    t match {
     case TCaret +: TWord(p) +: TLParen +: rest =>
-      val (sub, r2) = parseQuery(rest)
+      val (sub, r2) = parseQuery(rest, depth + 1)
       (InvRel(p, sub), expect(r2, TRParen))
     case TWord(op) +: TLParen +: rest if booleans(op) =>
       var kids = Vector[Ast]()
       var r = rest
       var done = false
       while (!done) {
-        val (k, r2) = parseQuery(r)
+        val (k, r2) = parseQuery(r, depth + 1)
         kids :+= k
         r2 match {
           case TComma +: tail => r = tail
@@ -124,9 +134,10 @@ object LuxQL {
     case TWord(f) +: TOp(op) +: TNum(n) +: rest =>
       (Leaf(f, op, null, n, isNum = true), rest)
     case TWord(p) +: TLParen +: rest =>
-      val (sub, r2) = parseQuery(rest)
+      val (sub, r2) = parseQuery(rest, depth + 1)
       (Rel(p, sub), expect(r2, TRParen))
     case other => sys.error(s"cannot parse at $other")
+    }
   }
 
   private def expect(t: Seq[Tok], tok: Tok): Seq[Tok] = t match {
@@ -141,11 +152,12 @@ object LuxQL {
     * ignored (class scoping is the catalog's job here). */
   def parseJson(s: String): Ast = {
     import org.json4s._
-    fromJson(org.json4s.jackson.JsonMethods.parse(s))
+    fromJson(org.json4s.jackson.JsonMethods.parse(s), 0)
   }
 
-  private def fromJson(v: org.json4s.JValue): Ast = {
+  private def fromJson(v: org.json4s.JValue, depth: Int): Ast = {
     import org.json4s._
+    if (depth > MaxDepth) sys.error(s"query nesting exceeds $MaxDepth")
     v match {
       case JObject(fields) =>
         val (params, main) = fields
@@ -169,10 +181,10 @@ object LuxQL {
               case _: JObject => ()
               case other => sys.error(s"a raw value cannot be in a Boolean: $other")
             }
-            Bool(field, items.map(fromJson))
+            Bool(field, items.map(fromJson(_, depth + 1)))
           case o: JObject =>
-            if (field.startsWith("^")) InvRel(field.drop(1), fromJson(o))
-            else Rel(field, fromJson(o))
+            if (field.startsWith("^")) InvRel(field.drop(1), fromJson(o, depth + 1))
+            else Rel(field, fromJson(o, depth + 1))
           case JString(sv) =>
             require(comp == "=", s"string field $field only supports =")
             Leaf(field, "=", sv, 0L, isNum = false, stemmed = stemmed,
