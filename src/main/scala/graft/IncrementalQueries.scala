@@ -318,7 +318,42 @@ object IncrementalQueries extends QueryGroup {
     * pinning that a conflict actually happened and was retried, and
     * data-file counts pinning that losing a race never duplicates or
     * drops a data file. */
+  /** The committed-table fixture is built ONCE per (application,
+    * sf dir) — the s15/s22 write-once discipline: re-invocations
+    * (Bench's best-of loop, the stress sweep's repeat passes) must
+    * not each write a fresh full orders copy into tmpdir and stack
+    * another shutdown hook; they re-read the already-raced table,
+    * whose manifests are immutable by construction. */
+  private val commitDirs =
+    scala.collection.mutable.Map.empty[(String, String), (String, Int)]
+
   def optimisticCommit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TableCommit
+    val (table, bAttempts) = synchronized {
+      commitDirs.getOrElseUpdate(
+        (spark.sparkContext.applicationId, dir),
+        buildCommitFixture(spark, dir))
+    }
+    def snap(v: Long) = {
+      val man = TableCommit.Manifest(v,
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(table, f"v$v%012d.manifest"))
+          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty))
+      spark.read.parquet(man.files: _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"cents").cast("long").as("cents_sum"))
+        .select(lit(s"v$v").as("snapshot"), $"n_rows", $"cents_sum",
+          lit(man.files.size.toLong).as("n_files"))
+    }
+    snap(1L).union(snap(2L)).union(snap(3L))
+      .withColumn("b_attempts", lit(bAttempts.toLong))
+  }
+
+  /** Runs the deterministic two-writer race once; returns the table
+    * dir and writer B's attempt count. */
+  private def buildCommitFixture(spark: SparkSession,
+      dir: String): (String, Int) = {
     import spark.implicits._
     import graft.sources.TableCommit
     val table = java.nio.file.Files.createTempDirectory("graft_commit_")
@@ -358,19 +393,7 @@ object IncrementalQueries extends QueryGroup {
       m.files ++ bFiles
     }
     require(m3.version == 3L, s"B's retry must land v3, got ${m3.version}")
-    def snap(v: Long) = {
-      val man = TableCommit.Manifest(v,
-        java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get(table, f"v$v%012d.manifest"))
-          .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty))
-      spark.read.parquet(man.files: _*)
-        .agg(count(lit(1)).as("n_rows"),
-          sum($"cents").cast("long").as("cents_sum"))
-        .select(lit(s"v$v").as("snapshot"), $"n_rows", $"cents_sum",
-          lit(man.files.size.toLong).as("n_files"))
-    }
-    snap(1L).union(snap(2L)).union(snap(3L))
-      .withColumn("b_attempts", lit(bAttempts.toLong))
+    (table, bAttempts)
   }
   private val optimisticCommitOracle: String = {
     // data-file counts: each slice writes with the session's shuffle

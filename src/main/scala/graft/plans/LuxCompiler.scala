@@ -96,14 +96,16 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     // leaves) contribute membership only — proximity is undefined for
     // them, exactly as in cts where near-query composes word queries.
     case Bool("NEAR", kids) =>
-      // only PLAIN word leaves join the positional machinery —
-      // wildcarded/stemmed/_contains words contribute membership (via
-      // the AND base, where wordPredicate honors their options) but not
-      // proximity, the same composition rule as non-word kids
+      // only PLAIN SINGLE-word leaves join the positional machinery —
+      // wildcarded/stemmed/_contains/multi-word(phrase) leaves
+      // contribute membership (via the AND base, where wordPredicate
+      // honors their semantics) but not proximity, the same
+      // composition rule as non-word kids
       val wordLeaves = kids.collect {
         case Leaf(f, "=", s, _, false, false, false)
             if catalog.fields(f) && !catalog.exactFields(f) &&
-              !LuxCompiler.isWildcard(s) => (f, s)
+              !LuxCompiler.isWildcard(s) &&
+              LuxCompiler.isSingleWord(s) => (f, s)
       }
       val byField = wordLeaves.groupBy(_._1).filter(_._2.size >= 2)
       byField.foldLeft(ids(Bool("AND", kids))) { case (acc, (f, ws)) =>
@@ -273,9 +275,11 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
     // wrong column
     case Leaf(f, "=", s, _, false, false, false)
         if f == "name" && catalog.fields(f) && !catalog.exactFields(f) &&
-          !LuxCompiler.isWildcard(s) =>
+          !LuxCompiler.isWildcard(s) && LuxCompiler.isSingleWord(s) =>
       // the scorer counts tf over the FOLDED token index, so the term
-      // takes the same fold (tokenized word semantics end to end)
+      // takes the same fold (tokenized word semantics end to end);
+      // multi-word terms opt into the flat-boost fallback — per-token
+      // tf of a phrase is undefined in the q10 scorer
       Seq(graft.functions.WordFold.fold(s.toLowerCase))
     case Bool(op, kids) if op == "AND" || op == "OR" =>
       val sub = kids.map(boostTerms)
@@ -296,6 +300,14 @@ object LuxCompiler {
     * wildcard detection rather than an explicit option flag. */
   def isWildcard(term: String): Boolean =
     term.exists(c => c == '*' || c == '?')
+
+  /** True when the FOLDED term is exactly one token — the contract for
+    * the NEAR positional machinery and the BM25 boost scorer (both
+    * reason about single tokens; multi-word terms compose as phrases
+    * through wordPredicate instead). */
+  def isSingleWord(term: String): Boolean =
+    graft.functions.WordFold.fold(term.toLowerCase)
+      .split("\\s+").count(_.nonEmpty) == 1
 
   /** Glob → anchored regex: `*` = any run, `?` = one char, everything
     * else literal (regex metachars escaped). The same pattern string is
@@ -359,13 +371,19 @@ object LuxCompiler {
     * punctuation-insensitive, TOKENIZED): every path lowercases and
     * runs the WordFold normalization over tokens AND term, so
     * "Naïve-Bayes" meets "naive bayes" at the same folded tokens.
-    * Plain terms match whole folded tokens by equality; wildcarded
-    * terms match whole tokens against the anchored glob; stemmed terms
-    * match on the stem fold. `contains = true` (the JSON `_contains`
-    * param — an engine extension) escapes back to raw substring match
-    * of the lowercased field. One pass over a single tokenize per
-    * row — never element_at probes (the HOF-CSE pitfall NEAR
-    * documents). */
+    * Plain single-word terms match whole folded tokens by equality; a
+    * plain MULTI-word term is a PHRASE — consecutive folded tokens
+    * (how cts treats multi-word text; without this a quoted
+    * "merge scan" would silently match nothing, since no whitespace
+    * survives tokenization). Wildcarded terms match whole tokens
+    * against the anchored glob; stemmed terms match the classic Porter
+    * stem per word (consecutively when multi-word; the light
+    * three-stage fold below stays as the documented fallback).
+    * `contains = true` (the JSON `_contains` param — an engine
+    * extension) escapes back to raw substring match of the lowercased
+    * field. Position arrays are transform-with-index passes over the
+    * folded token column — never element_at probes (the HOF-CSE
+    * pitfall NEAR documents). */
   def wordPredicate(field: Column, term: String, stemmed: Boolean,
       contains: Boolean = false): Column = {
     val w = term.toLowerCase
@@ -374,14 +392,52 @@ object LuxCompiler {
     if (contains) instr(lower(field), w) > 0
     else if (isWildcard(w))
       exists(folded, t => t.rlike("^" + globToRegex(foldWildTerm(w)) + "$"))
-    else if (stemmed)
-      // classic Porter on both sides (functions/Porter.scala); the
-      // light three-stage fold below stays as the documented fallback
-      exists(folded, t =>
-        call_function("porter_stem", t) ===
-          lit(graft.functions.Porter.stem(graft.functions.WordFold.fold(w))))
-    else
-      array_contains(folded, graft.functions.WordFold.fold(w))
+    else if (stemmed) {
+      val stems = graft.functions.WordFold.fold(w)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+        .map(graft.functions.Porter.stem)
+      stems match {
+        case Seq() => lit(false)
+        case Seq(one) =>
+          exists(folded, t => call_function("porter_stem", t) === lit(one))
+        case many => stemPhrase(folded, many)
+      }
+    } else {
+      val terms = graft.functions.WordFold.fold(w)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      terms match {
+        case Seq() => lit(false)
+        case Seq(one) => array_contains(folded, one)
+        case many =>
+          // plain PHRASE = the folded words as consecutive tokens. On
+          // the folded field (whitespace survives WordFold) that is one
+          // token-anchored regex — a single codegen pass per row, no
+          // HOF at all (folded terms are letters/digits only, so they
+          // are regex-literal safe)
+          graft.functions.WordFold.foldCol(lower(field))
+            .rlike("(^|\\s)" + many.mkString("\\s+") + "(\\s|$)")
+      }
+    }
+  }
+
+  /** Stemmed PHRASE: `stems` occur as consecutive tokens' Porter stems.
+    * 1-based positions of stems(0) are progressively filtered by
+    * membership of position+j in stems(j)'s position array — the q13
+    * phrase machinery, no explode, no element_at probes. (The inner
+    * pos arrays are re-derived per surviving position of stems(0) —
+    * HOFs have no CSE — which is fine for the handful of occurrences a
+    * first stem has per document; the PLAIN phrase path above avoids
+    * HOFs entirely.) */
+  private def stemPhrase(tokens: Column, stems: Seq[String]): Column = {
+    def pos(stem: String) = filter(
+      transform(tokens, (tok, i) =>
+        when(call_function("porter_stem", tok) === lit(stem), i + 1)
+          .otherwise(-1)),
+      x => x > 0)
+    val phrase = stems.indices.drop(1).foldLeft(pos(stems.head)) {
+      (acc, j) => filter(acc, i => array_contains(pos(stems(j)), i + j))
+    }
+    size(phrase) > 0
   }
 }
 

@@ -73,12 +73,24 @@ object Archive {
       cachedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val par = math.max(1, spark.sparkContext.defaultParallelism * 2)
+    // ship the SESSION'S Hadoop config to executors as plain entries
+    // (Configuration itself is not serializable and Spark's wrapper is
+    // private[spark]): a bare `new Configuration()` executor-side would
+    // drop spark.hadoop.* settings — S3 credentials/endpoints, custom
+    // FS impls — and the claimed HDFS/S3 portability with them
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     val raw = spark.createDataset(files)
       .repartition(par)
       .mapPartitions { it =>
-        // fresh Configuration per PARTITION (not per file; FileSystem
+        // rebuilt once per PARTITION (not per file; FileSystem
         // instances are cached by scheme underneath)
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         it.map { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           val in = hp.getFileSystem(conf).open(hp)

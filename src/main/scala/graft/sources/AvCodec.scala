@@ -38,44 +38,58 @@ object AvCodec {
   def parse(b: Array[Byte]): Option[AvInfo] =
     wav(b).orElse(mp4(b)).orElse(ogg(b))
 
-  private def wav(b: Array[Byte]): Option[AvInfo] = {
-    if (b.length < 36 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+  /** THE RIFF/WAVE chunk scan — the single definition both the header
+    * decode (wav) and the frame sampler (Multimodal.frameSample) walk,
+    * so a totality fix lands in one place. Finds the first chunk named
+    * `id`, returning (contentStart, declaredSize). Totality: Long
+    * cursor + sign check — a hostile chunk size with the high bit set
+    * is negative under le32 (e.g. -8 makes the advance ZERO, an
+    * infinite loop hanging the task), and an Int cursor could wrap
+    * past 2^31 on a large legitimate size; a corrupt-sized chunk ends
+    * the scan (the well-formed prefix stays findable — a chunk BEFORE
+    * the corruption point is still returned). */
+  private[sources] def findChunk(b: Array[Byte], id: String,
+      minSize: Int = 0): Option[(Int, Int)] = {
+    if (b.length < 12 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
       return None
-    // Long cursor + sign check: a hostile chunk size with the high bit
-    // set is negative under le32 (e.g. -8 makes the advance ZERO — an
-    // infinite loop hanging the task, worse than a throw), and an Int
-    // cursor could wrap past 2^31 on a large legitimate size. Corrupt
-    // sizing must return None, totally.
-    var i = 12L // chunk scan: fmt need not be the first chunk
-    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, byteRate)
-    var dataSize = -1L
-    def finish: Option[AvInfo] = fmt.map { case (rate, ch, byteRate) =>
-      val durMs =
-        if (dataSize > 0 && byteRate > 0) dataSize * 1000L / byteRate else 0L
-      AvInfo("wav", rate, ch, null, durationMs = durMs)
-    }
-    while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+    var i = 12L // chunk scan: the target need not be the first chunk
+    while (i + 8 <= b.length) {
       val at = i.toInt // fits: i + 8 <= b.length <= Int.MaxValue
-      val id = ascii(b, at, 4)
       val size = le32(b, at + 4)
-      // the fmt fields are only real if the chunk DECLARES them:
-      // size >= 16 (PCM fmt body) — a truncated fmt chunk must not
-      // read the next chunk's bytes as a sample rate
-      if (id == "fmt " && size >= 16 && i + 24 <= b.length)
-        fmt = Some((le32(b, at + 12), le16(b, at + 10), le32(b, at + 16)))
-      else if (id == "data" && size >= 0)
-        // clamp to bytes actually present: a truncated file (common in
-        // dump corpora) must report the duration of the samples it
-        // HOLDS, not the full declared duration — same totality
-        // discipline as the corrupt-sized cursor below
-        dataSize = math.min(size.toLong, math.max(0L, b.length - (i + 8L)))
-      // corrupt-sized tail: keep everything the well-formed prefix
-      // established (fmt AND any data-chunk duration), drop the rest
-      if (size < 0) return finish
+      if (size < 0) return None // corrupt tail: stop, totally
+      // an id-matching chunk UNDER minSize is skipped, not returned: a
+      // truncated fmt chunk must not shadow a valid one later in the
+      // stream (spec-pinned)
+      if (ascii(b, at, 4) == id && size >= minSize) return Some((at + 8, size))
       i += 8L + size + (size & 1) // chunks are word-aligned
     }
-    finish
+    None
   }
+
+  /** (content start, byte length CLAMPED to bytes present) of the data
+    * chunk: a truncated file (common in dump corpora) must expose the
+    * samples it HOLDS, not the full declared size. */
+  private[sources] def dataRange(b: Array[Byte]): Option[(Int, Int)] =
+    findChunk(b, "data").map { case (start, size) =>
+      (start, math.min(size.toLong, math.max(0L, b.length - start.toLong)).toInt)
+    }
+
+  private def wav(b: Array[Byte]): Option[AvInfo] =
+    // minSize 16 (the PCM fmt body): the fmt fields are only real if
+    // the chunk DECLARES them — a truncated fmt chunk must not read
+    // the next chunk's bytes as a sample rate
+    findChunk(b, "fmt ", minSize = 16).collect {
+      case (at, _) if at + 16 <= b.length =>
+        val rate = le32(b, at + 4)
+        val channels = le16(b, at + 2)
+        val byteRate = le32(b, at + 8)
+        val durMs = dataRange(b) match {
+          case Some((_, len)) if len > 0 && byteRate > 0 =>
+            len.toLong * 1000L / byteRate
+          case _ => 0L
+        }
+        AvInfo("wav", rate, channels, null, durationMs = durMs)
+    }
 
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |

@@ -73,14 +73,18 @@ object Multimodal {
       val x = idx % tw; val y = idx / tw
       val x0 = x * w / tw; val x1 = (x + 1) * w / tw
       val y0 = y * h / th; val y1 = (y + 1) * h / th
-      var s = 0; var n = 0
+      // Long sum: a legitimate huge box (e.g. 36000x8000 -> 8x2 leaves
+      // 18M px/box) overflows an Int accumulator at mean luma ~120,
+      // silently emitting negative pixels while the BIGINT oracle
+      // computes the true average
+      var s = 0L; var n = 0L
       var sy = y0
       while (sy < y1) {
         var sx = x0
-        while (sx < x1) { s += gray(sy * w + sx); n += 1; sx += 1 }
+        while (sx < x1) { s += gray(sy * w + sx); n += 1L; sx += 1 }
         sy += 1
       }
-      s / n
+      (s / n).toInt
     }
   }
 
@@ -159,8 +163,8 @@ object Multimodal {
     * payloads yield no frames (total). */
   def frameSample(every: Int, frameBytes: Int = 64)(
       id: Long, bytes: Array[Byte]): Iterator[Frame] = {
-    val dataRange = wavDataRange(bytes)
-    dataRange match {
+    // the ONE RIFF chunk scan (AvCodec.dataRange) — not a second copy
+    AvCodec.dataRange(bytes) match {
       case None => Iterator.empty
       case Some((start, len)) =>
         val nFrames = (len + frameBytes - 1) / frameBytes
@@ -175,25 +179,4 @@ object Multimodal {
     }
   }
 
-  /** (content start, length) of a WAV file's data chunk, clamped to the
-    * bytes actually present — the same chunk-scan totality discipline
-    * as AvCodec.parse. None when the payload is not a scannable WAV. */
-  private[sources] def wavDataRange(b: Array[Byte]): Option[(Int, Int)] = {
-    def ascii(i: Int, n: Int) =
-      new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
-    if (b.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
-      return None
-    var i = 12L
-    while (i + 8 <= b.length) {
-      val at = i.toInt
-      val size = (b(at + 4) & 0xff) | ((b(at + 5) & 0xff) << 8) |
-        ((b(at + 6) & 0xff) << 16) | ((b(at + 7) & 0xff) << 24)
-      if (size < 0) return None
-      if (ascii(at, 4) == "data")
-        return Some((at + 8, math.min(size.toLong,
-          math.max(0L, b.length - (i + 8L))).toInt))
-      i += 8L + size + (size & 1)
-    }
-    None
-  }
 }

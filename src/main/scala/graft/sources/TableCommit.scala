@@ -30,12 +30,16 @@ object TableCommit {
   private def path(dir: String, version: Long) =
     Paths.get(dir, f"v$version%012d.manifest")
 
+  /** Canonical manifest file names ONLY — a stray "backup.manifest"
+    * an operator drops in the table dir must be ignored, not crash
+    * every read and commit with a NumberFormatException. */
+  private val ManifestName = "v(\\d{12})\\.manifest".r
+
   /** Highest published version (version 0 = empty table, no file). */
   def readManifest(dir: String): Manifest = {
     val d = new java.io.File(dir)
     val versions = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".manifest"))
-      .map(_.getName.stripSuffix(".manifest").stripPrefix("v").toLong)
+      .map(_.getName).collect { case ManifestName(v) => v.toLong }
     if (versions.isEmpty) Manifest(0L, Nil)
     else {
       val v = versions.max

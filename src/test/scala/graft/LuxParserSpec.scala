@@ -218,6 +218,37 @@ class LuxParserSpec extends AnyFunSuite {
     assert(plainNaive === Set("x2"))
   }
 
+  test("multi-word plain terms are PHRASES over consecutive folded tokens") {
+    import graft.plans.LuxCompiler
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = Seq(
+      ("x1", "part", "merge scan runs nightly", 0L),
+      ("x2", "part", "scan merge", 0L),          // words present, wrong order
+      ("x3", "part", "merge the scan", 0L),      // words present, not adjacent
+      ("x4", "part", "big Merge-Scan rig", 0L),  // folds to one token: no match
+      ("x5", "part", "fast merge scans daily", 0L)) // 2nd word differs
+      .toDF("id", "etype", "name", "num")
+    val t = Seq.empty[(String, String, String)]
+      .toDF("subject", "predicate", "object")
+    val c = new LuxCompiler(e, t)
+    val phrase = c.compile("""AND(etype="part", name="merge scan")""")
+      .collect().map(_.getString(0)).toSet
+    assert(phrase === Set("x1"))
+    // three-word phrase; and the stemmed phrase matches per-word stems
+    // consecutively ("merge scans" stems to merg|scan like "merged scan")
+    assert(c.compile("""AND(etype="part", name="merge the scan")""")
+      .collect().map(_.getString(0)).toSet === Set("x3"))
+    val stemmedPhrase = c.compileJson(
+      """{"AND": [{"etype": "part"}, {"name": "merged scanning", "_stemmed": true}]}""")
+      .collect().map(_.getString(0)).toSet
+    assert(stemmedPhrase === Set("x1", "x5"))
+    // multi-word terms contribute membership but not NEAR proximity,
+    // and opt the BOOST scorer into the flat fallback
+    assert(!LuxCompiler.isSingleWord("merge scan"))
+    assert(LuxCompiler.isSingleWord("Merge-Scan")) // folds to one token
+  }
+
   test("catalog * template expansion (ml_lexer.py:274-298)") {
     import graft.plans.LuxSearchConfig
     val cats = LuxSearchConfig.expand(LuxSearchConfig.default)

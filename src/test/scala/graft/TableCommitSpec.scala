@@ -40,6 +40,21 @@ class TableCommitSpec extends AnyFunSuite {
     assert(v1.version === 1L)
   }
 
+  test("stray manifest-suffixed files are ignored, not a crash") {
+    val dir = freshDir()
+    TableCommit.commit(dir)(m => m.files :+ "f1")
+    // an operator's backup copy / a foreign tool's file must not take
+    // down every read and commit of an otherwise healthy table
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "backup.manifest"), "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "v2-old.manifest"), "junk")
+    assert(TableCommit.readManifest(dir) ===
+      TableCommit.Manifest(1L, Seq("f1")))
+    val (m2, _) = TableCommit.commit(dir)(m => m.files :+ "f2")
+    assert(m2.version === 2L)
+  }
+
   test("N racing threads, M commits each: all serialize, none lost") {
     val dir = freshDir()
     val threads = 8
