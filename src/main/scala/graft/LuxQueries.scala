@@ -325,6 +325,52 @@ object LuxQueries extends QueryGroup {
        |SELECT t AS token, stem FROM pd_out""".stripMargin
   }
 
+  /** Plain multi-word term = PHRASE over consecutive folded tokens
+    * (cts treats multi-word text as a phrase; round-12 review fix —
+    * the tokenized leaf would otherwise silently match nothing). The
+    * oracle derives adjacency positionally, q13-style, independent of
+    * the engine's regex formulation. */
+  val q12Phrase = """AND(etype="document", name="merge scan")"""
+  private val q12PhraseOracle: String = {
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(text)"))
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents)
+       |SELECT 'd' || doc_id AS id FROM toks
+       |WHERE len([i for i in range(1, len(t))
+       |           if t[i] = 'merge' AND t[i+1] = 'scan']) > 0""".stripMargin
+  }
+
+  /** Stemmed multi-word term: consecutive per-token PORTER stems —
+    * "merged scans" reaches the 28 docs whose text has merge/scan
+    * adjacent, while its plain twin matches zero (no literal "merged"
+    * in the fixture; spec-pinned). The oracle stems every positioned
+    * token AND both query words through the same generated Porter CTE
+    * chain (seed rows k=-1/-2), then joins adjacency positionally. */
+  val q13StemPhraseJson: String =
+    """{"AND": [{"etype": "document"}, {"name": "merged scans", "_stemmed": true}]}"""
+  private val q13StemPhraseOracle: String = {
+    val t = TextQueries.tokensSql(
+      graft.functions.WordFold.foldSql("lower(text)"))
+    val w1 = graft.functions.WordFold.fold("merged")
+    val w2 = graft.functions.WordFold.fold("scans")
+    s"""WITH toks AS (SELECT doc_id, $t AS t FROM documents),
+       |ptok AS (SELECT doc_id, x.i AS pos, t[x.i] AS tok
+       |  FROM toks, UNNEST(range(1, len(t)+1)) AS x(i)),
+       |dtok AS (
+       |  SELECT DISTINCT CAST(0 AS BIGINT) AS k, tok AS t FROM ptok
+       |  UNION ALL SELECT -1, '$w1'
+       |  UNION ALL SELECT -2, '$w2'),
+       |${graft.functions.Porter.sqlCtes("dtok", "k", "q13p")},
+       |stems AS (
+       |  SELECT p.doc_id, p.pos, o.stem
+       |  FROM ptok p JOIN q13p_out o ON p.tok = o.t AND o.k = 0)
+       |SELECT DISTINCT 'd' || a.doc_id AS id
+       |FROM stems a JOIN stems b
+       |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |WHERE a.stem = (SELECT stem FROM q13p_out WHERE k = -1)
+       |  AND b.stem = (SELECT stem FROM q13p_out WHERE k = -2)""".stripMargin
+  }
+
   private def runRanked(query: String)(spark: SparkSession, dir: String): DataFrame = {
     val (e, t) = substrate(spark, dir)
     new LuxCompiler(e, t).compileRanked(query)
@@ -348,5 +394,9 @@ object LuxQueries extends QueryGroup {
       Some(q10StemOracle)))
     Queries.register(QueryDef("lux_q11_porter_diff", porterDiff,
       Some(porterDiffOracle)))
+    Queries.register(QueryDef("lux_q12_phrase", run(q12Phrase),
+      Some(q12PhraseOracle)))
+    Queries.register(QueryDef("lux_q13_stem_phrase", runJson(q13StemPhraseJson),
+      Some(q13StemPhraseOracle)))
   }
 }
