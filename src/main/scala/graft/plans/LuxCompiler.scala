@@ -301,13 +301,20 @@ object LuxCompiler {
   def isWildcard(term: String): Boolean =
     term.exists(c => c == '*' || c == '?')
 
+  /** THE words-of-a-term derivation (lowercase → WordFold → whitespace
+    * split): the single definition wordPredicate's plain and stemmed
+    * branches and [[isSingleWord]] all share, so the single/multi-word
+    * routing (NEAR positional membership, BM25 boost eligibility) can
+    * never drift from the predicate's own tokenization. */
+  def foldedWords(term: String): Seq[String] =
+    graft.functions.WordFold.fold(term.toLowerCase)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+
   /** True when the FOLDED term is exactly one token — the contract for
     * the NEAR positional machinery and the BM25 boost scorer (both
     * reason about single tokens; multi-word terms compose as phrases
     * through wordPredicate instead). */
-  def isSingleWord(term: String): Boolean =
-    graft.functions.WordFold.fold(term.toLowerCase)
-      .split("\\s+").count(_.nonEmpty) == 1
+  def isSingleWord(term: String): Boolean = foldedWords(term).size == 1
 
   /** Glob → anchored regex: `*` = any run, `?` = one char, everything
     * else literal (regex metachars escaped). The same pattern string is
@@ -393,9 +400,7 @@ object LuxCompiler {
     else if (isWildcard(w))
       exists(folded, t => t.rlike("^" + globToRegex(foldWildTerm(w)) + "$"))
     else if (stemmed) {
-      val stems = graft.functions.WordFold.fold(w)
-        .split("\\s+").filter(_.nonEmpty).toSeq
-        .map(graft.functions.Porter.stem)
+      val stems = foldedWords(w).map(graft.functions.Porter.stem)
       stems match {
         case Seq() => lit(false)
         case Seq(one) =>
@@ -403,8 +408,7 @@ object LuxCompiler {
         case many => stemPhrase(folded, many)
       }
     } else {
-      val terms = graft.functions.WordFold.fold(w)
-        .split("\\s+").filter(_.nonEmpty).toSeq
+      val terms = foldedWords(w)
       terms match {
         case Seq() => lit(false)
         case Seq(one) => array_contains(folded, one)
