@@ -124,12 +124,29 @@ object LuxQueries extends QueryGroup {
   /** Oracle-side twin of the compiler's tokenized word leaf: whole
     * folded-token equality (the cts.py:2 default option list — case,
     * diacritic and punctuation insensitive, tokenized). `term` is folded
-    * engine-side before splicing so both derivations share one fold. */
+    * engine-side before splicing so both derivations share one fold.
+    * Since punctuation is a token break (round 13), a punctuated term
+    * like "NATION_3" folds to MULTIPLE words and the oracle mirrors the
+    * engine's phrase semantics: the folded words as consecutive tokens,
+    * derived positionally (the q12 machinery) — independent of the
+    * engine's regex formulation. */
   private def tokenHitSql(expr: String, term: String): String = {
-    val folded = graft.functions.WordFold.fold(term.toLowerCase)
+    val words = LuxCompiler.foldedWords(term)
     val t = TextQueries.tokensSql(
       graft.functions.WordFold.foldSql(s"lower($expr)"))
-    s"len(list_filter($t, t -> t = '$folded')) > 0"
+    words match {
+      case Seq() => "FALSE"
+      case Seq(one) => s"len(list_filter($t, t -> t = '$one')) > 0"
+      case many =>
+        // positions i where every word j sits at token i+j; range upper
+        // bound is exclusive, so i runs 1 .. len-k+1. The token list
+        // expression repeats per probe — fine for an oracle (DuckDB
+        // evaluates it per row regardless; clarity over thrift here)
+        val conds = many.zipWithIndex.map { case (w, j) =>
+          s"($t)[i+$j] = '$w'"
+        }.mkString(" AND ")
+        s"len([i for i in range(1, len($t) + ${2 - many.size}) if $conds]) > 0"
+    }
   }
 
   /** Q7 hop + Q8 inverse hop + range leaf: customers in a NATION_3-named

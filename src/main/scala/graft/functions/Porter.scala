@@ -55,18 +55,24 @@ object Porter {
 
   // ------------------------------------------------------ JVM side
 
-  /** c/v classification string of `w` (lowercase letters assumed). */
+  /** c/v classification string of `w` (lowercase letters assumed).
+    * Iterates CODE POINTS, not UTF-16 chars — the oracle's cvSql
+    * iterates DuckDB characters (code points), so a supplementary-plane
+    * letter (which WordFold deliberately preserves in tokens) must
+    * contribute ONE consonant here too, or measure m diverges and the
+    * lux_q11_porter_diff differential (which crosses every corpus
+    * token) fails on any non-BMP token. */
   private def cv(w: String): String = {
     val b = new java.lang.StringBuilder(w.length)
     var i = 0
     while (i < w.length) {
-      val vowel = w.charAt(i) match {
-        case 'a' | 'e' | 'i' | 'o' | 'u' => true
-        case 'y' => i > 0 && b.charAt(i - 1) == 'c'
-        case _ => false
-      }
+      val cp = w.codePointAt(i)
+      val vowel =
+        if (cp == 'a' || cp == 'e' || cp == 'i' || cp == 'o' || cp == 'u') true
+        else if (cp == 'y') b.length > 0 && b.charAt(b.length - 1) == 'c'
+        else false
       b.append(if (vowel) 'v' else 'c')
-      i += 1
+      i += Character.charCount(cp)
     }
     b.toString
   }
@@ -83,9 +89,15 @@ object Porter {
   }
 
   private def hasVowel(pat: String): Boolean = pat.indexOf('v') >= 0
+  // last-two-letters equality compares CODE POINTS (the oracle's
+  // right(w,1)/substr compare characters): charAt on a word ending in
+  // identical supplementary letters would compare surrogate halves
   private def endsDoubleC(w: String, pat: String): Boolean =
-    w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
-      pat.endsWith("cc")
+    pat.endsWith("cc") && w.codePointCount(0, w.length) >= 2 && {
+      val last = w.offsetByCodePoints(w.length, -1)
+      val prev = w.offsetByCodePoints(w.length, -2)
+      w.codePointAt(prev) == w.codePointAt(last)
+    }
   private def endsCvc(w: String, pat: String): Boolean =
     w.length >= 3 && pat.endsWith("cvc") && {
       val c = w.charAt(w.length - 1); c != 'w' && c != 'x' && c != 'y'
@@ -95,7 +107,9 @@ object Porter {
     * just flows through the per-char classifier (digits are
     * consonants), so any WordFold token is safe. */
   def stem(word: String): String = {
-    if (word == null || word.length <= 2) return word
+    // code-point count, like the oracle's len(t) <= 2 guard: "𝐚s" is
+    // two characters to DuckDB and must be two characters here
+    if (word == null || word.codePointCount(0, word.length) <= 2) return word
     var w = word
     def pat = cv(w) // recomputed per use; words are short
 

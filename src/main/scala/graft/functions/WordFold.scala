@@ -13,17 +13,25 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The cts word-query normalization fold — the `diacritic-insensitive,
   * punctuation-insensitive` members of the reference's default word
   * option list (`pipeline/storage/marklogic/cts.py:2`): NFD-decompose
-  * and drop combining marks, then drop every char that is not a
-  * letter, digit, or whitespace (whitespace survives so a whole FIELD
-  * can be folded before tokenization without merging across token
-  * boundaries). Applied to both the query term and the indexed tokens
-  * on the token-level match paths (wildcard, stemmed), so
-  * "Naïve-Bayes" and "naive bayes" meet at the same folded tokens.
+  * and drop combining marks, then replace every char that is not a
+  * letter, digit, or whitespace with a SPACE — punctuation is a TOKEN
+  * BREAK, exactly like the cts tokenizer (which splits words at
+  * punctuation before applying punctuation-insensitive matching), not
+  * a fused-out character. So "Naïve-Bayes" folds to the tokens
+  * [naive, bayes] and word-query "naive" (and phrase "naive bayes")
+  * match the hyphenated text, as they do in the reference. (The
+  * round-12 fold DELETED punctuation, fusing "naivebayes" into one
+  * token — a documented-closed-but-actually-open deviation the
+  * round-13 advice caught.) Applied to both the query term and the
+  * indexed tokens on every token-level match path.
   *
-  * DuckDB twin (oracle side):
-  * `regexp_replace(strip_accents(x), '[^\pL\pN\s]', '', 'g')` — both
-  * folds are NFD-based and agree on the Latin ranges the data carries.
-  * Codegen: one static JVM call per row (the UriCanon shape). */
+  * DuckDB twin (oracle side): drop marks, then space the rest —
+  * `regexp_replace(regexp_replace(strip_accents(x), '\pM', '', 'g'),
+  * '[^\pL\pN\s]', ' ', 'g')`. The explicit mark-deletion pass mirrors
+  * the JVM rule that a combining mark vanishes (diacritic fold) rather
+  * than becoming a token break; both folds are NFD-based and agree on
+  * the Latin ranges the data carries. Codegen: one static JVM call per
+  * row (the UriCanon shape). */
 object WordFold {
   def fold(s: String): String = {
     if (s == null) return null
@@ -36,9 +44,11 @@ object WordFold {
     // an engine/oracle divergence for any non-BMP text
     while (i < nfd.length) {
       val cp = nfd.codePointAt(i)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK &&
-          (Character.isLetterOrDigit(cp) || Character.isWhitespace(cp)))
-        b.appendCodePoint(cp)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) {
+        if (Character.isLetterOrDigit(cp) || Character.isWhitespace(cp))
+          b.appendCodePoint(cp)
+        else b.append(' ') // punctuation = token break (see scaladoc)
+      }
       i += Character.charCount(cp)
     }
     b.toString
@@ -52,9 +62,11 @@ object WordFold {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_fold", args => WordFoldExpr(args.head), "built-in")
 
-  /** The oracle-side twin of [[fold]]. */
+  /** The oracle-side twin of [[fold]]: marks vanish, punctuation
+    * becomes a space (token break). */
   def foldSql(x: String): String =
-    s"regexp_replace(strip_accents($x), '[^\\pL\\pN\\s]', '', 'g')"
+    s"regexp_replace(regexp_replace(strip_accents($x), '\\pM', '', 'g')," +
+      " '[^\\pL\\pN\\s]', ' ', 'g')"
 }
 
 /** Native codegen'd expression: one static call per row. */

@@ -122,9 +122,14 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
         // one-pass form. Each token is visited once; an empty/null field
         // simply yields no positions. Tokenized leaf semantics: a token
         // counts when it EQUALS the folded word (cts.py:2 word query).
+        // foldedWords(w).head, NOT raw fold(w): the leaves are gated on
+        // isSingleWord, and foldedWords is THE shared derivation — raw
+        // fold keeps leading/trailing whitespace (reachable via quoted /
+        // JSON terms), which would silently zero out proximity while the
+        // leaf's own membership predicate still matched
         def pos(w: String) = filter(
           transform(t, (tok, i) =>
-            when(tok === lit(graft.functions.WordFold.fold(w.toLowerCase)),
+            when(tok === lit(LuxCompiler.foldedWords(w).head),
               i + 1).otherwise(-1)),
           x => x > 0)
         // cheap substring pre-gate first (token equality implies the
@@ -136,8 +141,7 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
         // O(tokens²)·O(split) over the whole corpus (measured 140 s →
         // 2 s at the 2M-entity stress scale)
         val present = ws.map(w =>
-          instr(fieldFolded,
-            graft.functions.WordFold.fold(w._2.toLowerCase)) > 0)
+          instr(fieldFolded, LuxCompiler.foldedWords(w._2).head) > 0)
           .reduce(_ && _)
         val prox = ws.map(_._2).combinations(2).map { case Seq(a, b) =>
           val (pa, pb) = (pos(a), pos(b))
@@ -277,10 +281,11 @@ final class LuxCompiler(entities: DataFrame, triples: DataFrame,
         if f == "name" && catalog.fields(f) && !catalog.exactFields(f) &&
           !LuxCompiler.isWildcard(s) && LuxCompiler.isSingleWord(s) =>
       // the scorer counts tf over the FOLDED token index, so the term
-      // takes the same fold (tokenized word semantics end to end);
-      // multi-word terms opt into the flat-boost fallback — per-token
-      // tf of a phrase is undefined in the q10 scorer
-      Seq(graft.functions.WordFold.fold(s.toLowerCase))
+      // takes the same foldedWords derivation the predicate uses (the
+      // isSingleWord guard above makes .head total); multi-word terms
+      // opt into the flat-boost fallback — per-token tf of a phrase is
+      // undefined in the q10 scorer
+      Seq(LuxCompiler.foldedWords(s).head)
     case Bool(op, kids) if op == "AND" || op == "OR" =>
       val sub = kids.map(boostTerms)
       if (sub.forall(_.nonEmpty)) sub.flatten.distinct else Seq.empty
@@ -367,11 +372,17 @@ object LuxCompiler {
   }
 
   /** Fold a wildcarded term's literal chars through WordFold while
-    * keeping the wildcard metachars themselves. */
+    * keeping the wildcard metachars themselves. Whitespace produced by
+    * the fold (punctuation is a token break since round 13, and literal
+    * spaces were always possible) is DROPPED rather than kept: the glob
+    * matches single whole tokens, which never contain whitespace, so a
+    * space in the pattern could only ever match nothing — dropping it
+    * keeps e.g. "nation_*" useful (glob "nation*" over the split
+    * tokens). Multi-token wildcard phrases are not supported. */
   def foldWildTerm(w: String): String =
     w.flatMap(c =>
       if (c == '*' || c == '?') c.toString
-      else graft.functions.WordFold.fold(c.toString))
+      else graft.functions.WordFold.fold(c.toString).filterNot(_.isWhitespace))
 
   /** Word-leaf predicate over a text field — the cts word-query default
     * option list (cts.py:2: case-insensitive, diacritic-insensitive,

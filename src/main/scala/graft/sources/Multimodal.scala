@@ -54,9 +54,11 @@ object Multimodal {
   /** Aspect-preserving fit of (w, h) into a target×target box —
     * integer geometry, never below 1 px a side. */
   def fitBox(target: Int, w: Int, h: Int): (Int, Int) =
+    // Long products: dim * target wraps Int for a valid-but-extreme
+    // dimension (e.g. 10M×1 at target 256); results fit Int (≤ target)
     if (w <= 0 || h <= 0) (0, 0)
-    else if (w >= h) (target, math.max(1, h * target / w))
-    else (math.max(1, w * target / h), target)
+    else if (w >= h) (target, math.max(1, (h.toLong * target / w).toInt))
+    else (math.max(1, (w.toLong * target / h).toInt), target)
 
   /** REAL integer box-filter resample (downscale): destination pixel
     * (x, y) is the floor-average of the source box
@@ -71,8 +73,11 @@ object Multimodal {
     require(gray.length == w * h, s"expected ${w * h} px, got ${gray.length}")
     Array.tabulate(tw * th) { idx =>
       val x = idx % tw; val y = idx / tw
-      val x0 = x * w / tw; val x1 = (x + 1) * w / tw
-      val y0 = y * h / th; val y1 = (y + 1) * h / th
+      // Long products: (x+1)*w wraps Int for a valid extreme image
+      // (10M×1 at target 256 → 2.56G), making the box empty and s/n
+      // throw — the bounds themselves always fit Int (≤ w, ≤ h)
+      val x0 = (x.toLong * w / tw).toInt; val x1 = ((x + 1).toLong * w / tw).toInt
+      val y0 = (y.toLong * h / th).toInt; val y1 = ((y + 1).toLong * h / th).toInt
       // Long sum: a legitimate huge box (e.g. 36000x8000 -> 8x2 leaves
       // 18M px/box) overflows an Int accumulator at mean luma ~120,
       // silently emitting negative pixels while the BIGINT oracle

@@ -182,9 +182,11 @@ class LuxParserSpec extends AnyFunSuite {
     import graft.plans.LuxCompiler
     val spark = TestSpark.spark
     import spark.implicits._
-    // fold unit behavior: NFD accent strip + punct drop, whitespace kept
-    assert(graft.functions.WordFold.fold("Naïve-Bayes") === "NaiveBayes")
-    assert(graft.functions.WordFold.fold("café au lait!") === "cafe au lait")
+    // fold unit behavior: NFD accent strip; punctuation is a TOKEN
+    // BREAK (folds to a space — the cts tokenizer splits words at
+    // punctuation), whitespace kept
+    assert(graft.functions.WordFold.fold("Naïve-Bayes") === "Naive Bayes")
+    assert(graft.functions.WordFold.fold("café au lait!") === "cafe au lait ")
     assert(LuxCompiler.foldWildTerm("naïve*") === "naive*")
     // the fixture carries no accents/punct in word fields, so the fold
     // is exercised against literal entities here
@@ -196,26 +198,29 @@ class LuxParserSpec extends AnyFunSuite {
     val t = Seq.empty[(String, String, String)]
       .toDF("subject", "predicate", "object")
     val c = new LuxCompiler(e, t)
-    // "Naïve-Bayes" folds to one token "naivebayes"; "naive*" matches
-    // both it and x2's exact "naive" token
+    // "Naïve-Bayes" tokenizes at the hyphen to [naive, bayes] (the
+    // reference's punctuation-sensitive tokenization); "naive*" matches
+    // x1's first token and x2's exact "naive" token
     val wild = c.compile("""AND(etype="part", name="naive*")""")
       .collect().map(_.getString(0)).toSet
     assert(wild === Set("x1", "x2"))
     // stemmed equality is on the folded token: "bayes" stems to "bay",
-    // matching x2's token but not x1's fused "naivebayes"
+    // matching the "bayes" token both x1 (split at the hyphen) and x2
+    // carry
     val stemmed = c.compileJson(
       """{"AND": [{"etype": "part"}, {"name": "bayes", "_stemmed": true}]}""")
       .collect().map(_.getString(0)).toSet
-    assert(stemmed === Set("x2"))
-    // PLAIN terms fold too (tokenized default): "Naïve-Bayes" is one
-    // folded token "naivebayes", so the punctuated query term matches
-    // x1 exactly, and bare "naive" matches only x2's whole token
+    assert(stemmed === Set("x1", "x2"))
+    // PLAIN terms fold too (tokenized default): "Naïve-Bayes" folds to
+    // the PHRASE [naive, bayes], matching both the hyphenated x1 and
+    // the spaced x2 — the reference behavior the round-12 fused fold
+    // missed; bare "naive" now matches both as a single token
     val plainFused = c.compile("""AND(etype="part", name="Naïve-Bayes")""")
       .collect().map(_.getString(0)).toSet
-    assert(plainFused === Set("x1"))
+    assert(plainFused === Set("x1", "x2"))
     val plainNaive = c.compile("""AND(etype="part", name="naive")""")
       .collect().map(_.getString(0)).toSet
-    assert(plainNaive === Set("x2"))
+    assert(plainNaive === Set("x1", "x2"))
   }
 
   test("multi-word plain terms are PHRASES over consecutive folded tokens") {
@@ -226,15 +231,18 @@ class LuxParserSpec extends AnyFunSuite {
       ("x1", "part", "merge scan runs nightly", 0L),
       ("x2", "part", "scan merge", 0L),          // words present, wrong order
       ("x3", "part", "merge the scan", 0L),      // words present, not adjacent
-      ("x4", "part", "big Merge-Scan rig", 0L),  // folds to one token: no match
+      ("x4", "part", "big Merge-Scan rig", 0L),  // hyphen = token break: matches
       ("x5", "part", "fast merge scans daily", 0L)) // 2nd word differs
       .toDF("id", "etype", "name", "num")
     val t = Seq.empty[(String, String, String)]
       .toDF("subject", "predicate", "object")
     val c = new LuxCompiler(e, t)
+    // x4 matches too since round 13: "Merge-Scan" tokenizes at the
+    // hyphen to the adjacent tokens [merge, scan], exactly like the
+    // reference's punctuation-splitting tokenizer
     val phrase = c.compile("""AND(etype="part", name="merge scan")""")
       .collect().map(_.getString(0)).toSet
-    assert(phrase === Set("x1"))
+    assert(phrase === Set("x1", "x4"))
     // three-word phrase; and the stemmed phrase matches per-word stems
     // consecutively ("merge scans" stems to merg|scan like "merged scan")
     assert(c.compile("""AND(etype="part", name="merge the scan")""")
@@ -242,11 +250,11 @@ class LuxParserSpec extends AnyFunSuite {
     val stemmedPhrase = c.compileJson(
       """{"AND": [{"etype": "part"}, {"name": "merged scanning", "_stemmed": true}]}""")
       .collect().map(_.getString(0)).toSet
-    assert(stemmedPhrase === Set("x1", "x5"))
+    assert(stemmedPhrase === Set("x1", "x4", "x5"))
     // multi-word terms contribute membership but not NEAR proximity,
     // and opt the BOOST scorer into the flat fallback
     assert(!LuxCompiler.isSingleWord("merge scan"))
-    assert(LuxCompiler.isSingleWord("Merge-Scan")) // folds to one token
+    assert(!LuxCompiler.isSingleWord("Merge-Scan")) // hyphen splits: 2 tokens
   }
 
   test("catalog * template expansion (ml_lexer.py:274-298)") {
