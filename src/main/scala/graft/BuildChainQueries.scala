@@ -353,13 +353,16 @@ object BuildChainQueries extends QueryGroup {
     concat(lower(col("p_name")), lit("#"),
       (col("p_partkey") % 397).cast("string"))
 
-  def laIncrementalUpdate(spark: SparkSession, dir: String): DataFrame = {
+  /** The delta-driven incremental reconcile+merge body shared by
+    * la_incremental_update (delta = a plain corpus slice) and
+    * la_daily_run (delta = the day's AS harvest): delta probes
+    * yesterday's name index, only touched components re-cluster and
+    * re-fold, untouched cluster outputs carry forward verbatim. Cost ∝
+    * delta, never ∝ corpus — see laIncrementalUpdate's scale notes. */
+  private def incrementalMerge(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame = {
     import spark.implicits._
-    val delta = Tables.load(spark, dir, "part")
-      .select($"p_partkey".cast("long").as("pk"), incKey.as("nm"))
-      .filter($"pk" % 10 === 0)
     val (baseIdx, baseLab, day0Out) = day0State(spark, dir)
-    def fold(lab: DataFrame): DataFrame = incFold(lab)
 
     // ── the update: delta probes the index; only touched components move
     val probe = delta.join(baseIdx, Seq("nm"), "left")
@@ -376,9 +379,17 @@ object BuildChainQueries extends QueryGroup {
     val reIdx = touched.groupBy($"nm").agg(min($"pk").as("m"))
     val touchedLab = touched.join(reIdx, "nm")
       .select($"pk", $"m".as("yuid"))
-    val recomputed = fold(touchedLab)
+    val recomputed = incFold(touchedLab)
     val carried = day0Out.join(broadcast(touchedLabels), Seq("yuid"), "left_anti")
     carried.union(recomputed)
+  }
+
+  def laIncrementalUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delta = Tables.load(spark, dir, "part")
+      .select($"p_partkey".cast("long").as("pk"), incKey.as("nm"))
+      .filter($"pk" % 10 === 0)
+    incrementalMerge(spark, dir, delta)
   }
   /** Full rebuild over base ∪ delta: name groups keyed by min pk. The
     * Spark side never computes this directly — equality is the
@@ -393,10 +404,157 @@ object BuildChainQueries extends QueryGroup {
       |  string_agg('p' || pk, ',' ORDER BY pk) AS idents_csv
       |FROM g GROUP BY yuid""".stripMargin
 
+  // ──────────────────────────────────────────────────────────────────
+  // la_daily_run — the WHOLE daily production lifecycle as one lineage
+  // (`run-all.sh:32-56`: harvest → acquire/map → reconcile/merge →
+  // export → publish), the only reference behavior the per-stage
+  // queries prove separately but never demonstrated composed:
+  //   1. HARVEST: the S6 AS walk (AsStream.crawl — newest-first page
+  //      walk, change-type normalization, newest-occurrence dedup,
+  //      delete shadowing, last_harvest stream stop);
+  //   2. ACQUIRE/MAP: harvested non-delete idents semi-join the source
+  //      table (the S9 cache-through acquirer shape — a phantom
+  //      announcement acquires nothing) and map to (pk, name-key);
+  //   3. RECONCILE+MERGE: the la_incremental_update body — cost ∝
+  //      delta, untouched clusters carry forward verbatim;
+  //   4. PUBLISH: the day's full table state written as data files and
+  //      committed through TableCommit (S23) — the VERSION ADVANCE IS
+  //      THE COMMIT, exactly once per run (v_advance pins it), and the
+  //      query's own output is read back FROM the published manifest,
+  //      so a hash match certifies what a downstream reader of the
+  //      committed table actually sees.
+  // The oracle replays a FULL rebuild over base ∪ admitted-delta (the
+  // u1 proof pattern): harvest semantics reduce to closed-form
+  // predicates because the feed's endTimes are monotone in pk —
+  // admitted = pk%10=0 ∧ pk>40 (last_harvest cut) ∧ pk%40≠0 (the
+  // same-day delete shadows its earlier update).
+  //
+  // Scale: the feed walk is sequential driver I/O (link-following, as
+  // in the reference); everything after is the incremental path's
+  // delta-shaped plan. The publish writes only the day's table state
+  // and one tiny manifest — at 100 TB the commit is a conditional
+  // metadata put, never a data shuffle.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Published-table dirs, one per (application, sf-dir): day-0 output
+    * committed as v1 exactly once; each la_daily_run invocation then
+    * advances the version by one. */
+  private val dailyTables =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def listParquet(p: String): Seq[String] =
+    Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq.sorted
+
+  private def dailyTable(spark: SparkSession, dir: String,
+      day0Out: DataFrame): String = synchronized {
+    dailyTables.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = java.nio.file.Files.createTempDirectory("graft_daily_")
+        .toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(table))
+      }))
+      val p = s"$table/data/day0"
+      day0Out.write.mode("overwrite").parquet(p)
+      val (m1, _) = sources.TableCommit.commit(table)(_ => listParquet(p))
+      require(m1.version == 1L, s"day-0 publish must be v1, got ${m1.version}")
+      table
+    })
+  }
+
+  def laDailyRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import sources.AsStream
+
+    // ── stage 1: harvest. The feed announces one change per delta part
+    // (pk%10=0, endTime monotone in pk), with a SAME-DAY DELETE for
+    // pk%40=0 parts (newer than its update → the newest-occurrence
+    // dedup shadows the update and emits the delete); change types
+    // cycle through update/create/Move/bogus (normalization: Move →
+    // move, bogus → update); schemes alternate so the http/https smush
+    // runs; last_harvest E…082 stops the newest-first walk at pk ≤ 40.
+    val ns = "http://ex.org/data/"
+    val maxPk = Tables.load(spark, dir, "part")
+      .agg(max($"p_partkey").cast("long")).head().getLong(0)
+    def stamp(t: Long) = f"E$t%09d"
+    val kinds = Vector("update", "create", "Move", "bogus")
+    val items = (10L to maxPk by 10L).flatMap { pk =>
+      val scheme = if (pk % 20 == 0) "https://" else "http://"
+      val upd = AsStream.AsItem(kinds(((pk / 10) % 4).toInt),
+        s"${scheme}ex.org/data/r$pk", stamp(2 * pk))
+      if (pk % 40 == 0)
+        Seq(upd, AsStream.AsItem("delete", s"${scheme}ex.org/data/r$pk",
+          stamp(2 * pk + 1)))
+      else Seq(upd)
+    }.sortBy(_.endTime) // stream order: oldest → newest
+    val pages = items.grouped(80).toVector
+    val src = new AsStream.PageSource {
+      def lastPage: Option[String] =
+        if (pages.isEmpty) None else Some((pages.size - 1).toString)
+      def page(id: String): (Seq[AsStream.AsItem], Option[String]) = {
+        val i = id.toInt
+        (pages(i), if (i > 0) Some((i - 1).toString) else None)
+      }
+    }
+    val harvested = sources.Pmh.toDataset(spark,
+        AsStream.crawl(src, ns, stamp(82))
+          .map(h => sources.Pmh.Harvested(h.change, h.ident, h.datestamp)))
+      .toDF("change", "ident", "datestamp")
+
+    // ── stage 2: acquire + map. Deletes drop out (their records are
+    // not in the day-0 corpus, so removal is a no-op on the table
+    // state); the semi-join against the source table is the acquirer —
+    // an announced ident with no record acquires nothing.
+    val admitted = harvested.filter($"change" =!= "delete")
+      .select(substring($"ident", 2, 18).cast("long").as("pk"))
+    val delta = Tables.load(spark, dir, "part")
+      .join(broadcast(admitted),
+        $"p_partkey".cast("long") === $"pk", "left_semi")
+      .select($"p_partkey".cast("long").as("pk"), incKey.as("nm"))
+
+    // ── stage 3: incremental reconcile + merge (the u1-proof body)
+    val out = incrementalMerge(spark, dir, delta)
+
+    // ── stage 4: publish through TableCommit — version advances
+    // exactly once; the result is read back FROM the manifest.
+    val (_, _, day0Out) = day0State(spark, dir)
+    val table = dailyTable(spark, dir, day0Out)
+    val runDir = s"$table/data/run-${java.util.UUID.randomUUID()}"
+    out.write.mode("overwrite").parquet(runDir)
+    val base = sources.TableCommit.readManifest(table)
+    // REPLACE commit: the daily output is the complete new table state
+    // (prior versions stay readable — the u4 compaction story)
+    val (pub, _) = sources.TableCommit.commit(table)(_ => listParquet(runDir))
+    spark.read.parquet(pub.files: _*)
+      .withColumn("v_advance", lit(pub.version - base.version))
+  }
+
+  /** Full rebuild over base ∪ admitted-delta (see the la_daily_run
+    * header for why the harvest reduces to these predicates); the
+    * published version must advance by exactly one. */
+  private val laDailyRunOracle: String =
+    """WITH adm AS (
+      |  SELECT p_partkey AS pk,
+      |    lower(p_name) || '#' || (p_partkey % 397) AS nm
+      |  FROM part
+      |  WHERE p_partkey % 10 <> 0
+      |     OR (p_partkey > 40 AND p_partkey % 40 <> 0)),
+      |g AS (SELECT pk, MIN(pk) OVER (PARTITION BY nm) AS yuid FROM adm)
+      |SELECT yuid, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  string_agg('p' || pk, ',' ORDER BY pk) AS idents_csv,
+      |  CAST(1 AS BIGINT) AS v_advance
+      |FROM g GROUP BY yuid""".stripMargin
+
   def register(): Unit = {
     Queries.register(QueryDef("la_build_pipeline", laBuildPipeline,
       Some(laBuildPipelineOracle), bench = true))
     Queries.register(QueryDef("la_incremental_update", laIncrementalUpdate,
       Some(laIncrementalUpdateOracle), bench = true))
+    Queries.register(QueryDef("la_daily_run", laDailyRun,
+      Some(laDailyRunOracle), bench = true))
   }
 }

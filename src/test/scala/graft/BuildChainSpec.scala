@@ -74,4 +74,33 @@ class BuildChainSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window exec in plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"touched-label set not broadcast:\n$p")
   }
+
+  test("daily run: version advances exactly once per replay, idempotent state") {
+    import spark.implicits._
+    def run() = Queries.queries("la_daily_run")(spark, TestSpark.sf)
+      .select($"yuid", $"n_members", $"idents_csv", $"v_advance")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val first = run()
+    val second = run() // a second daily replay of the same feed
+    // each replay commits exactly one new manifest version...
+    assert(first.forall(_._4 == 1L), "first run must advance the version by 1")
+    assert(second.forall(_._4 == 1L), "replay must advance the version by 1")
+    // ...and publishes the identical table state (the feed is the same)
+    assert(first == second, "replayed daily run diverged from the first")
+  }
+
+  test("daily run: delete shadowing and last_harvest cut reach the table") {
+    import spark.implicits._
+    val idents = Queries.queries("la_daily_run")(spark, TestSpark.sf)
+      .select($"idents_csv").as[String].collect()
+      .flatMap(_.split(",")).map(_.stripPrefix("p").toLong)
+    val delta = idents.filter(_ % 10 == 0)
+    assert(delta.nonEmpty, "no harvested delta part reached the published table")
+    // the same-day delete (pk % 40 == 0) shadows its update: never admitted
+    assert(!delta.exists(_ % 40 == 0), "a deleted ident leaked into the table")
+    // the last_harvest stream stop cuts everything at pk <= 40
+    assert(!delta.exists(_ <= 40), "an older-than-last_harvest item was admitted")
+    // non-delete, non-cut delta parts all arrived
+    assert(delta.exists(pk => pk > 40 && pk % 40 != 0))
+  }
 }
