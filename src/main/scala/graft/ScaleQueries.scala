@@ -465,9 +465,131 @@ object ScaleQueries extends QueryGroup {
       "SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier")}""".stripMargin
   }
 
+  /** The s21 estimator CONSUMED: JoinPlanner sketches each pair, picks
+    * broadcast / shuffle / salt, and EXECUTES the pick — one pair per
+    * strategy branch, so the whole decision surface is registry-visible
+    * (RegistryPlanAuditSpec audits the resulting physical plans):
+    *   - uniform_li_part: fact⋈dim on a uniform dense key — dim exceeds
+    *     the broadcast budget, no skew → SHUFFLE (hinted shuffle-hash);
+    *   - small_dim_bcast: customer⋈nation — 25-row build side →
+    *     BROADCAST;
+    *   - hot_key_salt: 90% of probe rows on one key against a 100-row
+    *     dim over the budget → SALT, r sized from the sketch bounds.
+    * The oracle replays the DECISION bit-exactly (same CMS rows, same
+    * integer thresholds — the j16b CASE arithmetic) AND the executed
+    * join's aggregate, so a wrong strategy OR a wrong result fails the
+    * hash. broadcastMaxRows=64 is the fixture-scaled deployment budget
+    * (needs dim(100) > budget ≥ nation(25) at every sf; see
+    * JoinPlanner.Config). Decisions are sf-stable by construction:
+    * nation is always 25 rows, the hot dim always 100, and the
+    * uniform pair's sketch share sits two orders from the 20%
+    * threshold. */
+  def plannedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import operators.JoinPlanner
+    val cfg = JoinPlanner.Config(broadcastMaxRows = 64L)
+    def pair(name: String, l: DataFrame, r: DataFrame): DataFrame = {
+      val (j, s, e) = JoinPlanner.planJoin(l, r, cfg)
+      j.agg(count(lit(1)).as("n_out"),
+          coalesce(sum($"cents"), lit(0L)).as("cents_sum"))
+        .select(lit(name).as("join_name"), lit(s.name).as("strategy"),
+          lit(s.saltR.toLong).as("salt_r"), lit(e.nLeft).as("n_left"),
+          lit(e.nRight).as("n_right"), lit(e.estRows).as("est_rows"),
+          lit(e.hotOut).as("hot_out"), $"n_out", $"cents_sum")
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val cents = round($"l_extendedprice" * 100).cast("long").as("cents")
+    val liPart = li.select($"l_partkey".cast("long").as("k"), cents)
+    val part = Tables.load(spark, dir, "part")
+      .select($"p_partkey".cast("long").as("k"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_nationkey".cast("long").as("k"),
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select($"n_nationkey".cast("long").as("k"))
+    // 90% of probe mass on key 0; the dim is the dense 0..99 key space
+    // (p_partkey is dense from 1, so every residue exists at any sf)
+    val hotLeft = li.select(
+      when(pmod($"l_orderkey", lit(10)) < 9, lit(0L))
+        .otherwise(pmod($"l_orderkey", lit(100)).cast("long")).as("k"), cents)
+    val dim = Tables.load(spark, dir, "part")
+      .groupBy(pmod($"p_partkey", lit(100)).cast("long").as("k"))
+      .agg(count(lit(1)).as("dim_cnt")) // payload; unused by the probe agg
+      .drop("dim_cnt")
+    pair("uniform_li_part", liPart, part)
+      .union(pair("small_dim_bcast", cust, nat))
+      .union(pair("hot_key_salt", hotLeft, dim))
+  }
+
+  private val plannedJoinOracle: String = {
+    import TextQueries.{CmsD, CmsW, HashP}
+    val consts = (0 until CmsD).map(j =>
+      s"($j, ${functions.VecMath.aj(64 + j)}, ${functions.VecMath.bj(64 + j)})")
+      .mkString(", ")
+    // one pair: exact counts, CMS est/hot (the engine's exact
+    // arithmetic), the decision CASE (JoinPlanner.choose, integer
+    // milli-thresholds), and the executed join's aggregate
+    def one(name: String, lsql: String, rsql: String): String =
+      s"""SELECT '$name' AS join_name, strategy, salt_r, n_left, n_right,
+         |  est_rows, hot_out,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($lsql) l
+         |     JOIN ($rsql) r USING (k)) AS n_out,
+         |  (SELECT CAST(COALESCE(SUM(l.cents), 0) AS BIGINT) FROM ($lsql) l
+         |     JOIN ($rsql) r USING (k)) AS cents_sum
+         |FROM (
+         |  SELECT n_left, n_right, est_rows, hot_out,
+         |    CASE WHEN LEAST(n_left, n_right) <= 64 THEN 'broadcast'
+         |         WHEN est_rows > 0 AND hot_out * 1000 >= 200 * est_rows
+         |           THEN 'salt'
+         |         ELSE 'shuffle' END AS strategy,
+         |    CASE WHEN LEAST(n_left, n_right) <= 64 THEN 1
+         |         WHEN est_rows > 0 AND hot_out * 1000 >= 200 * est_rows
+         |           THEN GREATEST(2, LEAST(32,
+         |             (hot_out * 32 + est_rows - 1) // est_rows))
+         |         ELSE 1 END AS salt_r
+         |  FROM (
+         |    SELECT
+         |      (SELECT CAST(COUNT(*) AS BIGINT) FROM ($lsql)) AS n_left,
+         |      (SELECT CAST(COUNT(*) AS BIGINT) FROM ($rsql)) AS n_right,
+         |      (SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) FROM (
+         |        SELECT l.j, SUM(l.n * r.n) AS ip
+         |        FROM (SELECT j, ((a*(k % $HashP) + b) % $HashP) % $CmsW AS bucket,
+         |                COUNT(*) AS n FROM ($lsql), consts GROUP BY 1, 2) l
+         |        JOIN (SELECT j, ((a*(k % $HashP) + b) % $HashP) % $CmsW AS bucket,
+         |                COUNT(*) AS n FROM ($rsql), consts GROUP BY 1, 2) r
+         |          ON l.j = r.j AND l.bucket = r.bucket
+         |        GROUP BY l.j)) AS est_rows,
+         |      (SELECT CAST(COALESCE(MIN(mx), 0) AS BIGINT) FROM (
+         |        SELECT l.j, MAX(l.n * r.n) AS mx
+         |        FROM (SELECT j, ((a*(k % $HashP) + b) % $HashP) % $CmsW AS bucket,
+         |                COUNT(*) AS n FROM ($lsql), consts GROUP BY 1, 2) l
+         |        JOIN (SELECT j, ((a*(k % $HashP) + b) % $HashP) % $CmsW AS bucket,
+         |                COUNT(*) AS n FROM ($rsql), consts GROUP BY 1, 2) r
+         |          ON l.j = r.j AND l.bucket = r.bucket
+         |        GROUP BY l.j)) AS hot_out))""".stripMargin
+    val liPartL = "SELECT CAST(l_partkey AS BIGINT) AS k, " +
+      "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem"
+    val partR = "SELECT CAST(p_partkey AS BIGINT) AS k FROM part"
+    val custL = "SELECT CAST(c_nationkey AS BIGINT) AS k, " +
+      "CAST(ROUND(c_acctbal*100) AS BIGINT) AS cents FROM customer"
+    val natR = "SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation"
+    val hotL = "SELECT CAST(CASE WHEN l_orderkey % 10 < 9 THEN 0 " +
+      "ELSE l_orderkey % 100 END AS BIGINT) AS k, " +
+      "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem"
+    val dimR = "SELECT CAST(p_partkey % 100 AS BIGINT) AS k FROM part GROUP BY 1"
+    s"""WITH consts(j, a, b) AS (SELECT * FROM (VALUES $consts))
+       |${one("uniform_li_part", liPartL, partR)}
+       |UNION ALL
+       |${one("small_dim_bcast", custL, natR)}
+       |UNION ALL
+       |${one("hot_key_salt", hotL, dimR)}""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("s21_join_size_estimate", joinSizeEstimate,
       Some(joinSizeEstimateOracle)))
+    Queries.register(QueryDef("j16b_planned_join", plannedJoin,
+      Some(plannedJoinOracle)))
     Queries.register(QueryDef("s15_bucketed_join", bucketedJoin, Some(bucketedJoinOracle), bench = true))
     Queries.register(QueryDef("s16_compaction_plan", compactionPlan, Some(compactionOracle)))
     Queries.register(QueryDef("j18_sorted_neighborhood", sortedNeighborhood, Some(snmOracle)))
