@@ -58,10 +58,15 @@ class DegenerateDocsSpec extends AnyFunSuite {
     "d20_quality_canonical",
     "q5_word_query", "q10_bm25", "q12_near_pos", "q13_phrase_query",
     // the LuxQL family: documents enter its record substrate as full-text
-    // word sources, so the compiled leaves must survive degenerate docs
+    // word sources, so the compiled leaves must survive degenerate docs —
+    // including the newest positional/stemming machinery: the NULL-text
+    // doc becomes a NULL-name entity (NULL folded field, empty token
+    // array) against the phrase regex (q12), the per-position Porter
+    // stem chain (q13), and the suffix-matrix differential (q11)
     "lux_q1_hop_range", "lux_q2_or_word", "lux_q3_andnot", "lux_q4_near",
     "lux_q5_facet", "lux_q6_json", "lux_q7_id", "lux_q8_wildcard",
-    "lux_q9_boost", "lux_q10_stemmed",
+    "lux_q9_boost", "lux_q10_stemmed", "lux_q11_porter_diff",
+    "lux_q12_phrase", "lux_q13_stem_phrase",
     "q9_similar_docs", "q9b_similar_full", "q11_hybrid")
 
   test("the text/dedup battery survives degenerate documents") {

@@ -12,6 +12,17 @@ Reports, in order of severity:
   * the ten largest absolute second deltas (informational).
 Exit code 1 iff a status regression or a ratio jump is found, so the
 round driver can gate on it.
+
+ADJUDICATIONS: a flag investigated and accepted (isolated re-run shows
+recording variance, a documented contract, etc.) is recorded in the NEW
+artifact's top-level "adjudications" object:
+    "adjudications": {"d5_embedding_neardup": {
+        "kind": "ratio", "verdict": "isolated re-run 1.9s, recording
+        variance (r12 adjudication)"}}
+A flag whose key+kind is adjudicated is printed under "adjudicated
+(suppressed)" and does NOT set the exit code — verdicts travel with the
+artifact of record, so an already-adjudicated flag never re-fires in a
+later round's gate. kind is "ratio" or "status".
 """
 import json, sys
 
@@ -19,7 +30,7 @@ import json, sys
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    return d["queries"]
+    return d["queries"], d.get("adjudications", {})
 
 
 def main():
@@ -41,11 +52,18 @@ def main():
     if len(args) != 2:
         print(__doc__)
         return 2
-    old, new = load(args[0]), load(args[1])
+    (old, _), (new, adjudications) = load(args[0]), load(args[1])
+
+    def adjudicated(key, kind):
+        a = adjudications.get(key)
+        return a is not None and a.get("kind") == kind
 
     bad = False
-    regressed = [k for k in old.keys() & new.keys()
-                 if old[k]["status"] == "ok" and new[k]["status"] != "ok"]
+    suppressed = []
+    regressed, reg_adj = [], []
+    for k in old.keys() & new.keys():
+        if old[k]["status"] == "ok" and new[k]["status"] != "ok":
+            (reg_adj if adjudicated(k, "status") else regressed).append(k)
     recovered = [k for k in old.keys() & new.keys()
                  if old[k]["status"] != "ok" and new[k]["status"] == "ok"]
     if regressed:
@@ -55,21 +73,31 @@ def main():
         for k in sorted(regressed):
             print("  %-30s %7.1fs -> %7.1fs %s" % (
                 k, old[k]["secs"], new[k]["secs"], new[k]["status"]))
+    suppressed += [(k, "status") for k in reg_adj]
     if recovered:
         print("recovered (non-ok -> ok): " + ", ".join(sorted(recovered)))
 
-    jumps = []
+    jumps, jump_adj = [], []
     for k in old.keys() & new.keys():
         ro, rn = old[k].get("ratio"), new[k].get("ratio")
         if new[k]["status"] != "ok":
             continue  # a timeout's secs are capped, so its ratio is floor-noise
         if ro and rn and ro > 0 and rn / ro > jump and rn > 10:
-            jumps.append((rn / ro, k, ro, rn))
+            if adjudicated(k, "ratio"):
+                jump_adj.append(k)
+            else:
+                jumps.append((rn / ro, k, ro, rn))
     if jumps:
         bad = True
         print("SUPER-LINEAR RATIO JUMPS (> %.2fx growth, new ratio > 10):" % jump)
         for g, k, ro, rn in sorted(jumps, reverse=True):
             print("  %-30s ratio %6.1f -> %6.1f  (%.2fx)" % (k, ro, rn, g))
+    suppressed += [(k, "ratio") for k in jump_adj]
+
+    if suppressed:
+        print("adjudicated (suppressed):")
+        for k, kind in sorted(suppressed):
+            print("  %-30s [%s] %s" % (k, kind, adjudications[k].get("verdict", "")))
 
     added = sorted(new.keys() - old.keys())
     removed = sorted(old.keys() - new.keys())
