@@ -86,12 +86,14 @@ object Bench {
     // isolated best-of: single recordings on a shared sandbox are noisy
     // at the ±10% level round-over-round comparison needs (r10's
     // recorded-vs-quiet gap was 27.4 vs 24.1 s). After the sweep — JVM
-    // fully warm, no sweep neighbors — re-time the 5 heaviest keys once
-    // more and report min(recorded, post-run pass) alongside the
-    // recorded numbers, so a reader can separate plan regressions from
-    // environment noise without re-running by hand.
+    // fully warm, no sweep neighbors — re-time EVERY key once more and
+    // report min(recorded, post-run pass) alongside the recorded
+    // numbers, so a reader can adjudicate any per-key delta as plan
+    // regression vs environment noise without re-running by hand (the
+    // round-12 verdict: a 5-key subset left the regressed keys
+    // unadjudicated in the artifact of record).
     val isolated = results.collect { case (k, Right(v)) => (k, v) }
-      .sortBy(-_._2).take(5).map { case (k, rec) =>
+      .map { case (k, rec) =>
         try fns(k)(spark, sfDir).count()
         catch { case _: Throwable => () } // warmup; failure already loud above
         val best = timeOnce(k).fold(_ => rec, v => math.min(rec, v))

@@ -478,11 +478,25 @@ object BuildChainQueries extends QueryGroup {
     // move, bogus → update); schemes alternate so the http/https smush
     // runs; last_harvest E…082 stops the newest-first walk at pk ≤ 40.
     val ns = "http://ex.org/data/"
-    val maxPk = Tables.load(spark, dir, "part")
-      .agg(max($"p_partkey").cast("long")).head().getLong(0)
-    def stamp(t: Long) = f"E$t%09d"
+    // announce the ACTUAL delta keys (pk % 10 = 0), never a dense
+    // 10..max(pk) range: replicated stress corpora shift partkeys by
+    // rep·10M, and a dense range over that domain is a 100M-item
+    // driver-side Seq (the round-13 sf10 sweep OOM'd on exactly this).
+    // A day's feed is delta-shaped by definition, and the reference's
+    // harvester walk is driver I/O over exactly the changed records —
+    // so collecting the delta KEYS (200k longs at sf10) is the honest
+    // fixture shape, and phantom announcements (which a dense range
+    // also produced on sparse key spaces) disappear with it.
+    val deltaPks: Array[Long] = Tables.load(spark, dir, "part")
+      .select($"p_partkey".cast("long").as("pk"))
+      .filter($"pk" % 10 === 0).orderBy($"pk")
+      .as[Long].collect()
+    // 12-digit stamps: 2·pk at stress scale is 10 digits, and a
+    // shorter pad would make the lexicographic endTime order diverge
+    // from the numeric one (the stream-stop contract)
+    def stamp(t: Long) = f"E$t%012d"
     val kinds = Vector("update", "create", "Move", "bogus")
-    val items = (10L to maxPk by 10L).flatMap { pk =>
+    val items = deltaPks.toSeq.flatMap { pk =>
       val scheme = if (pk % 20 == 0) "https://" else "http://"
       val upd = AsStream.AsItem(kinds(((pk / 10) % 4).toInt),
         s"${scheme}ex.org/data/r$pk", stamp(2 * pk))
@@ -490,7 +504,7 @@ object BuildChainQueries extends QueryGroup {
         Seq(upd, AsStream.AsItem("delete", s"${scheme}ex.org/data/r$pk",
           stamp(2 * pk + 1)))
       else Seq(upd)
-    }.sortBy(_.endTime) // stream order: oldest → newest
+    } // already in stream order: deltaPks sorted, endTime monotone in pk
     val pages = items.grouped(80).toVector
     val src = new AsStream.PageSource {
       def lastPage: Option[String] =
