@@ -484,10 +484,15 @@ object ScaleQueries extends QueryGroup {
     * nation is always 25 rows, the hot dim always 100, and the
     * uniform pair's sketch share sits two orders from the 20%
     * threshold. */
+  /** The one Config both the query and its oracle read — fixture-scaled
+    * broadcast budget (dim(100) > budget ≥ nation(25) at every sf). */
+  private val plannedJoinCfg =
+    operators.JoinPlanner.Config(broadcastMaxRows = 64L)
+
   def plannedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import operators.JoinPlanner
-    val cfg = JoinPlanner.Config(broadcastMaxRows = 64L)
+    val cfg = plannedJoinCfg
     def pair(name: String, l: DataFrame, r: DataFrame): DataFrame = {
       val (j, s, e) = JoinPlanner.planJoin(l, r, cfg)
       j.agg(count(lit(1)).as("n_out"),
@@ -526,6 +531,12 @@ object ScaleQueries extends QueryGroup {
     val consts = (0 until CmsD).map(j =>
       s"($j, ${functions.VecMath.aj(64 + j)}, ${functions.VecMath.bj(64 + j)})")
       .mkString(", ")
+    // the SAME Config instance the query passes to planJoin, its
+    // constants spliced into the SQL — the decision thresholds cannot
+    // drift between the engine and the oracle
+    val (bMax, skew, p, maxS) = (plannedJoinCfg.broadcastMaxRows,
+      plannedJoinCfg.skewShareMilli, plannedJoinCfg.saltTargetPartitions,
+      plannedJoinCfg.maxSalt)
     // one pair: exact counts, CMS est/hot (the engine's exact
     // arithmetic), the decision CASE (JoinPlanner.choose, integer
     // milli-thresholds), and the executed join's aggregate
@@ -538,14 +549,14 @@ object ScaleQueries extends QueryGroup {
          |     JOIN ($rsql) r USING (k)) AS cents_sum
          |FROM (
          |  SELECT n_left, n_right, est_rows, hot_out,
-         |    CASE WHEN LEAST(n_left, n_right) <= 64 THEN 'broadcast'
-         |         WHEN est_rows > 0 AND hot_out * 1000 >= 200 * est_rows
+         |    CASE WHEN LEAST(n_left, n_right) <= $bMax THEN 'broadcast'
+         |         WHEN est_rows > 0 AND hot_out * 1000 >= $skew * est_rows
          |           THEN 'salt'
          |         ELSE 'shuffle' END AS strategy,
-         |    CASE WHEN LEAST(n_left, n_right) <= 64 THEN 1
-         |         WHEN est_rows > 0 AND hot_out * 1000 >= 200 * est_rows
-         |           THEN GREATEST(2, LEAST(32,
-         |             (hot_out * 32 + est_rows - 1) // est_rows))
+         |    CASE WHEN LEAST(n_left, n_right) <= $bMax THEN 1
+         |         WHEN est_rows > 0 AND hot_out * 1000 >= $skew * est_rows
+         |           THEN GREATEST(2, LEAST($maxS,
+         |             (hot_out * $p + est_rows - 1) // est_rows))
          |         ELSE 1 END AS salt_r
          |  FROM (
          |    SELECT
