@@ -541,8 +541,32 @@ object BuildChainQueries extends QueryGroup {
     out.write.mode("overwrite").parquet(runDir)
     val base = sources.TableCommit.readManifest(table)
     // REPLACE commit: the daily output is the complete new table state
-    // (prior versions stay readable — the u4 compaction story)
+    // (the previous version stays readable; older run versions are
+    // compacted away below — the u4 story applied to the fixture's own
+    // publishes)
     val (pub, _) = sources.TableCommit.commit(table)(_ => listParquet(runDir))
+    // prune run dirs superseded more than one version ago: a
+    // bench/stress harness re-invokes this query ~6× per sweep, and
+    // without pruning each invocation would leak a full table-state
+    // copy in /tmp for the JVM's lifetime (at sf10 that is six copies
+    // of a multi-million-row fold)
+    def filesOf(v: Long): Set[String] =
+      if (v < 1) Set.empty
+      else java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(table, f"v$v%012d.manifest"))
+        .toArray(Array.empty[String]).filter(_.nonEmpty).toSet
+    val keep = filesOf(pub.version) ++ filesOf(pub.version - 1)
+    for {
+      d <- Option(new java.io.File(s"$table/data").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      if d.getName.startsWith("run-")
+      if listParquet(d.getAbsolutePath).forall(f => !keep(f))
+    } {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d)
+    }
     spark.read.parquet(pub.files: _*)
       .withColumn("v_advance", lit(pub.version - base.version))
   }

@@ -404,22 +404,13 @@ object ScaleQueries extends QueryGroup {
     * Deterministic hash rows → the DuckDB replay is bit-exact. */
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import TextQueries.{CmsD, CmsW, HashP}
     // hash rows 64-67: clear of the token-CMS family (56-59) and the
     // HLL h2 row (60) — per-family index reservation keeps every
-    // sketch's hash rows pairwise independent
-    // k is pre-reduced mod HashP before the multiply: aj ≤ ~2^31 and an
-    // unreduced key beyond ~2^32 would overflow the Long product —
-    // silently wrapped by Spark, raised by DuckDB — exactly at the key
-    // domains the estimator is motivated by. aj·(HashP-1) ≤ ~2^62 fits.
-    def bucket(j: Int, k: Column) =
-      pmod(pmod(lit(functions.VecMath.aj(64 + j)) * pmod(k, lit(HashP)) +
-        lit(functions.VecMath.bj(64 + j)), lit(HashP)), lit(CmsW))
-    def cells(s: DataFrame) = s
-      .select(explode(array((0 until CmsD).map(j =>
-        struct(lit(j).as("row"), bucket(j, $"k").as("bucket"))): _*)).as("c"))
-      .groupBy($"c.row".as("row"), $"c.bucket".as("bucket"))
-      .agg(count(lit(1)).as("n"))
+    // sketch's hash rows pairwise independent. The bucket/cells
+    // definitions live in operators.JoinPlanner (the family's round-13
+    // consumer) and are SHARED here so the engine arithmetic can never
+    // drift from the oracle constants both splice.
+    def cells(s: DataFrame) = operators.JoinPlanner.cells(s)
     def probe(name: String, left: DataFrame, right: DataFrame): DataFrame = {
       val est = cells(left).as("a").join(cells(right).as("b"), Seq("row", "bucket"))
         .groupBy($"row").agg(sum(col("a.n") * col("b.n")).as("ip"))
@@ -465,6 +456,11 @@ object ScaleQueries extends QueryGroup {
       "SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier")}""".stripMargin
   }
 
+  /** The one Config both plannedJoin and its oracle read — fixture-scaled
+    * broadcast budget (dim(100) > budget ≥ nation(25) at every sf). */
+  private val plannedJoinCfg =
+    operators.JoinPlanner.Config(broadcastMaxRows = 64L)
+
   /** The s21 estimator CONSUMED: JoinPlanner sketches each pair, picks
     * broadcast / shuffle / salt, and EXECUTES the pick — one pair per
     * strategy branch, so the whole decision surface is registry-visible
@@ -484,11 +480,6 @@ object ScaleQueries extends QueryGroup {
     * nation is always 25 rows, the hot dim always 100, and the
     * uniform pair's sketch share sits two orders from the 20%
     * threshold. */
-  /** The one Config both the query and its oracle read — fixture-scaled
-    * broadcast budget (dim(100) > budget ≥ nation(25) at every sf). */
-  private val plannedJoinCfg =
-    operators.JoinPlanner.Config(broadcastMaxRows = 64L)
-
   def plannedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import operators.JoinPlanner

@@ -131,7 +131,11 @@ object Porter {
     if (fired) {
       if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
       else if (endsDoubleC(w, pat) && !"lsz".contains(w.charAt(w.length - 1)))
-        w = w.dropRight(1)
+        // drop one CODE POINT, not one char: endsDoubleC now fires on
+        // identical supplementary double letters, and dropRight(1)
+        // would split the surrogate pair while the oracle's
+        // substr(w, 1, len-1) drops the whole character
+        w = w.substring(0, w.offsetByCodePoints(w.length, -1))
       else if (m(pat) == 1 && endsCvc(w, pat)) w += "e"
     }
 

@@ -44,7 +44,15 @@ object WordFold {
     // an engine/oracle divergence for any non-BMP text
     while (i < nfd.length) {
       val cp = nfd.codePointAt(i)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK) {
+      // EVERY mark category vanishes (Mn/Mc/Me), matching the oracle's
+      // '\pM' deletion pass: exempting only NON_SPACING_MARK would turn
+      // a spacing combining mark (e.g. a Devanagari matra, category Mc)
+      // into a token break here while DuckDB deletes it — an
+      // engine/oracle split on any Indic-script field
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) {
         if (Character.isLetterOrDigit(cp) || Character.isWhitespace(cp))
           b.appendCodePoint(cp)
         else b.append(' ') // punctuation = token break (see scaladoc)

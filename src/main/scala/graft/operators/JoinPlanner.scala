@@ -53,14 +53,23 @@ object JoinPlanner {
   }
 
   // hash rows 64-67: the s21 reservation (see joinSizeEstimate's note on
-  // per-family index reservation; this IS that family, consumed)
-  private def bucket(j: Int, k: org.apache.spark.sql.Column) = {
+  // per-family index reservation; this IS that family, consumed).
+  // package-visible: ScaleQueries.joinSizeEstimate shares THESE
+  // definitions rather than keeping a private copy — the arithmetic
+  // must stay bit-identical to the oracle constants both splice, and
+  // one definition cannot drift from itself. k is pre-reduced mod
+  // HashP before the multiply: aj ≤ ~2^31 and an unreduced key beyond
+  // ~2^32 would overflow the Long product — silently wrapped by
+  // Spark, raised by DuckDB — exactly at the key domains the
+  // estimator is motivated by. aj·(HashP-1) ≤ ~2^62 fits.
+  private[graft] def bucket(j: Int, k: org.apache.spark.sql.Column) = {
     import graft.TextQueries.{CmsW, HashP}
     pmod(pmod(lit(graft.functions.VecMath.aj(64 + j)) * pmod(k, lit(HashP)) +
       lit(graft.functions.VecMath.bj(64 + j)), lit(HashP)), lit(CmsW))
   }
 
-  private def cells(s: DataFrame): DataFrame = {
+  /** Per-side CMS cell grid over the `k` column: (row j, bucket, n). */
+  private[graft] def cells(s: DataFrame): DataFrame = {
     import graft.TextQueries.CmsD
     val sp = s.sparkSession
     import sp.implicits._

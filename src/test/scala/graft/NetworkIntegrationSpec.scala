@@ -45,9 +45,12 @@ class NetworkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emptyMap = Seq.empty[(String, String)].toDF("url", "resp")
 
     // ── pass 1: cold networkmap
+    // 2500 ms transport: must be well under /rec/slow's 4000 ms sleep
+    // (so the timeout genuinely fires) and far above GC-pause noise
+    val transport = (url: String) => httpGet(url, 2500)
     val r1 = sources.Fetcher.fetchAll(
         spark.createDataset(ids), template, id => !id.contains(" "),
-        emptyMap, httpGet _)
+        emptyMap, transport)
       .collect().map(f => f.identifier -> f).toMap
     assert(!r1.contains("bad id"), "invalid identifier must not fetch")
     assert(r1("ok1").kind == "ok" && r1("ok1").body == "data-ok1")
@@ -67,7 +70,7 @@ class NetworkIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ── pass 2: only the failed identifiers retry
     val retryIds = r1.values.filter(_.kind == "err").map(_.identifier).toSeq
     val r2 = sources.Fetcher.fetchAll(
-        spark.createDataset(retryIds), template, _ => true, nm, httpGet _)
+        spark.createDataset(retryIds), template, _ => true, nm, transport)
       .collect().map(f => f.identifier -> f).toMap
     assert(r2("flaky").kind == "ok" && r2("flaky").body == "data-flaky",
       "500-then-recover endpoint must succeed on the retry pass")
@@ -143,12 +146,18 @@ object NetworkIntegrationSpec {
     * automatic redirect following (the networkmap owns redirects), a
     * timeout surfaces as the reference's status 0. Static (object
     * method) so the Fetcher's mapPartitions closure captures no test
-    * instance. */
-  def httpGet(url: String): (Int, String) = {
+    * instance. The default timeout is GENEROUS (10 s): the server
+    * shares a JVM with Spark, so a tight timeout would turn any GC
+    * pause or CI load spike into a flaked assertion; only the slow-
+    * endpoint probe passes a small timeout, sized well under the
+    * endpoint's sleep but far above pause noise. */
+  def httpGet(url: String): (Int, String) = httpGet(url, 10000)
+
+  def httpGet(url: String, timeoutMs: Int): (Int, String) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setInstanceFollowRedirects(false)
-    conn.setConnectTimeout(500)
-    conn.setReadTimeout(500)
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
     try {
       val status = conn.getResponseCode
       val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
@@ -199,7 +208,7 @@ object NetworkIntegrationSpec {
           case "flaky" if n == 1 => send(500, "boom")
           case "gone" => send(404, "not here")
           case "moved" => send(301, "", "Location" -> "/rec/target")
-          case "slow" if n == 1 => Thread.sleep(1500); send(200, "late")
+          case "slow" if n == 1 => Thread.sleep(4000); send(200, "late")
           case other => send(200, s"data-$other")
         }
       case "/pmh" =>
