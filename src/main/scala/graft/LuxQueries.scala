@@ -388,6 +388,47 @@ object LuxQueries extends QueryGroup {
        |  AND b.stem = (SELECT stem FROM q13p_out WHERE k = -2)""".stripMargin
   }
 
+  /** The FOLD differential — the porter-diff pattern applied to
+    * WordFold itself: every distinct document token crossed with a
+    * decoration matrix chosen to reach each fold rule (punctuation
+    * split, connector punctuation, precomposed vs combining accents,
+    * spacing/enclosing marks, supplementary-plane letters, Nl/No
+    * number forms, non-ASCII whitespace, ß/İ/ł casing-and-accent
+    * edges), folded by the JVM `word_fold` expression engine-side and
+    * by the foldSql regex chain oracle-side. Any divergence between
+    * the two derivations — either fold rule drift OR a lower()
+    * disagreement on the decorated text — fails this row's hash. The
+    * round-13 review found two real engine/oracle fold splits by hand
+    * (Mc marks, and earlier the punctuation fusion); this makes the
+    * whole class mechanical. */
+  private val foldDecorations = Seq("", "-scan", "_3", "'s", "...",
+    "é", "é", "xा", "x⃣", "𝕓ed",
+    "²", "½x", "Ⅷ", " sep", "ß", "İ",
+    "łø")
+
+  def foldDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextQueries.tokensCol(lower(col("text")))).as("base"))
+      .distinct()
+    toks.select(explode(array(foldDecorations.map(s =>
+        concat($"base", lit(s))): _*)).as("token"))
+      .distinct()
+      .select($"token", call_function("word_fold", lower($"token")).as("folded"))
+  }
+  private val foldDiffOracle: String = {
+    val t = TextQueries.tokensSql("lower(text)")
+    val sufList = foldDecorations
+      .map(s => "'" + s.replace("'", "''") + "'").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT DISTINCT unnest($t) AS b FROM documents),
+       |toks AS (SELECT DISTINCT b || s.suf AS token
+       |  FROM base, (SELECT unnest($sufList) AS suf) s)
+       |SELECT token,
+       |  ${graft.functions.WordFold.foldSql("lower(token)")} AS folded
+       |FROM toks""".stripMargin
+  }
+
   private def runRanked(query: String)(spark: SparkSession, dir: String): DataFrame = {
     val (e, t) = substrate(spark, dir)
     new LuxCompiler(e, t).compileRanked(query)
@@ -415,5 +456,7 @@ object LuxQueries extends QueryGroup {
       Some(q12PhraseOracle)))
     Queries.register(QueryDef("lux_q13_stem_phrase", runJson(q13StemPhraseJson),
       Some(q13StemPhraseOracle)))
+    Queries.register(QueryDef("lux_q14_fold_diff", foldDiff,
+      Some(foldDiffOracle)))
   }
 }

@@ -13,11 +13,15 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The cts word-query normalization fold — the `diacritic-insensitive,
   * punctuation-insensitive` members of the reference's default word
   * option list (`pipeline/storage/marklogic/cts.py:2`): NFD-decompose
-  * and drop combining marks, then replace every char that is not a
-  * letter, digit, or whitespace with a SPACE — punctuation is a TOKEN
-  * BREAK, exactly like the cts tokenizer (which splits words at
-  * punctuation before applying punctuation-insensitive matching), not
-  * a fused-out character. So "Naïve-Bayes" folds to the tokens
+  * and drop combining marks (all of Mn/Mc/Me), then replace every
+  * char outside \pL ∪ \pN ∪ the ASCII [\t\n\f\r ] set with a SPACE —
+  * punctuation is a TOKEN BREAK, exactly like the cts tokenizer
+  * (which splits words at punctuation before applying
+  * punctuation-insensitive matching), not a fused-out character. The
+  * survivor class mirrors the oracle regex EXACTLY (lux_q14_fold_diff
+  * pins it differentially): Nl/No number forms (Ⅷ, ², ½) survive
+  * like RE2 \pN, and non-ASCII whitespace breaks tokens like RE2's
+  * ASCII-only \s. So "Naïve-Bayes" folds to the tokens
   * [naive, bayes] and word-query "naive" (and phrase "naive bayes")
   * match the hyphenated text, as they do in the reference. (The
   * round-12 fold DELETED punctuation, fusing "naivebayes" into one
@@ -53,9 +57,19 @@ object WordFold {
       if (t != Character.NON_SPACING_MARK &&
           t != Character.COMBINING_SPACING_MARK &&
           t != Character.ENCLOSING_MARK) {
-        if (Character.isLetterOrDigit(cp) || Character.isWhitespace(cp))
-          b.appendCodePoint(cp)
-        else b.append(' ') // punctuation = token break (see scaladoc)
+        // the survivor class is EXACTLY the oracle's: \pL (isLetter =
+        // L*) ∪ \pN (Nd via isDigit, PLUS Nl and No — isLetterOrDigit
+        // alone would space out ², ½, Ⅷ that RE2 \pN keeps) ∪ the RE2
+        // \s set [\t\n\f\r ] verbatim. Everything else — punctuation
+        // AND non-ASCII whitespace (RE2 \s is ASCII-only, so the
+        // oracle turns an em space into ' '; keeping it verbatim here
+        // would survive the Java \s+ of neither tokensCol nor the
+        // phrase regex identically) — becomes one ASCII space.
+        val keep = Character.isLetter(cp) || Character.isDigit(cp) ||
+          t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER ||
+          cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
+        if (keep) b.appendCodePoint(cp)
+        else b.append(' ') // token break (see scaladoc)
       }
       i += Character.charCount(cp)
     }
