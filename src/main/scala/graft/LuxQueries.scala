@@ -408,14 +408,14 @@ object LuxQueries extends QueryGroup {
 
   def foldDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.call_function
     val toks = Tables.load(spark, dir, "documents")
       .select(explode(TextQueries.tokensCol(lower(col("text")))).as("base"))
       .distinct()
     toks.select(explode(array(foldDecorations.map(s =>
         concat($"base", lit(s))): _*)).as("token"))
       .distinct()
-      .select($"token", call_function("word_fold", lower($"token")).as("folded"))
+      .select($"token",
+        graft.functions.WordFold.foldCol(lower($"token")).as("folded"))
   }
   private val foldDiffOracle: String = {
     val t = TextQueries.tokensSql("lower(text)")

@@ -379,10 +379,23 @@ object LuxCompiler {
     * space in the pattern could only ever match nothing — dropping it
     * keeps e.g. "nation_*" useful (glob "nation*" over the split
     * tokens). Multi-token wildcard phrases are not supported. */
-  def foldWildTerm(w: String): String =
-    w.flatMap(c =>
-      if (c == '*' || c == '?') c.toString
-      else graft.functions.WordFold.fold(c.toString).filterNot(_.isWhitespace))
+  def foldWildTerm(w: String): String = {
+    // iterate CODE POINTS: a per-char flatMap would fold each half of a
+    // supplementary letter's surrogate pair separately (neither half is
+    // a letter, both vanish), silently turning "𝕓*" into the
+    // match-everything glob "*" while the indexed fold keeps 𝕓 in
+    // tokens — the survivor-class contract lux_q14_fold_diff pins
+    val b = new java.lang.StringBuilder(w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      if (cp == '*' || cp == '?') b.appendCodePoint(cp)
+      else b.append(graft.functions.WordFold.fold(
+        new String(Character.toChars(cp))).filterNot(_.isWhitespace))
+      i += Character.charCount(cp)
+    }
+    b.toString
+  }
 
   /** Word-leaf predicate over a text field — the cts word-query default
     * option list (cts.py:2: case-insensitive, diacritic-insensitive,

@@ -66,7 +66,7 @@ class DegenerateDocsSpec extends AnyFunSuite {
     "lux_q1_hop_range", "lux_q2_or_word", "lux_q3_andnot", "lux_q4_near",
     "lux_q5_facet", "lux_q6_json", "lux_q7_id", "lux_q8_wildcard",
     "lux_q9_boost", "lux_q10_stemmed", "lux_q11_porter_diff",
-    "lux_q12_phrase", "lux_q13_stem_phrase",
+    "lux_q12_phrase", "lux_q13_stem_phrase", "lux_q14_fold_diff",
     "q9_similar_docs", "q9b_similar_full", "q11_hybrid")
 
   test("the text/dedup battery survives degenerate documents") {

@@ -188,6 +188,13 @@ class LuxParserSpec extends AnyFunSuite {
     assert(graft.functions.WordFold.fold("Naïve-Bayes") === "Naive Bayes")
     assert(graft.functions.WordFold.fold("café au lait!") === "cafe au lait ")
     assert(LuxCompiler.foldWildTerm("naïve*") === "naive*")
+    // supplementary-plane letters survive the wildcard fold intact: a
+    // per-char fold would drop both surrogate halves, silently turning
+    // "𝕓*" into the match-everything glob "*"
+    assert(LuxCompiler.foldWildTerm("𝕓*") === "𝕓*")
+    // \pN number forms survive like the indexed fold; punctuation still
+    // drops out of the glob rather than becoming an unmatchable space
+    assert(LuxCompiler.foldWildTerm("²nd-best?") === "²ndbest?")
     // the fixture carries no accents/punct in word fields, so the fold
     // is exercised against literal entities here
     val e = Seq(
