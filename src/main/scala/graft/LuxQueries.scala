@@ -404,7 +404,10 @@ object LuxQueries extends QueryGroup {
   private val foldDecorations = Seq("", "-scan", "_3", "'s", "...",
     "é", "é", "xा", "x⃣", "𝕓ed",
     "²", "½x", "Ⅷ", " sep", "ß", "İ",
-    "łø")
+    "łø",
+    "ΒΟΣ",  // uppercase Greek ending in Σ: full-cased vs simple-cased
+            // lower diverge (βος vs βοσ) and must meet at the sigma fold
+    "ές")   // literal final sigma in already-lower text
 
   def foldDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

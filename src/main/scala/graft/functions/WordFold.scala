@@ -68,7 +68,13 @@ object WordFold {
         val keep = Character.isLetter(cp) || Character.isDigit(cp) ||
           t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER ||
           cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
-        if (keep) b.appendCodePoint(cp)
+        // Greek FINAL sigma folds to medial sigma: JVM/Spark lowercase
+        // with full casing ('ΑΣ' → 'ας') while DuckDB's lower uses the
+        // simple mapping ('ασ') — folding ς → σ on both sides (the
+        // replace pass in foldSql) makes the derivations meet, and is
+        // what ICU case-insensitive comparison does anyway
+        if (cp == 0x03C2) b.appendCodePoint(0x03C3)
+        else if (keep) b.appendCodePoint(cp)
         else b.append(' ') // token break (see scaladoc)
       }
       i += Character.charCount(cp)
@@ -85,10 +91,12 @@ object WordFold {
       "word_fold", args => WordFoldExpr(args.head), "built-in")
 
   /** The oracle-side twin of [[fold]]: marks vanish, punctuation
-    * becomes a space (token break). */
+    * becomes a space (token break), Greek final sigma folds medial
+    * (see the sigma note in [[fold]] — DuckDB's simple-cased 'ασ' and
+    * the JVM's full-cased 'ας' meet at 'ασ'). */
   def foldSql(x: String): String =
-    s"regexp_replace(regexp_replace(strip_accents($x), '\\pM', '', 'g')," +
-      " '[^\\pL\\pN\\s]', ' ', 'g')"
+    s"regexp_replace(regexp_replace(replace(strip_accents($x), 'ς', 'σ')," +
+      " '\\pM', '', 'g'), '[^\\pL\\pN\\s]', ' ', 'g')"
 }
 
 /** Native codegen'd expression: one static call per row. */
