@@ -146,7 +146,7 @@ object BuildChainQueries extends QueryGroup {
         val recs = it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ord, pk, pname) =>
           val content = ord match {
             case 0 => pname
-            case 1 => pname.toUpperCase
+            case 1 => pname.toUpperCase(java.util.Locale.ROOT)
             case _ => pname + " (wd)"
           }
           val year = 1900 + (pk % 80)

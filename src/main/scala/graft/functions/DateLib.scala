@@ -174,7 +174,7 @@ object DateLib {
       .replace("edtf", "").replace("=", "-").trim
     if (eightDigit.matches(v)) v = s"${v.substring(0, 4)}-${v.substring(4, 6)}-${v.substring(6)}"
     if (v.isEmpty || v.startsWith("9999") || v == "0000" ||
-      v.toLowerCase.contains("jh") || v.length > 34) return None
+      v.toLowerCase(java.util.Locale.ROOT).contains("jh") || v.length > 34) return None
     if (v.startsWith("- ")) v = "-" + v.substring(2).trim
     if (v.startsWith("0000-12-31") || v.startsWith("0000-01-01")) v = "0001" + v.substring(4)
     v = shortYearIso.replaceAllIn(v, m =>
@@ -238,17 +238,17 @@ object DateLib {
         else parseIso(sign, y, mo, d, h, mi, s).map { case (begin, inferred) =>
           range(begin, if (precision.nonEmpty) precision.head else inferred)
         }
-      case monthYear(mn, y) if monthNames.contains(mn.toLowerCase.take(3)) &&
-          monthNames.contains(mn.toLowerCase) || monthNames.contains(mn.toLowerCase.take(3)) =>
-        monthNames.get(mn.toLowerCase).orElse(monthNames.get(mn.toLowerCase.take(3)))
+      case monthYear(mn, y) if monthNames.contains(mn.toLowerCase(java.util.Locale.ROOT).take(3)) &&
+          monthNames.contains(mn.toLowerCase(java.util.Locale.ROOT)) || monthNames.contains(mn.toLowerCase(java.util.Locale.ROOT).take(3)) =>
+        monthNames.get(mn.toLowerCase(java.util.Locale.ROOT)).orElse(monthNames.get(mn.toLowerCase(java.util.Locale.ROOT).take(3)))
           .flatMap(m => try Some(range(LocalDateTime.of(y.toInt, m, 1, 0, 0, 0),
             effPrec("M"))) catch { case _: Exception => None })
       case dayMonthYear(d, mn, y) =>
-        monthNames.get(mn.toLowerCase).orElse(monthNames.get(mn.toLowerCase.take(3)))
+        monthNames.get(mn.toLowerCase(java.util.Locale.ROOT)).orElse(monthNames.get(mn.toLowerCase(java.util.Locale.ROOT).take(3)))
           .flatMap(m => try Some(range(LocalDateTime.of(y.toInt, m, d.toInt, 0, 0, 0),
             effPrec("D"))) catch { case _: Exception => None })
       case monthDayYear(mn, d, y) =>
-        monthNames.get(mn.toLowerCase).orElse(monthNames.get(mn.toLowerCase.take(3)))
+        monthNames.get(mn.toLowerCase(java.util.Locale.ROOT)).orElse(monthNames.get(mn.toLowerCase(java.util.Locale.ROOT).take(3)))
           .flatMap(m => try Some(range(LocalDateTime.of(y.toInt, m, d.toInt, 0, 0, 0),
             effPrec("D"))) catch { case _: Exception => None })
       case numericDmy(a, b, y) =>

@@ -37,7 +37,7 @@ object Sanitize {
   def sanitizeString(s: String, removeDiacritics: Boolean = false,
       minWordChars: Int = 0, paddingChar: Char = PaddingChar): String = {
     if (s == null || s.isEmpty) return ""
-    var str = s.toLowerCase
+    var str = s.toLowerCase(java.util.Locale.ROOT)
       .replace("\r", " ").replace("\n", " ").replace("\t", " ")
       .replace("\"", "").replace("\\", "").replace("-", " ")
     if (removeDiacritics) {

@@ -170,9 +170,9 @@ object LaMerge {
     for (i <- incNames) {
       val cont = Option(i.content).map(_.trim).getOrElse("")
       if (cont.nonEmpty) {
-        val lower = cont.toLowerCase
+        val lower = cont.toLowerCase(java.util.Locale.ROOT)
         val idx = names.indexWhere(n => n.ntype == i.ntype &&
-          Option(n.content).exists(_.trim.toLowerCase == lower))
+          Option(n.content).exists(_.trim.toLowerCase(java.util.Locale.ROOT) == lower))
         if (idx < 0) {
           val incomingPrimary = i.classifiedAs.contains(primaryNameId)
           val toAdd =

@@ -103,6 +103,6 @@ object LongTail {
   /** SNAC event property name — `event.lower()`, quirk and all. */
   def snacProperty(event: String): Option[String] =
     if (Set("Birth", "Death", "Formation", "Dissolution", "Activity")(event))
-      Some(event.toLowerCase)
+      Some(event.toLowerCase(java.util.Locale.ROOT))
     else None
 }

@@ -104,7 +104,7 @@ object SmallSources {
     if (license.isEmpty || !wmAllowedLicenses(license)) None
     else {
       val t = if (title.startsWith("File:")) title.substring(5) else title
-      val tl = t.toLowerCase
+      val tl = t.toLowerCase(java.util.Locale.ROOT)
       if (!wmExts.exists(tl.endsWith))
         None
       else
@@ -168,5 +168,5 @@ object SmallSources {
   /** ror relationships (`:94-97`): parent (case-insensitive) →
     * member_of. */
   def rorParents(rels: Seq[(String, String)]): Seq[String] =
-    rels.collect { case (t, id) if t.toLowerCase == "parent" => id }
+    rels.collect { case (t, id) if t.toLowerCase(java.util.Locale.ROOT) == "parent" => id }
 }

@@ -83,7 +83,7 @@ object YaleQuirks {
     while (i < names.length && alt < 0) {
       val n = names(i)
       if (n.classifiedAs.nonEmpty) {
-        if (n.content.toLowerCase == "[no locality data]") {
+        if (n.content.toLowerCase(java.util.Locale.ROOT) == "[no locality data]") {
           if (n.classifiedAs.contains(PrimaryName)) p = i
         } else alt = i
       }

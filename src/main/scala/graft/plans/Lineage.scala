@@ -34,7 +34,7 @@ object Lineage {
           name.replaceAll("\\.(parquet|json|csv|orc)$", "")
         case _ => "relation"
       }
-      case other => other.nodeName.toLowerCase
+      case other => other.nodeName.toLowerCase(java.util.Locale.ROOT)
     }
 
     def lineageOf(refs: Iterable[Attribute]): Set[String] =

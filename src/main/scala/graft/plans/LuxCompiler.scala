@@ -312,7 +312,7 @@ object LuxCompiler {
     * routing (NEAR positional membership, BM25 boost eligibility) can
     * never drift from the predicate's own tokenization. */
   def foldedWords(term: String): Seq[String] =
-    graft.functions.WordFold.fold(term.toLowerCase)
+    graft.functions.WordFold.fold(term.toLowerCase(java.util.Locale.ROOT))
       .split("\\s+").filter(_.nonEmpty).toSeq
 
   /** True when the FOLDED term is exactly one token — the contract for
@@ -417,7 +417,7 @@ object LuxCompiler {
     * pitfall NEAR documents). */
   def wordPredicate(field: Column, term: String, stemmed: Boolean,
       contains: Boolean = false): Column = {
-    val w = term.toLowerCase
+    val w = term.toLowerCase(java.util.Locale.ROOT)
     def folded = graft.TextQueries.tokensCol(
       graft.functions.WordFold.foldCol(lower(field)))
     if (contains) instr(lower(field), w) > 0
@@ -491,7 +491,7 @@ object LuxSearchConfig {
     val templates = cfg.getOrElse("*", Map.empty)
     cfg.iterator.filter(_._1 != "*").map { case (cls, own) =>
       val base = templates.map { case (name, (tag, vtype)) =>
-        name -> (tag.replace("*", cls.toLowerCase), vtype)
+        name -> (tag.replace("*", cls.toLowerCase(java.util.Locale.ROOT)), vtype)
       }
       val merged = base ++ own
       val (fs, rs) = merged.partition { case (_, (_, vtype)) => fieldTypes(vtype) }

@@ -45,7 +45,7 @@ object LuxSimilar {
     val wds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     for (txt <- texts) {
       val flat = txt.replace('-', ' ').replace('.', ' ').replace(',', ' ')
-      for (t <- flat.toLowerCase.split("\\s+"))
+      for (t <- flat.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
         if (t.length > 3 && t.forall(_.isLetter))
           wds.update(t, wds.getOrElse(t, 0) + 1)
     }

@@ -54,7 +54,7 @@ object AsStream {
         val item = it.next()
         if (item.endTime < lastHarvest) stopped = true // ends the STREAM
         else {
-          val chg0 = Option(item.changeType).map(_.toLowerCase).getOrElse("update")
+          val chg0 = Option(item.changeType).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("update")
           val chg = if (changeTypes(chg0)) chg0 else "update"
           if (chg == "refresh") stopped = true
           else {
