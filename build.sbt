@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps `runMain graft.Bench`'s stdout for the one-line
+// result JSON. Through sbt's default LoggedOutput every forked-process
+// line gets an `[info] ` prefix and sbt appends its own `[success]
+// Total time …` line after it — so the JSON is neither the last stdout
+// line nor does any line start with `{`, and the driver records
+// "parsed": null. StdoutOutput streams the forked process's stdout raw
+// (Spark logs go to stderr and are unaffected), and showSuccess drops
+// the trailing [success] line, making the JSON the final raw stdout
+// line exactly where a parser looks for it.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

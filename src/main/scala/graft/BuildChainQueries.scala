@@ -466,6 +466,21 @@ object BuildChainQueries extends QueryGroup {
     })
   }
 
+  /** ONE-VERSION READ WINDOW (round-13 advice, documented contract):
+    * the returned DataFrame is a LAZY read over the files this run just
+    * published, and each invocation prunes run dirs superseded more
+    * than one version ago. A caller may therefore hold the result
+    * across AT MOST ONE subsequent invocation on the same (session,
+    * dir); holding it across two or more gets FileNotFoundException at
+    * action time, because the third run compacts the first run's files
+    * away. This is the standard snapshot-retention contract of every
+    * versioned table format (a reader pinned to an expired snapshot
+    * fails on vacuum); an embedding that needs longer-lived results
+    * should materialize them (collect / write-out / localCheckpoint)
+    * before the next run, or raise the retention by keeping more
+    * versions in `keep` below. The sequential harness consumes each
+    * result before the next invocation, so the window never bites
+    * there. */
   def laDailyRun(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import sources.AsStream

@@ -407,7 +407,11 @@ object LuxQueries extends QueryGroup {
     "łø",
     "ΒΟΣ",  // uppercase Greek ending in Σ: full-cased vs simple-cased
             // lower diverge (βος vs βοσ) and must meet at the sigma fold
-    "ές")   // literal final sigma in already-lower text
+    "ές",   // literal final sigma in already-lower text
+    "x\u000By") // vertical tab: NOT in this DuckDB's RE2 \s (probed —
+                // upstream RE2 added \v to \s in 2017 but the oracle
+                // build spaces it), so both folds must break on it;
+                // pins the asymmetry the round-13 advice flagged
 
   def foldDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

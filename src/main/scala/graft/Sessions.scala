@@ -14,8 +14,9 @@ import org.apache.spark.sql.SparkSession
   * of TIMESTAMP_NTZ, which unix_micros/window() reject.
   */
 object Sessions {
-  def create(appName: String, cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+  def create(appName: String, cpus: String,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,7 +34,11 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // memory-regime overrides (SpillSweep) and other main-specific conf;
+    // must land before getOrCreate since they configure the context
+    val spark = extraConf.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.PolyHash.register(spark)
     graft.functions.UriCanon.register(spark)

@@ -1,0 +1,149 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** The memory-pressure (spill) regime sweep — the 100-TB execution
+  * dimension the 128 GiB sandbox never exercises on its own: on a real
+  * cluster a heavy stage's shuffle and aggregation state EXCEEDS the
+  * executor's execution-memory pool and must spill to disk; an operator
+  * that only works because everything fit in RAM (a driver-side
+  * materialization, an unbounded hash state, a persist() sized to the
+  * corpus) dies there and nowhere else. The round-13 sf10 sweep caught
+  * exactly one such defect class (a 99M-item driver Seq) — this sweep
+  * makes the regime reproducible instead of accidental.
+  *
+  * Mechanics: the JVM heap stays at the sbt default (8 GiB via
+  * SPARK_DRIVER_MEM) and `spark.memory.fraction` is lowered to 0.15, so
+  * the unified execution+storage pool is ~1.1 GiB shared by 32 task
+  * threads (~35 MB each) while the sf10 corpus carries ~60M lineitem
+  * rows — every heavy shuffle/aggregation/sort is forced past its
+  * in-memory budget and through the spill path (UnsafeExternalSorter /
+  * ExternalAppendOnlyUnsafeRowArray), and MEMORY_AND_DISK persists
+  * overflow to disk blocks instead of evicting silently.
+  *
+  * A stage-completion listener aggregates memoryBytesSpilled /
+  * diskBytesSpilled / peakExecutionMemory per query (the driver-visible
+  * proof the regime actually engaged — a sweep that "passes" with zero
+  * spill just wasn't under pressure), and the artifact records them per
+  * key next to seconds + status.
+  *
+  * Done-criterion (round-14 verdict item 1): every key completes, spill
+  * is NONZERO, no OOM.
+  *
+  * Usage: runMain graft.SpillSweep [sfDir] [outJson] [key,key,...]
+  */
+object SpillSweep {
+  private val HeavyKeys = Seq(
+    "la_build_pipeline", "la_daily_run", "t_corpus_pipeline",
+    "j6_reconcile_fixpoint", "g1_connected_components",
+    "d2_minhash_lsh", "k2_nt_triples")
+
+  final private case class Res(secs: Double, status: String,
+      memSpilled: Long, diskSpilled: Long, spillStages: Int,
+      peakExecMem: Long, note: String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_stress/sf10")
+    val outJson = args.lift(1)
+    val keys = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(HeavyKeys)
+    val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.15")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.create("graft-spill-sweep", cpus, Map(
+      // the squeeze: unified pool = (heap - 300MB reserved) * fraction
+      "spark.memory.fraction" -> fraction,
+      // no in-memory shuffle shortcut: every shuffle write goes through
+      // the sorter's spill machinery at this pool size anyway; keep AQE
+      // on — runtime coalescing under pressure is part of the regime
+      "spark.sql.adaptive.enabled" -> "true"))
+    val unknown = keys.toSet -- Queries.all.map(_.name).toSet
+    require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(",")}")
+    val fns = Queries.all.map(q => q.name -> q.fn).toMap
+
+    val memSpilled = new AtomicLong
+    val diskSpilled = new AtomicLong
+    val spillStages = new AtomicLong
+    val peakExec = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          memSpilled.addAndGet(m.memoryBytesSpilled)
+          diskSpilled.addAndGet(m.diskBytesSpilled)
+          if (m.diskBytesSpilled > 0 || m.memoryBytesSpilled > 0)
+            spillStages.incrementAndGet()
+          peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+          ()
+        }
+      }
+    })
+    // the listener bus is async: give it a bounded drain window after a
+    // query's last job so its stages attribute to the right key (a late
+    // event would shift a few MB between adjacent keys — tolerable for
+    // an artifact whose reading is "nonzero and completed", but keep the
+    // boundary honest for the per-key numbers)
+    def drain(): Unit = Thread.sleep(1500)
+
+    var failed = List.empty[String]
+    val results: Seq[(String, Res)] = keys.map { name =>
+      val (m0, d0, s0) = (memSpilled.get, diskSpilled.get, spillStages.get)
+      peakExec.set(0L)
+      val t0 = System.nanoTime()
+      val status = try { fns(name)(spark, sfDir).foreach(_ => ()); "ok" }
+        catch { case e: Throwable =>
+          failed ::= name
+          "fail: " + String.valueOf(e.getMessage).linesIterator.next().take(120)
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      drain()
+      val r = Res(secs, status, memSpilled.get - m0, diskSpilled.get - d0,
+        (spillStages.get - s0).toInt, peakExec.get,
+        if (memSpilled.get - m0 == 0 && diskSpilled.get - d0 == 0)
+          "no spill — key not memory-bound even at fraction " + fraction
+        else "")
+      println(f"[spill] $name%-24s ${r.secs}%7.1f s  ${r.status}  " +
+        f"mem=${r.memSpilled / 1e6}%.0fMB disk=${r.diskSpilled / 1e6}%.0fMB " +
+        f"stages=${r.spillStages} peakExec=${r.peakExecMem / 1e6}%.0fMB")
+      name -> r
+    }
+    val totMem = results.map(_._2.memSpilled).sum
+    val totDisk = results.map(_._2.diskSpilled).sum
+    println(f"[spill] TOTAL ${results.size} keys, " +
+      f"mem spilled ${totMem / 1e9}%.2f GB, disk spilled ${totDisk / 1e9}%.2f GB, " +
+      s"fails=${failed.size}")
+
+    outJson.foreach { path =>
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val rows = results.map { case (name, r) =>
+        val note = if (r.note.nonEmpty) s""","note":${q(r.note)}""" else ""
+        s"""${q(name)}:{"secs":${num(r.secs)},"status":${q(r.status)},""" +
+          s""""mem_spilled_bytes":${r.memSpilled},""" +
+          s""""disk_spilled_bytes":${r.diskSpilled},""" +
+          s""""spill_stages":${r.spillStages},""" +
+          s""""peak_exec_mem_bytes":${r.peakExecMem}$note}"""
+      }.mkString(",")
+      val doc = s"""{"sf_dir":${q(sfDir)},""" +
+        s""""heap":${q(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))},""" +
+        s""""memory_fraction":$fraction,"cpus":$cpus,""" +
+        s""""n_keys":${results.size},"n_fail":${failed.size},""" +
+        s""""total_mem_spilled_bytes":$totMem,""" +
+        s""""total_disk_spilled_bytes":$totDisk,""" +
+        s""""queries":{$rows}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)
+      println(s"[spill] artifact written: $path")
+    }
+    if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
+    spark.stop()
+  }
+}

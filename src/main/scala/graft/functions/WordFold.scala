@@ -59,12 +59,20 @@ object WordFold {
           t != Character.ENCLOSING_MARK) {
         // the survivor class is EXACTLY the oracle's: \pL (isLetter =
         // L*) ∪ \pN (Nd via isDigit, PLUS Nl and No — isLetterOrDigit
-        // alone would space out ², ½, Ⅷ that RE2 \pN keeps) ∪ the RE2
-        // \s set [\t\n\f\r ] verbatim. Everything else — punctuation
-        // AND non-ASCII whitespace (RE2 \s is ASCII-only, so the
-        // oracle turns an em space into ' '; keeping it verbatim here
-        // would survive the Java \s+ of neither tokensCol nor the
-        // phrase regex identically) — becomes one ASCII space.
+        // alone would space out ², ½, Ⅷ that RE2 \pN keeps) ∪ the \s
+        // set [\t\n\f\r ] verbatim. NOTE on \v (0x0B): upstream RE2
+        // added \v to Perl \s in 2017, but the DuckDB build used as
+        // the oracle does NOT include it — probed directly
+        // (regexp_replace(chr(11), '[^\pL\pN\s]', ' ', 'g') → ' '),
+        // so BOTH sides space \v out and the agreement is pinned by a
+        // \v decoration in lux_q14_fold_diff; if a future oracle's \s
+        // gains \v, the differential fires rather than drifting
+        // silently (round-13 advice, resolved by measurement).
+        // Everything else — punctuation AND non-ASCII whitespace (RE2
+        // \s is ASCII-only, so the oracle turns an em space into ' ';
+        // keeping it verbatim here would survive the Java \s+ of
+        // neither tokensCol nor the phrase regex identically) —
+        // becomes one ASCII space.
         val keep = Character.isLetter(cp) || Character.isDigit(cp) ||
           t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER ||
           cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'

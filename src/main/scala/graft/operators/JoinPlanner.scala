@@ -127,11 +127,22 @@ object JoinPlanner {
     *   - Broadcast: the smaller side builds.
     *   - Shuffle: hinted SHUFFLE_HASH on the smaller side (narrow build
     *     → hash join beats sort-merge; the engine-wide preference).
-    *   - Salt(r): probe rows get a row-content salt (xxhash64 — never a
-    *     non-deterministic rand), the build side replicates r ways, and
-    *     the join shuffles on (k, salt) so the hot key spreads over r
-    *     reducers. Result is provably the plain join (salt matches by
-    *     construction); the j16 mechanics oracle pins this. */
+    *   - Salt(r): probe rows get a salt of xxhash64(row content) PLUS a
+    *     partition-local row counter (monotonically_increasing_id — the
+    *     native form of the mapPartitions counter), the build side
+    *     replicates r ways, and the join shuffles on (k, salt) so the
+    *     hot key spreads over r reducers. Content hash alone degenerates
+    *     on the common real-skew shape where the hot key's rows are
+    *     FULLY IDENTICAL duplicates — they all hash to one salt value
+    *     and land back on one reducer (round-13 advice); the counter
+    *     spreads ties round-robin within each partition. Determinism:
+    *     the counter is fixed by partition content+order (same contract
+    *     as a mapPartitions counter), and correctness is salt-VALUE-
+    *     independent anyway — every probe row joins its full match set
+    *     whatever salt it lands on, since the build side carries all r
+    *     values; a retried task re-emitting different salts yields the
+    *     same joined rows. Result is provably the plain join; the j16
+    *     mechanics oracle pins this. */
   def planJoin(left: DataFrame, right: DataFrame, cfg: Config = Config())
       : (DataFrame, Strategy, Estimate) = {
     val e = estimate(left, right)
@@ -145,7 +156,8 @@ object JoinPlanner {
         else left.hint("SHUFFLE_HASH").join(right, "k")
       case Salt(r) =>
         val sl = left.withColumn("salt",
-          pmod(xxhash64(left.columns.map(col): _*), lit(r.toLong)))
+          pmod(xxhash64(left.columns.map(col): _*) +
+            monotonically_increasing_id(), lit(r.toLong)))
         val sr = right.withColumn("salt",
           explode(array((0 until r).map(i => lit(i.toLong)): _*)))
         sl.join(sr.hint("SHUFFLE_HASH"), Seq("k", "salt")).drop("salt")

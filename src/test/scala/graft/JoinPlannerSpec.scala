@@ -81,4 +81,31 @@ class JoinPlannerSpec extends AnyFunSuite {
     val salted = tj.agg(count(lit(1)), sum($"v")).head()
     assert(salted === plain, "salted join diverged from the plain join")
   }
+
+  test("salt spreads a hot key of FULLY IDENTICAL duplicate rows") {
+    import spark.implicits._
+    // the real-skew shape the round-13 advice flagged: every hot-key row
+    // is bit-identical, so a content-only salt collapses to ONE value
+    // and the salted plan silently degenerates to the skew it was
+    // chosen to fix. 4500 identical (0L, 1L) rows + a uniform tail.
+    val dupL = ((1 to 4500).map(_ => (0L, 1L)) ++
+      (1 to 500).map(i => ((i % 100).toLong, 1L))).toDF("k", "v")
+    val bigR = (0L until 500L).toDF("k")
+    val (dj, dsStrat, _) = JoinPlanner.planJoin(dupL, bigR, cfg)
+    assert(dsStrat.isInstanceOf[Salt], s"expected salt, got $dsStrat")
+    val r = dsStrat.saltR
+    // re-derive the probe-side salt exactly as planJoin does and count
+    // distinct salt values on the hot key: the counter term must spread
+    // the identical rows over (nearly) all r reducers
+    val spread = dupL.withColumn("salt",
+        pmod(xxhash64(dupL.columns.map(col): _*) +
+          monotonically_increasing_id(), lit(r.toLong)))
+      .filter($"k" === 0L)
+      .agg(countDistinct($"salt")).head().getLong(0)
+    assert(spread >= math.min(r, 4500) / 2,
+      s"identical duplicate rows landed on $spread of $r salts")
+    // and the result is still the plain join
+    val plain = dupL.join(bigR, "k").agg(count(lit(1)), sum($"v")).head()
+    assert(dj.agg(count(lit(1)), sum($"v")).head() === plain)
+  }
 }

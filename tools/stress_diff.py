@@ -17,12 +17,21 @@ ADJUDICATIONS: a flag investigated and accepted (isolated re-run shows
 recording variance, a documented contract, etc.) is recorded in the NEW
 artifact's top-level "adjudications" object:
     "adjudications": {"d5_embedding_neardup": {
-        "kind": "ratio", "verdict": "isolated re-run 1.9s, recording
-        variance (r12 adjudication)"}}
+        "kind": "ratio", "baseline": 17.0, "round": "r12",
+        "verdict": "isolated re-run 1.9s, recording variance"}}
 A flag whose key+kind is adjudicated is printed under "adjudicated
 (suppressed)" and does NOT set the exit code — verdicts travel with the
 artifact of record, so an already-adjudicated flag never re-fires in a
 later round's gate. kind is "ratio" or "status".
+
+The suppression is BOUNDED by "baseline" — the magnitude the verdict
+actually settled (for kind "ratio": the new ratio at adjudication time;
+for kind "status": the adjudicated status string, e.g. "timeout"). A
+later, genuinely NEW regression on the same key+kind that EXCEEDS the
+adjudicated baseline (ratio above it, or a different non-ok status)
+re-fires the gate: an old verdict only covers what it examined. A legacy
+entry without a baseline still suppresses, but is called out as
+unbounded so the next round records one.
 """
 import json, sys
 
@@ -54,16 +63,31 @@ def main():
         return 2
     (old, _), (new, adjudications) = load(args[0]), load(args[1])
 
-    def adjudicated(key, kind):
+    unbounded = set()
+
+    def adjudicated(key, kind, magnitude):
+        """True iff key+kind carries a verdict AND the new flag does not
+        exceed the adjudicated baseline (ratio: numeric at-or-below;
+        status: same status string). A verdict only covers what it
+        examined — anything larger re-fires the gate."""
         a = adjudications.get(key)
-        return a is not None and a.get("kind") == kind
+        if a is None or a.get("kind") != kind:
+            return False
+        base = a.get("baseline")
+        if base is None:  # legacy entry: suppress, but flag as unbounded
+            unbounded.add(key)
+            return True
+        if kind == "ratio":
+            return magnitude <= float(base)
+        return magnitude == base  # status: only the settled status
 
     bad = False
     suppressed = []
     regressed, reg_adj = [], []
     for k in old.keys() & new.keys():
         if old[k]["status"] == "ok" and new[k]["status"] != "ok":
-            (reg_adj if adjudicated(k, "status") else regressed).append(k)
+            (reg_adj if adjudicated(k, "status", new[k]["status"])
+             else regressed).append(k)
     recovered = [k for k in old.keys() & new.keys()
                  if old[k]["status"] != "ok" and new[k]["status"] == "ok"]
     if regressed:
@@ -83,7 +107,7 @@ def main():
         if new[k]["status"] != "ok":
             continue  # a timeout's secs are capped, so its ratio is floor-noise
         if ro and rn and ro > 0 and rn / ro > jump and rn > 10:
-            if adjudicated(k, "ratio"):
+            if adjudicated(k, "ratio", rn):
                 jump_adj.append(k)
             else:
                 jumps.append((rn / ro, k, ro, rn))
@@ -97,7 +121,10 @@ def main():
     if suppressed:
         print("adjudicated (suppressed):")
         for k, kind in sorted(suppressed):
-            print("  %-30s [%s] %s" % (k, kind, adjudications[k].get("verdict", "")))
+            tag = " [UNBOUNDED — no baseline recorded; add one]" \
+                if k in unbounded else ""
+            print("  %-30s [%s]%s %s" % (
+                k, kind, tag, adjudications[k].get("verdict", "")))
 
     added = sorted(new.keys() - old.keys())
     removed = sorted(old.keys() - new.keys())

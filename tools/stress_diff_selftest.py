@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Synthetic self-test for stress_diff.py's gate + bounded adjudications.
+
+Covers: a ratio jump fires; an adjudication at-or-above the new ratio
+suppresses; a NEW ratio EXCEEDING the adjudicated baseline re-fires
+(the round-13 advice finding: suppression must not permanently disarm
+the gate); kind-scoping (a "status" verdict does not cover a ratio
+flag); status baseline (adjudicated "timeout" does not cover "fail");
+legacy no-baseline entries still suppress but print UNBOUNDED.
+
+Run: python3 tools/stress_diff_selftest.py  (exit 0 = all pass)
+"""
+import json, os, subprocess, sys, tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DIFF = os.path.join(HERE, "stress_diff.py")
+
+
+def art(queries, adjudications=None):
+    d = {"queries": queries}
+    if adjudications:
+        d["adjudications"] = adjudications
+    f = tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False, dir=tempfile.gettempdir())
+    json.dump(d, f)
+    f.close()
+    return f.name
+
+
+def run(old, new):
+    p = subprocess.run([sys.executable, DIFF, old, new],
+                       capture_output=True, text=True)
+    return p.returncode, p.stdout
+
+
+def q(secs, status="ok", ratio=None):
+    d = {"secs": secs, "status": status}
+    if ratio is not None:
+        d["ratio"] = ratio
+    return d
+
+
+def main():
+    fails = []
+
+    def check(name, cond, out=""):
+        if not cond:
+            fails.append(name)
+            print(f"FAIL {name}\n{out}")
+        else:
+            print(f"pass {name}")
+
+    old = art({"k": q(2.0, ratio=4.0)})
+
+    # 1. a ratio jump with no adjudication fires the gate
+    rc, out = run(old, art({"k": q(30.0, ratio=20.0)}))
+    check("ratio jump fires", rc == 1 and "RATIO JUMPS" in out, out)
+
+    # 2. adjudicated at baseline >= new ratio suppresses
+    rc, out = run(old, art(
+        {"k": q(30.0, ratio=20.0)},
+        {"k": {"kind": "ratio", "baseline": 20.0, "round": "r14",
+               "verdict": "isolated re-run: recording variance"}}))
+    check("at-baseline suppresses", rc == 0 and "suppressed" in out, out)
+
+    # 3. a NEW ratio exceeding the adjudicated baseline RE-FIRES
+    rc, out = run(old, art(
+        {"k": q(80.0, ratio=48.0)},
+        {"k": {"kind": "ratio", "baseline": 20.0, "round": "r14",
+               "verdict": "covers only the 20x flag"}}))
+    check("above-baseline re-fires", rc == 1 and "RATIO JUMPS" in out, out)
+
+    # 4. kind-scoped: a status verdict does not cover a ratio flag
+    rc, out = run(old, art(
+        {"k": q(30.0, ratio=20.0)},
+        {"k": {"kind": "status", "baseline": "timeout",
+               "verdict": "wrong kind"}}))
+    check("kind-scoped", rc == 1, out)
+
+    # 5. status baseline: adjudicated timeout covers timeout ...
+    rc, out = run(old, art(
+        {"k": q(240.0, status="timeout", ratio=5.0)},
+        {"k": {"kind": "status", "baseline": "timeout",
+               "verdict": "quadratic-by-contract pair-lister"}}))
+    check("status at-baseline suppresses", rc == 0, out)
+
+    # 6. ... but NOT a fail (different status than the verdict settled)
+    rc, out = run(old, art(
+        {"k": q(1.0, status="fail", ratio=5.0)},
+        {"k": {"kind": "status", "baseline": "timeout",
+               "verdict": "covers only timeout"}}))
+    check("status escalation re-fires", rc == 1, out)
+
+    # 7. legacy no-baseline entry still suppresses, marked UNBOUNDED
+    rc, out = run(old, art(
+        {"k": q(30.0, ratio=20.0)},
+        {"k": {"kind": "ratio", "verdict": "legacy r13-style entry"}}))
+    check("legacy unbounded warns", rc == 0 and "UNBOUNDED" in out, out)
+
+    print(f"{7 - len(fails)}/7 ok")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
