@@ -35,8 +35,15 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     // memory-regime overrides (SpillSweep) and other main-specific conf;
-    // must land before getOrCreate since they configure the context
-    val spark = extraConf.foldLeft(builder) {
+    // must land before getOrCreate since they configure the context.
+    // SPARK_GRAFT_CONF ("k=v;k=v") is the local-iteration escape hatch
+    // for flags the mains don't parametrize (e.g. flipping
+    // spark.graft.joinPlanner.enabled in a bench A/B); the driver never
+    // sets it, so recorded rounds always run the defaults.
+    val envConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+    val spark = (envConf ++ extraConf).foldLeft(builder) {
       case (b, (k, v)) => b.config(k, v)
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -79,30 +79,35 @@ object JoinPlanner {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Side row count from the grid itself (row 0's cells partition the
+    * input), not a second scan; sum not count — the count()
+    * projection-pruning trap. */
+  private def rowsOf(c: DataFrame): Long = c.filter(col("row") === 0)
+    .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+
+  /** Join-size / hot-key bounds from two persisted cell grids. */
+  private def boundsOf(lc: DataFrame, rc: DataFrame): (Long, Long) = {
+    val b = lc.as("a").join(rc.as("b"), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("a.n") * col("b.n")).as("ip"),
+        max(col("a.n") * col("b.n")).as("mx"))
+      .agg(coalesce(min(col("ip")), lit(0L)).as("est"),
+        coalesce(min(col("mx")), lit(0L)).as("hot"))
+      .head()
+    (b.getLong(0), b.getLong(1))
+  }
+
   /** Sketch both sides (each must carry a `k` join-key column) and
     * derive the decision inputs. One pass per side; the cell grids are
     * d×w rows, so the stats collapse to four driver scalars. */
   def estimate(left: DataFrame, right: DataFrame): Estimate = {
-    val sp = left.sparkSession
-    import sp.implicits._
     val lc = cells(left).persist()
     val rc = cells(right).persist()
     try {
-      // side row counts from the grid itself (row 0's cells partition
-      // the input), not a second scan; sum not count — the count()
-      // projection-pruning trap
-      def rows(c: DataFrame): Long = c.filter($"row" === 0)
-        .agg(coalesce(sum($"n"), lit(0L))).head().getLong(0)
-      val nl = rows(lc)
-      val nr = rows(rc)
-      val bounds = lc.as("a").join(rc.as("b"), Seq("row", "bucket"))
-        .groupBy($"row")
-        .agg(sum(col("a.n") * col("b.n")).as("ip"),
-          max(col("a.n") * col("b.n")).as("mx"))
-        .agg(coalesce(min($"ip"), lit(0L)).as("est"),
-          coalesce(min($"mx"), lit(0L)).as("hot"))
-        .head()
-      Estimate(nl, nr, bounds.getLong(0), bounds.getLong(1))
+      val nl = rowsOf(lc)
+      val nr = rowsOf(rc)
+      val (est, hot) = boundsOf(lc, rc)
+      Estimate(nl, nr, est, hot)
     } finally { lc.unpersist(); rc.unpersist(); () }
   }
 
@@ -147,21 +152,55 @@ object JoinPlanner {
       : (DataFrame, Strategy, Estimate) = {
     val e = estimate(left, right)
     val s = choose(e, cfg)
-    val joined = s match {
-      case Broadcast =>
-        if (e.nRight <= e.nLeft) left.join(broadcast(right), "k")
-        else broadcast(left).join(right, "k")
-      case Shuffle =>
-        if (e.nRight <= e.nLeft) left.join(right.hint("SHUFFLE_HASH"), "k")
-        else left.hint("SHUFFLE_HASH").join(right, "k")
-      case Salt(r) =>
-        val sl = left.withColumn("salt",
-          pmod(xxhash64(left.columns.map(col): _*) +
-            monotonically_increasing_id(), lit(r.toLong)))
-        val sr = right.withColumn("salt",
-          explode(array((0 until r).map(i => lit(i.toLong)): _*)))
-        sl.join(sr.hint("SHUFFLE_HASH"), Seq("k", "salt")).drop("salt")
-    }
-    (joined, s, e)
+    (execute(left, right, e, s), s, e)
+  }
+
+  private def execute(left: DataFrame, right: DataFrame, e: Estimate,
+      s: Strategy): DataFrame = s match {
+    case Broadcast =>
+      if (e.nRight <= e.nLeft) left.join(broadcast(right), "k")
+      else broadcast(left).join(right, "k")
+    case Shuffle =>
+      if (e.nRight <= e.nLeft) left.join(right.hint("SHUFFLE_HASH"), "k")
+      else left.hint("SHUFFLE_HASH").join(right, "k")
+    case Salt(r) =>
+      val sl = left.withColumn("salt",
+        pmod(xxhash64(left.columns.map(col): _*) +
+          monotonically_increasing_id(), lit(r.toLong)))
+      val sr = right.withColumn("salt",
+        explode(array((0 until r).map(i => lit(i.toLong)): _*)))
+      sl.join(sr.hint("SHUFFLE_HASH"), Seq("k", "salt")).drop("salt")
+  }
+
+  /** [[planJoin]] with a STAGED estimate for the production gather
+    * shape, where the caller knows which side is the candidate build
+    * (bounded / persisted — cheap to sketch) and which is the large
+    * probe (a fact-table scan — expensive to sketch): sketch the BUILD
+    * side alone first and take the broadcast exit without ever scanning
+    * the probe. Only when the build outgrows the broadcast budget —
+    * exactly the regime where a heavy join follows and a pre-pass pays
+    * for itself — is the probe sketched for the full skew decision.
+    * Estimate-then-choose with the estimate cost proportional to how
+    * much is at stake. When the broadcast exit fires, the returned
+    * Estimate carries the probe-side fields as -1 (not sketched). */
+  def planJoinStaged(probe: DataFrame, build: DataFrame,
+      cfg: Config = Config()): (DataFrame, Strategy, Estimate) = {
+    val bc = cells(build).persist()
+    try {
+      val nb = rowsOf(bc)
+      if (nb <= cfg.broadcastMaxRows) {
+        val e = Estimate(-1L, nb, -1L, -1L)
+        (probe.join(broadcast(build), "k"), Broadcast, e)
+      } else {
+        val pc = cells(probe).persist()
+        try {
+          val np = rowsOf(pc)
+          val (est, hot) = boundsOf(pc, bc)
+          val e = Estimate(np, nb, est, hot)
+          val s = choose(e, cfg)
+          (execute(probe, build, e, s), s, e)
+        } finally { pc.unpersist(); () }
+      }
+    } finally { bc.unpersist(); () }
   }
 }
