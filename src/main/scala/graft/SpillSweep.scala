@@ -51,10 +51,20 @@ object SpillSweep {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(HeavyKeys)
     val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.15")
+    // storageFraction is part of the regime: at 0.5 (Spark's default) a
+    // substrate-heavy iterative key can pin HALF the squeezed pool as
+    // eviction-protected cache, and 32-way task concurrency divides the
+    // rest below a hash-aggregate's FIRST page — UNABLE_TO_ACQUIRE_MEMORY
+    // before the spill machinery even engages (the round-14 sweep's
+    // find on la_build/j6). Execution-heavy pressure deployments lower
+    // it; both regimes are worth recording.
+    val storageFraction =
+      sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.5")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.create("graft-spill-sweep", cpus, Map(
       // the squeeze: unified pool = (heap - 300MB reserved) * fraction
       "spark.memory.fraction" -> fraction,
+      "spark.memory.storageFraction" -> storageFraction,
       // no in-memory shuffle shortcut: every shuffle write goes through
       // the sorter's spill machinery at this pool size anyway; keep AQE
       // on — runtime coalescing under pressure is part of the regime
@@ -135,7 +145,8 @@ object SpillSweep {
       }.mkString(",")
       val doc = s"""{"sf_dir":${q(sfDir)},""" +
         s""""heap":${q(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))},""" +
-        s""""memory_fraction":$fraction,"cpus":$cpus,""" +
+        s""""memory_fraction":$fraction,""" +
+        s""""storage_fraction":$storageFraction,"cpus":$cpus,""" +
         s""""n_keys":${results.size},"n_fail":${failed.size},""" +
         s""""total_mem_spilled_bytes":$totMem,""" +
         s""""total_disk_spilled_bytes":$totDisk,""" +

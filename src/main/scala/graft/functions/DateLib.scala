@@ -275,6 +275,11 @@ object DateLib {
     val body = if (neg) t.substring(1) else t
     val parts = body.split("[-T]")
     val precChar = precision match { case 9 => "Y" case 10 => "M" case _ => "D" }
+    // month precision needs a month component; a malformed time string
+    // with no '-' would otherwise index past the split (totality — the
+    // fuzz battery's find, not reachable from the wikidata mapper's
+    // well-formed +Y-M-DT…Z inputs but total is total)
+    if (precision == 10 && parts.length < 2) return None
     val trimmed = precision match {
       case 9 => parts(0)
       case 10 => s"${parts(0)}-${parts(1)}"
