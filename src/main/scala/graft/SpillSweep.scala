@@ -51,20 +51,33 @@ object SpillSweep {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(HeavyKeys)
     val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.15")
-    // storageFraction is part of the regime: at 0.5 (Spark's default) a
-    // substrate-heavy iterative key can pin HALF the squeezed pool as
-    // eviction-protected cache, and 32-way task concurrency divides the
-    // rest below a hash-aggregate's FIRST page — UNABLE_TO_ACQUIRE_MEMORY
-    // before the spill machinery even engages (the round-14 sweep's
-    // find on la_build/j6). Execution-heavy pressure deployments lower
-    // it; both regimes are worth recording.
+    // storageFraction was round 14's FIRST hypothesis for the la_build/
+    // j6 UNABLE_TO_ACQUIRE_MEMORY (half the squeezed pool eviction-
+    // protected as cache) — DISPROVEN by the 0.1 re-run, which fails
+    // identically. The real mechanism (log-proven: a wall of
+    // "Not enough space to cache rdd_N in memory! (computed 64.1 MiB so
+    // far)" 8 s before the OOM): the failing stage MATERIALIZES a
+    // MEMORY_AND_DISK substrate while aggregating, so all 32 tasks hold
+    // in-progress UNROLL reservations — storage-side memory that is not
+    // evictable at ANY storageFraction while the unroll is running — and
+    // the same tasks' hash-aggregate first page finds a zero-free pool.
+    // The knob that owns this regime is the CACHE STORAGE LEVEL:
+    // DISK_ONLY skips the MemoryStore (no unroll reservation at all), so
+    // execution keeps the whole pool. Both knobs stay recorded in the
+    // artifact; both regimes are worth keeping reproducible.
     val storageFraction =
       sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.5")
+    // spark.sql.defaultCacheStorageLevel rewrites every no-arg
+    // Dataset.persist()/cache() in the engine — pure cluster conf, zero
+    // operator-code involvement, exactly what a pressure deployment sets.
+    val cacheLevel =
+      sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.create("graft-spill-sweep", cpus, Map(
       // the squeeze: unified pool = (heap - 300MB reserved) * fraction
       "spark.memory.fraction" -> fraction,
       "spark.memory.storageFraction" -> storageFraction,
+      "spark.sql.defaultCacheStorageLevel" -> cacheLevel,
       // no in-memory shuffle shortcut: every shuffle write goes through
       // the sorter's spill machinery at this pool size anyway; keep AQE
       // on — runtime coalescing under pressure is part of the regime
@@ -146,7 +159,8 @@ object SpillSweep {
       val doc = s"""{"sf_dir":${q(sfDir)},""" +
         s""""heap":${q(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))},""" +
         s""""memory_fraction":$fraction,""" +
-        s""""storage_fraction":$storageFraction,"cpus":$cpus,""" +
+        s""""storage_fraction":$storageFraction,""" +
+        s""""cache_storage_level":${q(cacheLevel)},"cpus":$cpus,""" +
         s""""n_keys":${results.size},"n_fail":${failed.size},""" +
         s""""total_mem_spilled_bytes":$totMem,""" +
         s""""total_disk_spilled_bytes":$totDisk,""" +
