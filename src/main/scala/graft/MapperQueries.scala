@@ -359,6 +359,134 @@ object MapperQueries extends QueryGroup {
       |    ELSE NULL END AS canonical
       |FROM b""".stripMargin
 
+  /** The URI-CANON differential (f8b) — the q11/q14/f1b pattern applied
+    * to the canonicalizer: every distinct document token becomes the
+    * identifier body of ~20 URI templates, one per canonicalize branch
+    * and per seam where two string libraries can disagree — pre-split
+    * fix first-branch-wins and replace-ALL, identifier after the LAST
+    * match occurrence (rsplit), source-table ORDER (wikidata beats viaf
+    * regardless of position in the string), double-wrapping recursion,
+    * the slash-shadows-.html elif, one-trailing-slash-only, trailing
+    * .html removes ALL .html, quote/space scrubbing, the Python
+    * str.strip() Unicode whitespace set (NBSP/thin-space edges — the
+    * seam this differential found: the engine used Java trim), rewrite
+    * → other-external passthrough of the REWRITTEN uri, case
+    * sensitivity, dead identifiers, scheme-less contains matching.
+    * Engine: the codegen uri_canon expression. Oracle: a full DuckDB
+    * re-derivation — str_split(x, m)[-1] for rsplit, an explicit
+    * chr()-list trim for Python strip, two unrolled recursion levels
+    * (tokens containing 'http' are filtered on both sides so depth > 2
+    * is unreachable). Any divergence in ANY branch fails the row hash. */
+  private val uriDiffTemplates: Seq[(String, String)] = Seq(
+    ("http://vocab.getty.edu/aat/", ""),                      // direct
+    ("https://vocab.getty.edu/page/aat/", ""),                // preFix 1
+    ("http://vocab.getty.edu/aat/page/", ""),                 // preFix 2
+    ("http://vocab.getty.edu/page/aat/page/", ""),            // both: branch 1 wins, replace-ALL
+    ("http://vocab.getty.edu/aat/vocab.getty.edu/aat/", ""),  // id after LAST occurrence
+    ("http://www.wikidata.org/entity/viaf.org/viaf/", ""),    // two sources, wikidata first in table
+    ("http://viaf.org/viaf/www.wikidata.org/entity/", ""),    // table order, not string position
+    ("https://viaf.org/viaf/https://sws.geonames.org/", ""),  // double wrap → recursion
+    ("http://id.loc.gov/authorities/names/", "/"),            // one trailing slash stripped
+    ("http://id.loc.gov/authorities/names/", "//"),           // …exactly one: second survives
+    ("https://viaf.org/viaf/", ".html"),                      // trailing .html
+    ("https://viaf.org/viaf/", ".html.html"),                 // trailing → removes ALL .html
+    ("https://viaf.org/viaf/", ".html/"),                     // slash branch shadows .html (elif)
+    ("http://vocab.getty.edu/aat/ ", " \"x”"),                // spaces + straight/curly quotes
+    ("http://vocab.getty.edu/aat/\u00a0", "\t"),              // Python strip: NBSP + tab edges
+    ("http://vocab.getty.edu/aat/\u202f", "\u3000"),          // narrow nbsp + ideographic space
+    ("http://isni-url.oclc.nl/isni/", ""),                    // rewrite → other-external passthrough
+    ("https://worldcat.org/fast/", ""),                       // other-external passthrough
+    ("https://junk.example/", ""),                            // trash → NULL
+    ("HTTP://VOCAB.GETTY.EDU/AAT/", ""),                      // case-sensitive contains → trash
+    ("x", "http://vocab.getty.edu/aat/"),                     // empty identifier dies
+    ("vocab.getty.edu/aat/", ""))                             // scheme-less contains still routes
+
+  /** Identifier-body decorations: the synthetic corpus vocabulary is
+    * small and ASCII, so each token also rides with an interior slash,
+    * a non-trailing-then-trailing .html, straight+curly quotes, accented
+    * letters, and an INTERIOR NBSP (strip touches edges only; the space
+    * removal is ASCII-space only — both must survive). */
+  private val uriDiffBodies: Seq[String] =
+    Seq("", "/x", ".html", "\"q”x", "ü.à", "\u00a0z")
+
+  def uriDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextQueries.tokensCol(lower(col("text")))).as("b"))
+      .filter(!col("b").contains("http"))
+      .distinct()
+    val bodies = toks.select(explode(array(uriDiffBodies.map(s =>
+        concat($"b", lit(s))): _*)).as("b")).distinct()
+    bodies.select(explode(array(uriDiffTemplates.map { case (p, s) =>
+        concat(lit(p), $"b", lit(s)) }: _*)).as("uri"))
+      .distinct()
+      .select($"uri", functions.UriCanon.canonicalize($"uri").as("canonical"))
+  }
+
+  private def uriDiffOracle: String = {
+    import graft.functions.UriCanon
+    // first contained match wins, in SOURCE-TABLE order (split_uri's
+    // nested loops, config.py:203-216)
+    def matchCase(x: String): String = "CASE " + UriCanon.sources.flatMap(s =>
+      s.matches.map(m => s"WHEN contains($x, '$m') THEN '$m'"))
+      .mkString(" ") + " END"
+    def nsCase(x: String): String = "CASE " + UriCanon.sources.flatMap(s =>
+      s.matches.map(m => s"WHEN contains($x, '$m') THEN '${s.namespace}'"))
+      .mkString(" ") + " END"
+    def preFix(x: String): String =
+      s"CASE WHEN contains($x, 'page/aat') THEN replace($x, 'page/aat', 'aat') " +
+        s"WHEN contains($x, 'aat/page') THEN replace($x, 'aat/page', 'aat') " +
+        s"ELSE $x END"
+    val rewriteCase = UriCanon.rewrites.foldRight("uri") { case ((bad, good), acc) =>
+      s"CASE WHEN contains(uri, '$bad') THEN replace(uri, '$bad', '$good') ELSE $acc END"
+    }
+    val pyWs = UriCanon.pyWhitespace.map(cp => s"chr($cp)").mkString(" || ")
+    // fix_identifier in two staged columns: scrub (Python strip + the
+    // space/quote removals), then the slash-elif-.html branch
+    def scrub(x: String): String =
+      s"replace(replace(replace(trim($x, $pyWs), ' ', ''), '\"', ''), '”', '')"
+    def fixBranch(t: String): String =
+      s"CASE WHEN ends_with($t, '/') THEN substr($t, 1, length($t) - 1) " +
+        s"WHEN ends_with($t, '.html') THEN replace($t, '.html', '') " +
+        s"ELSE $t END"
+    val otherExt = UriCanon.otherExternal
+      .map(m => s"contains(u, '$m')").mkString(" OR ")
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
+    val tpl = uriDiffTemplates.map { case (p, s) => s"(${q(p)}, ${q(s)})" }
+      .mkString(", ")
+    val bodySufs = uriDiffBodies.map(q).mkString("[", ", ", "]")
+    val t = TextQueries.tokensSql("lower(text)")
+    s"""WITH base AS (SELECT DISTINCT unnest($t) AS b FROM documents),
+       |tb AS (SELECT b FROM base WHERE NOT contains(b, 'http')),
+       |bodies AS (SELECT DISTINCT b || s.suf AS b
+       |  FROM tb, (SELECT unnest($bodySufs) AS suf) s),
+       |uris AS (SELECT DISTINCT t.pre || b || t.suf AS uri
+       |  FROM bodies, (VALUES $tpl) t(pre, suf)),
+       |r0 AS (SELECT uri, $rewriteCase AS u FROM uris),
+       |l1 AS (SELECT uri, u, ${preFix("u")} AS p1 FROM r0),
+       |m1 AS (SELECT *, ${matchCase("p1")} AS mm1, ${nsCase("p1")} AS ns1 FROM l1),
+       |i1 AS (SELECT *, CASE WHEN mm1 IS NOT NULL
+       |  THEN (str_split(p1, mm1))[-1] END AS id1 FROM m1),
+       |w AS (SELECT *, coalesce(id1 LIKE 'http://%' OR id1 LIKE 'https://%',
+       |  false) AS wrap FROM i1),
+       |l2 AS (SELECT *, CASE WHEN wrap THEN ${preFix("id1")} END AS p2 FROM w),
+       |m2 AS (SELECT *, ${matchCase("p2")} AS mm2, ${nsCase("p2")} AS ns2 FROM l2),
+       |i2 AS (SELECT *, CASE WHEN mm2 IS NOT NULL
+       |  THEN (str_split(p2, mm2))[-1] END AS id2 FROM m2),
+       |s1 AS (SELECT *, ${scrub("id1")} AS t1, ${scrub("id2")} AS t2 FROM i2),
+       |f1 AS (SELECT *, ${fixBranch("t1")} AS fixed1, ${fixBranch("t2")} AS fixed2
+       |  FROM s1),
+       |fx AS (SELECT uri, u,
+       |  CASE WHEN mm1 IS NULL THEN NULL
+       |       WHEN wrap THEN CASE WHEN mm2 IS NOT NULL
+       |         AND NULLIF(fixed2, '') IS NOT NULL THEN ns2 || fixed2 END
+       |       ELSE CASE WHEN NULLIF(fixed1, '') IS NOT NULL
+       |         THEN ns1 || fixed1 END
+       |  END AS routed FROM f1)
+       |SELECT uri, COALESCE(routed, CASE WHEN $otherExt THEN u END) AS canonical
+       |FROM fx""".stripMargin
+  }
+
   final case class LcOut(id: Long, label: String, names: String,
       alts: String, eqs: String)
 
@@ -1756,5 +1884,6 @@ object MapperQueries extends QueryGroup {
     Queries.register(QueryDef("f10_geometry_merge", geometryMerge, Some(geometryMergeOracle)))
     Queries.register(QueryDef("f11_html_strip", htmlStrip, Some(htmlStripOracle)))
     Queries.register(QueryDef("f8_uri_canonicalize", uriCanonicalize, Some(uriCanonicalizeOracle)))
+    Queries.register(QueryDef("f8b_uri_diff", uriDiff, Some(uriDiffOracle)))
   }
 }

@@ -275,15 +275,20 @@ object DateLib {
     val body = if (neg) t.substring(1) else t
     val parts = body.split("[-T]")
     val precChar = precision match { case 9 => "Y" case 10 => "M" case _ => "D" }
-    // month precision needs a month component; a malformed time string
-    // with no '-' would otherwise index past the split (totality — the
-    // fuzz battery's find, not reachable from the wikidata mapper's
-    // well-formed +Y-M-DT…Z inputs but total is total)
+    // malformed time strings would otherwise index past the split
+    // (totality — the fuzz battery's finds, not reachable from the
+    // wikidata mapper's well-formed +Y-M-DT…Z inputs but total is
+    // total): a body of only separator chars ("-", "T") splits to an
+    // EMPTY array, and month precision needs a month component
+    if (parts.isEmpty) return None
     if (precision == 10 && parts.length < 2) return None
     val trimmed = precision match {
       case 9 => parts(0)
       case 10 => s"${parts(0)}-${parts(1)}"
-      case _ => body.split("T")(0)
+      case _ =>
+        val dayParts = body.split("T")
+        if (dayParts.isEmpty) return None
+        dayParts(0)
     }
     makeDatetime((if (neg) "-" else "") + trimmed, precChar)
   }

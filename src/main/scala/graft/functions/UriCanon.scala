@@ -70,9 +70,37 @@ object UriCanon {
   private val pairs: Array[(String, String)] =
     sources.flatMap(s => s.matches.map(m => (m, s.namespace))).toArray
 
+  /** The reference strips identifiers with Python `str.strip()`
+    * (config.py:172), whose no-arg whitespace set is Unicode — `\t \n
+    * \v \f \r \x1c-\x1f space NEL NBSP` plus the Zs/Zl/Zp blocks —
+    * NOT Java's `String.trim` (≤ U+0020 only) and not
+    * `Character.isWhitespace` (which excludes the non-breaking family
+    * U+00A0/U+2007/U+202F). Found by f8b_uri_diff construction: an
+    * NBSP-edged identifier survived the old `trim` but not the
+    * reference. The same code-point list drives the differential
+    * oracle's `trim(x, …)` char set. */
+  val pyWhitespace: Seq[Int] =
+    Seq(0x09, 0x0a, 0x0b, 0x0c, 0x0d, 0x1c, 0x1d, 0x1e, 0x1f, 0x20,
+      0x85, 0xa0, 0x1680) ++ (0x2000 to 0x200a) ++
+      Seq(0x2028, 0x2029, 0x202f, 0x205f, 0x3000)
+  private val pyWsSet: java.util.BitSet = {
+    val b = new java.util.BitSet(0x3001)
+    pyWhitespace.foreach(b.set)
+    b
+  }
+
+  /** Python str.strip() over the BMP whitespace set above. */
+  def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && pyWsSet.get(s.charAt(a).toInt)) a += 1
+    while (b > a && pyWsSet.get(s.charAt(b - 1).toInt)) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
   /** fix_identifier (config.py:172-186). Returns "" for dead ids. */
   def fixIdentifier(id0: String): String = {
-    var id = id0.trim.replace(" ", "").replace("\"", "").replace("”", "")
+    var id = pyStrip(id0).replace(" ", "").replace("\"", "").replace("”", "")
     if (id.endsWith("/")) id = id.substring(0, id.length - 1)
     else if (id.endsWith(".html")) id = id.replace(".html", "")
     id

@@ -31,6 +31,22 @@ class UriCanonSpec extends AnyFunSuite {
       "http://www.wikidata.org/entity/Q937")
   }
 
+  test("identifier strip is Python str.strip(): Unicode whitespace edges") {
+    // the reference's fix_identifier strips with str.strip()
+    // (config.py:172) whose set is Unicode whitespace — NBSP, narrow
+    // NBSP, ideographic space — not Java trim's <= U+0020
+    assert(c("http://vocab.getty.edu/aat/\u00a0300123\t") ==
+      "http://vocab.getty.edu/aat/300123")
+    assert(c("http://vocab.getty.edu/aat/\u202f300124\u3000") ==
+      "http://vocab.getty.edu/aat/300124")
+    // an identifier that is ONLY such whitespace dies like an empty one
+    assert(c("http://vocab.getty.edu/aat/\u00a0\u3000") == null)
+    // interior NBSP is untouched: strip works on edges, and the
+    // space-removal replace targets ASCII space only
+    assert(c("http://vocab.getty.edu/aat/3\u00a04") ==
+      "http://vocab.getty.edu/aat/3\u00a04")
+  }
+
   test("trailing slash strip wins over .html (the reference's elif)") {
     assert(c("https://viaf.org/viaf/x.html/") ==
       "https://viaf.org/viaf/x.html")
