@@ -279,8 +279,11 @@ object OpsQueries extends QueryGroup {
     * same-name pairs score 100. Threshold 900 → real CC over matches →
     * per-record cluster id + size.
     *
-    * Scale shape: the self-join is keyed on the blocking key (at 100 TB
-    * hot blocking keys get the d2 guardedBandPairs cap treatment); the
+    * Scale shape: the self-join is keyed on the blocking key and
+    * (round 14) executes through [[blockingJoin]] — the CMS planner's
+    * broadcast/shuffle/salt decision, so a hot blocking key salts
+    * instead of sticking a reducer (the d2 guardedBandPairs cap remains
+    * the remedy when the hot block's OUTPUT itself is the problem); the
     * score is codegen'd column arithmetic; CC is the g1 operator. The
     * oracle replays ground truth directly from the fixture arithmetic —
     * a hash match proves blocking+scoring+clustering recovered exactly
@@ -292,6 +295,27 @@ object OpsQueries extends QueryGroup {
     * holds for custkey domains below ~2.7M (any test sf here; ~sf 18
     * on TPC-H scaling). Beyond that, widen the moduli with the
     * fixture. */
+  /** The blocking self-join executed through the CMS-driven planner —
+    * the SECOND production adoption (after the build chain's gather):
+    * blocking keys are exactly where real ER skews (a common surname
+    * blocks a measurable share of the corpus), and the planner's salt
+    * branch is the remedy the reference reaches by hand-sharding its
+    * reconcile keys (`run-reconcile.py:33-41`). STAGED estimate: the
+    * build side (the same persisted recs) is sketched first and the
+    * broadcast exit taken at fixture scales without a probe pass; past
+    * the budget the probe is sketched and the full
+    * broadcast/shuffle/salt decision runs. Same rollback flag as the
+    * gather (`spark.graft.joinPlanner.enabled`); both inputs carry the
+    * blocking key as `k`; ErBlockingPlanSpec pins the branches. */
+  private[graft] def blockingJoin(lhs: DataFrame, rhs: DataFrame,
+      cfg: operators.JoinPlanner.Config = operators.JoinPlanner.Config())
+      : DataFrame = {
+    val plannerOn = lhs.sparkSession.conf
+      .getOption("spark.graft.joinPlanner.enabled").forall(_.toBoolean)
+    if (plannerOn) operators.JoinPlanner.planJoinStaged(lhs, rhs, cfg)._1
+    else lhs.join(rhs, "k")
+  }
+
   def erPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ck = $"c_custkey".cast("long")
@@ -306,9 +330,9 @@ object OpsQueries extends QueryGroup {
       concat(lit("street"),
         when(ck % 5 === 0, (ck + 1) % 97).otherwise(ck % 97)).as("street"))
     val recs = recsA.union(recsB).persist() // blocking join + final label join
-    val lhs = recs.select($"nm", $"rid".as("ra"), $"city".as("ca"), $"street".as("sa"))
-    val rhs = recs.select($"nm", $"rid".as("rb"), $"city".as("cb"), $"street".as("sb"))
-    val scored = lhs.join(rhs, "nm").filter($"ra" < $"rb")
+    val lhs = recs.select($"nm".as("k"), $"rid".as("ra"), $"city".as("ca"), $"street".as("sa"))
+    val rhs = recs.select($"nm".as("k"), $"rid".as("rb"), $"city".as("cb"), $"street".as("sb"))
+    val scored = blockingJoin(lhs, rhs).filter($"ra" < $"rb")
       .select($"ra", $"rb",
         (lit(100L) + when($"ca" === $"cb", 500L).otherwise(0L)
           + when($"sa" === $"sb", 400L).otherwise(0L)).as("score_milli"))

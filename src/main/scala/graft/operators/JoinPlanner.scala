@@ -68,13 +68,22 @@ object JoinPlanner {
       lit(graft.functions.VecMath.bj(64 + j)), lit(HashP)), lit(CmsW))
   }
 
-  /** Per-side CMS cell grid over the `k` column: (row j, bucket, n). */
+  /** Per-side CMS cell grid over the `k` column: (row j, bucket, n).
+    * A non-numeric key (string blocking keys — the r2 adoption) is
+    * pre-reduced through xxhash64 before the pairwise-hash rows; the
+    * numeric path is untouched, so the j16b/s21 oracle replays stay
+    * bit-identical. Estimator guarantees are unchanged: xxhash64 is a
+    * deterministic key→int64 map, and any collision only MERGES two
+    * true keys' masses — overcount, the direction CMS already errs. */
   private[graft] def cells(s: DataFrame): DataFrame = {
     import graft.TextQueries.CmsD
     val sp = s.sparkSession
     import sp.implicits._
+    val kNum =
+      if (s.schema("k").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) $"k"
+      else xxhash64($"k")
     s.select(explode(array((0 until CmsD).map(j =>
-        struct(lit(j).as("row"), bucket(j, $"k").as("bucket"))): _*)).as("c"))
+        struct(lit(j).as("row"), bucket(j, kNum).as("bucket"))): _*)).as("c"))
       .groupBy($"c.row".as("row"), $"c.bucket".as("bucket"))
       .agg(count(lit(1)).as("n"))
   }
@@ -185,22 +194,26 @@ object JoinPlanner {
     * Estimate carries the probe-side fields as -1 (not sketched). */
   def planJoinStaged(probe: DataFrame, build: DataFrame,
       cfg: Config = Config()): (DataFrame, Strategy, Estimate) = {
-    val bc = cells(build).persist()
-    try {
-      val nb = rowsOf(bc)
-      if (nb <= cfg.broadcastMaxRows) {
-        val e = Estimate(-1L, nb, -1L, -1L)
-        (probe.join(broadcast(build), "k"), Broadcast, e)
-      } else {
-        val pc = cells(probe).persist()
-        try {
-          val np = rowsOf(pc)
-          val (est, hot) = boundsOf(pc, bc)
-          val e = Estimate(np, nb, est, hot)
-          val s = choose(e, cfg)
-          (execute(probe, build, e, s), s, e)
-        } finally { pc.unpersist(); () }
-      }
-    } finally { bc.unpersist(); () }
+    // the broadcast exit needs ONE scalar — the build's row count — so
+    // take it with a bare codegen count, not the d×w sketch grid (the
+    // r2-adoption bench A/B measured the grid-for-a-count pre-pass at
+    // ~10% of the key; the count is noise). Past the budget the build
+    // is re-scanned for its grid: one extra cheap pass, paid exactly
+    // when a heavy shuffle join follows and the full decision is due.
+    val nb = build.count()
+    if (nb <= cfg.broadcastMaxRows) {
+      val e = Estimate(-1L, nb, -1L, -1L)
+      (probe.join(broadcast(build), "k"), Broadcast, e)
+    } else {
+      val bc = cells(build).persist()
+      val pc = cells(probe).persist()
+      try {
+        val np = rowsOf(pc)
+        val (est, hot) = boundsOf(pc, bc)
+        val e = Estimate(np, nb, est, hot)
+        val s = choose(e, cfg)
+        (execute(probe, build, e, s), s, e)
+      } finally { pc.unpersist(); bc.unpersist(); () }
+    }
   }
 }
