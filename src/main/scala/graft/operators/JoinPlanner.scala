@@ -39,7 +39,17 @@ object JoinPlanner {
       broadcastMaxRows: Long = 100000L,
       skewShareMilli: Long = 200L,
       saltTargetPartitions: Int = 32,
-      maxSalt: Int = 32)
+      maxSalt: Int = 32,
+      /** Above this average per-probe-row match count the Shuffle
+        * strategy drops its SHUFFLE_HASH hint and lets Catalyst pick
+        * (sort-merge): a pair-amplifying join replays each key group
+        * per probe row, and SMJ's buffered group is a SEQUENTIAL
+        * scan where the hash join walks a per-key chain of pointers —
+        * measured on the r2 blocking self-join at sf10 (~2000×
+        * fan-out): hinted 69-75 s vs unhinted sort-merge 48-63 s.
+        * Physical-plan detail only: the DECISION stays `shuffle`, so
+        * the j16b oracle replay is untouched. */
+      shuffleHashMaxFanout: Long = 32L)
 
   /** Never-undercount bounds from the per-side CMS cell grids. */
   final case class Estimate(nLeft: Long, nRight: Long,
@@ -161,14 +171,25 @@ object JoinPlanner {
       : (DataFrame, Strategy, Estimate) = {
     val e = estimate(left, right)
     val s = choose(e, cfg)
-    (execute(left, right, e, s), s, e)
+    (execute(left, right, e, s, cfg), s, e)
   }
 
+  /** Average matches emitted per probe row — the pair-amplification
+    * signal behind the Shuffle hint choice (see Config). */
+  private def fanout(e: Estimate): Long =
+    if (e.estRows > 0 && math.max(e.nLeft, e.nRight) > 0)
+      e.estRows / math.max(e.nLeft, e.nRight)
+    else 0L
+
   private def execute(left: DataFrame, right: DataFrame, e: Estimate,
-      s: Strategy): DataFrame = s match {
+      s: Strategy, cfg: Config): DataFrame = s match {
     case Broadcast =>
       if (e.nRight <= e.nLeft) left.join(broadcast(right), "k")
       else broadcast(left).join(right, "k")
+    case Shuffle if fanout(e) > cfg.shuffleHashMaxFanout =>
+      // pair-amplifying join: no hint — Catalyst's sort-merge replays
+      // each buffered key group sequentially (see Config scaladoc)
+      left.join(right, "k")
     case Shuffle =>
       if (e.nRight <= e.nLeft) left.join(right.hint("SHUFFLE_HASH"), "k")
       else left.hint("SHUFFLE_HASH").join(right, "k")
@@ -212,7 +233,7 @@ object JoinPlanner {
         val (est, hot) = boundsOf(pc, bc)
         val e = Estimate(np, nb, est, hot)
         val s = choose(e, cfg)
-        (execute(probe, build, e, s), s, e)
+        (execute(probe, build, e, s, cfg), s, e)
       } finally { pc.unpersist(); bc.unpersist(); () }
     }
   }

@@ -20,10 +20,13 @@ class ErBlockingPlanSpec extends AnyFunSuite {
   private val cfg = Config(broadcastMaxRows = 64L, skewShareMilli = 200L,
     saltTargetPartitions = 32, maxSalt = 32)
 
-  /** recs-shaped sides: hot=true puts 90% of rows on one blocking key. */
-  private def sides(n: Int, hot: Boolean): (DataFrame, DataFrame) = {
+  /** recs-shaped sides: hot=true puts 90% of rows on one blocking key;
+    * `keys` sets the block count (fewer keys → higher per-probe-row
+    * fan-out, the Shuffle hint signal). */
+  private def sides(n: Int, hot: Boolean, keys: Int = 40)
+      : (DataFrame, DataFrame) = {
     val recs = (1 to n).map { i =>
-      val nm = if (hot && i % 10 < 9) "smith" else s"nm${i % 40}"
+      val nm = if (hot && i % 10 < 9) "smith" else s"nm${i % keys}"
       (i.toLong, nm, s"c${i % 5}", s"s${i % 7}")
     }.toDF("rid", "k", "city", "street")
     (recs.select($"k", $"rid".as("ra"), $"city".as("ca"), $"street".as("sa")),
@@ -43,12 +46,24 @@ class ErBlockingPlanSpec extends AnyFunSuite {
     assert(agg(j) === agg(l.join(r, "k")))
   }
 
-  test("er blocking: past the budget, uniform keys → shuffle-hash") {
-    val (l, r) = sides(4000, hot = false)
+  test("er blocking: past the budget, modest fan-out → shuffle-hash") {
+    // 2000 distinct blocks of ~2 rows/side: fan-out ≈ 2 ≤ the hint cap
+    val (l, r) = sides(4000, hot = false, keys = 2000)
     val j = OpsQueries.blockingJoin(l, r, cfg)
     val plan = executed(j)
     assert(plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    assert(agg(j) === agg(l.join(r, "k")))
+  }
+
+  test("er blocking: pair-amplifying fan-out → unhinted shuffle (SMJ ok)") {
+    // 40 blocks of 100 rows/side: fan-out ≈ 100 > shuffleHashMaxFanout —
+    // the hint is dropped and Catalyst's sort-merge replays each
+    // buffered key group sequentially (decision name stays `shuffle`)
+    val (l, r) = sides(4000, hot = false, keys = 40)
+    val j = OpsQueries.blockingJoin(l, r, cfg)
+    val plan = executed(j)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
     assert(agg(j) === agg(l.join(r, "k")))
   }
 
