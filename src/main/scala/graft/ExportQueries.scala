@@ -298,10 +298,133 @@ object ExportQueries extends QueryGroup {
       |  'https://x.org/%7Bq' || ck || '%7D' AS uri
       |FROM base""".stripMargin
 
+  final case class SanDiffOut(raw: String, plain: String, padded: String,
+      uri_ext: String, uri_int: String)
+
+  /** The SANITIZE differential (f18b) — the q14/f1b/f8b pattern on the
+    * qlever kernels: every printable-ASCII document token × 15
+    * decorations, one per kernel rule and string-library seam
+    * (precomposed vs combining accents, Mc matra KEPT by the Mn-only
+    * filter, Me keycap kept, supplementary-plane Mn dropped, non-BMP
+    * standalone word ljust'ed by CODE POINTS, NBSP/ideographic-space
+    * Python-split breaks, the İ full-vs-simple lower seam, ẞ→ß,
+    * punctuation strip edges, the \r\n\t replace chain, dot/apostrophe
+    * short words through strip→pad). Engine: the real Sanitize kernels.
+    * Oracle: a full DuckDB re-derivation — explicit `\p{Mn}` removal +
+    * strip_accents with the two Mc/Me decoration chars PUA-sentinel-
+    * protected (strip_accents wrongly removes ALL marks; the sentinel
+    * keeps the oracle at Python's Mn-only semantics), a `\x{…}`-class
+    * regex split for Python's unicode str.split(), codepoint rpad for
+    * ljust, and the İ→i+U+0307 pre-replace for full-casing lower.
+    * Built FOUR engine parity fixes by construction: Python-split
+    * whitespace, codepoint ljust, codepoint Mn filter, and
+    * sanitize_uri's space/\n/\t handling + internal-namespace bypass
+    * (mapper2.py:79-89). */
+  private val sanDecorations: Seq[(String, String)] = Seq(
+    ("", ""),
+    ("é-", "\"x"),            // precomposed accent; hyphen→space; quote drop
+    ("é", "\\y"),       // combining acute; backslash drop
+    ("xा-", ""),         // Mc matra: survives the Mn-only filter
+    ("x⃣ ", ""),         // Me enclosing keycap: survives
+    ("x𝅧 ", ""),   // supplementary-plane Mn: dropped
+    ("𝕓 ", ""),    // non-BMP standalone word: codepoint ljust
+    (" z ", ""),         // NBSP: a Python-split word break
+    ("　w ", ""),         // ideographic space: same
+    ("İ", ""),                // full-vs-simple lower seam (pre-replaced)
+    ("ẞs-", ""),              // sharp-S: simple mapping agrees
+    ("!!", "!!"),             // punctuation strip at word edges
+    ("\r", "\n\ta"),          // replace chain + a short padded word
+    (". ", " .a"),            // dot-edged short words → strip → pad
+    ("' ", " 'a"))            // apostrophe in the strip set
+
+  def sanitizeDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Sanitize
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(TextQueries.tokensCol(lower(col("text")))).as("b"))
+      .filter(!col("b").rlike("[^\\x20-\\x7e]"))
+      .distinct().as[String]
+    toks.flatMap { b =>
+      sanDecorations.map { case (p, s) =>
+        val raw = p + b + s
+        SanDiffOut(raw,
+          Sanitize.sanitizeString(raw),
+          Sanitize.sanitizeString(raw, removeDiacritics = true, minWordChars = 3),
+          Sanitize.sanitizeUri(s"https://x.org/a b{$b}\n"),
+          Sanitize.sanitizeUri(s"https://lux.example/data/x {$b}",
+            "https://lux.example/data/"))
+      }
+    }.toDF().distinct()
+  }
+
+  /** SQL literal for a template string: printable-ASCII runs quoted,
+    * everything else an explicit chr(codepoint) — keeps control chars
+    * and supplementary-plane pieces out of the JSON-shipped SQL text. */
+  private def sqlLit(s: String): String =
+    if (s.isEmpty) "''"
+    else {
+      val parts = Seq.newBuilder[String]
+      val b = new StringBuilder
+      def flush(): Unit =
+        if (b.nonEmpty) { parts += ("'" + b.toString.replace("'", "''") + "'"); b.clear() }
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if (cp >= 0x20 && cp < 0x7f) b.append(cp.toChar)
+        else { flush(); parts += s"chr($cp)" }
+        i += Character.charCount(cp)
+      }
+      flush()
+      parts.result().mkString(" || ")
+    }
+
+  private def sanitizeDiffOracle: String = {
+    val pyWs = graft.functions.UriCanon.pyWhitespace
+      .map(cp => s"\\x{${cp.toHexString}}").mkString
+    val strip = """chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||""" +
+      """' !"#$%&''()*+,-./:;<=>?@[\]^_`{|}~'"""
+    def trimW(x: String) = s"trim($x, $strip)"
+    val tpl = sanDecorations
+      .map { case (p, s) => s"(${sqlLit(p)}, ${sqlLit(s)})" }.mkString(", ")
+    val t = TextQueries.tokensSql("lower(text)")
+    // PUA sentinels protect the two Mc/Me decoration chars from
+    // strip_accents (which removes ALL marks where Python removes Mn
+    // only); the ASCII-token filter guarantees no other marks exist
+    val matra = "chr(2366)"  // U+093E
+    val keycap = "chr(8419)" // U+20E3
+    s"""WITH base AS (SELECT DISTINCT unnest($t) AS b FROM documents),
+       |tb AS (SELECT b FROM base
+       |  WHERE NOT regexp_matches(b, '[^\\x20-\\x7e]')),
+       |rows0 AS (SELECT DISTINCT t.pre || b || t.suf AS raw, b
+       |  FROM tb, (VALUES $tpl) t(pre, suf)),
+       |low AS (SELECT raw, b,
+       |  lower(replace(raw, chr(304), 'i' || chr(775))) AS lo FROM rows0),
+       |rep AS (SELECT *, replace(replace(replace(replace(replace(replace(lo,
+       |  chr(13), ' '), chr(10), ' '), chr(9), ' '), '"', ''), '\\', ''),
+       |  '-', ' ') AS r FROM low),
+       |dia AS (SELECT *, replace(replace(strip_accents(regexp_replace(
+       |  replace(replace(r, $matra, chr(57344)), $keycap, chr(57345)),
+       |  '\\p{Mn}', '', 'g')), chr(57344), $matra), chr(57345), $keycap)
+       |  AS d FROM rep),
+       |pad AS (SELECT *, list_aggregate(list_transform(
+       |  list_filter(string_split_regex(d, '[$pyWs]+'), w -> w <> ''),
+       |  w -> CASE WHEN length(${trimW("w")}) >= 3 THEN ${trimW("w")}
+       |    ELSE rpad(${trimW("w")}, 3, 'þ') END), 'string_agg', ' ')
+       |  AS padded FROM dia)
+       |SELECT raw, r AS plain, coalesce(padded, '') AS padded,
+       |  replace(replace(replace(replace(replace(replace(replace(
+       |    'https://x.org/a b{' || b || chr(10) || '}',
+       |    ' ', '%20'), chr(10), ''), chr(9), ''), chr(13), ''), '"', ''),
+       |    '{', '%7B'), '}', '%7D') AS uri_ext,
+       |  'https://lux.example/data/x {' || b || '}' AS uri_int
+       |FROM pad""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("k1_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle)))
     Queries.register(QueryDef("k2_nt_triples", ntTriples, Some(ntTriplesOracle), bench = true))
     Queries.register(QueryDef("f18_sanitize_string", sanitizeStrings, Some(sanitizeOracle)))
+    Queries.register(QueryDef("f18b_sanitize_diff", sanitizeDiff, Some(sanitizeDiffOracle)))
     Queries.register(QueryDef("m15_nt_walk", ntWalk, Some(ntWalkOracle)))
     Queries.register(QueryDef("f7_extract_names", extractNames, Some(extractNamesOracle)))
     Queries.register(QueryDef("j13_delete_cascade", deleteCascade, Some(deleteCascadeOracle)))

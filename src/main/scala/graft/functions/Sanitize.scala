@@ -26,10 +26,48 @@ object Sanitize {
   private val punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
   private val stripSet: Set[Char] = (" \t\n\r" + punct).toSet
 
-  /** sanitize_uri (`:55-64`). */
-  def sanitizeUri(uri: String): String =
+  /** Python no-arg `str.split()` splits on UNICODE whitespace — the
+    * same code-point set as str.strip() (shared from
+    * [[UriCanon.pyWhitespace]]) — where Java's `\\s+` is ASCII-only: a
+    * NBSP- or ideographic-space-joined pair is TWO words to the
+    * reference and was one to the engine (found by f18b_sanitize_diff
+    * construction). All set members are BMP, so a char loop suffices. */
+  private val pyWsChars: Set[Char] =
+    UriCanon.pyWhitespace.map(_.toChar).toSet
+  private def pySplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val b = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (pyWsChars(c)) { if (b.length > 0) { out += b.toString; b.setLength(0) } }
+      else b.append(c)
+      i += 1
+    }
+    if (b.length > 0) out += b.toString
+    out.result()
+  }
+
+  /** Python `ljust` pads to a CODE-POINT count; String.padTo counts
+    * chars, shorting supplementary-plane words by one pad per
+    * surrogate pair (f18b's find — the Porter q10 non-BMP class). */
+  private def ljust(w: String, n: Int, pad: Char): String = {
+    val cps = w.codePointCount(0, w.length)
+    if (cps >= n) w else w + pad.toString * (n - cps)
+  }
+
+  /** sanitize_uri (`mapper2.py:79-89`): external links %-encode spaces,
+    * drop \n \t \r and double quotes, %-encode curly braces; URIs
+    * under the pipeline's own namespace (`internalPrefix`, the
+    * reference's datans gate at `:80`) pass through untouched.
+    * (Previously only the \r/quote/brace subset — the space/%20 and
+    * \n/\t drops and the internal bypass are f18b round-14 parity
+    * fixes against `mapper2.py:79-89`.) */
+  def sanitizeUri(uri: String, internalPrefix: String = ""): String =
     if (uri == null) ""
-    else uri.replace("\r", "").replace("\"", "")
+    else if (internalPrefix.nonEmpty && uri.startsWith(internalPrefix)) uri
+    else uri.replace(" ", "%20").replace("\n", "").replace("\t", "")
+      .replace("\r", "").replace("\"", "")
       .replace("{", "%7B").replace("}", "%7D")
 
   /** sanitize_string (`:66-88`), knobs as parameters (reference reads
@@ -41,15 +79,27 @@ object Sanitize {
       .replace("\r", " ").replace("\n", " ").replace("\t", " ")
       .replace("\"", "").replace("\\", "").replace("-", " ")
     if (removeDiacritics) {
+      // CODE-POINT iteration: the reference filters unicodedata
+      // category Mn, which includes supplementary-plane marks (musical
+      // combining, variation selectors 17+); a per-char filter sees
+      // surrogates (type SURROGATE, not Mn) and keeps them — f18b's
+      // find, the same non-BMP class Porter's q10 fixed in round 13.
       val nfd = Normalizer.normalize(str, Normalizer.Form.NFD)
-      str = nfd.filterNot(c =>
-        Character.getType(c) == Character.NON_SPACING_MARK)
+      val b = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val cp = nfd.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK)
+          b.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      str = b.toString
     }
     if (minWordChars > 1)
-      str = str.split("\\s+").filter(_.nonEmpty).map { w =>
+      str = pySplit(str).map { w =>
         val stripped = w.dropWhile(stripSet).reverse
           .dropWhile(stripSet).reverse
-        stripped.padTo(minWordChars, paddingChar).mkString
+        ljust(stripped.mkString, minWordChars, paddingChar)
       }.mkString(" ")
     str
   }

@@ -12,6 +12,28 @@ class SanitizeSpec extends AnyFunSuite {
     assert(Sanitize.sanitizeUri(null) === "")
   }
 
+  test("sanitize_uri: %20 spaces, \\n \\t drops, internal-namespace bypass") {
+    // mapper2.py:79-89 — the f18b round-14 parity fixes
+    assert(Sanitize.sanitizeUri("https://x.org/a b\n\t{c}") ===
+      "https://x.org/a%20b%7Bc%7D")
+    assert(Sanitize.sanitizeUri("https://d/data/x {y}", "https://d/data/") ===
+      "https://d/data/x {y}") // internal URIs pass through untouched
+  }
+
+  test("python parity: unicode split, codepoint ljust, supplementary Mn") {
+    // str.split() breaks on NBSP; Java \\s+ did not (f18b's find)
+    assert(Sanitize.sanitizeString("a b", minWordChars = 3) === "aþþ bþþ")
+    // ljust counts code points: 𝕓 is ONE short word, two pads
+    assert(Sanitize.sanitizeString("𝕓", minWordChars = 3) ===
+      "𝕓þþ")
+    // supplementary-plane Mn (musical combining) is dropped like BMP Mn
+    assert(Sanitize.sanitizeString("x𝅧",
+      removeDiacritics = true) === "x")
+    // Mc (spacing mark) survives — the filter is Mn-ONLY, like Python
+    assert(Sanitize.sanitizeString("xा", removeDiacritics = true) ===
+      "xा")
+  }
+
   test("default path: lowercase + control/quote/backslash/hyphen rules only") {
     assert(Sanitize.sanitizeString("A\tB\nC\rD") === "a b c d")
     assert(Sanitize.sanitizeString("""say "Hi"\now""") === "say hinow")
