@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Substrate.SubstrateOps
 
 /** The composed Linked-Art build chain — the reference's actual product:
   * one lineage from mapped records through reconcile fixpoint → idmap
@@ -109,7 +110,7 @@ object BuildChainQueries extends QueryGroup {
       // once per fixpoint round: without the persist every round
       // re-scans the parquet inputs (the single biggest cost in the
       // chain — O(rounds × |rel|)).
-      .persist()
+      .persistSubstrate()
     // the K4 name index as equivalence edges: part → min partkey per
     // name — groupBy-min + join, NOT min-over-partition: a boilerplate
     // name is a hot partition that sorts under a window, while the
@@ -122,7 +123,7 @@ object BuildChainQueries extends QueryGroup {
       .join(nameIdx, "nm")
       .filter($"pk" =!= $"m")
       .select(($"pk" * 8L + 2L).as("src"), ($"m" * 8L + 2L).as("dst"))
-      .persist() // same: probed once per round by the name pass
+      .persistSubstrate() // same: probed once per round by the name pass
     val seed = orders.filter($"o_custkey" <= 5)
       .select(($"o_custkey" * 8L).as("src"), ($"o_orderkey" * 8L + 1L).as("dst"))
 
@@ -139,7 +140,7 @@ object BuildChainQueries extends QueryGroup {
     val namePass = (ns: DataFrame) =>
       twin.join(broadcast(ns.withColumnRenamed("v", "src")), "src")
     val edges = operators.Reconcile.frontierFixpoint(seed, Seq(crawl, namePass))
-      .persist() // read three ways: eqEdges (CC), reached, final layers
+      .persistSubstrate() // read three ways: eqEdges (CC), reached, final layers
     // the fixpoint's per-round counts materialized every layer's
     // localCheckpoint, so the loop inputs are dead the moment it
     // returns — release them instead of pinning fresh copies per
@@ -160,7 +161,7 @@ object BuildChainQueries extends QueryGroup {
       .join(idmap.select($"node", $"component"), $"pk" * 8L + 2L === $"node", "left")
       .select($"pk", $"p_name",
         shiftright(coalesce($"component", $"pk" * 8L + 2L) - 2L, 3).as("yuid"))
-      .persist() // read twice: merge input + relationship rewrite
+      .persistSubstrate() // read twice: merge input + relationship rewrite
     val suppliedBy = gatherRefs(
       li.select($"l_partkey".cast("long").as("k"), $"l_suppkey".cast("long").as("sk")),
       members.select($"pk".as("k"), $"yuid"))
@@ -205,7 +206,7 @@ object BuildChainQueries extends QueryGroup {
     val esc = (s: Column) =>
       regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     val uri = (y: Column) => concat(lit("<urn:graft:y"), y, lit(">"))
-    val md = merged.toDF().persist() // fanned out into 6 line projections
+    val md = merged.toDF().persistSubstrate() // fanned out into 6 line projections
     val lines = Seq(
       md.select(concat(uri($"yuid"),
         lit(" <urn:graft:type> <urn:graft:HumanMadeObject> .")).as("line")),
@@ -355,7 +356,7 @@ object BuildChainQueries extends QueryGroup {
       val base = Tables.load(spark, dir, "part")
         .select($"p_partkey".cast("long").as("pk"), incKey.as("nm"))
         .filter($"pk" % 10 =!= 0)
-      val baseIdx = base.groupBy($"nm").agg(min($"pk").as("m")).persist()
+      val baseIdx = base.groupBy($"nm").agg(min($"pk").as("m")).persistSubstrate()
       // with a SINGLE blocking key every component is a star around the
       // per-key min, so the cluster label IS the index value — running
       // general CC here would recompute the groupBy-min with an
@@ -363,13 +364,13 @@ object BuildChainQueries extends QueryGroup {
       // needed, is exercised by g7/j6/la_build_pipeline)
       val baseLab = base.join(baseIdx, "nm")
         .select($"pk", $"nm", $"m".as("yuid"))
-        .persist()
-      (baseIdx, baseLab, incFold(baseLab).persist())
+        .persistSubstrate()
+      (baseIdx, baseLab, incFold(baseLab).persistSubstrate())
       })
     }
     Seq(idx, lab, out).foreach { df =>
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist()
+        df.persistSubstrate()
     }
     (idx, lab, out)
   }

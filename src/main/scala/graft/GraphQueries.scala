@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Substrate.SubstrateOps
 
 /** Identity-graph operators (SURVEY §2.4): connected components over an
   * equivalence-edge table (J7 idmap clustering) and the bounded reference
@@ -183,7 +184,7 @@ object GraphQueries extends QueryGroup {
         concat(lit("n"), $"c_nationkey").as("dst")))
       .union(su.select(concat(lit("s"), $"s_suppkey").as("src"),
         concat(lit("n"), $"s_nationkey").as("dst")))
-      .persist()
+      .persistSubstrate()
     // groupBy-min + join, not min-over-partition: a boilerplate name is
     // a hot window partition that sorts, while the aggregate combines
     // map-side (the repo-wide name-twin rule; same shape as the build
@@ -197,7 +198,7 @@ object GraphQueries extends QueryGroup {
       .filter($"p_partkey" =!= $"m")
       .select(concat(lit("p"), $"p_partkey").as("src"),
         concat(lit("p"), $"m").as("dst"))
-      .persist()
+      .persistSubstrate()
     // node-anchored expanders (src ∈ input nodes) — the
     // frontierFixpoint contract; per-round cost ∝ frontier fan-out.
     // The frontier is BROADCAST: it is bounded by one round's fan-out
@@ -262,7 +263,7 @@ object GraphQueries extends QueryGroup {
       .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
       .distinct()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().persist() // read 3×: degree + every iteration's join
+      .distinct().persistSubstrate() // read 3×: degree + every iteration's join
     val deg = sym.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     var rank = deg.select($"src".as("node"), lit(1000L).as("rank"))
     for (_ <- 1 to 3) {
@@ -453,7 +454,7 @@ object GraphQueries extends QueryGroup {
       .select(($"l_partkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
       .distinct()
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().persist() // read every round
+      .distinct().persistSubstrate() // read every round
     var lbl = sym.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
     for (_ <- 1 to LpRounds) {
@@ -569,7 +570,7 @@ object GraphQueries extends QueryGroup {
     val e = po.as("a").join(po.as("b"), "ok")
       .filter($"a.p" < $"b.p")
       .select($"a.p".cast("long").as("u"), $"b.p".cast("long").as("v"))
-      .distinct().persist() // degree agg + intra-edge agg + |E|
+      .distinct().persistSubstrate() // degree agg + intra-edge agg + |E|
     val mRow = e.agg(count(lit(1)).as("m"))
     val deg = e.select(explode(array($"u", $"v")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("d"))

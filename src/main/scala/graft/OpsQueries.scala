@@ -41,17 +41,45 @@ object OpsQueries extends QueryGroup {
       |    ELSE date_trunc('day', o_orderdate) END) AS BIGINT) AS epoch_begin
       |FROM orders""".stripMargin
 
+  /** The name-index probe join executed through the CMS-driven planner
+    * — the THIRD production adoption (after the build chain's gather
+    * and r2's blocking self-join): candidate-vs-name-index is the
+    * reference's hottest hand-sharded key class (AAT en names 820k,
+    * `reconciler.py:66-75`), and a hot name ("john smith" class) is
+    * exactly the skew the salt branch exists for. STAGED estimate:
+    * the index (build) is counted first and the broadcast exit taken
+    * without a probe pass — at small scales this reproduces the
+    * pre-adoption explicit broadcast; past the budget the full
+    * broadcast/shuffle/salt decision runs. Flag-off reverts to the
+    * pre-adoption plan (explicit broadcast), NOT a bare join — the
+    * rollback must restore the exact round-13 physical shape.
+    * NameReconcilePlanSpec pins the branches. */
+  private[graft] def indexJoin(probe: DataFrame, index: DataFrame,
+      cfg: operators.JoinPlanner.Config = operators.JoinPlanner.Config())
+      : DataFrame = {
+    val plannerOn = probe.sparkSession.conf
+      .getOption("spark.graft.joinPlanner.enabled").forall(_.toBoolean)
+    if (plannerOn) operators.JoinPlanner.planJoinStaged(probe, index, cfg)._1
+    else probe.join(broadcast(index), "k")
+  }
+
   /** K4+J1+W7: index-backed exact-name reconciliation. The index maps
     * (lowercased name, brand-as-type) -> canonical id (deterministic
     * min — the cluster-winner rule); every part resolves through it.
-    * Same-type requirement mirrors reconciler.py:222. */
+    * Same-type requirement mirrors reconciler.py:222. The composite
+    * (name, type) key rides as one `k` column (\u0001-joined — neither
+    * field can contain it) so the planner sketches the true pair key;
+    * the join executes through [[indexJoin]] (round-15 adoption). */
   def nameReconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = Tables.load(spark, dir, "part")
     val index = parts.groupBy(lower($"p_name").as("key"), $"p_brand".as("itype"))
       .agg(min($"p_partkey").as("canonical"), count(lit(1)).as("n_cluster"))
-    parts.join(broadcast(index),
-        lower($"p_name") === $"key" && $"p_brand" === $"itype")
+      .select(concat_ws("\u0001", $"key", $"itype").as("k"),
+        $"canonical", $"n_cluster")
+    val probe = parts.select(
+      concat_ws("\u0001", lower($"p_name"), $"p_brand").as("k"), $"p_partkey")
+    indexJoin(probe, index)
       .select($"p_partkey", $"canonical", $"n_cluster")
   }
   private val nameReconcileOracle: String =

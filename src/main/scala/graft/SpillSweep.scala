@@ -72,12 +72,21 @@ object SpillSweep {
     // operator-code involvement, exactly what a pressure deployment sets.
     val cacheLevel =
       sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")
+    // the ENGINE-OWNED regime knob (round-15): operators.Substrate routes
+    // every fixpoint-substrate persist through
+    // spark.graft.substrateStorageLevel, so a pressure profile sets ONE
+    // graft key instead of rewriting every persist() in the app via
+    // spark.sql.defaultCacheStorageLevel. The sweep records BOTH knobs so
+    // the artifact says which one produced it.
+    val substrateLevel =
+      sys.env.getOrElse("SPARK_GRAFT_SUBSTRATE_LEVEL", "MEMORY_AND_DISK")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.create("graft-spill-sweep", cpus, Map(
       // the squeeze: unified pool = (heap - 300MB reserved) * fraction
       "spark.memory.fraction" -> fraction,
       "spark.memory.storageFraction" -> storageFraction,
       "spark.sql.defaultCacheStorageLevel" -> cacheLevel,
+      "spark.graft.substrateStorageLevel" -> substrateLevel,
       // no in-memory shuffle shortcut: every shuffle write goes through
       // the sorter's spill machinery at this pool size anyway; keep AQE
       // on — runtime coalescing under pressure is part of the regime
@@ -160,7 +169,8 @@ object SpillSweep {
         s""""heap":${q(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))},""" +
         s""""memory_fraction":$fraction,""" +
         s""""storage_fraction":$storageFraction,""" +
-        s""""cache_storage_level":${q(cacheLevel)},"cpus":$cpus,""" +
+        s""""cache_storage_level":${q(cacheLevel)},""" +
+        s""""substrate_storage_level":${q(substrateLevel)},"cpus":$cpus,""" +
         s""""n_keys":${results.size},"n_fail":${failed.size},""" +
         s""""total_mem_spilled_bytes":$totMem,""" +
         s""""total_disk_spilled_bytes":$totDisk,""" +

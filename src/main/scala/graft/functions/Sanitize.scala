@@ -24,7 +24,12 @@ object Sanitize {
   val PaddingChar: Char = 'þ' // mapper2.py:28
 
   private val punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
-  private val stripSet: Set[Char] = (" \t\n\r" + punct).toSet
+  // Python's string.whitespace — \u000b (VT) and \u000c (FF) included,
+  // spelled as ESCAPES: the pre-r15 source embedded them as raw control
+  // characters, invisible to any reader auditing parity against the
+  // reference's word.strip(whitespace + punctuation) (mapper2.py:84).
+  private val stripSet: Set[Char] =
+    (" \t\n\r\u000b\u000c" + punct).toSet
 
   /** Python no-arg `str.split()` splits on UNICODE whitespace — the
     * same code-point set as str.strip() (shared from

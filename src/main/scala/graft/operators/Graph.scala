@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Substrate.SubstrateOps
 
 /** Iterative graph algorithms as driver-controlled DataFrame loops — the
   * Spark re-expression of the reference's identity-graph machinery
@@ -86,7 +87,7 @@ object Graph {
     val star = localContraction(full)
     val sym = star.select($"src", $"dst")
       .union(star.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().persist()
+      .distinct().persistSubstrate()
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node").localCheckpoint()
     // DELTA propagation: only nodes whose label changed last round send
@@ -152,7 +153,7 @@ object Graph {
   def boundedSssp(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select($"src", $"dst", $"w".cast("long").as("w")).persist()
+    val e = edges.select($"src", $"dst", $"w".cast("long").as("w")).persistSubstrate()
     var dist = seeds.select($"node").distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
@@ -188,7 +189,7 @@ object Graph {
   def bfs(edges: DataFrame, seeds: DataFrame, maxDist: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select($"src", $"dst").persist()
+    val e = edges.select($"src", $"dst").persistSubstrate()
     var visited = seeds.select($"node").distinct()
       .withColumn("dist", lit(0)).localCheckpoint()
     var frontier = visited.select($"node")

@@ -120,14 +120,23 @@ object JoinPlanner {
     * derive the decision inputs. One pass per side; the cell grids are
     * d×w rows, so the stats collapse to four driver scalars. */
   def estimate(left: DataFrame, right: DataFrame): Estimate = {
-    val lc = cells(left).persist()
-    val rc = cells(right).persist()
+    // both persists INSIDE the try: if the second grid's persist (or any
+    // action) throws, the finally still releases whichever grids exist —
+    // a leaked cached grid survives the call in a long-lived session
+    var lc: DataFrame = null
+    var rc: DataFrame = null
     try {
+      lc = cells(left).persist()
+      rc = cells(right).persist()
       val nl = rowsOf(lc)
       val nr = rowsOf(rc)
       val (est, hot) = boundsOf(lc, rc)
       Estimate(nl, nr, est, hot)
-    } finally { lc.unpersist(); rc.unpersist(); () }
+    } finally {
+      if (lc != null) lc.unpersist()
+      if (rc != null) rc.unpersist()
+      ()
+    }
   }
 
   /** The PURE decision (spec-pinned; integer arithmetic so the DuckDB
@@ -174,12 +183,16 @@ object JoinPlanner {
     (execute(left, right, e, s, cfg), s, e)
   }
 
-  /** Average matches emitted per probe row — the pair-amplification
-    * signal behind the Shuffle hint choice (see Config). */
+  /** Average matches emitted per PROBE row — the pair-amplification
+    * signal behind the Shuffle hint choice (see Config). The probe is
+    * the left/first argument by the planJoin/planJoinStaged convention
+    * (execute hints the smaller side as the hash build, so the probe is
+    * what streams). Dividing by max(nLeft, nRight) — the pre-r15 form —
+    * underestimated the fan-out exactly when the probe was the smaller
+    * side, keeping the hint on the pair-amplifying joins the
+    * shuffleHashMaxFanout knob exists to catch (round-14 advice). */
   private def fanout(e: Estimate): Long =
-    if (e.estRows > 0 && math.max(e.nLeft, e.nRight) > 0)
-      e.estRows / math.max(e.nLeft, e.nRight)
-    else 0L
+    if (e.estRows > 0 && e.nLeft > 0) e.estRows / e.nLeft else 0L
 
   private def execute(left: DataFrame, right: DataFrame, e: Estimate,
       s: Strategy, cfg: Config): DataFrame = s match {
@@ -226,15 +239,23 @@ object JoinPlanner {
       val e = Estimate(-1L, nb, -1L, -1L)
       (probe.join(broadcast(build), "k"), Broadcast, e)
     } else {
-      val bc = cells(build).persist()
-      val pc = cells(probe).persist()
+      // persists inside the try (same leak rationale as estimate): if
+      // cells(probe)/persist throws, bc must still be unpersisted
+      var bc: DataFrame = null
+      var pc: DataFrame = null
       try {
+        bc = cells(build).persist()
+        pc = cells(probe).persist()
         val np = rowsOf(pc)
         val (est, hot) = boundsOf(pc, bc)
         val e = Estimate(np, nb, est, hot)
         val s = choose(e, cfg)
         (execute(probe, build, e, s, cfg), s, e)
-      } finally { pc.unpersist(); bc.unpersist(); () }
+      } finally {
+        if (pc != null) pc.unpersist()
+        if (bc != null) bc.unpersist()
+        ()
+      }
     }
   }
 }

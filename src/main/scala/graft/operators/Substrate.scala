@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** The engine-owned cache regime for ITERATIVE-OPERATOR SUBSTRATES —
+  * the persisted tables a fixpoint loop probes every round (edge
+  * tables, name indexes, day-0 bases).
+  *
+  * Why this exists (round-14 spill-regime finding): on a squeezed
+  * executor pool, a stage that MATERIALIZES a MEMORY_AND_DISK substrate
+  * in the same stage as its aggregations holds in-progress UNROLL
+  * reservations — storage-side memory that is not evictable at any
+  * storageFraction while the unroll runs — and the same tasks'
+  * hash-aggregate first page finds a zero-free pool
+  * (`HashAggregateExec.createHashMap` OOM on la_build / j6 at 8 GiB ×
+  * fraction 0.15). DISK_ONLY skips the MemoryStore entirely (no unroll
+  * reservation), so execution keeps the whole pool. Round 14 proved the
+  * fix with the cluster-wide `spark.sql.defaultCacheStorageLevel` knob;
+  * that leaves the lesson as deployment folklore — a deployment that
+  * misses the doc re-discovers the OOM. This config makes the regime
+  * the ENGINE's: every fixpoint substrate persist routes through here,
+  * and a pressure profile sets ONE graft-owned key instead of rewriting
+  * every `persist()` in the application.
+  *
+  * Default stays MEMORY_AND_DISK — the right level when the pool is
+  * healthy (the common case; a round-probed substrate in memory is the
+  * point of persisting it). Pressure deployments set DISK_ONLY.
+  *
+  * Reference frame: the reference survives memory pressure because
+  * Postgres spills for it (`storage/cache/postgres.py:117-140`); this
+  * engine survives because its operators declare their cache regime.
+  */
+object Substrate {
+
+  val ConfKey = "spark.graft.substrateStorageLevel"
+
+  def level(spark: SparkSession): StorageLevel =
+    StorageLevel.fromString(spark.conf.get(ConfKey, "MEMORY_AND_DISK"))
+
+  /** `.persistSubstrate()` — drop-in for `.persist()` at substrate
+    * sites; reads the session's configured regime at call time. */
+  implicit final class SubstrateOps[T](private val ds: Dataset[T])
+      extends AnyVal {
+    def persistSubstrate(): Dataset[T] =
+      ds.persist(level(ds.sparkSession))
+  }
+}
