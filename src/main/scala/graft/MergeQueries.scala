@@ -428,12 +428,177 @@ object MergeQueries extends QueryGroup {
       |    WHEN 2 THEN 'rec' WHEN 3 THEN 'rec' ELSE 'merge' END AS winner
       |FROM b""".stripMargin
 
+  final case class W2bOut(id: Long, names: String)
+
+  /** Flag glyphs for the w2b serialization — one char per classified_as
+    * entry IN LIST ORDER, so flag multiplicity and append position are
+    * both pinned (the doubled primary of mapper.py:480+485 reads "PP"). */
+  private def flagChar(id: String): String = id match {
+    case LaMerge.primaryNameId        => "P"
+    case LaMerge.alternateNameId      => "A"
+    case LaMerge.sortNameId           => "S"
+    case operators.Cleaner.officialNameId    => "O"
+    case operators.Cleaner.alternateTitleId  => "T"
+    case operators.Cleaner.translatedTitleId => "R"
+    case _                            => "X"
+  }
+
+  /** The ELECTION differential (w2b) — the f1b/f8b/f18b pattern on the
+    * Cleaner's primary/sort-name election (`final/mapper.py:366-646`,
+    * the last rich reference semantics without one): per customer, 19
+    * decoration arms, one per rung of the tie-break ladder — shortest-
+    * unclassified, the length-tie REVERSAL (unclassified names are
+    * insert(0)'d, so later slots win ties, :445), the officialName
+    * short-circuit (:447-449, later names never scanned), alternate
+    * exclusion, the all-alternate overwrite with its DOUBLED primary
+    * (:480 replace + :485 unconditional append), multi-primary shortest
+    * + loser de-flagging (:529-538), the multi-primary tie (stable —
+    * primaries do NOT reverse), acronym demotion (:518-527) and its
+    * all-acronym no-op, the sub-3-char Place rotation in both the
+    * candidate (:466-468) and primary (:510-514) paths with a Person
+    * control arm, both-flag resolution order (:405-422), per-language
+    * bucket independence with the en>none>first sort fallback
+    * (:563-575), sort-name election across buckets (:544-562), and the
+    * cross-bucket de-flag corner where the fallback target lost its
+    * classified_as to a later bucket's election and the sort flag is
+    * silently SKIPPED (:530 del + :574 key guard). Suffix lengths are
+    * permuted by ck so the winner varies with the data and the oracle
+    * must re-derive each argmin. Output: the full display-ordered name
+    * list with per-name flag strings — election winners, flag
+    * multiplicity/order, de-flagging, and display ordering all hash.
+    * Oracle: re-derived from the PYTHON source, sharing no code — its
+    * construction found TWO engine parity gaps (the doubled primary;
+    * the skipped sort fallback), both fixed in Cleaner this round.
+    * Map-only at any scale (the Cleaner is embarrassingly parallel). */
+  def electionDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import operators.Cleaner
+    val P = LaMerge.primaryNameId
+    val A = LaMerge.alternateNameId
+    val S = LaMerge.sortNameId
+    val O = Cleaner.officialNameId
+    val AT = Cleaner.alternateTitleId
+    val TT = Cleaner.translatedTitleId
+    val X = "urn:graft:neutral"
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long")).as[Long]
+      .flatMap { ck =>
+        val b = "n" + (ck % 1000)
+        // distinct suffix lengths permuted by ck: the shortest slot is
+        // data-dependent, so the oracle re-derives the comparison
+        val perms = Vector((1, 3, 5), (1, 5, 3), (3, 1, 5),
+          (3, 5, 1), (5, 1, 3), (5, 3, 1))
+        val (pa, pb, _) = perms((ck % 6).toInt)
+        val pc = perms((ck % 6).toInt)._3
+        def xs(n: Int) = "x" * n
+        val z2 = "z" + (ck % 10)    // 2 chars: the sub-3 Place rule
+        val caps = "NM" + (ck % 10) // all-caps acronym
+        val caps2 = "NMA" + (ck % 10)
+        def N(c: String, cls: Seq[String] = Nil,
+            langs: Seq[String] = Seq("en")) = LaName("Name", c, cls, langs)
+        val arms: Seq[(Int, String, Seq[LaName])] = Seq(
+          (0, "Person", Seq(N(b + xs(pa)), N(b + xs(pb)), N(b + xs(pc)))),
+          (1, "Person", Seq(N(b + "xa"), N(b + "yyyy"), N(b + "xb"))),
+          (2, "Person", Seq(N(b + xs(4)), N(b + "off" + xs(2), Seq(O)), N(b))),
+          (3, "Person", Seq(N(b, Seq(A)), N(b + xs(2), Seq(X)), N(b + xs(4)))),
+          (4, "Person", Seq(N(b + xs(2), Seq(A)), N(b, Seq(AT)), N(b + xs(4), Seq(TT)))),
+          (5, "Person", Seq(N(b + xs(pa), Seq(P, X)), N(b + xs(pb), Seq(P)), N(b + "qqqqqqq"))),
+          (6, "Person", Seq(N(b + "ta", Seq(P)), N(b + "tb", Seq(P)))),
+          (7, "Group", Seq(N(caps, Seq(P)), N(b + "long", Seq(P)))),
+          (8, "Group", Seq(N(caps2, Seq(P)), N(caps, Seq(P)))),
+          (9, "Place", Seq(N(z2), N(b + xs(2)))),
+          (10, "Person", Seq(N(z2), N(b + xs(2)))),
+          (11, "Place", Seq(N(z2, Seq(P)), N(b + xs(2), Seq(P)))),
+          (12, "Person", Seq(N(b + xs(2), Seq(P, A)), N(b, Seq(P, A)))),
+          (13, "Person", Seq(N(b + xs(2), Seq(P)), N(b, Seq(P, A)))),
+          (14, "Person", Seq(N(b + xs(2)), N(b, langs = Seq("fr")), N(b + xs(4), langs = Nil))),
+          (15, "Group", Seq(N(b + xs(2), Seq(S)), N(b, Seq(S), Seq("fr")), N(b + xs(4)))),
+          (16, "Group", Seq(N(b + xs(2), Seq(S), Seq("fr")), N(b, langs = Seq("fr")))),
+          (17, "Person", Seq(N(b, langs = Seq("fr")))),
+          (18, "Person", Seq(N(b + xs(2), langs = Seq("en", "fr")), N(b, Seq(P), Seq("fr")))))
+        arms.map { case (arm, rtype, nms) =>
+          val rec = LaRecord(s"r$ck-$arm", rtype, s"lbl$ck", "src")
+            .copy(identifiedBy = nms)
+          val out = Cleaner.electNames(rec).get
+          W2bOut(ck * 100 + arm, out.map(n =>
+            n.content + ":" + n.classifiedAs.map(flagChar).mkString)
+            .mkString(";"))
+        }
+      }.toDF()
+  }
+
+  /** Each arm's expected display list, re-derived from mapper.py (see
+    * electionDiff scaladoc). pa/pb/pc replicate the suffix permutation;
+    * the per-arm winner is an explicit comparison, not a copied list. */
+  private val electionDiffOracle: String =
+    """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer),
+      |p AS (SELECT ck,
+      |    'n' || (ck % 1000) AS b,
+      |    CASE ck % 6 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 3
+      |      WHEN 3 THEN 3 ELSE 5 END AS pa,
+      |    CASE ck % 6 WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 1
+      |      WHEN 3 THEN 5 WHEN 4 THEN 1 ELSE 3 END AS pb,
+      |    CASE ck % 6 WHEN 0 THEN 5 WHEN 1 THEN 3 WHEN 2 THEN 5
+      |      WHEN 3 THEN 1 WHEN 4 THEN 3 ELSE 1 END AS pc,
+      |    'z' || (ck % 10) AS z2,
+      |    'NM' || (ck % 10) AS caps,
+      |    'NMA' || (ck % 10) AS caps2
+      |  FROM c)
+      |SELECT ck*100+0 AS id,
+      |  CASE WHEN pa < pb AND pa < pc
+      |    THEN b||repeat('x',pa)||':PS;'||b||repeat('x',pb)||':;'||b||repeat('x',pc)||':'
+      |  WHEN pb < pc
+      |    THEN b||repeat('x',pb)||':PS;'||b||repeat('x',pa)||':;'||b||repeat('x',pc)||':'
+      |  ELSE b||repeat('x',pc)||':PS;'||b||repeat('x',pa)||':;'||b||repeat('x',pb)||':'
+      |  END AS names FROM p
+      |UNION ALL
+      |SELECT ck*100+1, b||'xb:PS;'||b||'xa:;'||b||'yyyy:' FROM p
+      |UNION ALL
+      |SELECT ck*100+2, b||'offxx:OPS;'||b||'xxxx:;'||b||':' FROM p
+      |UNION ALL
+      |SELECT ck*100+3, b||'xx:XPS;'||b||':A;'||b||'xxxx:' FROM p
+      |UNION ALL
+      |SELECT ck*100+4, b||'xx:PPS;'||b||':T;'||b||'xxxx:R' FROM p
+      |UNION ALL
+      |SELECT ck*100+5,
+      |  CASE WHEN pa < pb
+      |    THEN b||repeat('x',pa)||':PXS;'||b||repeat('x',pb)||':;'||b||'qqqqqqq:'
+      |    ELSE b||repeat('x',pb)||':PS;'||b||repeat('x',pa)||':X;'||b||'qqqqqqq:'
+      |  END FROM p
+      |UNION ALL
+      |SELECT ck*100+6, b||'ta:PS;'||b||'tb:' FROM p
+      |UNION ALL
+      |SELECT ck*100+7, b||'long:PS;'||caps||':' FROM p
+      |UNION ALL
+      |SELECT ck*100+8, caps||':PS;'||caps2||':' FROM p
+      |UNION ALL
+      |SELECT ck*100+9, b||'xx:PS;'||z2||':' FROM p
+      |UNION ALL
+      |SELECT ck*100+10, z2||':PS;'||b||'xx:' FROM p
+      |UNION ALL
+      |SELECT ck*100+11, b||'xx:PS;'||z2||':' FROM p
+      |UNION ALL
+      |SELECT ck*100+12, b||'xx:PS;'||b||':A' FROM p
+      |UNION ALL
+      |SELECT ck*100+13, b||'xx:PS;'||b||':A' FROM p
+      |UNION ALL
+      |SELECT ck*100+14, b||'xx:PS;'||b||':P;'||b||'xxxx:P' FROM p
+      |UNION ALL
+      |SELECT ck*100+15, b||'xx:SP;'||b||'xxxx:;'||b||':P' FROM p
+      |UNION ALL
+      |SELECT ck*100+16, b||':P;'||b||'xx:S' FROM p
+      |UNION ALL
+      |SELECT ck*100+17, b||':PS' FROM p
+      |UNION ALL
+      |SELECT ck*100+18, b||'xx:;'||b||':P' FROM p""".stripMargin
+
   override def register(): Unit = {
     Queries.register(QueryDef("a11_activity_span", activitySpan, Some(activitySpanOracle)))
     Queries.register(QueryDef("a10_class_merge", classMerge, Some(classMergeOracle)))
     Queries.register(QueryDef("a1_merge_fold", mergeFold, Some(mergeFoldOracle), bench = true))
     Queries.register(QueryDef("a2_record_merge", recordMerge, Some(recordMergeOracle)))
     Queries.register(QueryDef("m13_clean_names", cleanNames, Some(cleanNamesOracle)))
+    Queries.register(QueryDef("w2b_election_diff", electionDiff, Some(electionDiffOracle)))
   }
 
   private val mergeFoldOracle: String =

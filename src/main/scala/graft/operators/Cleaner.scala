@@ -166,11 +166,17 @@ object Cleaner {
           candidates = candidates.tail :+ candidates.head // :465-469
         val target =
           if (candidates.isEmpty) {
-            // everything was an alternate: overwrite (:471-487)
+            // everything was an alternate: overwrite (:471-485). The
+            // reference DOUBLE-flags here — :480 replaces classified_as
+            // with [primary] inside the loop, and the append at :485 is
+            // UNCONDITIONAL (outside the `if not done` guard), so the
+            // promoted name carries TWO primary entries in the output.
+            // Found by the w2b differential's oracle construction;
+            // faithfully reproduced, not cleaned up.
             val t = nms.head
             val c = cls(t)
             if (Seq(alternateNameId, alternateTitleId, translatedTitleId).exists(c.contains))
-              setCls(t, Seq(primaryNameId))
+              setCls(t, Seq(primaryNameId, primaryNameId))
             else setCls(t, c :+ primaryNameId)
             t
           } else {
@@ -204,9 +210,19 @@ object Cleaner {
       for ((_, v) <- sortNameLangs; i <- v if i != winner)
         setCls(i, cls(i).filterNot(_ == sortNameId))
     } else {
+      // :563-575 — the append is guarded by `if "classified_as" in
+      // target` (:574): a recorded primary whose flag was stripped by a
+      // LATER language bucket's election takes the len==1 branch at
+      // :530, which DELETES the key, so the reference silently skips
+      // the sort flag. Here empty ⟺ Python-absent (the reference never
+      // leaves an empty list on that path — except the doubled-primary
+      // loser, whose [P,P] strips to an empty-but-present list the Seq
+      // model cannot distinguish; that corner needs an all-alternate
+      // bucket AND a lost election AND no sort names, and is not
+      // modeled). Found by the w2b differential's oracle construction.
       primaryNameLangs.get("en").orElse(primaryNameLangs.get(""))
         .orElse(primaryNameLangs.headOption.map(_._2))
-        .foreach(i => setCls(i, cls(i) :+ sortNameId))
+        .foreach(i => if (cls(i).nonEmpty) setCls(i, cls(i) :+ sortNameId))
     }
 
     // fallback AFTER election (:578-612), so the injected name never gains

@@ -85,7 +85,21 @@ class CleanerSpec extends AnyFunSuite {
     val out = electNames(rec(
       nm("A", Seq(alternateNameId)), nm("B", Seq(alternateTitleId)))).get
     val a = out.find(_.content == "A").get
-    assert(a.classifiedAs == Seq(primaryNameId, sortNameId))
+    // DOUBLED primary: mapper.py:480 overwrites to [primary] and :485
+    // appends primary unconditionally (w2b differential find)
+    assert(a.classifiedAs == Seq(primaryNameId, primaryNameId, sortNameId))
+  }
+
+  test("a primary de-flagged by a later bucket loses the sort fallback") {
+    // mapper.py:574 — `if "classified_as" in target`: the en-elected
+    // name loses its only (primary) class to fr's shorter primary
+    // (:530 del), so the fallback silently skips the sort flag
+    val out = electNames(rec(
+      nm("Long Both", langs = Seq("en", "fr")),
+      nm("Fr", Seq(primaryNameId), Seq("fr")))).get
+    val both = out.find(_.content == "Long Both").get
+    assert(both.classifiedAs.isEmpty) // elected in en, stripped by fr
+    assert(!out.exists(_.classifiedAs.contains(sortNameId)))
   }
 
   test("sub-3-char Place names rotate behind longer candidates") {
