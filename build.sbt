@@ -38,4 +38,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 GCLocker retry starvation: 32 task threads reading spill
+  // files through NIO (JNI critical sections pin the GCLocker) while
+  // others allocate makes tiny allocations fail after the default TWO
+  // retries — the round-15 streaming pressure sweep saw spill-heavy
+  // st8 die with java.lang.OutOfMemoryError "allocating 3 words" on an
+  // 8 GiB heap that was mostly free (STRESS_spill_r15_streaming.json;
+  // the log's GCLocker warnings name the mechanism). The standard
+  // mitigation until the GCLocker's JDK-21+ removal (the knob is
+  // diagnostic, hence the unlock):
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -120,43 +120,23 @@ object SpillSweep {
     def drain(): Unit = Thread.sleep(1500)
 
     var failed = List.empty[String]
-    val results: Seq[(String, Res)] = keys.map { name =>
-      val (m0, d0, s0) = (memSpilled.get, diskSpilled.get, spillStages.get)
-      peakExec.set(0L)
-      val t0 = System.nanoTime()
-      val status = try { fns(name)(spark, sfDir).foreach(_ => ()); "ok" }
-        catch { case e: Throwable =>
-          failed ::= name
-          "fail: " + String.valueOf(e.getMessage).linesIterator.next().take(120)
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      drain()
-      val r = Res(secs, status, memSpilled.get - m0, diskSpilled.get - d0,
-        (spillStages.get - s0).toInt, peakExec.get,
-        if (memSpilled.get - m0 == 0 && diskSpilled.get - d0 == 0)
-          "no spill — key not memory-bound even at fraction " + fraction
-        else "")
-      println(f"[spill] $name%-24s ${r.secs}%7.1f s  ${r.status}  " +
-        f"mem=${r.memSpilled / 1e6}%.0fMB disk=${r.diskSpilled / 1e6}%.0fMB " +
-        f"stages=${r.spillStages} peakExec=${r.peakExecMem / 1e6}%.0fMB")
-      name -> r
-    }
-    val totMem = results.map(_._2.memSpilled).sum
-    val totDisk = results.map(_._2.diskSpilled).sum
-    println(f"[spill] TOTAL ${results.size} keys, " +
-      f"mem spilled ${totMem / 1e9}%.2f GB, disk spilled ${totDisk / 1e9}%.2f GB, " +
-      s"fails=${failed.size}")
+    var results = Vector.empty[(String, Res)]
 
-    outJson.foreach { path =>
-      def num(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      def q(s: String): String = "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // the artifact is REWRITTEN after every key: a key that kills the
+    // whole JVM (an executor java.lang.OutOfMemoryError in local mode
+    // exits the process via SparkUncaughtExceptionHandler — the
+    // round-15 st8 finding) must not erase the keys measured before it
+    def writeArtifact(): Unit = outJson.foreach { path =>
+      val totMem = results.map(_._2.memSpilled).sum
+      val totDisk = results.map(_._2.diskSpilled).sum
       val rows = results.map { case (name, r) =>
         val note = if (r.note.nonEmpty) s""","note":${q(r.note)}""" else ""
         s"""${q(name)}:{"secs":${num(r.secs)},"status":${q(r.status)},""" +
@@ -176,8 +156,41 @@ object SpillSweep {
         s""""total_disk_spilled_bytes":$totDisk,""" +
         s""""queries":{$rows}}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)
-      println(s"[spill] artifact written: $path")
     }
+
+    keys.foreach { name =>
+      val (m0, d0, s0) = (memSpilled.get, diskSpilled.get, spillStages.get)
+      peakExec.set(0L)
+      val t0 = System.nanoTime()
+      val status = try { fns(name)(spark, sfDir).foreach(_ => ()); "ok" }
+        catch { case e: Throwable =>
+          failed ::= name
+          "fail: " + String.valueOf(e.getMessage).linesIterator.next().take(120)
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // a fatal key (executor OOM shuts the whole local context down)
+      // must not abort the sweep loop before the artifact writes —
+      // clearCache on a stopped context throws (round-15 streaming
+      // sweep: the fail run died here and recorded nothing)
+      try { spark.catalog.clearCache(); drain() }
+      catch { case _: Throwable => () }
+      val r = Res(secs, status, memSpilled.get - m0, diskSpilled.get - d0,
+        (spillStages.get - s0).toInt, peakExec.get,
+        if (memSpilled.get - m0 == 0 && diskSpilled.get - d0 == 0)
+          "no spill — key not memory-bound even at fraction " + fraction
+        else "")
+      println(f"[spill] $name%-24s ${r.secs}%7.1f s  ${r.status}  " +
+        f"mem=${r.memSpilled / 1e6}%.0fMB disk=${r.diskSpilled / 1e6}%.0fMB " +
+        f"stages=${r.spillStages} peakExec=${r.peakExecMem / 1e6}%.0fMB")
+      results :+= (name -> r)
+      writeArtifact()
+    }
+    val totMem = results.map(_._2.memSpilled).sum
+    val totDisk = results.map(_._2.diskSpilled).sum
+    println(f"[spill] TOTAL ${results.size} keys, " +
+      f"mem spilled ${totMem / 1e9}%.2f GB, disk spilled ${totDisk / 1e9}%.2f GB, " +
+      s"fails=${failed.size}")
+    outJson.foreach(path => println(s"[spill] artifact written: $path"))
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -45,10 +45,17 @@ object JoinPlanner {
         * (sort-merge): a pair-amplifying join replays each key group
         * per probe row, and SMJ's buffered group is a SEQUENTIAL
         * scan where the hash join walks a per-key chain of pointers —
-        * measured on the r2 blocking self-join at sf10 (~2000×
+        * first measured on the r2 blocking self-join at sf10 (~2000×
         * fan-out): hinted 69-75 s vs unhinted sort-merge 48-63 s.
-        * Physical-plan detail only: the DECISION stays `shuffle`, so
-        * the j16b oracle replay is untouched. */
+        * The CONSTANT is placed by the round-15 fixed-output-mass
+        * ladder (graft.FanoutSweep; STRESS_fanout_r15.json at 32M
+        * output rows, confirmed at 4× mass in
+        * STRESS_fanout_r15_m128.json): the hint wins-or-ties through
+        * fan-out 32 (ratio 0.85-1.03 across both masses) and loses
+        * monotonically from 64 up (1.05-1.30 at 64 → 1.26-1.62 at
+        * 512-2048) — the knee sits exactly between the rungs this
+        * default separates. Physical-plan detail only: the DECISION
+        * stays `shuffle`, so the j16b oracle replay is untouched. */
       shuffleHashMaxFanout: Long = 32L)
 
   /** Never-undercount bounds from the per-side CMS cell grids. */
