@@ -407,8 +407,87 @@ object StreamQueries extends QueryGroup {
       |FROM rm, (VALUES (60), (300), (900)) AS d(delay_s)
       |GROUP BY 1""".stripMargin
 
+  /** Corpus-bucket occupancy past which a band bucket is dead for the
+    * life of the stream (st8c). */
+  private[graft] val NeardupCapC = 16L
+
+  /** ST8c: st8's admission with the BUILD-TIME INDEX CAP its own
+    * policy note prescribes for 100 TB — the production scale path the
+    * round-15 pressure sweep showed st8's uncapped contract cannot
+    * follow (clique-quadratic verify mass OOMs a starved 32-thread
+    * heap; STRESS_spill_r15_streaming*.json). A band bucket whose
+    * occupancy in the CORPUS index exceeds `NeardupCapC` is dropped
+    * from the index — and from every later probe and append — for the
+    * life of the stream. Because the hot set is FIXED AT BUILD (corpus
+    * occupancy only, never stream-grown), admission decisions remain
+    * micro-batch-slicing-independent (st8's pinned property) while
+    * candidate fan-out is bounded by C per bucket: a mega-clique's
+    * buckets go dead instead of quadratic. (A genuine 100k-duplicate
+    * clique is exact-dedup's job BEFORE admission — t_corpus's stage
+    * ordering; the cap is the guard for the ones that slip through.)
+    * The DuckDB oracle replays the same occupancy filter on both join
+    * sides, so the capped semantics are exact at any slicing. */
+  def streamNeardupCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val stream = docs.filter($"doc_id" % 3 === 0)
+    var sids = DedupQueries.shingleTableOf(corpus).persist()
+    val corpusBands = DedupQueries.bandIndex(sids.filter(size($"sid") > 0))
+    val hot = corpusBands.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n")).filter($"n" > NeardupCapC)
+      .select($"band_idx", $"band_hash").persist()
+    var bands = corpusBands
+      .join(hot, Seq("band_idx", "band_hash"), "left_anti").persist()
+    val decisions = Seq(stream.filter($"doc_id" < NeardupCut),
+        stream.filter($"doc_id" >= NeardupCut)).map { b =>
+      val bSids = DedupQueries.shingleTableOf(b).persist()
+      val dec = streaming.StreamingOps.neardupAdmitCapped(bSids, sids, bands, hot)
+      sids = sids.unionByName(bSids).persist()
+      bands = bands.unionByName(
+        DedupQueries.bandIndex(bSids.filter(size($"sid") > 0))
+          .join(hot, Seq("band_idx", "band_hash"), "left_anti")).persist()
+      dec
+    }
+    decisions.reduce(_ unionByName _)
+      .select($"doc_id", $"admitted",
+        coalesce($"dup_of", lit(-1L)).as("dup_of"))
+  }
+  private val streamNeardupCappedOracle: String = {
+    val jacc = """CAST(len(list_intersect(sa.sid, sb.sid)) AS BIGINT) * 1000
+      |    // CAST(len(list_distinct(list_concat(sa.sid, sb.sid))) AS BIGINT)""".stripMargin
+    s"""WITH ${DedupQueries.minhashPairsCtes},
+       |chot AS (
+       |  SELECT band_idx, band_hash FROM bandrows0
+       |  WHERE doc_id % 3 <> 0
+       |  GROUP BY 1, 2 HAVING COUNT(*) > $NeardupCapC),
+       |br AS (
+       |  SELECT b.* FROM bandrows0 b
+       |  WHERE NOT EXISTS (SELECT 1 FROM chot h
+       |    WHERE h.band_idx = b.band_idx AND h.band_hash = b.band_hash)),
+       |scand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS ref_id
+       |  FROM br n JOIN br o
+       |    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+       |  WHERE n.doc_id % 3 = 0
+       |    AND (o.doc_id % 3 <> 0 OR o.doc_id < n.doc_id)),
+       |sver AS (
+       |  SELECT new_id, MIN(ref_id) AS dup_of
+       |  FROM scand
+       |  JOIN base sa ON sa.doc_id = new_id
+       |  JOIN base sb ON sb.doc_id = ref_id
+       |  WHERE $jacc >= 800
+       |  GROUP BY 1)
+       |SELECT d.doc_id, (dup_of IS NULL) AS admitted,
+       |  COALESCE(dup_of, -1) AS dup_of
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |LEFT JOIN sver ON d.doc_id = new_id""".stripMargin
+  }
+
   override def register(): Unit = {
     Queries.register(QueryDef("st12_stream_dq", streamDq, Some(streamDqOracle)))
+    Queries.register(QueryDef("st8c_stream_admit_capped", streamNeardupCapped,
+      Some(streamNeardupCappedOracle)))
     Queries.register(QueryDef("st11_lateness_audit", latenessAudit,
       Some(latenessAuditOracle)))
     Queries.register(QueryDef("st10_stream_enrich", streamEnrichBatch,

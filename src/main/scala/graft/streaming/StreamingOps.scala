@@ -157,14 +157,35 @@ object StreamingOps {
     * Returns (doc_id, admitted, dup_of) for every batch doc,
     * empty-shingle docs admitted. */
   def neardupAdmit(batchSids: DataFrame, seenSids: DataFrame,
-      seenBands: DataFrame): DataFrame = {
+      seenBands: DataFrame): DataFrame =
+    neardupAdmitImpl(batchSids, seenSids, seenBands, None)
+
+  /** [[neardupAdmit]] with the BUILD-TIME index cap (the policy note's
+    * 100-TB prescription, made a first-class path by round 15's
+    * pressure finding — the uncapped probe's clique-quadratic verify
+    * mass cannot complete under a starved heap,
+    * STRESS_spill_r15_streaming*.json). `hotBuckets` is the FIXED
+    * (band_idx, band_hash) set whose corpus-build occupancy exceeded
+    * the cap: those buckets are dead on BOTH probe and reference
+    * sides, so candidate fan-out per bucket is bounded while
+    * decisions stay micro-batch-slicing-independent (the hot set
+    * never grows with the stream). Caller must maintain `seenBands`
+    * pre-filtered by the same set. */
+  def neardupAdmitCapped(batchSids: DataFrame, seenSids: DataFrame,
+      seenBands: DataFrame, hotBuckets: DataFrame): DataFrame =
+    neardupAdmitImpl(batchSids, seenSids, seenBands, Some(hotBuckets))
+
+  private def neardupAdmitImpl(batchSids: DataFrame, seenSids: DataFrame,
+      seenBands: DataFrame, hotBuckets: Option[DataFrame]): DataFrame = {
     val spark = batchSids.sparkSession
     import spark.implicits._
     import graft.{DedupQueries, TextQueries}
     val newSids = batchSids.persist()
     val newNz = newSids.filter(size($"sid") > 0)
     val seenNz = seenSids.filter(size($"sid") > 0)
-    val probe = DedupQueries.bandIndex(newNz).persist()
+    val probe0 = DedupQueries.bandIndex(newNz)
+    val probe = hotBuckets.fold(probe0)(h =>
+      probe0.join(h, Seq("band_idx", "band_hash"), "left_anti")).persist()
     val ref = seenBands.withColumn("seen", lit(true))
       .unionByName(probe.withColumn("seen", lit(false)))
     val cand = probe.as("n").join(ref.as("o"),

@@ -257,6 +257,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "no stream docs at this sf")
   }
 
+  test("capped admission matches the batch replay, any slicing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select($"doc_id", $"text")
+    var sids = DedupQueries.shingleTableOf(
+      docs.filter($"doc_id" % 3 =!= 0)).persist()
+    val corpusBands = DedupQueries.bandIndex(sids.filter(size($"sid") > 0))
+    val hot = corpusBands.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n")).filter($"n" > StreamQueries.NeardupCapC)
+      .select($"band_idx", $"band_hash").persist()
+    var bands = corpusBands
+      .join(hot, Seq("band_idx", "band_hash"), "left_anti").persist()
+    val stream0 = docs.filter($"doc_id" % 3 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bSids = DedupQueries.shingleTableOf(batch).persist()
+        sink.synchronized {
+          sink ++= StreamingOps.neardupAdmitCapped(bSids, sids, bands, hot)
+            .select($"doc_id", $"admitted",
+              coalesce($"dup_of", lit(-1L)).as("dup_of"))
+            .as[(Long, Boolean, Long)].collect()
+        }
+        sids = sids.unionByName(bSids).persist()
+        bands = bands.unionByName(DedupQueries.bandIndex(
+            bSids.filter(size($"sid") > 0))
+          .join(hot, Seq("band_idx", "band_hash"), "left_anti")).persist()
+        ()
+      }.start()
+    // THREE id-ordered micro-batches vs the registered query's two —
+    // the hot set is fixed at corpus build, so slicing must not matter
+    stream0.grouped(math.max(stream0.length / 3, 1)).foreach { g =>
+      input.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = sink.synchronized(sink.toSeq)
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = Queries.queries("st8c_stream_admit_capped")(spark, TestSpark.sf)
+      .select($"doc_id", $"admitted", $"dup_of")
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "no stream docs at this sf")
+  }
+
+  test("the build-time cap kills a mega-clique's buckets: dup admitted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a corpus clique larger than the cap saturates every bucket of its
+    // text past NeardupCapC, so a streaming duplicate of that text has
+    // NO live candidates and is ADMITTED — the cap trades clique recall
+    // (exact-dedup's job upstream) for bounded probe fan-out
+    val clique = "the exact same duplicated document text body " * 3
+    val corpus = (1L to 20L).map(i => (i * 3 + 1, clique)).toDF("doc_id", "text")
+    val sids = DedupQueries.shingleTableOf(corpus)
+    val corpusBands = DedupQueries.bandIndex(sids.filter(size($"sid") > 0))
+    val hot = corpusBands.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("n")).filter($"n" > StreamQueries.NeardupCapC)
+      .select($"band_idx", $"band_hash")
+    val bands = corpusBands.join(hot, Seq("band_idx", "band_hash"), "left_anti")
+    val batch = DedupQueries.shingleTableOf(
+      Seq((999L, clique)).toDF("doc_id", "text"))
+    val capped = StreamingOps.neardupAdmitCapped(batch, sids, bands, hot)
+      .select($"doc_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    assert(capped(999L), "clique buckets past the cap must be dead")
+    // control: the UNCAPPED probe rejects the same duplicate
+    val uncapped = StreamingOps.neardupAdmit(batch, sids, corpusBands)
+      .select($"doc_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    assert(!uncapped(999L), "uncapped admission must still reject it")
+  }
+
   test("interval join restart: click state survives the checkpoint stop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
