@@ -515,7 +515,14 @@ object MergeQueries extends QueryGroup {
           (15, "Group", Seq(N(b + xs(2), Seq(S)), N(b, Seq(S), Seq("fr")), N(b + xs(4)))),
           (16, "Group", Seq(N(b + xs(2), Seq(S), Seq("fr")), N(b, langs = Seq("fr")))),
           (17, "Person", Seq(N(b, langs = Seq("fr")))),
-          (18, "Person", Seq(N(b + xs(2), langs = Seq("en", "fr")), N(b, Seq(P), Seq("fr")))))
+          (18, "Person", Seq(N(b + xs(2), langs = Seq("en", "fr")), N(b, Seq(P), Seq("fr")))),
+          // the deleted-vs-empty distinction (:530 del vs the [P,P]
+          // overwrite stripping to an empty-but-PRESENT list): the
+          // all-alternate en bucket promotes s1 to [P,P]; fr's shorter
+          // primary strips BOTH (len 2 ≠ 1, no del) — so the :574
+          // key-presence guard still lets the sort fallback flag s1
+          (19, "Person", Seq(N(b + xs(2), Seq(A), Seq("en", "fr")),
+            N(b + xs(4), Seq(AT)), N(b, Seq(P), Seq("fr")))))
         arms.map { case (arm, rtype, nms) =>
           val rec = LaRecord(s"r$ck-$arm", rtype, s"lbl$ck", "src")
             .copy(identifiedBy = nms)
@@ -590,7 +597,9 @@ object MergeQueries extends QueryGroup {
       |UNION ALL
       |SELECT ck*100+17, b||':PS' FROM p
       |UNION ALL
-      |SELECT ck*100+18, b||'xx:;'||b||':P' FROM p""".stripMargin
+      |SELECT ck*100+18, b||'xx:;'||b||':P' FROM p
+      |UNION ALL
+      |SELECT ck*100+19, b||'xx:S;'||b||'xxxx:T;'||b||':P' FROM p""".stripMargin
 
   override def register(): Unit = {
     Queries.register(QueryDef("a11_activity_span", activitySpan, Some(activitySpanOracle)))

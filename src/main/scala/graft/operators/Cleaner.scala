@@ -121,6 +121,13 @@ object Cleaner {
     def cls(i: Int): Seq[String] = names(i).classifiedAs
     def setCls(i: Int, c: Seq[String]): Unit =
       names(i) = names(i).copy(classifiedAs = c)
+    // Python's `del nm["classified_as"]` (:530) vs an EMPTY-BUT-PRESENT
+    // list: both read as "no classes" everywhere EXCEPT the sort
+    // fallback's key-presence guard (:574). The Seq model can't carry
+    // the distinction, so deletion is tracked here: marked by the
+    // len==1 de-flag, cleared when an election recreates the key
+    // (:480-485, :488-502 both materialize it).
+    val deletedCls = scala.collection.mutable.Set[Int]()
 
     // language buckets in first-seen order; None bucket key = ""
     val buckets = scala.collection.mutable.LinkedHashMap[String, Vector[Int]]()
@@ -178,11 +185,13 @@ object Cleaner {
             if (Seq(alternateNameId, alternateTitleId, translatedTitleId).exists(c.contains))
               setCls(t, Seq(primaryNameId, primaryNameId))
             else setCls(t, c :+ primaryNameId)
+            deletedCls -= t // :480/:483-485 recreate the key
             t
           } else {
             val t = candidates.head
             setCls(t, cls(t).filterNot(c =>
               c == alternateNameId || c == alternateTitleId) :+ primaryNameId)
+            deletedCls -= t // :488-502 recreate the key
             t
           }
         primaryNameLangs(lang) = target
@@ -195,7 +204,14 @@ object Cleaner {
           val (acrs, other) = pv.partition(i => isUpper(names(i).content))
           pv = other ++ acrs
         }
-        for (i <- pv.tail) setCls(i, cls(i).filterNot(_ == primaryNameId))
+        for (i <- pv.tail) {
+          // :529-538 — a loser whose ONLY class is the primary has the
+          // whole key DELETED (len==1 branch); one with more keeps the
+          // rest, and a doubled [P,P] (the :480+485 overwrite) strips
+          // to an empty-but-PRESENT list — the distinction :574 reads
+          if (cls(i).size == 1) { setCls(i, Nil); deletedCls += i }
+          else setCls(i, cls(i).filterNot(_ == primaryNameId))
+        }
         primaryNameLangs(lang) = pv.head
       } else primaryNameLangs(lang) = primaryVals.head
     }
@@ -214,15 +230,13 @@ object Cleaner {
       // target` (:574): a recorded primary whose flag was stripped by a
       // LATER language bucket's election takes the len==1 branch at
       // :530, which DELETES the key, so the reference silently skips
-      // the sort flag. Here empty ⟺ Python-absent (the reference never
-      // leaves an empty list on that path — except the doubled-primary
-      // loser, whose [P,P] strips to an empty-but-present list the Seq
-      // model cannot distinguish; that corner needs an all-alternate
-      // bucket AND a lost election AND no sort names, and is not
-      // modeled). Found by the w2b differential's oracle construction.
+      // the sort flag — while a doubled-primary loser (the :480+485
+      // overwrite) strips to an empty-but-PRESENT list and still
+      // receives it. deletedCls carries exactly that distinction.
+      // Found by the w2b differential's oracle construction.
       primaryNameLangs.get("en").orElse(primaryNameLangs.get(""))
         .orElse(primaryNameLangs.headOption.map(_._2))
-        .foreach(i => if (cls(i).nonEmpty) setCls(i, cls(i) :+ sortNameId))
+        .foreach(i => if (!deletedCls(i)) setCls(i, cls(i) :+ sortNameId))
     }
 
     // fallback AFTER election (:578-612), so the injected name never gains

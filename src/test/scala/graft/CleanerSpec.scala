@@ -90,6 +90,19 @@ class CleanerSpec extends AnyFunSuite {
     assert(a.classifiedAs == Seq(primaryNameId, primaryNameId, sortNameId))
   }
 
+  test("a doubled-primary loser KEEPS the sort fallback (empty != deleted)") {
+    // mapper.py:530 dels the key only when len==1; the [P,P] overwrite
+    // target strips to an empty-but-PRESENT list, so :574's key guard
+    // passes and the sort flag lands on a name with no other classes
+    val out = electNames(rec(
+      nm("Long Alt", Seq(alternateNameId), Seq("en", "fr")),
+      nm("Longer Title", Seq(alternateTitleId), Seq("en")),
+      nm("Fr", Seq(primaryNameId), Seq("fr")))).get
+    val both = out.find(_.content == "Long Alt").get
+    assert(both.classifiedAs == Seq(sortNameId))
+    assert(out.find(_.content == "Fr").get.classifiedAs == Seq(primaryNameId))
+  }
+
   test("a primary de-flagged by a later bucket loses the sort fallback") {
     // mapper.py:574 — `if "classified_as" in target`: the en-elected
     // name loses its only (primary) class to fr's shorter primary
