@@ -38,7 +38,11 @@ object SpillSweep {
   private val HeavyKeys = Seq(
     "la_build_pipeline", "la_daily_run", "t_corpus_pipeline",
     "j6_reconcile_fixpoint", "g1_connected_components",
-    "d2_minhash_lsh", "k2_nt_triples")
+    "d2_minhash_lsh", "k2_nt_triples",
+    // the streaming admission's production (capped) path — in the
+    // default battery since round 15's tier-3 finding; the uncapped
+    // st8 stays out (contract-quadratic, OOMs the regime by design)
+    "st8c_stream_admit_capped")
 
   final private case class Res(secs: Double, status: String,
       memSpilled: Long, diskSpilled: Long, spillStages: Int,
