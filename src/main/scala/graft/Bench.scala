@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: times the headline query set (bench-flagged in
   * the registry — one per operator family: scan-agg, join-agg, window,
@@ -25,8 +26,88 @@ import org.apache.spark.sql.SparkSession
   * and the minimum of the three is reported.
   * Failures are loud: a failing query is reported as "err" with the
   * exception recorded, the headline total becomes -1, and the process
-  * exits nonzero — a broken query can never read as a speedup. */
+  * exits nonzero — a broken query can never read as a speedup.
+  *
+  * Cross-round comparability (round-15 verdict item 1): the driver
+  * regenerates the testdata corpus every round, so EVERY cross-round
+  * second comparison is cross-corpus — three consecutive rounds spent
+  * their top verdict item re-proving "environment, not code". The
+  * artifact now carries the adjudication evidence inline:
+  *  - `corpus`: a deterministic fingerprint of the inputs — per-table
+  *    row and byte counts plus a digest `id` over them. Two rounds with
+  *    the same `corpus.id` ran the same data; different ids mean any
+  *    per-key delta has a corpus-draw suspect BEFORE code is blamed.
+  *  - `calibration`: two fixed-work synthetic keys independent of
+  *    testdata (`cal_cpu`: hash-aggregate over a constant range;
+  *    `cal_shuffle`: a constant-cardinality shuffle), timed under the
+  *    same protocol. They move only with MACHINE state, so
+  *    (key_delta / cal_delta) separates machine drift from plan change.
+  *  - `isolated_src` (round-15 verdict item 8): per key, whether
+  *    `isolated_best` came from the isolated re-run ("iso"), was the
+  *    recorded min already ("rec" — the isolated pass never beat it),
+  *    or tied within 1 ms ("tie") — so `isolated == recorded` is
+  *    readable as "recorded was already best-of", not "never isolated". */
 object Bench {
+
+  /** Per-table (rows, bytes) + a stable digest over them. Byte counts
+    * come from filesystem metadata; row counts from a parquet count
+    * (metadata-cheap at bench scales). Deterministic for a given
+    * corpus, independent of machine state. */
+  def corpusFingerprint(spark: SparkSession, sfDir: String)
+      : (String, Seq[(String, Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(sfDir)
+    val tables =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+        finally s.close()
+      }
+    val stats = tables.map { p =>
+      val name = p.getFileName.toString.stripSuffix(".parquet")
+      val bytes =
+        if (Files.isDirectory(p)) {
+          val w = Files.walk(p)
+          try w.iterator().asScala
+            .filter(Files.isRegularFile(_)).map(Files.size).sum
+          finally w.close()
+        } else Files.size(p)
+      val rows = spark.read.parquet(p.toString).count()
+      (name, rows, bytes)
+    }
+    val digestIn = stats.map { case (n, r, b) => s"$n:$r:$b" }.mkString(",")
+    val id = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(digestIn.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    (id, stats)
+  }
+
+  /** Fixed-work machine-state probes, zero testdata dependency.
+    * cal_cpu: codegen'd hash + map-side aggregate over a constant range
+    * (pure CPU throughput). cal_shuffle: the same range shuffled to a
+    * constant 1024-key aggregate (shuffle write/read + hash-agg
+    * machinery). Work is constant across rounds by construction, so
+    * their drift measures the MACHINE, never the corpus or the code
+    * under test. */
+  def calibrations(spark: SparkSession)
+      : Seq[(String, SparkSession => Unit)] = Seq(
+    "cal_cpu" -> ((s: SparkSession) => {
+      // avg, not sum: summing 4e8 xxhash64 longs overflows Int64 and
+      // the engine's sessions run ANSI (overflow throws, not wraps)
+      s.range(0L, 400000000L, 1L, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(avg("h"), count(lit(1))).collect(); ()
+    }),
+    "cal_shuffle" -> ((s: SparkSession) => {
+      s.range(0L, 50000000L, 1L, 32)
+        .groupBy(pmod(xxhash64(col("id")), lit(1024)).as("k"))
+        .agg(count(lit(1)).as("n"), avg(col("id")).as("s"))
+        .agg(sum("n"), avg("s")).collect(); ()
+    }))
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,15 +126,17 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names not bench-flagged: ${unknown.mkString(", ")}")
     }
     require(benchNames.nonEmpty, "bench filter matched no queries")
-    def timeOnce(name: String): Either[String, Double] = {
+    def timeOnceRun(run: () => Unit): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        fns(name)(spark, sfDir).count()
+        run()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         Left(e.toString.linesIterator.next().take(160))
       }
     }
+    def timeOnce(name: String): Either[String, Double] =
+      timeOnceRun(() => { fns(name)(spark, sfDir).count(); () })
     // the full per-key protocol, shared by BOTH phases: warmup + two
     // timed passes + a tie-break pass when they disagree by >1.5x
     def bestOf(name: String): Either[String, Double] = {
@@ -102,16 +185,56 @@ object Bench {
     // tie-break make the isolated number a real best-of measurement
     val isolated = results.collect { case (k, Right(v)) => (k, v) }
       .map { case (k, rec) =>
-        k -> bestOf(k).fold(_ => rec, v => math.min(rec, v))
+        // src marker (verdict r15 item 8): where isolated_best came
+        // from — "iso" (re-run strictly better), "rec" (the recorded
+        // min was already best; the isolated pass never beat it, or
+        // errored), "tie" (within 1 ms — genuine sub-ms equality)
+        val isoPass = bestOf(k)
+        val best = isoPass.fold(_ => rec, v => math.min(rec, v))
+        val src = isoPass match {
+          case Left(_) => "rec"
+          case Right(v) if math.abs(v - rec) <= 0.001 => "tie"
+          case Right(v) if v < rec => "iso"
+          case _ => "rec"
+        }
+        (k, best, src)
       }
-    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + num3(v) }
+    val iso = isolated.map { case (k, v, _) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
+    val isoSrc = isolated.map { case (k, _, s) => "\"" + k + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    // machine-state calibration: fixed work, timed under the same
+    // warmup+two-pass+tie-break protocol, AFTER the sweeps (same JVM
+    // warmth as the isolated phase)
+    val cal = calibrations(spark).map { case (k, run) =>
+      try { run(spark) } catch { case _: Throwable => () } // warmup
+      val t = (timeOnceRun(() => run(spark)), timeOnceRun(() => run(spark))) match {
+        case (Right(a), Right(b)) =>
+          val lo = math.min(a, b)
+          if (math.max(a, b) > lo * 1.5)
+            timeOnceRun(() => run(spark)).fold(_ => lo, c => math.min(lo, c))
+          else lo
+        case (Right(a), _) => a
+        case (_, Right(b)) => b
+        case (Left(e), _) =>
+          // loud: a silently -1 calibration would defeat its purpose
+          println(s"[bench] calibration $k failed both passes: $e"); -1.0
+      }
+      "\"" + k + "\":" + num3(t)
+    }.mkString("{", ",", "}")
+    // corpus fingerprint: deterministic per-table rows+bytes and digest
+    val (corpusId, corpusStats) = corpusFingerprint(spark, sfDir)
+    val corpusTables = corpusStats.map { case (n, r, b) =>
+      "\"" + n + "\":{\"rows\":" + r + ",\"bytes\":" + b + "}"
+    }.mkString("{", ",", "}")
+    val corpus =
+      s"""{"id":"$corpusId","tables":$corpusTables}"""
     val errs = results.collect { case (k, Left(e)) =>
       "\"" + (k + ": " + e).replace("\\", "\\\\").replace("\"", "'") + "\"" }
     val total = if (errs.nonEmpty) -1.0
       else results.collect { case (_, Right(v)) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"isolated_best":$iso$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"isolated_best":$iso,"isolated_src":$isoSrc,"calibration":$cal,"corpus":$corpus$errField,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

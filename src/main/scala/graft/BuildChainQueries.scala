@@ -82,8 +82,7 @@ object BuildChainQueries extends QueryGroup {
   private[graft] def gatherRefs(refs: DataFrame, members: DataFrame,
       cfg: operators.JoinPlanner.Config = operators.JoinPlanner.Config())
       : DataFrame = {
-    val plannerOn = refs.sparkSession.conf
-      .getOption("spark.graft.joinPlanner.enabled").forall(_.toBoolean)
+    val plannerOn = operators.JoinPlanner.enabled(refs.sparkSession)
     if (plannerOn) operators.JoinPlanner.planJoinStaged(refs, members, cfg)._1
     else refs.join(members, "k")
   }

@@ -57,8 +57,7 @@ object OpsQueries extends QueryGroup {
   private[graft] def indexJoin(probe: DataFrame, index: DataFrame,
       cfg: operators.JoinPlanner.Config = operators.JoinPlanner.Config())
       : DataFrame = {
-    val plannerOn = probe.sparkSession.conf
-      .getOption("spark.graft.joinPlanner.enabled").forall(_.toBoolean)
+    val plannerOn = operators.JoinPlanner.enabled(probe.sparkSession)
     if (plannerOn) operators.JoinPlanner.planJoinStaged(probe, index, cfg)._1
     else probe.join(broadcast(index), "k")
   }
@@ -338,8 +337,7 @@ object OpsQueries extends QueryGroup {
   private[graft] def blockingJoin(lhs: DataFrame, rhs: DataFrame,
       cfg: operators.JoinPlanner.Config = operators.JoinPlanner.Config())
       : DataFrame = {
-    val plannerOn = lhs.sparkSession.conf
-      .getOption("spark.graft.joinPlanner.enabled").forall(_.toBoolean)
+    val plannerOn = operators.JoinPlanner.enabled(lhs.sparkSession)
     if (plannerOn) operators.JoinPlanner.planJoinStaged(lhs, rhs, cfg)._1
     else lhs.join(rhs, "k")
   }

@@ -44,6 +44,19 @@ object SpillSweep {
     // st8 stays out (contract-quadratic, OOMs the regime by design)
     "st8c_stream_admit_capped")
 
+  /** The registry's contract-quadratic pair-listers (the standing six
+    * sf1 StressSweep timeouts, each with a bounded `*b`/capped twin):
+    * their cost is quadratic in dup-clique size BY CONTRACT, and under
+    * this sweep's starved pool that contract is a JVM-killing executor
+    * OOM, not a measurement (round-15: uncapped st8 killed three sweep
+    * JVMs). A battery that names one gets a recorded skip unless
+    * `SPARK_GRAFT_CONTRACT_KEYS=run` forces it — and forced contract
+    * keys run LAST, so a kill can only lose its own measurement (the
+    * per-key artifact rewrite preserves everything before it). */
+  private val ContractQuadraticKeys = Set(
+    "j17_fuzzy_join", "d4_ngram_jaccard", "d19_lsh_recall_eval",
+    "d13_winnow_dedup", "st8_stream_neardup", "m1v_image_neardup")
+
   final private case class Res(secs: Double, status: String,
       memSpilled: Long, diskSpilled: Long, spillStages: Int,
       peakExecMem: Long, note: String)
@@ -51,9 +64,21 @@ object SpillSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_stress/sf10")
     val outJson = args.lift(1)
-    val keys = args.lift(2)
+    val requested = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(HeavyKeys)
+    // contract fence (round-15 verdict item 6): a named contract-
+    // quadratic key is SKIPPED (recorded in the artifact, loud on
+    // stdout) unless SPARK_GRAFT_CONTRACT_KEYS=run; forced ones run
+    // LAST so a JVM-killing OOM loses only its own measurement
+    val runContract =
+      sys.env.get("SPARK_GRAFT_CONTRACT_KEYS").exists(_.equalsIgnoreCase("run"))
+    val (contractKeys, plainKeys) = requested.partition(ContractQuadraticKeys)
+    val skippedContract = if (runContract) Seq.empty else contractKeys
+    val keys = if (runContract) plainKeys ++ contractKeys else plainKeys
+    skippedContract.foreach(k => println(s"[spill] SKIP $k — " +
+      "contract-quadratic pair-lister (JVM-killing OOM under this " +
+      "regime by contract); set SPARK_GRAFT_CONTRACT_KEYS=run to force"))
     val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.15")
     // storageFraction was round 14's FIRST hypothesis for the la_build/
     // j6 UNABLE_TO_ACQUIRE_MEMORY (half the squeezed pool eviction-
@@ -156,10 +181,22 @@ object SpillSweep {
         s""""cache_storage_level":${q(cacheLevel)},""" +
         s""""substrate_storage_level":${q(substrateLevel)},"cpus":$cpus,""" +
         s""""n_keys":${results.size},"n_fail":${failed.size},""" +
+        s""""skipped_contract":[${skippedContract.map(q).mkString(",")}],""" +
         s""""total_mem_spilled_bytes":$totMem,""" +
         s""""total_disk_spilled_bytes":$totDisk,""" +
         s""""queries":{$rows}}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)
+      // temp-then-ATOMIC_MOVE: the failure this rewrite defends against
+      // (executor OOM killing the JVM mid-sweep) can land DURING a
+      // plain truncate-then-write, leaving a truncated artifact that
+      // loses every previously recorded key (advice r15)
+      val target = java.nio.file.Paths.get(path)
+      val dir = Option(target.toAbsolutePath.getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+      val tmp = java.nio.file.Files.createTempFile(dir, ".spill", ".tmp")
+      java.nio.file.Files.writeString(tmp, doc)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
     keys.foreach { name =>

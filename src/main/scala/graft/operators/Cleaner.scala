@@ -144,9 +144,15 @@ object Cleaner {
       for (i <- nms) {
         val c = cls(i)
         if (c.contains(primaryNameId) && c.contains(alternateNameId)) {
-          // both flags: first becomes primary, later ones alternate (:405-423)
-          if (primaryVals.nonEmpty) setCls(i, c.filterNot(_ == primaryNameId))
-          else { setCls(i, c.filterNot(_ == alternateNameId)); primaryVals :+= i }
+          // both flags: first becomes primary, later ones alternate
+          // (:405-423). The Python scans for the FIRST matching entry
+          // and list.remove()s exactly that one — a record carrying the
+          // flag twice (e.g. [P,P,A] via the :480+485 overwrite) keeps
+          // the second copy; filterNot would strip them all (advice r15)
+          def removeFirst(flag: String): Seq[String] =
+            c.patch(c.indexOf(flag), Nil, 1)
+          if (primaryVals.nonEmpty) setCls(i, removeFirst(primaryNameId))
+          else { setCls(i, removeFirst(alternateNameId)); primaryVals :+= i }
         } else if (c.contains(primaryNameId)) primaryVals :+= i
         if (c.contains(sortNameId))
           sortNameLangs(lang) = sortNameLangs.getOrElse(lang, Vector.empty) :+ i

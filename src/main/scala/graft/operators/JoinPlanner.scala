@@ -32,6 +32,25 @@ import org.apache.spark.sql.functions._
   * same call from data, per join. */
 object JoinPlanner {
 
+  /** Rollback flag for the three production adoption sites (gather,
+    * ER blocking, name-index join). Default ON. */
+  val EnabledKey = "spark.graft.joinPlanner.enabled"
+
+  /** Defensive flag parse (advice r15): the old per-site
+    * `.forall(_.toBoolean)` threw a bare IllegalArgumentException from
+    * String.toBoolean inside query-plan construction on any value other
+    * than true/false (e.g. "1", "on", a typo). Accept case-insensitive
+    * true/false, treat unset as true, and reject anything else with an
+    * error that names the key and the bad value. */
+  def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(EnabledKey) match {
+      case None => true
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"$EnabledKey must be true or false, got: '$v'")
+    }
+
   /** Deployment thresholds (the autoBroadcastJoinThreshold /
     * skewJoin.skewedPartitionFactor analogs, in rows and milli-share;
     * fixtures scale them down with their data). */
@@ -55,7 +74,22 @@ object JoinPlanner {
         * monotonically from 64 up (1.05-1.30 at 64 → 1.26-1.62 at
         * 512-2048) — the knee sits exactly between the rungs this
         * default separates. Physical-plan detail only: the DECISION
-        * stays `shuffle`, so the j16b oracle replay is untouched. */
+        * stays `shuffle`, so the j16b oracle replay is untouched.
+        *
+        * Mass-conditioned refinement CONSIDERED AND DECLINED (round-16
+        * decision, per the r15 verdict's "decide or record why not"):
+        * the 128M-mass ladder shows the hint never strictly winning at
+        * that mass (ratios 1.02-1.03 at fan-out 8-32 — measurement
+        * noise, not a loss), while at 32M it wins 15% at the same
+        * rungs. A mass bound above which the hint is dropped would
+        * therefore buy ≤3% in the worst observed case at the cost of a
+        * second estimated quantity (output mass) feeding a
+        * plan-switching rule — more surface for a mis-estimate to flip
+        * a plan than the bounded downside justifies. Knee-only stands;
+        * revisit only if a production key regresses with fan-out ≤ 32
+        * AND output mass ≥ 10^8 (then condition on
+        * `Estimate.outRows`, already computed). Data:
+        * STRESS_fanout_r15.json / STRESS_fanout_r15_m128.json. */
       shuffleHashMaxFanout: Long = 32L)
 
   /** Never-undercount bounds from the per-side CMS cell grids. */

@@ -35,8 +35,18 @@ object Substrate {
 
   val ConfKey = "spark.graft.substrateStorageLevel"
 
+  /** Resolution order (advice r15): the graft key REFINES the cluster
+    * knob rather than overriding it. When `spark.graft.
+    * substrateStorageLevel` is unset, fall back to the session's
+    * `spark.sql.defaultCacheStorageLevel` — the knob the round-14
+    * pressure recipe documented — so a deployment that sets ONLY the
+    * cluster-wide level to DISK_ONLY still gets DISK_ONLY at the
+    * substrate sites (which previously honored it via bare persist()),
+    * instead of a silent MEMORY_AND_DISK that can re-hit the
+    * unroll-reservation OOM this regime exists to prevent. */
   def level(spark: SparkSession): StorageLevel =
-    StorageLevel.fromString(spark.conf.get(ConfKey, "MEMORY_AND_DISK"))
+    StorageLevel.fromString(spark.conf.getOption(ConfKey).getOrElse(
+      spark.conf.get("spark.sql.defaultCacheStorageLevel", "MEMORY_AND_DISK")))
 
   /** `.persistSubstrate()` — drop-in for `.persist()` at substrate
     * sites; reads the session's configured regime at call time. */

@@ -69,6 +69,21 @@ class CleanerSpec extends AnyFunSuite {
     assert(b.classifiedAs == Seq(alternateNameId))
   }
 
+  test("both-flag resolution removes exactly ONE flag entry (advice r15)") {
+    // mapper.py:405-421 scans for the FIRST matching entry and
+    // list.remove()s that one only — duplicated flags survive. [P,A,A]
+    // as the bucket's first both-flag name: remove one A -> [P,A];
+    // a later [A,P,P]: remove the first P -> [A,P]
+    val out = electNames(rec(
+      nm("First Name", Seq(primaryNameId, alternateNameId, alternateNameId)),
+      nm("Second Name", Seq(alternateNameId, primaryNameId, primaryNameId)))).get
+    val a = out.find(_.content == "First Name").get
+    val b = out.find(_.content == "Second Name").get
+    // winner keeps its duplicate alternate (plus the sort fallback)
+    assert(a.classifiedAs == Seq(primaryNameId, alternateNameId, sortNameId))
+    assert(b.classifiedAs == Seq(alternateNameId, primaryNameId))
+  }
+
   test("no primary: unclassified shortest wins; alternates excluded") {
     val out = electNames(rec(
       nm("Zebra Longname"), nm("Al", Seq(alternateNameId)), nm("Betty"))).get

@@ -48,6 +48,26 @@ class SubstrateSpec extends AnyFunSuite {
     } finally spark.conf.unset(Substrate.ConfKey)
   }
 
+  test("unset graft key falls back to the cluster cache knob (advice r15)") {
+    // the round-14 recipe sets ONLY spark.sql.defaultCacheStorageLevel;
+    // the substrate sites must keep honoring it (they did via bare
+    // persist() before round 15) — the graft key refines, not overrides
+    spark.conf.unset(Substrate.ConfKey)
+    spark.conf.set("spark.sql.defaultCacheStorageLevel", "DISK_ONLY")
+    try assert(Substrate.level(spark) === StorageLevel.DISK_ONLY)
+    finally spark.conf.unset("spark.sql.defaultCacheStorageLevel")
+  }
+
+  test("graft key set wins over the cluster cache knob") {
+    spark.conf.set("spark.sql.defaultCacheStorageLevel", "DISK_ONLY")
+    spark.conf.set(Substrate.ConfKey, "MEMORY_ONLY")
+    try assert(Substrate.level(spark) === StorageLevel.MEMORY_ONLY)
+    finally {
+      spark.conf.unset("spark.sql.defaultCacheStorageLevel")
+      spark.conf.unset(Substrate.ConfKey)
+    }
+  }
+
   test("a malformed level fails loudly, not as a silent default") {
     spark.conf.set(Substrate.ConfKey, "MEMORY_AND_DSIK")
     try assertThrows[IllegalArgumentException](Substrate.level(spark))
