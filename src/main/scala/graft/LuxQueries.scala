@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Substrate.SubstrateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.LuxCompiler
@@ -93,14 +94,14 @@ object LuxQueries extends QueryGroup {
       true
     })
     val (e, t) = substrateCache.getOrElseUpdate((spark, dir), {
-      (entities(spark, dir).persist(), triples(spark, dir).persist())
+      (entities(spark, dir).persistSubstrate(), triples(spark, dir).persistSubstrate())
     })
     // an external spark.catalog.clearCache() (Bench's per-key cache
     // lifecycle) unpersists the blocks but leaves this memo — re-arm
     // so later lux queries cache again instead of silently recomputing
     // the substrate forever
-    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.persist()
-    if (t.storageLevel == org.apache.spark.storage.StorageLevel.NONE) t.persist()
+    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE) e.persistSubstrate()
+    if (t.storageLevel == org.apache.spark.storage.StorageLevel.NONE) t.persistSubstrate()
     (e, t)
   }
 

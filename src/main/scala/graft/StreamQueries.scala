@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Substrate.SubstrateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -219,7 +220,7 @@ object StreamQueries extends QueryGroup {
     // size(sid) below the cache re-inlines the whole shingle HOF chain
     // into the predicate — measured 94 s vs 4 s at the sf1 stress scale
     val sids = DedupQueries.shingleTableOf(docs)
-      .persist() // corpus index + stream probes
+      .persistSubstrate() // corpus index + stream probes
     val nz = sids.filter(size($"sid") > 0)
     val idx = DedupQueries.bandIndex(nz.filter($"doc_id" % 3 =!= 0))
       .groupBy($"band_idx", $"band_hash").agg(count(lit(1)).as("n"))
@@ -258,18 +259,18 @@ object StreamQueries extends QueryGroup {
     val stream = docs.filter($"doc_id" % 3 === 0)
     // the maintained index: both tables MATERIALIZED (at 100 TB these
     // are the on-disk index files); each batch appends its own rows
-    var sids = DedupQueries.shingleTableOf(corpus).persist()
+    var sids = DedupQueries.shingleTableOf(corpus).persistSubstrate()
     var bands = DedupQueries.bandIndex(
-      sids.filter(size($"sid") > 0)).persist()
+      sids.filter(size($"sid") > 0)).persistSubstrate()
     val decisions = Seq(stream.filter($"doc_id" < NeardupCut),
         stream.filter($"doc_id" >= NeardupCut)).map { b =>
       // one hashing pass per batch: the same shingle table decides and
       // then joins the index
-      val bSids = DedupQueries.shingleTableOf(b).persist()
+      val bSids = DedupQueries.shingleTableOf(b).persistSubstrate()
       val dec = streaming.StreamingOps.neardupAdmit(bSids, sids, bands)
-      sids = sids.unionByName(bSids).persist()
+      sids = sids.unionByName(bSids).persistSubstrate()
       bands = bands.unionByName(DedupQueries.bandIndex(
-        bSids.filter(size($"sid") > 0))).persist()
+        bSids.filter(size($"sid") > 0))).persistSubstrate()
       dec
     }
     decisions.reduce(_ unionByName _)
@@ -408,7 +409,24 @@ object StreamQueries extends QueryGroup {
       |GROUP BY 1""".stripMargin
 
   /** Corpus-bucket occupancy past which a band bucket is dead for the
-    * life of the stream (st8c). */
+    * life of the stream (st8c).
+    *
+    * CONFIRMED at 16 by the round-16 ladder (graft.NeardupCapSweep,
+    * STRESS_neardupcap_r16.json): planted clusters with per-band corpus
+    * occupancies {~2.7, 8, 27, 108, 432} straddling caps {4,16,64,256}.
+    * Measured trade per rung (recall‰ of genuine near-dups / candidate
+    * pairs / peak exec mem): 4 → 377/12.6k/0.7GB; 16 → 620/46.6k/0.8GB;
+    * 64 → 804/146k/0.9GB; 256 → 899/443k/1.2GB; uncapped →
+    * 1000/1.64M/1.9GB; zero false dups at every rung. Candidate mass —
+    * the quantity whose clique-quadratic growth heap-OOM'd the uncapped
+    * r15 probe — grows ~3.2× per rung, and the cap bounds per-doc verify
+    * fan-out to bands×C refs (16 → ≤128; 64 → ≤512, 4× the transient
+    * array mass under pressure). Raising to 64 would buy +18pp recall
+    * on clusters of occupancy 17–64 at 3× the bounded mass; but recall
+    * loss at 16 falls exactly on super-cap cliques — the boilerplate
+    * class upstream EXACT dedup collapses before admission (t_corpus's
+    * stage ordering, the operator's own contract note) — so the
+    * memory-first default stands. */
   private[graft] val NeardupCapC = 16L
 
   /** ST8c: st8's admission with the BUILD-TIME INDEX CAP its own
@@ -432,21 +450,21 @@ object StreamQueries extends QueryGroup {
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
     val corpus = docs.filter($"doc_id" % 3 =!= 0)
     val stream = docs.filter($"doc_id" % 3 === 0)
-    var sids = DedupQueries.shingleTableOf(corpus).persist()
+    var sids = DedupQueries.shingleTableOf(corpus).persistSubstrate()
     val corpusBands = DedupQueries.bandIndex(sids.filter(size($"sid") > 0))
     val hot = corpusBands.groupBy($"band_idx", $"band_hash")
       .agg(count(lit(1)).as("n")).filter($"n" > NeardupCapC)
-      .select($"band_idx", $"band_hash").persist()
+      .select($"band_idx", $"band_hash").persistSubstrate()
     var bands = corpusBands
-      .join(hot, Seq("band_idx", "band_hash"), "left_anti").persist()
+      .join(hot, Seq("band_idx", "band_hash"), "left_anti").persistSubstrate()
     val decisions = Seq(stream.filter($"doc_id" < NeardupCut),
         stream.filter($"doc_id" >= NeardupCut)).map { b =>
-      val bSids = DedupQueries.shingleTableOf(b).persist()
+      val bSids = DedupQueries.shingleTableOf(b).persistSubstrate()
       val dec = streaming.StreamingOps.neardupAdmitCapped(bSids, sids, bands, hot)
-      sids = sids.unionByName(bSids).persist()
+      sids = sids.unionByName(bSids).persistSubstrate()
       bands = bands.unionByName(
         DedupQueries.bandIndex(bSids.filter(size($"sid") > 0))
-          .join(hot, Seq("band_idx", "band_hash"), "left_anti")).persist()
+          .join(hot, Seq("band_idx", "band_hash"), "left_anti")).persistSubstrate()
       dec
     }
     decisions.reduce(_ unionByName _)

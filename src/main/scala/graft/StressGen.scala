@@ -30,6 +30,11 @@ object StressGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_stress/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional table subset (comma-separated) — a decade probe of
+    // documents-only keys (d2/d18/st8c at sf100) need not pay for a
+    // 600M-row lineitem it never reads
+    val onlyTables = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.create("graft-stressgen",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
@@ -41,8 +46,9 @@ object StressGen {
       keys.foldLeft(x)((d, k) => d.withColumn(k, col(k) + $"rep" * B))
         .drop("rep")
     }
-    def save(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def save(df: => DataFrame, t: String): Unit =
+      if (onlyTables.forall(_.contains(t)))
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     for (t <- Seq("region", "nation")) save(Tables.load(spark, src, t), t)
     save(rep10(Tables.load(spark, src, "customer"), "c_custkey"), "customer")

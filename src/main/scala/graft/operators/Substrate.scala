@@ -3,9 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-/** The engine-owned cache regime for ITERATIVE-OPERATOR SUBSTRATES —
-  * the persisted tables a fixpoint loop probes every round (edge
-  * tables, name indexes, day-0 bases).
+/** The engine-owned cache regime for ENGINE-INTERNAL CORPUS-SHAPED
+  * CACHES — originally (round 15) the iterative-operator substrates a
+  * fixpoint loop probes every round (edge tables, name indexes, day-0
+  * bases); broadened in round 16 to every `.persist()` in the query
+  * layer (LSH shingle/signature/band tables, the lux entity+triple
+  * substrate, token tables, monotone stream indexes — all tables whose
+  * size scales with the corpus). Plain `.persist()` remains only for
+  * provably batch-bounded deltas (StreamingOps' per-batch tables) and
+  * O(1)-size grids (JoinPlanner sketches), where a pressure profile
+  * gains nothing by spilling them.
   *
   * Why this exists (round-14 spill-regime finding): on a squeezed
   * executor pool, a stage that MATERIALIZES a MEMORY_AND_DISK substrate

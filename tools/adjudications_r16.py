@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Inject round-16 adjudications into STRESS_r16.json (run after the
+sweeps write it). Documentary bench_secs entries never suppress a
+stress gate flag; ratio/status entries do, bounded by baseline."""
+import json, sys
+
+ART = sys.argv[1] if len(sys.argv) > 1 else "STRESS_r16.json"
+
+ADJ = {
+    "g3_pagerank": {
+        "kind": "bench_secs",
+        "baseline": 1.02,
+        "round": "r16",
+        "verdict": (
+            "r16 adjudication of g3_pagerank's recorded drift 0.55 (r13) -> "
+            "0.69 (r14) -> 1.02 s (r15, recorded == isolated) across three "
+            "corpus draws. Same-corpus evidence gathered this round (the "
+            "corpus BENCH_r15 ran on, parquet mtimes 2026-08-16 01:22, "
+            "corpus.id cba49037fa94): isolated full-protocol re-run 0.926 s "
+            "at sf0.1 (isolated_src=rec - the recorded pass was already "
+            "best-of), and the graph's derived size is sym_edges=23922 / "
+            "vertices=9974 from a constant 600k-row lineitem (l_orderkey % "
+            "50 sample). The DECISIVE control: the same key at sf0.01 (10x "
+            "less data, sym graph ~2.4k edges) measures 0.96-1.08 s - THE "
+            "SAME COST - so g3 is 100% fixed-overhead-dominated (3 "
+            "iterations x join+agg = 6 chained shuffle stages of task "
+            "scheduling at 32 partitions; data mass is irrelevant at bench "
+            "SFs). The causal property is scheduler/machine state on a "
+            "sub-second overhead-bound key, NOT corpus edge counts and NOT "
+            "code; the cal_shuffle calibration key (0.528 s at measurement "
+            "time) now tracks exactly this overhead class per round. "
+            "Documentary kind bench_secs never suppresses a stress gate flag."
+        ),
+    },
+}
+
+
+def main():
+    with open(ART) as f:
+        d = json.load(f)
+    adj = d.setdefault("adjudications", {})
+    adj.update(ADJ)
+    with open(ART, "w") as f:
+        json.dump(d, f, indent=1)
+    print(f"[adjudications] wrote {len(ADJ)} entries into {ART}")
+
+
+if __name__ == "__main__":
+    main()
