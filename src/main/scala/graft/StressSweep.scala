@@ -165,7 +165,20 @@ object StressSweep {
         val taint = if (r.dropsTainted) s""","drops_tainted":true""" else ""
         s"""${q(name)}:{"secs":${num("%.3f", r.secs)},"status":${q(r.status)}$ratio$drops$taint$note}"""
       }.mkString(",")
+      // env + corpus stamp: a sweep's seconds are only comparable to a
+      // prior artifact's under the same heap/threads AND the same
+      // corpus draw (the driver regenerates testdata every round, and
+      // StressGen corpora derive from it) — record both, same
+      // fingerprint as BENCH (Bench.corpusFingerprint), so ratio-flag
+      // adjudication reads off the artifacts
+      val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val (corpusId, corpusStats) = Bench.corpusFingerprint(spark, sfDir)
+      val corpusTables = corpusStats.map { case (n, r, b) =>
+        s"""${q(n)}:{"rows":$r,"bytes":$b}""" }.mkString("{", ",", "}")
       val doc = s"""{"sf_dir":${q(sfDir)},"timeout_secs":$timeoutSecs,""" +
+        s""""heap_gib":$heapG,"cpus":$cpus,""" +
+        s""""corpus":{"id":${q(corpusId)},"tables":$corpusTables},""" +
         s""""n_queries":${results.size},"total_secs":${num("%.1f", total)},""" +
         s""""n_timeout":${timedOut.size},"n_fail":${failed.size},""" +
         s""""queries":{$rows}}"""

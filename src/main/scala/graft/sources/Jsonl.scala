@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Substrate.SubstrateOps
 
 /** JSONL/dump ingestion (SURVEY §2.1 S1/S2): gzip JSONL → table with
   * skip-existing semantics — the Spark form of the reference loader
@@ -56,7 +57,10 @@ object Jsonl {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", cr)
       .json(path)
-      .persist()
+      // corpus-shaped (the whole parsed dump): substrate regime, not a
+      // bare persist — a pressure deployment's DISK_ONLY knob must
+      // reach the single biggest cache on the ingest path
+      .persistSubstrate()
     Quarantined(
       good = raw.filter(col(cr).isNull).drop(cr),
       bad = raw.filter(col(cr).isNotNull).select(col(cr).as("raw_line")),
