@@ -140,6 +140,29 @@ object StressSweep {
       println(f"[sweep] ${q.name}%-28s $secs%7.2f s  $status$extra")
       q.name -> Res(secs, status, note, drops, tainted)
     }
+    // isolated re-measurement of ratio-flag suspects — the manual
+    // adjudication protocol every round applied by hand (r12 d5, r15
+    // st6/st8b, r16 j8/a6 all recovered in isolated re-runs),
+    // mechanized: any ok key whose seconds grew >1.5× over the
+    // baseline artifact re-runs once AFTER the sweep (JVM warm, no
+    // sweep neighbors) and the artifact records both numbers, so
+    // tools/stress_diff.py and any reader can separate sweep-neighbor
+    // JVM state from a real regression without a hand re-run. The
+    // isolated number never OVERWRITES the recorded one — both ride
+    // the artifact.
+    val isoSecs: Map[String, Double] = results.collect {
+      case (name, r) if r.status == "ok" &&
+          baseline.get(name).exists(b => b > 0 && r.secs > b * 1.5) =>
+        val fn = sweepSet.find(_.name == name).get.fn
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).foreach(_ => ()); true }
+          catch { case _: Throwable => false }
+        spark.catalog.clearCache()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[sweep] iso re-run ${name}%-26s $s%7.2f s" +
+          (if (ok) "" else "  (failed isolated; not recorded)"))
+        if (ok) Some(name -> s) else None
+    }.flatten.toMap
     val total = results.map(_._2.secs).sum
     val slowest = results.sortBy(-_._2.secs).take(10)
       .map { case (n, r) => f"$n=${r.secs}%.1f" }.mkString(", ")
@@ -163,7 +186,9 @@ object StressSweep {
         val note = if (r.note.nonEmpty) s""","note":${q(r.note)}""" else ""
         val drops = if (r.guardDrops > 0) s""","guard_drops":${r.guardDrops}""" else ""
         val taint = if (r.dropsTainted) s""","drops_tainted":true""" else ""
-        s"""${q(name)}:{"secs":${num("%.3f", r.secs)},"status":${q(r.status)}$ratio$drops$taint$note}"""
+        val iso = isoSecs.get(name)
+          .map(s => s""","iso_secs":${num("%.3f", s)}""").getOrElse("")
+        s"""${q(name)}:{"secs":${num("%.3f", r.secs)},"status":${q(r.status)}$ratio$iso$drops$taint$note}"""
       }.mkString(",")
       // env + corpus stamp: a sweep's seconds are only comparable to a
       // prior artifact's under the same heap/threads AND the same

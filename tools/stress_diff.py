@@ -22,7 +22,14 @@ artifact's top-level "adjudications" object:
 A flag whose key+kind is adjudicated is printed under "adjudicated
 (suppressed)" and does NOT set the exit code — verdicts travel with the
 artifact of record, so an already-adjudicated flag never re-fires in a
-later round's gate. kind is "ratio" or "status".
+later round's gate.
+
+IN-ARTIFACT ISOLATED RE-RUNS (round 16): StressSweep re-runs flag
+suspects isolated after the sweep and records "iso_secs" per key. A
+ratio jump whose isolated measurement would NOT have fired (iso ratio
+within the jump threshold, or <= 10) is auto-adjudicated here —
+printed, suppressed, no hand-written verdict needed. An isolated
+measurement that REPRODUCES the jump still fires the gate. kind is "ratio" or "status".
 
 The suppression is BOUNDED by "baseline" — the magnitude the verdict
 actually settled (for kind "ratio": the new ratio at adjudication time;
@@ -101,12 +108,23 @@ def main():
     if recovered:
         print("recovered (non-ok -> ok): " + ", ".join(sorted(recovered)))
 
-    jumps, jump_adj = [], []
+    jumps, jump_adj, iso_adj = [], [], []
     for k in old.keys() & new.keys():
         ro, rn = old[k].get("ratio"), new[k].get("ratio")
         if new[k]["status"] != "ok":
             continue  # a timeout's secs are capped, so its ratio is floor-noise
         if ro and rn and ro > 0 and rn / ro > jump and rn > 10:
+            # the sweep re-runs flag suspects isolated (JVM warm, no
+            # sweep neighbors) and records iso_secs alongside: if the
+            # flag would NOT have fired on the isolated measurement,
+            # the artifact itself has adjudicated it as sweep-neighbor
+            # state — stronger evidence than a hand-written verdict
+            iso = new[k].get("iso_secs")
+            if iso is not None and new[k]["secs"] > 0:
+                rn_iso = rn * iso / new[k]["secs"]
+                if rn_iso / ro <= jump or rn_iso <= 10:
+                    iso_adj.append((k, iso, rn_iso))
+                    continue
             if adjudicated(k, "ratio", rn):
                 jump_adj.append(k)
             else:
@@ -117,6 +135,11 @@ def main():
         for g, k, ro, rn in sorted(jumps, reverse=True):
             print("  %-30s ratio %6.1f -> %6.1f  (%.2fx)" % (k, ro, rn, g))
     suppressed += [(k, "ratio") for k in jump_adj]
+    if iso_adj:
+        print("auto-adjudicated (in-artifact isolated re-run recovers):")
+        for k, iso, rn_iso in sorted(iso_adj):
+            print("  %-30s in-sweep %7.1fs -> isolated %7.1fs (iso ratio %.1f)"
+                  % (k, new[k]["secs"], iso, rn_iso))
 
     if suppressed:
         print("adjudicated (suppressed):")

@@ -33,10 +33,12 @@ def run(old, new):
     return p.returncode, p.stdout
 
 
-def q(secs, status="ok", ratio=None):
+def q(secs, status="ok", ratio=None, iso=None):
     d = {"secs": secs, "status": status}
     if ratio is not None:
         d["ratio"] = ratio
+    if iso is not None:
+        d["iso_secs"] = iso
     return d
 
 
@@ -97,7 +99,19 @@ def main():
         {"k": {"kind": "ratio", "verdict": "legacy r13-style entry"}}))
     check("legacy unbounded warns", rc == 0 and "UNBOUNDED" in out, out)
 
-    print(f"{7 - len(fails)}/7 ok")
+    # 8. an in-artifact isolated re-run that recovers auto-adjudicates
+    #    (iso ratio = 20 * 3/30 = 2.0 — would not have fired)
+    rc, out = run(old, art({"k": q(30.0, ratio=20.0, iso=3.0)}))
+    check("iso recovery auto-adjudicates",
+          rc == 0 and "auto-adjudicated" in out, out)
+
+    # 9. an isolated re-run that REPRODUCES the jump still fires
+    #    (iso ratio = 20 * 28/30 = 18.7 — growth 4.7x, still > 10)
+    rc, out = run(old, art({"k": q(30.0, ratio=20.0, iso=28.0)}))
+    check("iso reproduction still fires",
+          rc == 1 and "RATIO JUMPS" in out, out)
+
+    print(f"{9 - len(fails)}/9 ok")
     return 1 if fails else 0
 
 
