@@ -40,11 +40,60 @@ object DedupQueries extends QueryGroup {
   def aj(j: Int): Long = functions.VecMath.aj(j)
   def bj(j: Int): Long = functions.VecMath.bj(j)
 
-  /** Hot-band guard: a single (band_idx, band_hash) bucket holding more
-    * docs than this is dropped from candidate generation (quadratic
-    * boilerplate cluster, see header). Sized so one bucket contributes
-    * at most ~BandCap^2/2 ≈ 0.5M candidate rows. */
+  /** Hot-band guard DEFAULT: a single (band_idx, band_hash) bucket
+    * holding more docs than this is dropped from candidate generation
+    * (quadratic boilerplate cluster, see header). Sized so one bucket
+    * contributes at most ~BandCap^2/2 ≈ 0.5M candidate rows. The DuckDB
+    * oracles interpolate THIS value, so the correctness gate always
+    * runs the default.
+    *
+    * CONFIRMED at 1024 by the round-16 ladder (graft.BandCapSweep,
+    * STRESS_bandcap_r16.json): planted genuine-near-dup clusters of
+    * {20,100,400,1600,6400} members (expected band occupancies
+    * {16,80,320,1280,5120}) swept over caps {64,256,1024,4096,
+    * uncapped}. Measured per rung (candidate-pair mass / peak exec
+    * mem / per-tier recall‰): 64 → 153k/1.2GB; 256 → 603k/4.2GB;
+    * 1024 → 2.2M/6.1GB with FULL recall through 400-member clusters
+    * (and 492/410‰ on the 1600/6400 tiers — straddling buckets
+    * survive in some bands); 4096 → 7.2M/7.7GB; uncapped →
+    * 27.2M/9.8GB. Zero false pairs at every rung. Mass grows ~3.5×
+    * per rung — the clique-quadratic term the guard exists to bound —
+    * while recall loss falls only on super-cap cliques, which are
+    * exact-dedup's job upstream (t_corpus's stage ordering). The
+    * default keeps everything a genuine near-dup cluster plausibly
+    * sized at 100 TB and caps the boilerplate class; a 12× mass bound
+    * below uncapped at this ladder's scale. */
   val BandCap = 1024L
+
+  /** Session override for the hot-band guard: `spark.graft.bandCap`.
+    * A POLICY knob, not a tuning knob — lowering it changes which
+    * pairs the LSH contract emits (every bucket above the cap goes
+    * dead), exactly like the streaming NeardupCapC. Why it exists: the
+    * round-16 sf100 probe measured the one-point default's adversarial
+    * edge — 1000-copy identical-text cliques sit just UNDER 1024, so
+    * no bucket of theirs was dropped and the verify mass was
+    * C(1000,2)×5000 ≈ 2.5e9 pairs, 30× wall at a 10× data step
+    * (STRESS_sf100_r16.json); at cap 256 those buckets go dead and the
+    * run is near-linear (STRESS_sf100_r16_cap256.json). The ladder
+    * placing the default is graft.BandCapSweep
+    * (STRESS_bandcap_r16.json). Deployments with exact-dedup-first
+    * composition (t_corpus's ordering) keep the default; a pipeline
+    * that must run LSH over un-collapsed corpora lowers it. */
+  private[graft] def bandCap(spark: org.apache.spark.sql.SparkSession): Long = {
+    val key = "spark.graft.bandCap"
+    spark.conf.getOption(key).map { v =>
+      val n = try v.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a positive long, got '$v'") }
+      require(n > 0, s"$key must be a positive long, got '$v'")
+      // the guard only examines buckets larger than SaltAt, so a cap
+      // below it would silently never fire on sub-SaltAt buckets —
+      // reject rather than half-apply
+      require(n >= SaltAt,
+        s"$key ($n) must be >= the salt threshold SaltAt ($SaltAt)")
+      n
+    }.getOrElse(BandCap)
+  }
 
   /** Salt fan-out for the band self-join (header). */
   val BandSalt = 8
@@ -82,20 +131,21 @@ object DedupQueries extends QueryGroup {
 
   private[graft] def guardedBandPairs(bandRows: DataFrame, keys: Seq[String],
       idCol: String, carry: Seq[String] = Nil): DataFrame = {
+    val cap = bandCap(bandRows.sparkSession)
     val counts = bandRows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > SaltAt) // only oversize buckets matter downstream
       .localCheckpoint() // tiny; feeds two broadcasts without recompute
-    val hot = counts.filter(col("n") > BandCap).select(keys.map(col): _*)
+    val hot = counts.filter(col("n") > cap).select(keys.map(col): _*)
     // no-silent-caps: the checkpoint above already materialized counts,
     // so surfacing how many buckets the cap drops costs one tiny scan
     val nHot = hot.count()
     if (nHot > 0) {
       guardDropCount.addAndGet(nHot)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"guardedBandPairs: dropping $nHot band buckets larger than $BandCap docs")
+        s"guardedBandPairs: dropping $nHot band buckets larger than $cap docs")
     }
-    val big = counts.filter(col("n") <= BandCap).select(keys.map(col): _*)
+    val big = counts.filter(col("n") <= cap).select(keys.map(col): _*)
     val capped = bandRows.join(broadcast(hot), keys, "left_anti")
     val smallRows = capped.join(broadcast(big), keys, "left_anti")
     val bigRows = capped.join(broadcast(big), keys, "left_semi")
@@ -876,7 +926,7 @@ object DedupQueries extends QueryGroup {
     val bands = bandIndex(base).persistSubstrate()
     val benchBands0 = bands.filter($"doc_id" % 37 === 0)
     val hot = benchBands0.groupBy($"band_idx", $"band_hash")
-      .agg(count(lit(1)).as("n")).filter($"n" > BandCap)
+      .agg(count(lit(1)).as("n")).filter($"n" > bandCap(spark))
       .select($"band_idx", $"band_hash")
     val benchBands = benchBands0
       .join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")

@@ -353,4 +353,32 @@ class DedupPlanSpec extends AnyFunSuite {
       "HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
     assert(!p.contains("Window"), "span dedup must not use a window")
   }
+
+  test("bandCap knob: default pins the oracle constant; override changes " +
+      "the guard; bad values rejected naming the key") {
+    import spark.implicits._
+    // the oracles interpolate BandCap at registration — the conf-less
+    // default MUST equal it or the correctness gate silently diverges
+    assert(DedupQueries.bandCap(spark) == DedupQueries.BandCap)
+    assert(DedupQueries.BandCap == 1024L)
+    // a 70-doc bucket (above SaltAt=64, so the guard sees it): cap 65
+    // drops it (no pairs), the 1024 default keeps it (salted regime)
+    val rows = (1L to 70L).toDF("doc_id")
+      .withColumn("band_idx", lit(0)).withColumn("band_hash", lit(42L))
+    def pairs(): Long = DedupQueries.guardedBandPairs(
+      rows, Seq("band_idx", "band_hash"), "doc_id").count()
+    assert(pairs() == 70L * 69 / 2) // C(70,2) at the default
+    spark.conf.set("spark.graft.bandCap", "65")
+    try {
+      assert(DedupQueries.bandCap(spark) == 65L)
+      assert(pairs() == 0L) // bucket dead at cap 65
+      spark.conf.set("spark.graft.bandCap", "lots")
+      val e = intercept[IllegalArgumentException](DedupQueries.bandCap(spark))
+      assert(e.getMessage.contains("spark.graft.bandCap"))
+      spark.conf.set("spark.graft.bandCap", "0")
+      val z = intercept[IllegalArgumentException](DedupQueries.bandCap(spark))
+      assert(z.getMessage.contains("spark.graft.bandCap"))
+    } finally spark.conf.unset("spark.graft.bandCap")
+    assert(DedupQueries.bandCap(spark) == 1024L)
+  }
 }
