@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object BandCapSweep {
 
+  /** Block until the async listener bus has delivered all posted stage
+    * events, so counter reads see every event from the jobs that ran
+    * before the call. `LiveListenerBus.waitUntilEmpty` is
+    * `private[spark]` (bytecode-public), reached via reflection; on any
+    * surprise we fall back to a settle-sleep, which only widens the
+    * snapshot window — never narrows it. */
+  private def drainListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Throwable => Thread.sleep(1000) }
+
   private def mix(a: Long, b: Long): Long = {
     var z = a * 0x9E3779B97F4A7C15L + b
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -122,11 +136,17 @@ object BandCapSweep {
       }
       once() // warmup
       spark.catalog.clearCache() // drop the warmup's internal substrates
+      drainListeners(spark) // let the warmup's stage events land first
       memSpilled.set(0L); peakExec.set(0L)
       val drops0 = DedupQueries.guardDropCount.get()
       val secs = { val a = once(); spark.catalog.clearCache()
         val b = once(); math.min(a, b) }
       val dropped = (DedupQueries.guardDropCount.get() - drops0) / 2 // two passes
+      // snapshot the memory counters NOW — after draining the listener
+      // bus, before the untimed quality-metric jobs below pollute them
+      drainListeners(spark)
+      val spilledSnap = memSpilled.get
+      val peakSnap = peakExec.get
       // quality metrics outside the timed window
       val pairs = DedupQueries.minhashVerified(base)
         .join(meta.select($"doc_id".as("doc_a"),
@@ -151,7 +171,7 @@ object BandCapSweep {
       spark.catalog.clearCache()
       val goodPairs = perTier.map(_._3).sum
       (secs, goodPairs, perTier, falsePairs, cand, dropped,
-        memSpilled.get, peakExec.get)
+        spilledSnap, peakSnap)
     }
 
     val rungs = Caps.map(c => (c.toString, runRung(Some(c)))) :+

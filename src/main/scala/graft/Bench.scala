@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 /** Driver-run benchmark: times the headline query set (bench-flagged in
   * the registry — one per operator family: scan-agg, join-agg, window,
   * LSH dedup, vector search, iterative CC, query language, event-time
-  * window) and prints ONE JSON line. count() forces full execution
-  * without collecting rows to the driver.
+  * window) and prints TWO JSON lines: a bulky provenance line
+  * (isolated_best/isolated_src/full corpus stats — also written to a
+  * sidecar file) followed by a compact FINAL line the driver parses
+  * (total, per-key recorded, calibration, corpus.id — kept under the
+  * driver's 2000-char stdout tail; round-16 verdict item 2). count()
+  * forces full execution without collecting rows to the driver.
   *
   * Reproducibility: each query runs a warmup pass immediately before its
   * timed passes (JIT + codegen compiled, its substrate/index tables
@@ -234,7 +238,34 @@ object Bench {
     val total = if (errs.nonEmpty) -1.0
       else results.collect { case (_, Right(v)) => v }.sum
     val errField = if (errs.isEmpty) "" else s""","errors":[${errs.mkString(",")}]"""
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"isolated_best":$iso,"isolated_src":$isoSrc,"calibration":$cal,"corpus":$corpus$errField,"sf":"$sfDir"}""")
+    // Two-line protocol (round-16 verdict item 2): the driver records
+    // only a 2000-char TAIL of stdout and parses the final JSON line.
+    // Round 16's single ~3.3 KB line lost its leading "metric"/"value"
+    // fields to the tail cut and the artifact landed unparseable
+    // (BENCH_r16.json parsed:null). So the bulky provenance
+    // (isolated_best, isolated_src, per-table corpus stats) goes on an
+    // EARLIER stdout line + a sidecar file, and the FINAL line stays
+    // compact: total, per-key recorded, calibration, corpus.id, sf.
+    val provenance =
+      s"""{"metric":"provenance","queries":$qs,"isolated_best":$iso,"isolated_src":$isoSrc,"calibration":$cal,"corpus":$corpus,"sf":"$sfDir"}"""
+    println(provenance)
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      java.nio.file.Paths.get(sys.props("user.dir"),
+        "bench_provenance.json").toString)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sidecar), provenance + "\n")
+    catch { case e: Throwable =>
+      println(s"[bench] sidecar write failed ($sidecar): $e") }
+    val finalLine =
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"calibration":$cal,"corpus":{"id":"${corpusId}"}$errField,"sf":"$sfDir"}"""
+    // hard budget: the line must survive the driver's tail cut with
+    // room to spare; if the key set ever grows past it, shed the
+    // per-key map (it lives in the sidecar) rather than the header
+    if (finalLine.length <= 1500) println(finalLine)
+    else {
+      println(s"[bench] final line ${finalLine.length} chars > 1500 budget; shedding queries field (full map in sidecar)")
+      println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":"see_sidecar","calibration":$cal,"corpus":{"id":"${corpusId}"}$errField,"sf":"$sfDir"}""")
+    }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -1189,7 +1189,7 @@ object DedupQueries extends QueryGroup {
     val base = sid.filter(size($"sid") > 0)
     val bands = bandIndex(base).persistSubstrate()
     val hot = bands.groupBy($"band_idx", $"band_hash")
-      .agg(count(lit(1)).as("n")).filter($"n" > BandCap)
+      .agg(count(lit(1)).as("n")).filter($"n" > bandCap(spark))
       .select($"band_idx", $"band_hash")
     val capped = bands.join(broadcast(hot),
       Seq("band_idx", "band_hash"), "left_anti")
@@ -1722,7 +1722,7 @@ object DedupQueries extends QueryGroup {
     val base = sid.filter(size($"sid") > 0)
     val bands = bandIndex(base).persistSubstrate()
     val hot = bands.groupBy($"band_idx", $"band_hash")
-      .agg(count(lit(1)).as("nb")).filter($"nb" > BandCap)
+      .agg(count(lit(1)).as("nb")).filter($"nb" > bandCap(spark))
       .select($"band_idx", $"band_hash")
     val capped = bands.join(broadcast(hot),
       Seq("band_idx", "band_hash"), "left_anti")

@@ -76,6 +76,23 @@ object StressSweep {
     }.getOrElse(Map.empty)
     val spark = Sessions.create("graft-stress-sweep",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // env-conf passthrough (round-16 verdict item 5): a sweep variant
+    // under a session knob — e.g. SPARK_GRAFT_SWEEP_CONF=
+    // "spark.graft.bandCap=256" for the capped-d2 sf100 rung — runs
+    // through the SAME harness instead of a one-off main, and the
+    // artifact stamps exactly what was set ("env_conf") so the rung is
+    // comparable to the default-knob artifact it sits beside
+    val envConf: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_SWEEP_CONF")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"SPARK_GRAFT_SWEEP_CONF entry not k=v: $kv")
+          (kv.take(i), kv.drop(i + 1))
+        }).getOrElse(Seq.empty)
+    envConf.foreach { case (k, v) =>
+      spark.conf.set(k, v)
+      println(s"[sweep] env conf: $k=$v")
+    }
     // local-iteration filter (comma-separated); the driver never sets
     // it, so recorded sweeps always cover the full registry
     val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
@@ -201,8 +218,10 @@ object StressSweep {
       val (corpusId, corpusStats) = Bench.corpusFingerprint(spark, sfDir)
       val corpusTables = corpusStats.map { case (n, r, b) =>
         s"""${q(n)}:{"rows":$r,"bytes":$b}""" }.mkString("{", ",", "}")
+      val envConfJson = envConf.map { case (k, v) => s"${q(k)}:${q(v)}" }
+        .mkString("{", ",", "}")
       val doc = s"""{"sf_dir":${q(sfDir)},"timeout_secs":$timeoutSecs,""" +
-        s""""heap_gib":$heapG,"cpus":$cpus,""" +
+        s""""heap_gib":$heapG,"cpus":$cpus,"env_conf":$envConfJson,""" +
         s""""corpus":{"id":${q(corpusId)},"tables":$corpusTables},""" +
         s""""n_queries":${results.size},"total_secs":${num("%.1f", total)},""" +
         s""""n_timeout":${timedOut.size},"n_fail":${failed.size},""" +

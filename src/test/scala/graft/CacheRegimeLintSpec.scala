@@ -14,13 +14,19 @@ import org.scalatest.funsuite.AnyFunSuite
   *     by batch size regardless of corpus size;
   *   - operators/JoinPlanner.scala — O(1) sketch grids (fixed cell
   *     count, never grows with the data);
-  *   - NeardupCapSweep.scala — the ladder harness itself, which
-  *     measures peak memory under the level it persists at (routing it
-  *     would make the measurement depend on the knob under test).
+  *   - NeardupCapSweep.scala / BandCapSweep.scala — the ladder
+  *     harnesses themselves, which measure per-rung peak memory under
+  *     the level they persist at (routing them would make the
+  *     measurement depend on the knob under test); both are bounded
+  *     planted corpora (tens of thousands of short docs), never
+  *     corpus-shaped.
   * `.cache()` (always MEMORY_AND_DISK, ignores every knob) is banned
-  * outright. A new bare persist anywhere else fails here with the
-  * routing instruction, so the regime can't erode one convenience
-  * cache at a time.
+  * outright, and so is an explicit-level `.persist(StorageLevel.X)`
+  * anywhere but operators/Substrate.scala (the regime's single routing
+  * point) — an explicit level is precisely the bypass this spec exists
+  * to block. A new persist anywhere else fails here with the routing
+  * instruction, so the regime can't erode one convenience cache at a
+  * time.
   */
 class CacheRegimeLintSpec extends AnyFunSuite {
 
@@ -56,7 +62,12 @@ class CacheRegimeLintSpec extends AnyFunSuite {
   private val allowedBarePersist = Set(
     "streaming/StreamingOps.scala", // per-batch deltas (batch-bounded)
     "operators/JoinPlanner.scala",  // O(1) sketch grids
-    "NeardupCapSweep.scala")        // the ladder harness measures levels
+    "NeardupCapSweep.scala",        // ladder harness measures levels
+    "BandCapSweep.scala")           // ladder harness measures levels
+
+  // explicit-level .persist(StorageLevel.X) is the regime bypass; only
+  // the regime's own routing point may use it
+  private val allowedExplicitPersist = Set("operators/Substrate.scala")
 
   test("bare .persist() appears only at provably-bounded whitelisted sites") {
     val bare = hits(".persist()")
@@ -71,6 +82,20 @@ class CacheRegimeLintSpec extends AnyFunSuite {
     val live = bare.map(_._1).toSet
     val stale = allowedBarePersist -- live
     assert(stale.isEmpty, s"stale whitelist entries (no bare persist left): $stale")
+  }
+
+  test("explicit-level .persist(arg) only at the Substrate routing point") {
+    // ".persist(" does NOT match ".persistSubstrate(" (next char is 'S');
+    // bare ".persist()" is covered by the test above, so exclude it here
+    val explicit = hits(".persist(").filterNot(_._3.contains(".persist()"))
+    val offenders = explicit.filterNot { case (f, _, _) => allowedExplicitPersist(f) }
+    assert(offenders.isEmpty,
+      s"\nan explicit StorageLevel bypasses spark.graft.substrateStorageLevel; " +
+        s"route through .persistSubstrate() instead:\n" +
+        offenders.map { case (f, l, s) => s"  $f:$l  $s" }.mkString("\n"))
+    val live = explicit.map(_._1).toSet
+    val stale = allowedExplicitPersist -- live
+    assert(stale.isEmpty, s"stale whitelist entries: $stale")
   }
 
   test(".cache() is banned in main sources") {

@@ -31,6 +31,18 @@ within the jump threshold, or <= 10) is auto-adjudicated here —
 printed, suppressed, no hand-written verdict needed. An isolated
 measurement that REPRODUCES the jump still fires the gate. kind is "ratio" or "status".
 
+OVERHEAD FLOOR (round 17): iterative keys (driver-loop fixpoints — g3
+pagerank class) cost ~constant seconds at bench SFs because 3-6 chained
+shuffle stages of task scheduling dominate data mass; their sf1/sf0.1
+ratio divides two overhead-dominated numbers and is pure noise. The
+floor is measured ONCE (sf0.01 seconds, where data mass is provably
+irrelevant) and recorded as kind "overhead_floor" with "floor_secs": a
+ratio jump on such a key is suppressed when both denominators sit
+within 3x the floor AND the sf1 seconds did not themselves grow
+super-linearly. Unlike ratio/status kinds, the floor entry never goes
+stale — it encodes a property of the key's SHAPE, not one settled
+magnitude.
+
 The suppression is BOUNDED by "baseline" — the magnitude the verdict
 actually settled (for kind "ratio": the new ratio at adjudication time;
 for kind "status": the adjudicated status string, e.g. "timeout"). A
@@ -108,7 +120,7 @@ def main():
     if recovered:
         print("recovered (non-ok -> ok): " + ", ".join(sorted(recovered)))
 
-    jumps, jump_adj, iso_adj = [], [], []
+    jumps, jump_adj, iso_adj, floor_adj = [], [], [], []
     for k in old.keys() & new.keys():
         ro, rn = old[k].get("ratio"), new[k].get("ratio")
         if new[k]["status"] != "ok":
@@ -125,6 +137,25 @@ def main():
                 if rn_iso / ro <= jump or rn_iso <= 10:
                     iso_adj.append((k, iso, rn_iso))
                     continue
+            # OVERHEAD FLOOR (round 17, generalizing the g3_pagerank
+            # adjudication): an iterative key's wall time at bench SFs
+            # is fixed per-iteration scheduling overhead, measured once
+            # at sf0.01 and recorded as kind "overhead_floor" with
+            # "floor_secs". When BOTH ratio denominators (the sf0.1
+            # baseline secs, recoverable as secs/ratio) sit within 3x
+            # that floor, the ratio divides two overhead-dominated
+            # numbers and its jump is floor-noise — suppress, BOUNDED:
+            # the numerator (sf1 secs) must not itself have grown
+            # super-linearly, else the flag still fires (and the
+            # iso_secs machinery above gets first say regardless).
+            fa = adjudications.get(k)
+            if fa is not None and fa.get("kind") == "overhead_floor":
+                floor = float(fa.get("floor_secs", 0) or 0)
+                denom_old, denom_new = old[k]["secs"] / ro, new[k]["secs"] / rn
+                if (floor > 0 and max(denom_old, denom_new) <= 3 * floor
+                        and new[k]["secs"] <= old[k]["secs"] * jump):
+                    floor_adj.append((k, denom_old, denom_new, floor))
+                    continue
             if adjudicated(k, "ratio", rn):
                 jump_adj.append(k)
             else:
@@ -140,6 +171,12 @@ def main():
         for k, iso, rn_iso in sorted(iso_adj):
             print("  %-30s in-sweep %7.1fs -> isolated %7.1fs (iso ratio %.1f)"
                   % (k, new[k]["secs"], iso, rn_iso))
+    if floor_adj:
+        print("overhead-floor adjudicated (ratio denominator is fixed "
+              "per-iteration overhead):")
+        for k, do, dn, fl in sorted(floor_adj):
+            print("  %-30s denom %5.2fs -> %5.2fs vs floor %5.2fs x3"
+                  % (k, do, dn, fl))
 
     if suppressed:
         print("adjudicated (suppressed):")

@@ -111,7 +111,28 @@ def main():
     check("iso reproduction still fires",
           rc == 1 and "RATIO JUMPS" in out, out)
 
-    print(f"{9 - len(fails)}/9 ok")
+    # 10. overhead floor: both denominators within 3x floor, sf1 secs
+    #     flat -> suppressed. old: 2.0s ratio 4 (denom 0.5); new: 2.4s
+    #     ratio 24 (denom 0.1); floor 0.2 -> 3x floor = 0.6 covers both
+    floor_adj = {"k": {"kind": "overhead_floor", "floor_secs": 0.2,
+                       "round": "r17",
+                       "verdict": "fixpoint overhead-dominated at bench SFs"}}
+    rc, out = run(old, art({"k": q(2.4, ratio=24.0)}, floor_adj))
+    check("overhead floor suppresses",
+          rc == 0 and "overhead-floor adjudicated" in out, out)
+
+    # 11. overhead floor does NOT cover a denominator above 3x floor
+    #     (new denom = 30/15 = 2.0 > 0.6: data mass is now visible)
+    rc, out = run(old, art({"k": q(30.0, ratio=15.0)}, floor_adj))
+    check("overhead floor bounded by denom", rc == 1, out)
+
+    # 12. overhead floor does NOT cover super-linear sf1 secs growth
+    #     (denoms 0.5, 0.17 both under 3x floor, but secs 2.0 -> 4.0
+    #     is a 2.0x > 1.5x jump at the sf1 level itself)
+    rc, out = run(old, art({"k": q(4.0, ratio=24.0)}, floor_adj))
+    check("overhead floor bounded by secs growth", rc == 1, out)
+
+    print(f"{12 - len(fails)}/12 ok")
     return 1 if fails else 0
 
 
