@@ -202,8 +202,10 @@ object BuildChainQueries extends QueryGroup {
       }
 
     // ── stage 7: N-Triples export (K2 line shape, map-only)
+    // literal replace, not regexp_replace (see ExportQueries.ntTriples —
+    // identical move, identical output)
     val esc = (s: Column) =>
-      regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+      replace(replace(s, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
     val uri = (y: Column) => concat(lit("<urn:graft:y"), y, lit(">"))
     val md = merged.toDF().persistSubstrate() // fanned out into 6 line projections
     val lines = Seq(
@@ -585,7 +587,15 @@ object BuildChainQueries extends QueryGroup {
     val (_, _, day0Out) = day0State(spark, dir)
     val table = dailyTable(spark, dir, day0Out)
     val runDir = s"$table/data/run-${java.util.UUID.randomUUID()}"
-    out.write.mode("overwrite").parquet(runDir)
+    // REBALANCE before the publish write (guide §6 output sizing): the
+    // fold's 32 shuffle partitions + the carried scan otherwise emit
+    // ~65 KB-sized files per daily run, which the read-back then pays
+    // for twice (a 33-path listing job + per-file open). AQE sizes the
+    // rebalance by bytes — one file at bench scale, 64 MB-targeted
+    // files at corpus scale — so the knob is scale-adaptive, not a
+    // local constant. (r17: la_daily profile showed the write+list+
+    // read-back jobs at ~0.5 s of the key's 2.3 s.)
+    out.hint("rebalance").write.mode("overwrite").parquet(runDir)
     val base = sources.TableCommit.readManifest(table)
     // REPLACE commit: the daily output is the complete new table state
     // (the previous version stays readable; older run versions are

@@ -136,27 +136,44 @@ object DedupQueries extends QueryGroup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > SaltAt) // only oversize buckets matter downstream
       .localCheckpoint() // tiny; feeds two broadcasts without recompute
-    val hot = counts.filter(col("n") > cap).select(keys.map(col): _*)
-    // no-silent-caps: the checkpoint above already materialized counts,
-    // so surfacing how many buckets the cap drops costs one tiny scan
-    val nHot = hot.count()
+    // ONE scalar job classifies the guard regimes (r17: this used to be
+    // a hot-only count; folding both class counts into one aggregate
+    // lets the common all-small corpus skip every guard join below)
+    val cls = counts.agg(
+      count(when(col("n") > cap, 1)).as("nHot"),
+      count(when(col("n") <= cap, 1)).as("nBig")).head()
+    val (nHot, nBig) = (cls.getLong(0), cls.getLong(1))
     if (nHot > 0) {
       guardDropCount.addAndGet(nHot)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"guardedBandPairs: dropping $nHot band buckets larger than $cap docs")
     }
-    val big = counts.filter(col("n") <= cap).select(keys.map(col): _*)
-    val capped = bandRows.join(broadcast(hot), keys, "left_anti")
-    val smallRows = capped.join(broadcast(big), keys, "left_anti")
-    val bigRows = capped.join(broadcast(big), keys, "left_semi")
     val outCols = (idCol +: carry).flatMap(c =>
       Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
     val cond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _) &&
       col(s"a.$idCol") < col(s"b.$idCol")
-    val plainPairs = smallRows.as("a").join(smallRows.as("b"), cond)
-      .select(outCols: _*)
-    val saltedPairs = saltedSelfJoin(bigRows, keys, idCol).select(outCols: _*)
-    plainPairs.union(saltedPairs).distinct()
+    // regime fast paths (r17, guide §1.2): the counts are already on
+    // the driver, so prune the guard joins the data cannot need —
+    // provably identical output (an anti-join against an EMPTY hot/big
+    // set is the identity; an empty bigRows makes saltedPairs empty).
+    // The common healthy-corpus case (no bucket above SaltAt) becomes
+    // ONE self-join with zero broadcast builds; the full three-regime
+    // machinery engages exactly when oversize buckets exist.
+    val hot = counts.filter(col("n") > cap).select(keys.map(col): _*)
+    val big = counts.filter(col("n") <= cap).select(keys.map(col): _*)
+    val capped =
+      if (nHot == 0) bandRows
+      else bandRows.join(broadcast(hot), keys, "left_anti")
+    if (nBig == 0) {
+      capped.as("a").join(capped.as("b"), cond).select(outCols: _*).distinct()
+    } else {
+      val smallRows = capped.join(broadcast(big), keys, "left_anti")
+      val bigRows = capped.join(broadcast(big), keys, "left_semi")
+      val plainPairs = smallRows.as("a").join(smallRows.as("b"), cond)
+        .select(outCols: _*)
+      val saltedPairs = saltedSelfJoin(bigRows, keys, idCol).select(outCols: _*)
+      plainPairs.union(saltedPairs).distinct()
+    }
   }
 
   // ------------------------------------------------------------ helpers

@@ -559,11 +559,17 @@ object SimilarityQueries extends QueryGroup {
     val step = base.count() / KmK
     def collapse(cents: DataFrame): DataFrame =
       cents.agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
+    // argmin via array_min, not array_sort(...)[1]: same struct ordering
+    // (both use the element type's interpreted ordering), but O(K) with
+    // no sorted-copy allocation per row where the sort was O(K log K) +
+    // one K-element array allocation per input row (r17, guide §1.2
+    // "per-task work"; result provably identical — the comparator is
+    // shared, KmeansArgminSpec pins equality on ties and null scores)
     def assign(centsRow: DataFrame): DataFrame =
       base.crossJoin(broadcast(centsRow))
-        .withColumn("best", element_at(array_sort(transform($"cents", c =>
+        .withColumn("best", array_min(transform($"cents", c =>
           struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
-            + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))), 1))
+            + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))))
         .select($"vec_id", $"q", $"n2",
           $"best".getField("cid").as("cid"), $"best".getField("d2").as("d2"))
     val cents0 = base
@@ -638,9 +644,10 @@ object SimilarityQueries extends QueryGroup {
       .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
     val assigned = all.filter($"vec_id" % 10 === 9)
       .crossJoin(broadcast(centsRow))
-      .withColumn("best", element_at(array_sort(transform($"cents", c =>
+      // argmin via array_min (see kmeansStateOf.assign — identical move)
+      .withColumn("best", array_min(transform($"cents", c =>
         struct(($"n2" - lit(2L) * functions.VecMath.dotCol($"q", c.getField("cv"))
-          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))), 1))
+          + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))))
       .select($"vec_id", $"best".getField("cid").as("cid"),
         $"best".getField("d2").as("d2"))
     val oldN = a2.groupBy($"cid").agg(count(lit(1)).as("n_corpus"))
@@ -961,9 +968,10 @@ object SimilarityQueries extends QueryGroup {
       .agg(sort_array(collect_list(struct($"cid", $"cv", $"cn2"))).as("cents"))
     def assign(centsByM: DataFrame): DataFrame =
       subs.join(broadcast(centsByM), "m")
-        .withColumn("best", element_at(array_sort(transform($"cents", c =>
+        // argmin via array_min (see kmeansStateOf.assign — identical move)
+        .withColumn("best", array_min(transform($"cents", c =>
           struct(($"qn2" - lit(2L) * functions.VecMath.dotCol($"qm", c.getField("cv"))
-            + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))), 1))
+            + c.getField("cn2")).as("d2"), c.getField("cid").as("cid")))))
         .select($"vec_id", $"m", $"qm", $"qn2", $"best".getField("cid").as("cid"))
     val cents0 = subs.filter($"vec_id" % step === 0 && $"vec_id" < step * KmK)
       .select($"m", TextQueries.intDiv($"vec_id", lit(step)).as("cid"),
@@ -1158,9 +1166,10 @@ object SimilarityQueries extends QueryGroup {
       .agg(sort_array(collect_list(struct($"pcid", $"cv", $"cn2"))).as("cents"))
     def assign(centsByM: DataFrame): DataFrame =
       subs.join(broadcast(centsByM), "m")
-        .withColumn("best", element_at(array_sort(transform($"cents", c =>
+        // argmin via array_min (see kmeansStateOf.assign — identical move)
+        .withColumn("best", array_min(transform($"cents", c =>
           struct(($"qn2" - lit(2L) * functions.VecMath.dotCol($"qm", c.getField("cv"))
-            + c.getField("cn2")).as("d2"), c.getField("pcid").as("pcid")))), 1))
+            + c.getField("cn2")).as("d2"), c.getField("pcid").as("pcid")))))
         .select($"vec_id", $"cid", $"m", $"qm", $"qn2",
           $"best".getField("pcid").as("pcid"))
     val pc0 = subs.filter($"vec_id" % step === 0 && $"vec_id" < step * KmK)

@@ -85,9 +85,17 @@ object Graph {
     // node appears as a star-edge src, so the node set is preserved;
     // local roots keep a self-loop, preserving singletons)
     val star = localContraction(full)
+    // ONE build shuffle, keyed by src, not a (src,dst)-keyed distinct:
+    // hash(src) co-locates equal (src,dst) rows too, so dropDuplicates
+    // dedups with NO second exchange — and the cached relation's
+    // hash(src) partitioning is exactly what every round's
+    // neighbor-min join needs, so no round re-shuffles the edge bulk
+    // (r17, guide §2.4 "two operations keyed the same way share one
+    // exchange"; before: the per-round SMJ re-exchanged the cached sym
+    // every non-broadcast round)
     val sym = star.select($"src", $"dst")
       .union(star.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().persistSubstrate()
+      .repartition($"src").dropDuplicates("src", "dst").persistSubstrate()
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node").localCheckpoint()
     // DELTA propagation: only nodes whose label changed last round send

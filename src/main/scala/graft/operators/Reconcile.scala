@@ -65,7 +65,13 @@ object Reconcile {
       // materializes both (newEdges via newNodes' lineage)
       val newEdges = expanders.map(_(frontier)).reduce(_ union _)
         .select("src", "dst").distinct().localCheckpoint(eager = false)
-      val newNodes = nodesOf(newEdges)
+      // dst-only, not nodesOf: the node-anchored contract (header) puts
+      // every src in `frontier` ⊆ `seen`, so the anti-join would drop
+      // them anyway — unioning srcs in just doubled the rows through
+      // this distinct's exchange every round (r17, guide §2.3 "shuffle
+      // fewer bytes"; ReconcileSpec's whole-set-equality fuzz pins the
+      // closure unchanged)
+      val newNodes = newEdges.select(col("dst").as("v")).distinct()
         .join(seen, Seq("v"), "left_anti").localCheckpoint(eager = false)
       val n = newNodes.count() // the round's single driver scalar
       layers ::= newEdges
