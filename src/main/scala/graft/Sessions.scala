@@ -30,6 +30,24 @@ object Sessions {
       // itself bypasses the SQL file source entirely — Archive.loadDir
       // documents why.)
       .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+      // Persisted-substrate partitioning must be STATICALLY visible to
+      // consumers (r17): Spark 3.5+ defaults this to true, wrapping
+      // every cached plan in AdaptiveSparkPlan whose output partitioning
+      // reads as Unknown at planning time — so a substrate deliberately
+      // built hash(src)-partitioned (Graph.connectedComponents' sym,
+      // pagerank's edge table, the lux/id-map indexes) still got an
+      // EnsureRequirements exchange at every per-round consumer. With
+      // false, the cache preserves its child's partitioning (the
+      // pre-AQE-era behavior) and the per-round joins/aggregates reuse
+      // it exchange-free — the in-process analog of a bucketed table,
+      // which is what these substrates are at 100 TB. AQE stays ON for
+      // everything outside cached-plan bodies (the builds themselves
+      // are one explicit exchange, so they lose nothing). Interleaved
+      // A/B at sf0.1 (best-of-2 per side, /tmp/cp_{on,off}_*.json):
+      // r2 0.81x, t_corpus 0.84x, g3 0.85x, g1 0.89x, la_build 0.99x —
+      // -9.6% on the five-key sum, no key worse.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
