@@ -249,9 +249,12 @@ object Bench {
     val provenance =
       s"""{"metric":"provenance","queries":$qs,"isolated_best":$iso,"isolated_src":$isoSrc,"calibration":$cal,"corpus":$corpus,"sf":"$sfDir"}"""
     println(provenance)
+    // cpu count stamped into the default filename (r17 verdict item 6):
+    // the driver benches the same tree at two core counts, and a shared
+    // name let the 8-core run clobber the 32-core isolated_best record
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
       java.nio.file.Paths.get(sys.props("user.dir"),
-        "bench_provenance.json").toString)
+        s"bench_provenance_c$cpus.json").toString)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sidecar), provenance + "\n")
     catch { case e: Throwable =>

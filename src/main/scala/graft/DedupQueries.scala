@@ -135,7 +135,12 @@ object DedupQueries extends QueryGroup {
     val counts = bandRows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > SaltAt) // only oversize buckets matter downstream
-      .localCheckpoint() // tiny; feeds two broadcasts without recompute
+      // LAZY checkpoint (r18, guide §1.2): the classify scalar below is
+      // the first action and materializes it, so the guard's driver
+      // prologue is ONE job, not an eager-checkpoint job plus a scalar
+      // job; the broadcasts under the regime joins still read the
+      // checkpointed blocks without recomputing the count aggregate
+      .localCheckpoint(eager = false) // tiny; feeds two broadcasts
     // ONE scalar job classifies the guard regimes (r17: this used to be
     // a hot-only count; folding both class counts into one aggregate
     // lets the common all-small corpus skip every guard join below)

@@ -269,8 +269,13 @@ object GraphQueries extends QueryGroup {
     // cached partitioning makes the degree aggregate AND each power
     // iteration's edge join exchange-free on the edge bulk (r17, guide
     // §2.4; the identical move to Graph.connectedComponents' sym)
-    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src").dropDuplicates("src", "dst").persistSubstrate()
+    // byte-scaled partition count (r18): the cached layout is frozen by
+    // the cached-plan flag, so it must not inherit the cores-coupled
+    // shuffle.partitions constant (operators.Substrate.scaledPartitions)
+    val symRaw = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    val sym = symRaw
+      .repartition(operators.Substrate.scaledPartitions(symRaw), $"src")
+      .dropDuplicates("src", "dst").persistSubstrate()
     val deg = sym.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     var rank = deg.select($"src".as("node"), lit(1000L).as("rank"))
     for (_ <- 1 to 3) {

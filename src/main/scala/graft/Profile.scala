@@ -62,15 +62,23 @@ object Profile {
     val fns = Queries.queries
     val listener = new JobListener
     spark.sparkContext.addSparkListener(listener)
+    // SPARK_GRAFT_PROFILE_ACTION=foreach executes FULL rows (the Verify/
+    // stress render path) instead of count() — count prunes final
+    // projections, so projection-only costs (e.g. the N-Triples escape)
+    // are invisible to it (guide §1.4). Measurement-only knob.
+    val action: org.apache.spark.sql.DataFrame => Unit =
+      if (sys.env.get("SPARK_GRAFT_PROFILE_ACTION").contains("foreach"))
+        df => df.foreach(_ => ())
+      else df => { df.count(); () }
     names.foreach { name =>
       require(fns.contains(name), s"unknown query $name")
       // warmup (JIT + substrates), same lifecycle as Bench
-      try fns(name)(spark, sfDir).count() catch { case e: Throwable =>
+      try action(fns(name)(spark, sfDir)) catch { case e: Throwable =>
         println(s"[profile] $name warmup failed: $e"); }
       drainBus(spark)
       listener.reset()
       val t0 = System.nanoTime()
-      fns(name)(spark, sfDir).count()
+      action(fns(name)(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
       drainBus(spark)
       val jobs = listener.jobs.values.toSeq

@@ -93,9 +93,20 @@ object Graph {
     // (r17, guide §2.4 "two operations keyed the same way share one
     // exchange"; before: the per-round SMJ re-exchanged the cached sym
     // every non-broadcast round)
-    val sym = star.select($"src", $"dst")
+    // byte-scaled partition count (r18): the layout below is FROZEN by
+    // the cached-plan flag, so the count must come from the data, not
+    // the cores-coupled shuffle.partitions constant (Substrate header).
+    // Hub-skew bound: hash(src) necessarily co-locates one src's edges,
+    // so a hub's block is ONE partition regardless of count — but each
+    // round's probe of it is a single linear scan (unique-key join +
+    // map-side partial min), and delta propagation only pays it in
+    // rounds where a hub neighbor changed. GraphSubstrateSpec pins the
+    // scaling and the hub rung.
+    val symRaw = star.select($"src", $"dst")
       .union(star.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src").dropDuplicates("src", "dst").persistSubstrate()
+    val sym = symRaw
+      .repartition(Substrate.scaledPartitions(symRaw), $"src")
+      .dropDuplicates("src", "dst").persistSubstrate()
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("label", $"node").localCheckpoint()
     // DELTA propagation: only nodes whose label changed last round send

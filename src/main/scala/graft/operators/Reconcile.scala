@@ -52,38 +52,60 @@ object Reconcile {
   def frontierFixpoint(seed: DataFrame,
       expanders: Seq[DataFrame => DataFrame],
       maxIter: Int = 50): DataFrame = {
-    def nodesOf(e: DataFrame) =
-      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct()
     val seedE = seed.select("src", "dst").distinct().localCheckpoint()
-    var seen = nodesOf(seedE).localCheckpoint()
+    var seen = seedE.select(col("src").as("v"))
+      .union(seedE.select(col("dst").as("v"))).distinct().localCheckpoint()
     var frontier = seen
     var layers = List(seedE)
     var iter = 0
     var active = true
-    while (active && iter < maxIter) {
-      // lazy checkpoints: the count below is the round's ONLY job and
-      // materializes both (newEdges via newNodes' lineage)
-      val newEdges = expanders.map(_(frontier)).reduce(_ union _)
+    // One BFS layer, built LAZILY (nothing runs until a count):
+    // dst-only, not src ∪ dst: the node-anchored contract (header) puts
+    // every src in the frontier ⊆ `seen`, so the anti-join would drop
+    // them anyway — unioning srcs in just doubled the rows through the
+    // node distinct's exchange every round (r17, guide §2.3 "shuffle
+    // fewer bytes"; ReconcileSpec's whole-set-equality fuzz pins the
+    // closure unchanged)
+    def layer(f: DataFrame, seenSoFar: DataFrame): (DataFrame, DataFrame) = {
+      val newEdges = expanders.map(_(f)).reduce(_ union _)
         .select("src", "dst").distinct().localCheckpoint(eager = false)
-      // dst-only, not nodesOf: the node-anchored contract (header) puts
-      // every src in `frontier` ⊆ `seen`, so the anti-join would drop
-      // them anyway — unioning srcs in just doubled the rows through
-      // this distinct's exchange every round (r17, guide §2.3 "shuffle
-      // fewer bytes"; ReconcileSpec's whole-set-equality fuzz pins the
-      // closure unchanged)
       val newNodes = newEdges.select(col("dst").as("v")).distinct()
-        .join(seen, Seq("v"), "left_anti").localCheckpoint(eager = false)
-      val n = newNodes.count() // the round's single driver scalar
-      layers ::= newEdges
-      // plain union, NOT a fresh checkpoint: both sides are already
-      // checkpointed, so re-materializing the accumulated set would
-      // rewrite O(reach) per round — O(rounds x reach) total, the same
-      // disease the frontier restriction cures on the edge side. The
-      // union lineage is one node per round over checkpointed leaves.
-      seen = seen.union(newNodes) // disjoint by anti-join
-      frontier = newNodes
-      active = n > 0
-      iter += 1
+        .join(seenSoFar, Seq("v"), "left_anti").localCheckpoint(eager = false)
+      (newEdges, newNodes)
+    }
+    while (active && iter < maxIter) {
+      val (e1, f1) = layer(frontier, seen)
+      if (iter + 1 < maxIter) {
+        // TWO layers per driver round-trip (r18, guide §1.2/§2): the
+        // second expansion chains lazily on the first layer's
+        // checkpoint, so ONE count materializes both layers — half the
+        // per-layer driver scalar barriers of the one-layer loop. The
+        // closure is unchanged: the frontier sequence f1, f2 is exactly
+        // the one-layer loop's, and when f1 is empty the node-anchored
+        // contract makes e2/f2 empty (expanding an empty node set
+        // produces no edges), so stopping on n2 == 0 alone stops at the
+        // same layer set. An odd maxIter falls through to the single-
+        // layer tail below, so the layer COUNT bound is also unchanged.
+        val seen1 = seen.union(f1) // disjoint by anti-join
+        val (e2, f2) = layer(f1, seen1)
+        val n2 = f2.count() // the round-pair's single driver scalar
+        layers = e2 :: e1 :: layers
+        // plain union, NOT a fresh checkpoint: all sides are already
+        // checkpointed, so re-materializing the accumulated set would
+        // rewrite O(reach) per round — O(rounds x reach) total, the
+        // same disease the frontier restriction cures on the edge side.
+        seen = seen1.union(f2)
+        frontier = f2
+        active = n2 > 0
+        iter += 2
+      } else {
+        val n1 = f1.count()
+        layers ::= e1
+        seen = seen.union(f1)
+        frontier = f1
+        active = n1 > 0
+        iter += 1
+      }
     }
     layers.reduce(_ union _).distinct()
   }

@@ -59,6 +59,51 @@ class ReconcileSpec extends AnyFunSuite {
     }
   }
 
+  test("frontierFixpoint (2-layer unrolled) matches a per-layer reference " +
+      "for every maxIter parity") {
+    import spark.implicits._
+    // plain-Scala per-layer reference of the node-anchored BFS closure:
+    // layer k's edges = rel edges whose src is in frontier(k-1); the
+    // result is seed ∪ all layers, frontier = unseen dsts. This is the
+    // ONE-layer-per-round semantics the unrolled loop must reproduce
+    // exactly, including the maxIter layer bound (odd values exercise
+    // the single-layer tail).
+    def reference(rel: Seq[(Long, Long)], seed: Seq[(Long, Long)],
+        maxIter: Int): Set[(Long, Long)] = {
+      val bySrc = rel.groupBy(_._1)
+      var seen = seed.flatMap(e => Seq(e._1, e._2)).toSet
+      var frontier = seen
+      var out = seed.toSet
+      var it = 0
+      while (frontier.nonEmpty && it < maxIter) {
+        val newEdges = frontier.toSeq.flatMap(bySrc.getOrElse(_, Nil)).toSet
+        val newNodes = newEdges.map(_._2) -- seen
+        out ++= newEdges
+        seen ++= newNodes
+        frontier = newNodes
+        it += 1
+      }
+      out
+    }
+    val r = new scala.util.Random(0xF00D)
+    for (trial <- 0 until 2; maxIter <- Seq(1, 2, 3, 5, 50)) {
+      val n = 24
+      // a chain spine plus random chords: guarantees depth > maxIter for
+      // the small bounds, so the layer-count cut is actually exercised
+      val rel = ((0L until (n - 1).toLong).map(i => (i, i + 1)) ++
+        Seq.fill(30)((r.nextInt(n).toLong, r.nextInt(n).toLong))).distinct
+      val seed = Seq((0L, 1L), (r.nextInt(n).toLong, r.nextInt(n).toLong)).distinct
+      val relDf = rel.toDF("src", "dst")
+      val crawl: DataFrame => DataFrame = ns =>
+        relDf.join(ns.withColumnRenamed("v", "src"), "src")
+      val got = Reconcile.frontierFixpoint(seed.toDF("src", "dst"),
+          Seq(crawl), maxIter = maxIter)
+        .as[(Long, Long)].collect().toSet
+      val want = reference(rel, seed, maxIter)
+      assert(got === want, s"trial $trial maxIter=$maxIter")
+    }
+  }
+
   test("frontierFixpoint with a no-op expander terminates immediately") {
     import spark.implicits._
     val seed = Seq((1L, 2L)).toDF("src", "dst")
